@@ -1,0 +1,337 @@
+"""Density stack: histogram, trapezoidal integration, KDE, linear
+interpolation, log-pdf-error metric.
+
+Covers SURVEY.md §2.4 A7/A8/A9/A10/A11/A13 and §2.3 J3.
+
+Scale notes:
+  * the KDE is linear binning (one distributed pass: each point
+    splits its weight between its two neighboring grid nodes, then a
+    groupBy over ≤``ngrid`` keys) followed by a kernel convolution on
+    the BINNED grid — cost O(data) + O(ngrid²) where ngrid ≤ 4096.
+    The data-sized pass is pure Catalyst; the grid²-sized pass is a
+    broadcast self-join of a tiny frame. This is the FFTKDE
+    decomposition (linear binning + grid convolution,
+    /root/reference/core/utils.py:105-120) re-expressed relationally —
+    the O(data) term dominates at 100 TB and parallelizes linearly.
+  * interpolation against a UNIFORM grid is an index computation +
+    broadcast hash equi-join — no range join, no sort, O(data).
+  * trapz over a grid is a lag-window over ≤ngrid rows (tiny); the
+    grouped variant partitions by series key for many-series use.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def minmax(df: DataFrame, col: str) -> DataFrame:
+    """A10: global min/max of a column (one-row frame, broadcastable)."""
+    return df.agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    nbins: int = 9,
+    density: bool = True,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """A7: equal-width histogram over ``[lo, hi]`` (data range when
+    unspecified), matching ``plt.hist(..., density=True)`` — the
+    right edge of the last bin is inclusive
+    (BigDataQualityAssessment_ActiveSampling.py:58-61).
+
+    Returns ``(bin INT, bin_lo DOUBLE, bin_hi DOUBLE, cnt BIGINT,
+    pdf DOUBLE)``. Single shuffle of ≤nbins keys after a map-side
+    combine; range bounds (when derived) ride in via a broadcast
+    cross join of a one-row aggregate, never a driver collect.
+    """
+    if lo is None or hi is None:
+        bounds = df.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+        src = df.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        src = df
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+
+    width = (hi_c - lo_c) / nbins
+    raw_bin = F.floor((F.col(col) - lo_c) / width)
+    bin_idx = F.least(raw_bin, F.lit(nbins - 1)).cast("int")  # right-closed last bin
+    binned = (
+        src.filter(F.col(col).between(lo_c, hi_c))
+        .select(
+            bin_idx.alias("bin"),
+            lo_c.alias("__lo2"),
+            width.alias("__w"),
+        )
+        .groupBy("bin", "__lo2", "__w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = Window.partitionBy()
+    out = binned.select(
+        "bin",
+        (F.col("__lo2") + F.col("bin") * F.col("__w")).alias("bin_lo"),
+        (F.col("__lo2") + (F.col("bin") + 1) * F.col("__w")).alias("bin_hi"),
+        "cnt",
+        (
+            F.col("cnt") / (F.sum("cnt").over(total) * F.col("__w"))
+            if density
+            else F.lit(None).cast("double")
+        ).alias("pdf"),
+    )
+    return out
+
+
+def trapz(
+    df: DataFrame,
+    x_col: str,
+    f_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """A8: trapezoidal integration ``∫ f dx`` over a (possibly
+    irregular) grid: ``Σ (xᵢ−xᵢ₋₁)·(fᵢ+fᵢ₋₁)/2`` via a lag window
+    (np.trapz, BigDataQualityAssessment_ActiveSampling.py:219).
+
+    With ``group_cols`` the window partitions by series — fully
+    parallel across series. Ungrouped use is reserved for grid-sized
+    frames (≤4096 rows by construction)."""
+    w = Window.partitionBy(*(group_cols or [])).orderBy(x_col)
+    seg = (F.col(x_col) - F.lag(x_col).over(w)) * (F.col(f_col) + F.lag(f_col).over(w)) / 2.0
+    segs = df.withColumn("__seg", seg)
+    if group_cols:
+        return segs.groupBy(*group_cols).agg(F.sum("__seg").alias("integral"))
+    return segs.agg(F.sum("__seg").alias("integral"))
+
+
+def grid_nint(df: DataFrame, f_col: str, axis_cols: list[str]) -> DataFrame:
+    """A9: iterated trapezoidal integration of ``f`` over an N-D
+    lattice (core/utils.py:43-52): integrate one axis per pass,
+    grouping by the remaining axes."""
+    cur = df.select(*axis_cols, F.col(f_col).alias("__f"))
+    remaining = list(axis_cols)
+    while remaining:
+        axis = remaining.pop()  # innermost axis first, like grid_nint
+        if remaining:
+            cur = trapz(cur, axis, "__f", group_cols=remaining).withColumnRenamed(
+                "integral", "__f"
+            )
+        else:
+            cur = trapz(cur, axis, "__f")
+    return cur
+
+
+def scott_bandwidth(df: DataFrame, col: str) -> DataFrame:
+    """A11 helper: Scott's-rule bandwidth ``n^(-1/5)·σ_pop`` with the
+    reference's floor/fallback to 1.0 when the data is degenerate
+    (core/utils.py:108-119 uses gaussian_kde covariance ⇒ population
+    std of the sample). One-row frame ``(bw DOUBLE)``."""
+    return df.agg(
+        F.coalesce(
+            F.when(
+                F.stddev_pop(col) > 0,
+                F.pow(F.count(F.lit(1)).cast("double"), F.lit(-0.2)) * F.stddev_pop(col),
+            ),
+            F.lit(1.0),
+        ).alias("bw")
+    )
+
+
+def kde_1d(
+    df: DataFrame,
+    col: str,
+    bw: float,
+    ngrid: int = 1024,
+    lo: float | None = None,
+    hi: float | None = None,
+    pad: float = 0.01,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """A11: Gaussian-kernel KDE on a uniform grid via exact linear
+    binning + grid-space convolution — the relational re-expression of
+    KDEpy's FFTKDE (linear binning + FFT convolution,
+    core/utils.py:105-120).
+
+    Phase 1 (O(data), distributed): each point at fractional grid
+    position ``p`` contributes weight ``(1−frac)`` to node ``⌊p⌋`` and
+    ``frac`` to node ``⌊p⌋+1``; a groupBy over ≤ngrid keys sums them.
+    Phase 2 (O(ngrid²), broadcast): convolve the binned weights with
+    the Gaussian kernel evaluated at node distances. ngrid ≤ 4096 by
+    contract, so phase 2 is a tiny-frame self-join regardless of the
+    input size.
+
+    Grid bounds default to the data range padded by ``pad`` (1%, as
+    the reference's evaluation grid). Returns ``density(node INT,
+    grid_x DOUBLE, pdf DOUBLE)`` with ∫pdf dx ≈ 1.
+    """
+    spark = df.sparkSession
+
+    if lo is None or hi is None:
+        b = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        span = (b["hi"] - b["lo"]) or 1.0
+        lo = b["lo"] - pad * span
+        hi = b["hi"] + pad * span
+    dx = (hi - lo) / (ngrid - 1)
+
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    pos = (F.col(col) - F.lit(lo)) / F.lit(dx)
+    node0 = F.floor(pos).cast("int")
+    frac = pos - F.floor(pos)
+    # Two (node, weight) contributions per row; clamp to the grid so
+    # boundary points (pos == ngrid-1) land entirely on the last node.
+    contrib = df.filter(F.col(col).isNotNull()).select(
+        F.explode(
+            F.array(
+                F.struct(node0.alias("node"), (w * (1.0 - frac)).alias("bw_")),
+                F.struct((node0 + 1).alias("node"), (w * frac).alias("bw_")),
+            )
+        ).alias("c")
+    ).select(
+        F.least(F.greatest(F.col("c.node"), F.lit(0)), F.lit(ngrid - 1)).alias("node"),
+        F.col("c.bw_").alias("w"),
+    )
+    binned = contrib.groupBy("node").agg(F.sum("w").alias("w"))
+
+    grid = spark.range(ngrid).select(F.col("id").cast("int").alias("eval_node"))
+    norm_const = 1.0 / (bw * math.sqrt(2.0 * math.pi))
+    kernel = F.exp(
+        -0.5 * F.pow((F.col("eval_node") - F.col("node")) * F.lit(dx) / F.lit(bw), 2)
+    ) * F.lit(norm_const)
+    # Every eval node pairs with every binned node (tiny broadcast
+    # cross join), so sum(w) per eval node IS the global weight total —
+    # normalization rides along without an extra pass.
+    pdf = (
+        grid.join(F.broadcast(binned), F.lit(True))
+        .groupBy("eval_node")
+        .agg(F.sum(kernel * F.col("w")).alias("kw_sum"), F.sum("w").alias("w_tot"))
+        .select(
+            F.col("eval_node").alias("node"),
+            (F.lit(lo) + F.col("eval_node") * F.lit(dx)).alias("grid_x"),
+            (F.col("kw_sum") / F.col("w_tot")).alias("pdf"),
+        )
+    )
+    return pdf
+
+
+def interp_uniform_grid(
+    queries: DataFrame,
+    grid: DataFrame,
+    q_col: str,
+    grid_x_col: str = "grid_x",
+    grid_f_col: str = "pdf",
+    node_col: str = "node",
+    out_col: str = "interp",
+) -> DataFrame:
+    """J3 (fast path): ``np.interp`` against a UNIFORM grid — bracket
+    index is computed arithmetically, then two broadcast hash
+    equi-joins fetch the bracketing values. No range join, no sort;
+    O(data) and shuffle-free at any query count.
+
+    Out-of-range queries clamp to the boundary values, matching
+    np.interp. The grid frame must carry an integer ``node`` column
+    (0..g-1) and uniform ``grid_x`` spacing — exactly what ``kde_1d``
+    emits.
+    """
+    g = grid.select(
+        F.col(node_col).alias("__n"),
+        F.col(grid_x_col).alias("__gx"),
+        F.col(grid_f_col).alias("__gf"),
+    )
+    bounds = g.agg(
+        F.min("__gx").alias("__lo"),
+        F.max("__gx").alias("__hi"),
+        F.max("__n").alias("__nmax"),
+    )
+    q = queries.crossJoin(F.broadcast(bounds))
+    dx = (F.col("__hi") - F.col("__lo")) / F.col("__nmax")
+    pos = (F.col(q_col) - F.col("__lo")) / dx
+    idx = F.least(F.greatest(F.floor(pos), F.lit(0)), F.col("__nmax") - 1).cast("int")
+    q = q.withColumn("__i0", idx).withColumn("__frac", pos - idx)
+
+    g0 = g.select(F.col("__n").alias("__i0"), F.col("__gx").alias("__x0"), F.col("__gf").alias("__f0"))
+    g1 = g.select((F.col("__n") - 1).alias("__i0"), F.col("__gf").alias("__f1"))
+    joined = (
+        q.join(F.broadcast(g0), "__i0", "left")
+        .join(F.broadcast(g1), "__i0", "left")
+    )
+    frac_clamped = F.least(F.greatest(F.col("__frac"), F.lit(0.0)), F.lit(1.0))
+    val = F.col("__f0") + (F.col("__f1") - F.col("__f0")) * frac_clamped
+    return joined.withColumn(out_col, val).drop(
+        "__i0", "__frac", "__x0", "__f0", "__f1", "__lo", "__hi", "__nmax"
+    )
+
+
+def interp_linear(
+    queries: DataFrame,
+    grid: DataFrame,
+    q_col: str,
+    grid_x_col: str,
+    grid_f_col: str,
+    out_col: str = "interp",
+) -> DataFrame:
+    """J3 (general path): ``np.interp`` against an ARBITRARY sorted
+    grid — a broadcast range join on the ``lead()``-augmented grid.
+    Correct for irregular grids; prefer ``interp_uniform_grid`` when
+    the spacing is uniform (it avoids the nested-loop join)."""
+    w = Window.orderBy(grid_x_col)
+    aug = grid.select(
+        F.col(grid_x_col).alias("__x0"),
+        F.col(grid_f_col).alias("__f0"),
+        F.lead(grid_x_col).over(w).alias("__x1"),
+        F.lead(grid_f_col).over(w).alias("__f1"),
+        F.min(grid_x_col).over(Window.partitionBy()).alias("__xmin"),
+    )
+    q = queries
+    cond = (
+        # interior bracket [x0, x1)
+        ((F.col(q_col) >= F.col("__x0")) & (F.col(q_col) < F.col("__x1")))
+        # above range: clamp to the last grid row
+        | (F.col("__x1").isNull() & (F.col(q_col) >= F.col("__x0")))
+        # below range: clamp to the first grid row
+        | ((F.col(q_col) < F.col("__xmin")) & (F.col("__x0") == F.col("__xmin")))
+    )
+    joined = q.join(F.broadcast(aug), cond, "inner")
+    val = (
+        F.when(F.col("__x1").isNull() | (F.col(q_col) < F.col("__x0")), F.col("__f0"))
+        .otherwise(
+            F.col("__f0")
+            + (F.col("__f1") - F.col("__f0"))
+            * (F.col(q_col) - F.col("__x0"))
+            / (F.col("__x1") - F.col("__x0"))
+        )
+    )
+    return joined.withColumn(out_col, val).drop("__x0", "__f0", "__x1", "__f1", "__xmin")
+
+
+def log_pdf_error(
+    pdf_a: DataFrame,
+    pdf_b: DataFrame,
+    x_col: str = "grid_x",
+    f_col: str = "pdf",
+    floor: float = -6.0,
+) -> DataFrame:
+    """A13: ``∫ |clip(log p̂) − clip(log p)| dx`` over a SHARED grid —
+    the reference's convergence metric
+    (BigDataQualityAssessment_ActiveSampling.py:199-219, README.md:168-170).
+
+    Both inputs are grid-sized density frames (from ``kde_1d`` on the
+    same bounds); joined on the grid axis, clipped logs (P9), finite
+    filter (P10), trapezoid sum (A8). Returns one row
+    ``(log_pdf_error DOUBLE)``."""
+    a = pdf_a.select(F.col(x_col).alias("x"), F.col(f_col).alias("fa"))
+    b = pdf_b.select(F.col(x_col).alias("x"), F.col(f_col).alias("fb"))
+    diff = (
+        a.join(b, "x")
+        .select(
+            "x",
+            F.abs(
+                F.greatest(F.log("fa"), F.lit(floor))
+                - F.greatest(F.log("fb"), F.lit(floor))
+            ).alias("d"),
+        )
+        .filter(~F.isnan("d") & F.col("d").isNotNull())
+    )
+    return trapz(diff, "x", "d").withColumnRenamed("integral", "log_pdf_error")

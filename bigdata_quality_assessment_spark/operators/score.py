@@ -1,0 +1,145 @@
+"""Scoring: ensemble statistics, error metrics, acquisition functions.
+
+Covers SURVEY.md §2.4 A1-A6/A12 and §2.2 P7/P12/P14-P17.
+
+Scale notes:
+  * ``ensemble_stats`` is the one unavoidable shuffle in the scoring
+    pass (groupBy point_id over the long predictions table). Partial
+    aggregation (map-side combine) makes it a single narrow shuffle of
+    pre-aggregated (point_id, sum, sumsq, n) triples — AQE sizes the
+    reduce side. With N models the shuffle is N× smaller than the
+    input thanks to the combine.
+  * every acquisition is a projection over an equi-join on point_id;
+    the density-grid side of us_lw is broadcast (≤4096 rows).
+
+Reference citations (files under /root/reference/):
+  * A1 MSE                 BigDataQualityAssessment_ActiveSampling.py:186-188
+  * A2 mean ensemble var   BigDataQualityAssessment_ActiveSampling.py:189
+  * A3 MAE                 SDE_forecast_ActiveSampling.py:216,239
+  * A5/A6 ensemble mean/var core/ensemble_model.py:59-68 (np.var ⇒ var_pop)
+  * A12 count              BigDataQualityAssessment_ActiveSampling.py:190
+  * P12 inverse-density w  BigDataQualityAssessment_ActiveSampling.py:51-54
+  * P14 us                 core/acquisition_fcn.py:44-46
+  * P15 us_lw              core/acquisition_fcn.py:48-50; core/likelihood.py:48-58
+  * P16 us_lgw             core/acquisition_fcn.py:52-54; core/likelihood.py:61-78
+  * P17 nominal weight     core/likelihood.py:39-46
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ensemble_stats(predictions: DataFrame, id_col: str = "point_id") -> DataFrame:
+    """A5+A6: per-point ensemble mean and POPULATION variance from the
+    long-format ``predictions(point_id, model_id, y_pred)`` table.
+
+    ``var_pop`` (ddof=0), matching ``np.var`` — with the reference's
+    default N=2 ensemble the sample/population distinction is a 2×
+    factor (core/ensemble_model.py:30,67).
+    """
+    return predictions.groupBy(id_col).agg(
+        F.avg("y_pred").alias("y_mean"),
+        F.var_pop("y_pred").alias("y_var"),
+    )
+
+
+def regression_metrics(
+    scored: DataFrame,
+    pred_col: str = "y_mean",
+    truth_col: str = "y",
+    var_col: str | None = "y_var",
+) -> DataFrame:
+    """A1+A2+A3+A12 in one pass: MSE, MAE, mean ensemble variance,
+    row count. One job, map-side combined, no shuffle beyond the final
+    single-row reduce."""
+    err = F.col(pred_col) - F.col(truth_col)
+    aggs = [
+        F.avg(err * err).alias("mse"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if var_col is not None:
+        aggs.append(F.avg(var_col).alias("mean_var"))
+    return scored.agg(*aggs)
+
+
+def inverse_density_weights(
+    df: DataFrame, pdf_col: str = "pdf", weight_col: str = "w"
+) -> DataFrame:
+    """P12: sampling weights ∝ 1/pdf(y), normalized to sum to 1
+    (rare-event up-weighting). The normalizer is a scalar aggregate
+    broadcast back via an empty-frame window — Catalyst turns
+    ``sum() over ()`` into a two-pass exchange of one double."""
+    total = Window.partitionBy()
+    raw = 1.0 / F.col(pdf_col)
+    return df.withColumn(weight_col, raw / F.sum(raw).over(total))
+
+
+def acquisition_us(df: DataFrame, var_col: str = "y_var", fx_col: str | None = None) -> Column:
+    """P14: uncertainty sampling — nominal weight × ensemble variance.
+
+    With a fixed candidate set the nominal weight degenerates to 1
+    (core/likelihood.py:43); pass ``fx_col`` to weight by an input pdf.
+    """
+    acq = F.col(var_col)
+    if fx_col is not None:
+        acq = acq * F.col(fx_col)
+    return acq
+
+
+def acquisition_us_lw(
+    df: DataFrame,
+    var_col: str = "y_var",
+    fy_col: str = "pdf_y_mean",
+    fx_col: str | None = None,
+    tol: float = 1e-12,
+) -> Column:
+    """P15: likelihood-weighted uncertainty sampling —
+    ``w(x)·σ²(x)`` with importance weight ``w = f_X(x)/f_Y(μ(x))``
+    (core/likelihood.py:48-58). ``fy_col`` is the output-density value
+    interpolated at the ensemble mean (J3 over the A11 grid)."""
+    fx = F.col(fx_col) if fx_col is not None else F.lit(1.0)
+    return fx / (F.col(fy_col) + F.lit(tol)) * F.col(var_col)
+
+
+def acquisition_us_lgw(
+    df: DataFrame,
+    var_col: str = "y_var",
+    fy_col: str = "pdf_y_mean",
+    dfy_col: str = "dpdf_y_mean",
+    jac_col: str = "jac",
+    hess_col: str = "hess",
+    fx_col: str | None = None,
+    c_w3: float = 1.0,
+    tol: float = 1e-12,
+) -> Column:
+    """P16: higher-order geometric likelihood weight
+    ``c₃·|f_X·|f'_Y|/(2·f_Y²) · (JᵀHJ)/(‖J‖⁴ + c₃·tol)|`` × variance
+    (core/likelihood.py:61-78). ``jac``/``hess`` are array columns
+    produced by the ensemble-gradient operator (M5); the JᵀHJ
+    contraction is a JVM-side higher-order-function fold."""
+    fx = F.col(fx_col) if fx_col is not None else F.lit(1.0)
+    jac = F.col(jac_col)
+    # ‖J‖² via fold, then squared again for ‖J‖⁴.
+    jnorm2 = F.aggregate(jac, F.lit(0.0), lambda acc, v: acc + v * v)
+    # JᵀHJ: fold over rows of H, each row dotted with J, weighted by J_i.
+    jthj = F.aggregate(
+        F.zip_with(
+            F.col(hess_col),
+            jac,
+            lambda hrow, ji: ji
+            * F.aggregate(F.zip_with(hrow, jac, lambda h, j: h * j), F.lit(0.0), lambda a, v: a + v),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = F.abs(
+        fx
+        * F.abs(F.col(dfy_col))
+        / (2.0 * F.pow(F.col(fy_col) + F.lit(tol), 2))
+        * jthj
+        / (jnorm2 * jnorm2 + F.lit(c_w3 * tol))
+    ) * F.lit(c_w3)
+    return w * F.col(var_col)

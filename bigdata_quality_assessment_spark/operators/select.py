@@ -1,0 +1,138 @@
+"""Selection & pool algebra: argmax/top-k, weighted sampling, dedup,
+equality lookup, pool deletion, train-set growth.
+
+Covers SURVEY.md §2.5 T1-T5, §2.3 J1/J2, §2.6 U1-U3.
+
+Scale notes:
+  * ``argmax``/``top_k`` compile to TakeOrderedAndProject — a
+    parallel per-partition heap + driver merge of k rows. NOT a global
+    sort; O(n) work, O(k) result, survives any pool size.
+  * pool deletion is a left-anti join; the deleted side is 1-20 rows
+    per iteration so Catalyst broadcasts it (no shuffle of the pool).
+  * weighted sampling without replacement uses Efraimidis-Spirakis
+    keys — again TakeOrderedAndProject, fully distributed.
+
+Reference citations (files under /root/reference/):
+  * T1 argmax          BigDataQualityAssessment_ActiveSampling.py:226-228
+  * T2 top-k           SDE_forecast_ActiveSampling.py:222-225
+  * T3 weighted sample BigDataQualityAssessment_ActiveSampling.py:56
+  * T4 shuffle         SDE_forecast_ActiveSampling.py:146-149
+  * T5 dedup           SDE_forecast_ActiveSampling.py:134-135
+  * J1 middle match    BigDataQualityAssessment_ActiveSampling.py:65-72
+  * J2 pool deletion   BigDataQualityAssessment_ActiveSampling.py:236-237
+  * U1 union append    BigDataQualityAssessment_ActiveSampling.py:233-234
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def argmax(df: DataFrame, score_col: str, id_col: str = "point_id") -> DataFrame:
+    """T1: the single row maximizing ``score_col``; ties break to the
+    LOWEST id, pinning numpy-argmax semantics (first occurrence)."""
+    return df.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(1)
+
+
+def top_k(df: DataFrame, score_col: str, k: int, id_col: str = "point_id") -> DataFrame:
+    """T2: top-k rows by descending score. Numpy ``argsort`` is stable
+    ascending then reversed, so reference ties break to the HIGHEST
+    index — pinned here as ``id DESC`` secondary order
+    (SDE_forecast_ActiveSampling.py:222-225)."""
+    return df.orderBy(F.col(score_col).desc(), F.col(id_col).desc()).limit(k)
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame, weight_col: str, k: int, seed: int = 42, id_col: str = "point_id"
+) -> DataFrame:
+    """T3 (variant): k draws without replacement, P(i) ∝ wᵢ, via
+    Efraimidis-Spirakis keys ``rand^(1/w)`` — a single distributed
+    top-k, no cumulative-weight table needed."""
+    key = F.pow(F.rand(seed), 1.0 / F.col(weight_col))
+    return (
+        df.withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__es_key")
+    )
+
+
+def weighted_sample_with_replacement(
+    df: DataFrame, weight_col: str, k: int, seed: int = 42, id_col: str = "point_id"
+) -> DataFrame:
+    """T3: k draws WITH replacement, P(i) ∝ wᵢ — the exact
+    ``np.random.choice(p=...)`` contract. Inverse-CDF over the
+    cumulative-weight table: k uniforms are broadcast against the
+    weight intervals ``(cum_w − w, cum_w]``.
+
+    The cumulative sum is a window over ``id_col``; for sampler-sized
+    inputs (the reference draws from ≤10k-row pools) this is one
+    partition-local pass. Output carries ``draw_id`` so repeated rows
+    keep distinct identity.
+    """
+    cum = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    weighted = (
+        df.withColumn("__cum_w", F.sum(weight_col).over(cum))
+        .withColumn("__tot_w", F.sum(weight_col).over(total))
+    )
+    draws = (
+        df.sparkSession.range(k)
+        .select(F.col("id").alias("draw_id"), F.rand(seed).alias("__u"))
+    )
+    joined = weighted.join(
+        F.broadcast(draws),
+        (F.col("__u") * F.col("__tot_w") > F.col("__cum_w") - F.col(weight_col))
+        & (F.col("__u") * F.col("__tot_w") <= F.col("__cum_w")),
+        "inner",
+    )
+    return joined.drop("__cum_w", "__tot_w", "__u")
+
+
+def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
+    """T4: random row permutation. Row order is immaterial to Spark
+    semantics — this exists for parity with the reference's
+    pre-training shuffle (batching order matters to SGD)."""
+    return df.orderBy(F.rand(seed))
+
+
+def dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """T5: distinct rows (optionally by a column subset). The engine
+    dedups the JOINED (X, y) row; the reference dedups X and Y
+    independently — a latent misalignment bug we do not replicate
+    (SDE_forecast_ActiveSampling.py:134-135)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def middle_match(
+    data: DataFrame, values: DataFrame, on: str, id_col: str = "point_id"
+) -> DataFrame:
+    """J1: for each resampled value, find all matching rows in ``data``
+    and keep the MIDDLE match (index ``len(matches)//2`` in id order),
+    matching the reference's ``np.where(y==val)[0][len//2]`` lookup.
+
+    ``values`` is sampler-sized → broadcast equi-join; the per-key
+    window runs on the (small) join result.
+    """
+    matches = data.join(F.broadcast(values.select(on).distinct()), on, "inner")
+    w = Window.partitionBy(on).orderBy(id_col)
+    return (
+        matches.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(Window.partitionBy(on)))
+        .filter(F.col("__rn") == F.floor(F.col("__cnt") / 2) + 1)
+        .drop("__rn", "__cnt")
+    )
+
+
+def pool_remove(pool: DataFrame, selected: DataFrame, id_col: str = "point_id") -> DataFrame:
+    """J2/U3: candidate-pool shrinkage — ``np.delete`` becomes a
+    broadcast left-anti join on row identity."""
+    return pool.join(F.broadcast(selected.select(id_col)), id_col, "left_anti")
+
+
+def train_append(train: DataFrame, selected: DataFrame) -> DataFrame:
+    """U1: training-set growth — ``np.vstack`` becomes unionByName
+    (columns aligned by name, extras dropped via allowMissingColumns
+    =False contract: caller selects matching columns)."""
+    return train.unionByName(selected.select(*train.columns))

@@ -1,0 +1,182 @@
+"""Deterministic / seeded DataFrame generators (SURVEY.md §2.1, S1-S6).
+
+The reference's sources are in-memory numpy generators; each becomes a
+distributed ``spark.range``-based generator so the candidate pool can
+be materialized at any scale without a driver-side array.
+
+Reference citations (files under /root/reference/):
+  * S1 grid sampler        core/inputs.py:62-66 (np.mgrid lattice)
+  * S2 latin hypercube     core/inputs.py:54-56 (pyDOE lhs)
+  * S3 uniform sampler     core/inputs.py:58-60
+  * S5 synthetic target    BigDataQualityAssessment_ActiveSampling.py:27
+  * S6 OU Euler-Maruyama   SDE_forecast_ActiveSampling.py:23-43
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def grid_points_2d(
+    spark: SparkSession,
+    ngrid: int = 100,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """S1+S5: the demo-1 candidate pool — an ``ngrid × ngrid`` lattice
+    over ``[lo, hi]²`` with the synthetic target
+    ``y = x1³ − x1 + x2² + 0.5·sin(8·x1·x2)``.
+
+    Matches ``np.mgrid[lo:hi:ngrid j]`` linspace semantics (endpoints
+    inclusive). Row identity is row-major: ``point_id = i*ngrid + j``.
+    Fully distributed: one ``range`` scan, pure Catalyst projections —
+    at 100 TB-equivalent pool sizes this parallelizes linearly and
+    never touches the driver.
+    """
+    step = (hi - lo) / (ngrid - 1)
+    i = F.col("point_id") // ngrid
+    j = F.col("point_id") % ngrid
+    df = (
+        spark.range(ngrid * ngrid)
+        .withColumnRenamed("id", "point_id")
+        .withColumn("x1", F.lit(lo) + i * F.lit(step))
+        .withColumn("x2", F.lit(lo) + j * F.lit(step))
+    )
+    y = (
+        F.pow(F.col("x1"), 3)
+        - F.col("x1")
+        + F.pow(F.col("x2"), 2)
+        + 0.5 * F.sin(8.0 * F.col("x1") * F.col("x2"))
+    )
+    return df.withColumn("y", y)
+
+
+# Per-model constants for the deterministic stub ensemble (FIXTURES.md §2):
+# model k predicts y + a_k + b_k*sin(c_k*x1). Keeps every downstream
+# ensemble-stats operator (A5/A6, P14-P16) oracle-checkable without TF.
+STUB_MODEL_PARAMS: tuple[tuple[float, float, float], ...] = (
+    (0.05, 0.10, 3.0),
+    (-0.03, 0.08, 5.0),
+    (0.02, -0.06, 7.0),
+    (-0.04, 0.12, 2.0),
+)
+
+
+def stub_predictions(points: DataFrame, n_models: int = 2) -> DataFrame:
+    """FIXTURES.md §2: long-format ``predictions(point_id, model_id,
+    y_pred)`` from a deterministic closed-form "ensemble".
+
+    The model table is a handful of literal rows — Catalyst broadcasts
+    the cross join, so this stays a single narrow pass over ``points``
+    (no shuffle) at any pool size.
+    """
+    if n_models > len(STUB_MODEL_PARAMS):
+        raise ValueError(f"at most {len(STUB_MODEL_PARAMS)} stub models available")
+    spark = points.sparkSession
+    models = spark.createDataFrame(
+        [(k, *STUB_MODEL_PARAMS[k]) for k in range(n_models)],
+        "model_id INT, a DOUBLE, b DOUBLE, c DOUBLE",
+    )
+    return (
+        points.crossJoin(F.broadcast(models))
+        .withColumn("y_pred", F.col("y") + F.col("a") + F.col("b") * F.sin(F.col("c") * F.col("x1")))
+        .select("point_id", "model_id", "y_pred")
+    )
+
+
+def uniform_samples(
+    spark: SparkSession,
+    n: int,
+    lo: list[float],
+    hi: list[float],
+    seed: int = 42,
+) -> DataFrame:
+    """S3: ``n`` uniform samples over the box ``[lo, hi]^d`` as columns
+    ``x1..xd`` (reference: np.random.rand + affine rescale,
+    core/inputs.py:58-60, 73-79)."""
+    df = spark.range(n).withColumnRenamed("id", "point_id")
+    for k, (a, b) in enumerate(zip(lo, hi), start=1):
+        df = df.withColumn(f"x{k}", F.lit(a) + (F.lit(b) - F.lit(a)) * F.rand(seed + k))
+    return df
+
+
+def latin_hypercube(
+    spark: SparkSession,
+    n: int,
+    lo: list[float],
+    hi: list[float],
+    seed: int = 42,
+) -> DataFrame:
+    """S2: Latin-hypercube sample — per dimension, a random permutation
+    of ``n`` strata with a uniform jitter inside each stratum
+    (reference: pyDOE ``lhs``, core/inputs.py:54-56).
+
+    Stratification is exactly one value per stratum per dim, which is
+    what pyDOE's 'classic' criterion produces. The global rank uses a
+    window sort; sampler outputs are n≪data rows by construction
+    (they seed the training set), so the single-partition sort is
+    bounded by n, never by the pool size.
+    """
+    df = spark.range(n).withColumnRenamed("id", "point_id")
+    for k, (a, b) in enumerate(zip(lo, hi), start=1):
+        w = Window.orderBy(F.rand(seed + 1000 * k))
+        stratum = F.row_number().over(w) - 1
+        u = (stratum.cast("double") + F.rand(seed + 1000 * k + 1)) / n
+        df = df.withColumn(f"x{k}", F.lit(a) + (F.lit(b) - F.lit(a)) * u)
+    return df
+
+
+def ou_process(
+    spark: SparkSession,
+    n_trajectories: int = 1,
+    n_steps: int = 1000,
+    dt: float = 0.001,
+    sigma: float = 2.0,
+    mu: float = 2.0,
+    tau: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """S6/W2: Euler-Maruyama simulation of the reference's OU-like SDE
+    (SDE_forecast_ActiveSampling.py:23-43):
+
+        x[i+1] = x[i] + dt·(−(0.25·x[i] − μ)/τ) + σ·√(2/τ)·√dt·ε
+
+    The recurrence is inherently sequential per path, so each
+    trajectory is generated inside ``applyInPandas`` keyed by
+    ``trajectory_id`` — embarrassingly parallel ACROSS trajectories
+    (the scale axis that matters: 10⁶ Monte-Carlo paths fan out over
+    the cluster; each path is a short in-memory loop).
+
+    Returns ``timeseries(trajectory_id INT, step BIGINT, t DOUBLE,
+    y DOUBLE)``, seeded per trajectory with ``seed + trajectory_id``.
+    """
+    import numpy as np
+
+    sigma_bis = sigma * math.sqrt(2.0 / tau)
+    sqrtdt = math.sqrt(dt)
+
+    def simulate(pdf: pd.DataFrame) -> pd.DataFrame:
+        traj = int(pdf["trajectory_id"].iloc[0])
+        rng = np.random.RandomState(seed + traj)
+        x = np.zeros(n_steps)
+        noise = rng.randn(n_steps - 1)
+        for i in range(n_steps - 1):
+            x[i + 1] = x[i] + dt * (-(0.25 * x[i] - mu) / tau) + sigma_bis * sqrtdt * noise[i]
+        steps = np.arange(n_steps, dtype="int64")
+        return pd.DataFrame(
+            {
+                "trajectory_id": traj,
+                "step": steps,
+                "t": steps * dt,
+                "y": x,
+            }
+        )
+
+    keys = spark.range(n_trajectories).select(F.col("id").cast("int").alias("trajectory_id"))
+    return keys.groupBy("trajectory_id").applyInPandas(
+        simulate, "trajectory_id INT, step BIGINT, t DOUBLE, y DOUBLE"
+    )

@@ -1,0 +1,46 @@
+"""Parquet readers for the driver test tables (TESTDATA.md).
+
+Plain ``spark.read.parquet`` — Catalyst gets predicate pushdown,
+column pruning, and partition pruning for free on these scans. At
+100 TB each table would be a partitioned/bucketed parquet dataset;
+nothing in the engine assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one test table. ``name`` must be in TABLES."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Read every test table into a dict keyed by name."""
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all test tables as temp views for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
