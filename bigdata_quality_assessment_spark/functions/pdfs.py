@@ -11,6 +11,7 @@ Reference citations (files under /root/reference/):
   * P3 gaussian pdf          core/inputs.py:156-162
   * P4 gaussian pdf grad     core/inputs.py:164-167
   * P5 lognormal pdf         core/inputs.py:240-244
+  * P6 lognormal pdf grad    core/inputs.py:246-249
 """
 
 from __future__ import annotations
@@ -87,3 +88,20 @@ def lognormal_pdf(cols: list[Column], mean: list[float], cov: list[list[float]])
     for c in cols:
         positive = positive & (c > 0)
     return F.when(positive, pdf).otherwise(F.lit(0.0))
+
+
+def lognormal_pdf_grad(
+    cols: list[Column], mean: list[float], cov: list[list[float]]
+) -> list[Column]:
+    """P6: ``∇pdf = −(1 + Σ⁻¹(log x − μ))/x · pdf(x)`` per dimension
+    (core/inputs.py:246-249)."""
+    inv, _ = _inv_and_logdet(cov)
+    pdf = lognormal_pdf(cols, mean, cov)
+    diffs = [F.log(c) - F.lit(m) for c, m in zip(cols, mean)]
+    grads = []
+    for i, ci in enumerate(cols):
+        lin = F.lit(0.0)
+        for j, dj in enumerate(diffs):
+            lin = lin + F.lit(inv[j][i]) * dj
+        grads.append(-(F.lit(1.0) + lin) / ci * pdf)
+    return grads

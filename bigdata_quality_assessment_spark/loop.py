@@ -1,0 +1,173 @@
+"""M4 + §3.1: the active-sampling driver loop.
+
+Reference flow (/root/reference/BigDataQualityAssessment_ActiveSampling.py):
+
+    initial subset  :50-72   P12→T3→J1 (inverse-density resample, middle match)
+    LOOP n_iter     :153-278
+      score pool    :186-197 M2→A5/A6, P7, A1/A2/A12
+      log-pdf error :199-219 A11→J3→P9/P10→A8 (A13)
+      SE explorer   :222-237 P7→T1→U1→J2
+      US explorer   :239-253 P14→T1→U1→J2
+      US-LW explorer:255-269 A11→J3→P15→T1→U1→J2
+      retrain       :271-273 M4
+
+Spark execution model: the loop is driver-side control flow; all the
+heavy lifting (scoring the full pool, KDE, selection) is lazy
+DataFrame work. Two pieces of loop hygiene keep 20 iterations from
+melting the planner (SURVEY.md §4.2):
+
+  * ``cache()`` the per-iteration scored pool — it feeds metrics AND
+    three explorers, so without it each explorer would rescore from
+    scratch (Catalyst does not CSE across actions).
+  * ``localCheckpoint(eager=True)`` the train/pool frames after each
+    iteration — truncates the union/anti-join lineage that otherwise
+    grows a 40-deep plan and blows up analysis time.
+
+Driver-side data: ONLY the argmax rows (1 per explorer), the scalar
+metrics, and the model parameters. The pool never leaves the cluster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.density import histogram, interp_uniform_grid, kde_1d, log_pdf_error
+from .operators.models import predict_ensemble, train_ensemble
+from .operators.score import (
+    acquisition_us,
+    acquisition_us_lw,
+    ensemble_stats,
+    inverse_density_weights,
+    regression_metrics,
+)
+from .operators.select import (
+    argmax,
+    middle_match,
+    pool_remove,
+    train_append,
+    weighted_sample_with_replacement,
+)
+
+
+@dataclass
+class LoopResult:
+    train: DataFrame
+    pool: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+
+
+def initial_selection(
+    points: DataFrame,
+    n_init: int = 100,
+    bw: float = 0.1,
+    ngrid: int = 256,
+    seed: int = 42,
+    id_col: str = "point_id",
+    y_col: str = "y",
+) -> DataFrame:
+    """:50-72 — inverse-density initial subset: KDE of y → interp pdf
+    at each y → weights ∝ 1/pdf → n_init draws with replacement →
+    middle-match back to full rows (one row per draw)."""
+    grid = kde_1d(points, y_col, bw=bw, ngrid=ngrid)
+    with_pdf = interp_uniform_grid(points, grid, q_col=y_col, out_col="__pdf")
+    weighted = inverse_density_weights(with_pdf, pdf_col="__pdf", weight_col="__w")
+    draws = weighted_sample_with_replacement(weighted, "__w", n_init, seed=seed, id_col=id_col)
+    values = draws.select(y_col, "draw_id")
+    matched = middle_match(points, values, on=y_col, id_col=id_col)
+    return matched.drop("draw_id")
+
+
+def active_sampling_loop(
+    points: DataFrame,
+    feature_cols: list[str],
+    n_iter: int = 20,
+    n_init: int = 100,
+    n_models: int = 2,
+    acq_list: tuple[str, ...] = ("se", "us", "us_lw"),
+    bw: float = 0.1,
+    ngrid: int = 256,
+    seed: int = 42,
+    id_col: str = "point_id",
+    y_col: str = "y",
+) -> LoopResult:
+    """The full §3.1 loop with the polynomial ensemble (M1/M2). Each
+    iteration scores the pool once, runs the configured explorers, and
+    retrains. Returns the final train/pool frames plus per-iteration
+    metrics (A1/A2/A12/A13)."""
+    spark = points.sparkSession
+
+    train = initial_selection(
+        points, n_init=n_init, bw=bw, ngrid=ngrid, seed=seed, id_col=id_col, y_col=y_col
+    ).localCheckpoint(eager=True)
+    pool = pool_remove(points, train.select(id_col).distinct(), id_col=id_col).localCheckpoint(
+        eager=True
+    )
+    # Truth density of the FULL dataset — fixed across iterations, so
+    # compute once and cache (the reference reuses its fitted KDE,
+    # BigDataQualityAssessment_ActiveSampling.py:33-35).
+    truth_grid = kde_1d(points, y_col, bw=bw, ngrid=ngrid).cache()
+    truth_grid.count()
+
+    metrics: list[dict] = []
+    thetas = train_ensemble(train, feature_cols, y_col, n_models=n_models, seed=seed)
+
+    for it in range(n_iter):
+        preds = predict_ensemble(points, thetas, feature_cols, id_col=id_col)
+        scored = (
+            points.join(ensemble_stats(preds, id_col=id_col), id_col)
+            .withColumn("se", F.pow(F.col("y_mean") - F.col(y_col), 2))
+            .cache()
+        )
+
+        m = regression_metrics(scored, "y_mean", y_col, "y_var").first().asDict()
+        # A13 needs both densities on a SHARED grid; truth_grid is
+        # cached and tiny, so reading its 2 bounds is a no-op job.
+        shared = truth_grid.agg(
+            F.min("grid_x").alias("lo"), F.max("grid_x").alias("hi")
+        ).first()
+        pred_grid = kde_1d(
+            scored, "y_mean", bw=bw, ngrid=ngrid, lo=shared["lo"], hi=shared["hi"]
+        )
+        m["log_pdf_error"] = log_pdf_error(pred_grid, truth_grid).first()["log_pdf_error"]
+        m["iter"] = it
+        m["train_rows"] = train.count()
+        metrics.append(m)
+
+        selected_frames = []
+        # Pool membership = NOT in train; train is tiny by design, so
+        # this is a broadcast anti-join — the pool-sized semi-join
+        # against `pool` would shuffle the whole dataset every iter.
+        candidates = scored.join(
+            F.broadcast(train.select(id_col).distinct()), id_col, "left_anti"
+        )
+        if "se" in acq_list:
+            selected_frames.append(argmax(candidates, "se", id_col=id_col))
+        if "us" in acq_list:
+            with_us = candidates.withColumn("acq", acquisition_us(candidates))
+            selected_frames.append(argmax(with_us, "acq", id_col=id_col).drop("acq"))
+        if "us_lw" in acq_list:
+            with_fy = interp_uniform_grid(
+                candidates, truth_grid, q_col="y_mean", out_col="pdf_y_mean"
+            )
+            with_lw = with_fy.withColumn("acq", acquisition_us_lw(with_fy))
+            selected_frames.append(
+                argmax(with_lw, "acq", id_col=id_col).drop("acq", "pdf_y_mean")
+            )
+
+        keep_cols = [id_col, *feature_cols, y_col]
+        for sel in selected_frames:
+            sel_rows = sel.select(*keep_cols)
+            train = train_append(train, sel_rows)
+            pool = pool_remove(pool, sel_rows, id_col=id_col)
+
+        train = train.localCheckpoint(eager=True)
+        pool = pool.localCheckpoint(eager=True)
+        scored.unpersist()
+
+        thetas = train_ensemble(train, feature_cols, y_col, n_models=n_models, seed=seed)
+
+    truth_grid.unpersist()
+    return LoopResult(train=train, pool=pool, metrics=metrics)

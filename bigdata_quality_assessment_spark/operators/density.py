@@ -46,39 +46,48 @@ def histogram(
     (BigDataQualityAssessment_ActiveSampling.py:58-61).
 
     Returns ``(bin INT, bin_lo DOUBLE, bin_hi DOUBLE, cnt BIGINT,
-    pdf DOUBLE)``. Single shuffle of ≤nbins keys after a map-side
-    combine; range bounds (when derived) ride in via a broadcast
-    cross join of a one-row aggregate, never a driver collect.
+    pdf DOUBLE)`` with ALL ``nbins`` rows present — empty bins carry
+    ``cnt=0``/``pdf=0.0``, matching ``np.histogram``'s dense bin axis.
+    Single shuffle of ≤nbins keys after a map-side combine; range
+    bounds (when derived) ride in via a broadcast cross join of a
+    one-row aggregate, never a driver collect.
     """
+    spark = df.sparkSession
     if lo is None or hi is None:
-        bounds = df.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
-        src = df.crossJoin(F.broadcast(bounds))
-        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+        bounds = df.agg(F.min(col).cast("double").alias("__lo"), F.max(col).cast("double").alias("__hi"))
     else:
-        src = df
-        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+        bounds = spark.range(1).select(
+            F.lit(float(lo)).alias("__lo"), F.lit(float(hi)).alias("__hi")
+        )
 
+    src = df.crossJoin(F.broadcast(bounds))
+    lo_c, hi_c = F.col("__lo"), F.col("__hi")
     width = (hi_c - lo_c) / nbins
     raw_bin = F.floor((F.col(col) - lo_c) / width)
     bin_idx = F.least(raw_bin, F.lit(nbins - 1)).cast("int")  # right-closed last bin
-    binned = (
+    counts = (
         src.filter(F.col(col).between(lo_c, hi_c))
-        .select(
-            bin_idx.alias("bin"),
-            lo_c.alias("__lo2"),
-            width.alias("__w"),
-        )
-        .groupBy("bin", "__lo2", "__w")
+        .select(bin_idx.alias("bin"))
+        .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = Window.partitionBy()
-    out = binned.select(
+    # Dense bin axis: every bin 0..nbins-1 appears even when empty.
+    axis = (
+        spark.range(nbins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .crossJoin(F.broadcast(bounds))
+    )
+    dense = axis.join(counts, "bin", "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))
+    )
+    total = Window.partitionBy()  # ≤nbins rows at this point — bounded
+    out = dense.select(
         "bin",
-        (F.col("__lo2") + F.col("bin") * F.col("__w")).alias("bin_lo"),
-        (F.col("__lo2") + (F.col("bin") + 1) * F.col("__w")).alias("bin_hi"),
+        (lo_c + F.col("bin") * width).alias("bin_lo"),
+        (lo_c + (F.col("bin") + 1) * width).alias("bin_hi"),
         "cnt",
         (
-            F.col("cnt") / (F.sum("cnt").over(total) * F.col("__w"))
+            F.col("cnt") / (F.sum("cnt").over(total) * width)
             if density
             else F.lit(None).cast("double")
         ).alias("pdf"),
@@ -125,18 +134,15 @@ def grid_nint(df: DataFrame, f_col: str, axis_cols: list[str]) -> DataFrame:
 
 
 def scott_bandwidth(df: DataFrame, col: str) -> DataFrame:
-    """A11 helper: Scott's-rule bandwidth ``n^(-1/5)·σ_pop`` with the
+    """A11 helper: Scott's-rule bandwidth ``n^(-1/5)·σ`` with the
     reference's floor/fallback to 1.0 when the data is degenerate
-    (core/utils.py:108-119 uses gaussian_kde covariance ⇒ population
-    std of the sample). One-row frame ``(bw DOUBLE)``."""
+    (core/utils.py:108-119). ``scipy.stats.gaussian_kde`` computes the
+    data covariance with ``bias=False`` (ddof=1) ⇒ SAMPLE std here,
+    and ``custom_KDE`` replaces any ``bw < 1e-8`` (including NaN/None
+    fallout) with 1.0. One-row frame ``(bw DOUBLE)``."""
+    raw = F.pow(F.count(F.lit(1)).cast("double"), F.lit(-0.2)) * F.stddev_samp(col)
     return df.agg(
-        F.coalesce(
-            F.when(
-                F.stddev_pop(col) > 0,
-                F.pow(F.count(F.lit(1)).cast("double"), F.lit(-0.2)) * F.stddev_pop(col),
-            ),
-            F.lit(1.0),
-        ).alias("bw")
+        F.when(F.coalesce(raw, F.lit(0.0)) >= 1e-8, raw).otherwise(F.lit(1.0)).alias("bw")
     )
 
 
@@ -164,41 +170,65 @@ def kde_1d(
     input size.
 
     Grid bounds default to the data range padded by ``pad`` (1%, as
-    the reference's evaluation grid). Returns ``density(node INT,
-    grid_x DOUBLE, pdf DOUBLE)`` with ∫pdf dx ≈ 1.
+    the reference's evaluation grid), derived LAZILY via a broadcast
+    one-row aggregate — no driver collect, no eager job; the whole
+    composite (e.g. A13's two KDEs + interp + trapz) stays one Spark
+    job. Returns ``density(node INT, grid_x DOUBLE, pdf DOUBLE)`` with
+    ∫pdf dx ≈ 1.
     """
     spark = df.sparkSession
 
     if lo is None or hi is None:
-        b = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
-        span = (b["hi"] - b["lo"]) or 1.0
-        lo = b["lo"] - pad * span
-        hi = b["hi"] + pad * span
-    dx = (hi - lo) / (ngrid - 1)
+        raw = df.agg(F.min(col).cast("double").alias("__mn"), F.max(col).cast("double").alias("__mx"))
+        span = F.when(F.col("__mx") - F.col("__mn") > 0, F.col("__mx") - F.col("__mn")).otherwise(
+            F.lit(1.0)
+        )
+        bounds = raw.select(
+            (F.col("__mn") - pad * span).alias("__lo"),
+            (F.col("__mx") + pad * span).alias("__hi"),
+        )
+    else:
+        bounds = spark.range(1).select(
+            F.lit(float(lo)).alias("__lo"), F.lit(float(hi)).alias("__hi")
+        )
+    bounds = bounds.withColumn("__dx", (F.col("__hi") - F.col("__lo")) / (ngrid - 1))
 
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    pos = (F.col(col) - F.lit(lo)) / F.lit(dx)
+    pos = (F.col(col) - F.col("__lo")) / F.col("__dx")
     node0 = F.floor(pos).cast("int")
     frac = pos - F.floor(pos)
     # Two (node, weight) contributions per row; clamp to the grid so
     # boundary points (pos == ngrid-1) land entirely on the last node.
-    contrib = df.filter(F.col(col).isNotNull()).select(
-        F.explode(
-            F.array(
-                F.struct(node0.alias("node"), (w * (1.0 - frac)).alias("bw_")),
-                F.struct((node0 + 1).alias("node"), (w * frac).alias("bw_")),
-            )
-        ).alias("c")
-    ).select(
-        F.least(F.greatest(F.col("c.node"), F.lit(0)), F.lit(ngrid - 1)).alias("node"),
-        F.col("c.bw_").alias("w"),
+    contrib = (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(node0.alias("node"), (w * (1.0 - frac)).alias("bw_")),
+                    F.struct((node0 + 1).alias("node"), (w * frac).alias("bw_")),
+                )
+            ).alias("c"),
+            "__lo",
+            "__dx",
+        )
+        .select(
+            F.least(F.greatest(F.col("c.node"), F.lit(0)), F.lit(ngrid - 1)).alias("node"),
+            F.col("c.bw_").alias("w"),
+            "__lo",
+            "__dx",
+        )
     )
-    binned = contrib.groupBy("node").agg(F.sum("w").alias("w"))
+    # __lo/__dx are constant across rows; F.first rides them through
+    # the groupBy so the grid phase needs no second bounds scan.
+    binned = contrib.groupBy("node").agg(
+        F.sum("w").alias("w"), F.first("__lo").alias("__lo"), F.first("__dx").alias("__dx")
+    )
 
     grid = spark.range(ngrid).select(F.col("id").cast("int").alias("eval_node"))
     norm_const = 1.0 / (bw * math.sqrt(2.0 * math.pi))
     kernel = F.exp(
-        -0.5 * F.pow((F.col("eval_node") - F.col("node")) * F.lit(dx) / F.lit(bw), 2)
+        -0.5 * F.pow((F.col("eval_node") - F.col("node")) * F.col("__dx") / F.lit(bw), 2)
     ) * F.lit(norm_const)
     # Every eval node pairs with every binned node (tiny broadcast
     # cross join), so sum(w) per eval node IS the global weight total —
@@ -206,10 +236,15 @@ def kde_1d(
     pdf = (
         grid.join(F.broadcast(binned), F.lit(True))
         .groupBy("eval_node")
-        .agg(F.sum(kernel * F.col("w")).alias("kw_sum"), F.sum("w").alias("w_tot"))
+        .agg(
+            F.sum(kernel * F.col("w")).alias("kw_sum"),
+            F.sum("w").alias("w_tot"),
+            F.first("__lo").alias("__lo"),
+            F.first("__dx").alias("__dx"),
+        )
         .select(
             F.col("eval_node").alias("node"),
-            (F.lit(lo) + F.col("eval_node") * F.lit(dx)).alias("grid_x"),
+            (F.col("__lo") + F.col("eval_node") * F.col("__dx")).alias("grid_x"),
             (F.col("kw_sum") / F.col("w_tot")).alias("pdf"),
         )
     )

@@ -1,0 +1,126 @@
+"""Data-quality profiling suite (engine extension; SURVEY.md §7.4
+item 1).
+
+The reference assesses "data quality" by information content; a 100 TB
+ingest pipeline also needs the boring-but-critical column profile:
+null rates, cardinalities, numeric ranges, and quantiles. Two tiers:
+
+  * ``profile_table`` — EXACT stats (count distinct, min/max/avg,
+    null counts) in one aggregation pass per table; oracle-checkable.
+  * ``approx_profile`` — sketch-based (``approx_count_distinct`` HLL,
+    ``approx_percentile`` KLL/GK) for the scale path where exact
+    distinct counts would shuffle the world. Not oracle-comparable
+    (different sketch implementations) — verified by bounds tests.
+
+Output is long format ``(column, metric, value DOUBLE)`` so profiles
+of any table union/compare cleanly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Exact profile: per column — row count, null count, exact
+    distinct count, and for numeric columns min/max/avg. One wide
+    aggregation (single pass, map-side combined; the distinct counts
+    are the only expansion and Spark plans them as expand+partial).
+
+    Returns ``(column STRING, metric STRING, value DOUBLE)`` sorted
+    by (column, metric)."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        dtype = df.schema[c].dataType
+        aggs.append(F.count(F.lit(1)).alias(f"{c}::n_rows"))
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("double").alias(f"{c}::n_null"))
+        aggs.append(F.countDistinct(c).cast("double").alias(f"{c}::n_distinct"))
+        if isinstance(dtype, _NUMERIC):
+            aggs.append(F.min(c).cast("double").alias(f"{c}::min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}::max"))
+            aggs.append(F.avg(c).cast("double").alias(f"{c}::avg"))
+    wide = df.agg(*aggs)
+    pairs = []
+    for field in wide.schema.fields:
+        col_name, metric = field.name.split("::", 1)
+        pairs.append(
+            F.struct(
+                F.lit(col_name).alias("column"),
+                F.lit(metric).alias("metric"),
+                F.col(f"`{field.name}`").cast("double").alias("value"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.column", "p.metric", "p.value")
+    )
+
+
+def approx_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Sketch profile for the 100 TB path: HyperLogLog distinct counts
+    (``approx_count_distinct``, mergeable, fixed memory) and
+    approximate percentiles for numerics. Same long-format output."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        dtype = df.schema[c].dataType
+        aggs.append(F.approx_count_distinct(c, rsd).cast("double").alias(f"{c}::approx_distinct"))
+        if isinstance(dtype, _NUMERIC):
+            for p in percentiles:
+                aggs.append(
+                    F.percentile_approx(c, p).cast("double").alias(f"{c}::p{int(p * 100)}")
+                )
+    wide = df.agg(*aggs)
+    pairs = []
+    for field in wide.schema.fields:
+        col_name, metric = field.name.split("::", 1)
+        pairs.append(
+            F.struct(
+                F.lit(col_name).alias("column"),
+                F.lit(metric).alias("metric"),
+                F.col(f"`{field.name}`").cast("double").alias("value"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.column", "p.metric", "p.value")
+    )
+
+
+def validity_rates(
+    df: DataFrame, rules: dict[str, str]
+) -> DataFrame:
+    """Regex/predicate validity: ``rules`` maps column → SQL boolean
+    expression (e.g. ``"l_quantity BETWEEN 1 AND 50"`` or
+    ``"o_orderpriority RLIKE '^[1-5]-'"``); returns the pass rate per
+    rule in one pass."""
+    aggs = [
+        F.avg(F.when(F.expr(expr), 1.0).otherwise(0.0)).alias(f"rule_{i}")
+        for i, expr in enumerate(rules.values())
+    ]
+    wide = df.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(col).alias("column"),
+            F.lit(expr).alias("rule"),
+            F.col(f"rule_{i}").alias("pass_rate"),
+        )
+        for i, (col, expr) in enumerate(rules.items())
+    ]
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.column", "p.rule", "p.pass_rate")
+    )

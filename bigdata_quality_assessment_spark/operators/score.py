@@ -27,7 +27,7 @@ Reference citations (files under /root/reference/):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -69,12 +69,21 @@ def inverse_density_weights(
     df: DataFrame, pdf_col: str = "pdf", weight_col: str = "w"
 ) -> DataFrame:
     """P12: sampling weights ∝ 1/pdf(y), normalized to sum to 1
-    (rare-event up-weighting). The normalizer is a scalar aggregate
-    broadcast back via an empty-frame window — Catalyst turns
-    ``sum() over ()`` into a two-pass exchange of one double."""
-    total = Window.partitionBy()
+    (rare-event up-weighting, BigDataQualityAssessment_ActiveSampling.py:51-54).
+
+    The normalizer is a one-row aggregate broadcast back over the data
+    (agg + broadcast crossJoin) — NOT an empty-frame window, which
+    would physically move every row into a single partition. P12 runs
+    over the full candidate pool, so this distinction is the
+    difference between a narrow pass and a single-executor bottleneck
+    at scale."""
     raw = 1.0 / F.col(pdf_col)
-    return df.withColumn(weight_col, raw / F.sum(raw).over(total))
+    total = df.agg(F.sum(raw).alias("__w_tot"))
+    return (
+        df.crossJoin(F.broadcast(total))
+        .withColumn(weight_col, raw / F.col("__w_tot"))
+        .drop("__w_tot")
+    )
 
 
 def acquisition_us(df: DataFrame, var_col: str = "y_var", fx_col: str | None = None) -> Column:

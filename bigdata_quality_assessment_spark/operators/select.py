@@ -68,14 +68,25 @@ def weighted_sample_with_replacement(
 
     The cumulative sum is a window over ``id_col``; for sampler-sized
     inputs (the reference draws from ≤10k-row pools) this is one
-    partition-local pass. Output carries ``draw_id`` so repeated rows
-    keep distinct identity.
+    partition-local pass — do NOT point this at the full pool (use the
+    without-replacement variant there). Output carries ``draw_id`` so
+    repeated rows keep distinct identity.
+
+    Each draw maps ``u ∈ [0,1)`` onto the interval
+    ``[cum_w − w, cum_w)`` — half-open so ``u = 0`` lands in the first
+    interval — and the total weight is ``max(cum_w)`` (the SAME
+    summation order as the running sum), so a ``u`` near 1 cannot fall
+    past the last interval by a one-ulp disagreement between two
+    differently-ordered sums.
     """
     cum = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    total = Window.partitionBy()
+    total = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     weighted = (
         df.withColumn("__cum_w", F.sum(weight_col).over(cum))
-        .withColumn("__tot_w", F.sum(weight_col).over(total))
+        # max over the SAME running sum, not an independent re-sum.
+        .withColumn("__tot_w", F.max("__cum_w").over(total))
     )
     draws = (
         df.sparkSession.range(k)
@@ -83,8 +94,8 @@ def weighted_sample_with_replacement(
     )
     joined = weighted.join(
         F.broadcast(draws),
-        (F.col("__u") * F.col("__tot_w") > F.col("__cum_w") - F.col(weight_col))
-        & (F.col("__u") * F.col("__tot_w") <= F.col("__cum_w")),
+        (F.col("__u") * F.col("__tot_w") >= F.col("__cum_w") - F.col(weight_col))
+        & (F.col("__u") * F.col("__tot_w") < F.col("__cum_w")),
         "inner",
     )
     return joined.drop("__cum_w", "__tot_w", "__u")
@@ -110,19 +121,30 @@ def middle_match(
 ) -> DataFrame:
     """J1: for each resampled value, find all matching rows in ``data``
     and keep the MIDDLE match (index ``len(matches)//2`` in id order),
-    matching the reference's ``np.where(y==val)[0][len//2]`` lookup.
+    matching the reference's ``np.where(y==val)[0][len//2]`` lookup
+    (BigDataQualityAssessment_ActiveSampling.py:65-72).
+
+    The reference appends ONE TRAINING ROW PER DRAW — draws come from
+    ``np.random.choice`` WITH replacement, so repeated values yield
+    repeated rows (rare-event up-weighting). Multiplicity is preserved
+    here: ``values`` joins in full (every extra column, e.g.
+    ``draw_id``, rides along), so each draw produces a row. Callers
+    wanting set semantics dedup afterwards (T5).
 
     ``values`` is sampler-sized → broadcast equi-join; the per-key
     window runs on the (small) join result.
     """
-    matches = data.join(F.broadcast(values.select(on).distinct()), on, "inner")
     w = Window.partitionBy(on).orderBy(id_col)
-    return (
-        matches.withColumn("__rn", F.row_number().over(w))
+    middles = (
+        data.join(F.broadcast(values.select(on).distinct()), on, "inner")
+        .withColumn("__rn", F.row_number().over(w))
         .withColumn("__cnt", F.count(F.lit(1)).over(Window.partitionBy(on)))
         .filter(F.col("__rn") == F.floor(F.col("__cnt") / 2) + 1)
         .drop("__rn", "__cnt")
     )
+    # One output row per DRAW: join the middle matches back to the full
+    # values frame so repeated draws keep their multiplicity.
+    return middles.join(F.broadcast(values), on, "inner")
 
 
 def pool_remove(pool: DataFrame, selected: DataFrame, id_col: str = "point_id") -> DataFrame:

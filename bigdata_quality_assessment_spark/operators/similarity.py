@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (engine extension;
+SURVEY.md §7.4 item 3).
+
+Two tiers, same contract:
+
+  * ``knn_brute_force`` — exact cosine top-k with a BROADCAST query
+    side: one narrow pass over the corpus per query batch, a per-query
+    top-k (TakeOrderedAndProject-shaped window). The oracle path.
+  * ``ann_hyperplane_knn`` — LSH-bucketed approximate top-k: random
+    hyperplane sign bits (driver-seeded literals) bucket the corpus;
+    only same-bucket candidates are scored. The 100 TB path: the
+    cross product never materializes; each probe touches
+    corpus/2^bits rows per table in expectation.
+
+All vector math is JVM-side (``zip_with``/``aggregate`` folds) over
+``ARRAY<DOUBLE>`` — embeddings stored as float32 are cast once so the
+arithmetic (and therefore the oracle comparison) is double-precision
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_similarity
+
+
+def _as_double(col):
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def knn_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries(query_id, embedding)`` is broadcast (queries are few;
+    the corpus is the big side), every (query, candidate) pair is
+    scored in one pass, and a per-query ranking window keeps k rows.
+    Self-matches (same id) are excluded. Ties break to the lower
+    candidate id — pinned, deterministic."""
+    q = queries.select(
+        F.col(query_id_col),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
+    )
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact, for oracle-scale
+    inputs and for verifying ANN candidates. O(n²): do NOT run on the
+    full corpus at scale; `ann` variants generate candidates there."""
+    a = corpus.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket ids: per table t, the sign bits of
+    ``n_planes`` dot products pack into one BIGINT bucket key. The
+    planes are driver-seeded literals folded into the plan — the
+    bucketing is a pure projection, no UDF, no shuffle."""
+    v = _as_double(F.col(vec_col))
+    out = df.select(id_col, v.alias("__v"))
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        key = F.lit(0).cast("bigint")
+        for p_i, plane in enumerate(planes):
+            dot = F.lit(0.0)
+            for j, w in enumerate(plane):
+                dot = dot + F.col("__v")[j] * F.lit(w)
+            key = key + F.when(dot > 0, F.shiftleft(F.lit(1).cast("bigint"), p_i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        out = out.withColumn(f"bucket_{t}", key)
+    return out
+
+
+def ann_hyperplane_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: a candidate is any corpus vector sharing at
+    least one table's bucket with the query; candidates are scored
+    exactly and ranked. Recall grows with n_tables; per-probe cost
+    shrinks ~2^n_planes-fold vs brute force."""
+    cb = hyperplane_buckets(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
+    qb = hyperplane_buckets(queries, dim, n_planes, n_tables, seed, query_id_col, vec_col)
+    cand = None
+    for t in range(n_tables):
+        m = cb.select(id_col, "__v", F.col(f"bucket_{t}").alias("__b")).join(
+            F.broadcast(
+                qb.select(query_id_col, F.col("__v").alias("__qv"), F.col(f"bucket_{t}").alias("__b"))
+            ),
+            "__b",
+        )
+        cand = m if cand is None else cand.unionByName(m)
+    scored = (
+        cand.filter(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
+        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__v")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
+    )
+
+
+def embedding_near_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.98,
+    dim: int = 64,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dedup: LSH candidates → exact cosine
+    verify ≥ threshold → greedily drop the higher id. Returns the
+    surviving rows of ``corpus``."""
+    cb = hyperplane_buckets(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
+    pairs = None
+    for t in range(n_tables):
+        a = cb.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col(f"bucket_{t}").alias("__b"))
+        b = cb.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col(f"bucket_{t}").alias("__b"))
+        m = a.join(b, "__b").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "__va", "__vb")
+        pairs = m if pairs is None else pairs.unionByName(m)
+    dup = (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dup, id_col, "left_anti")

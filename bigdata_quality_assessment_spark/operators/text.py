@@ -1,0 +1,397 @@
+"""Text-analysis and deduplication operators for large-scale
+training-data pipelines (engine extension; SURVEY.md §7.4 items 2/4).
+
+These extend the reference's T5 exact dedup
+(/root/reference/SDE_forecast_ActiveSampling.py:134-135) to the
+operators a 100 TB text corpus actually needs: exact dedup by content
+hash, MinHash-LSH banded near-dedup (bucket → candidate pairs — never
+all-pairs), SimHash, exact n-gram Jaccard (the small-scale oracle for
+the LSH path), language-ID, quality scoring, token counting, and
+rolling-hash document fingerprinting.
+
+Everything is built from JVM-side expressions (higher-order functions
+over arrays, xxhash64) — no Python UDFs anywhere, so the whole module
+stays inside whole-stage codegen / vectorized evaluation and scales
+linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# A deliberately tiny multilingual stopword lexicon — enough for a
+# deterministic n-gram-free language heuristic that both Spark and the
+# DuckDB oracle can evaluate identically.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"),
+    "es": ("el", "la", "los", "de", "y", "es", "un", "una", "que", "por"),
+}
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokens (single-space split, the corpus convention)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def regex_tokens(text_col: Column | str) -> Column:
+    """BPE-ish tokenization: letter runs, digit runs, single
+    punctuation marks — ``regexp_extract_all``, JVM-side."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: char count, whitespace-token count,
+    regex-token count, mean token length, punctuation ratio,
+    uppercase ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    non_punct = F.length(F.regexp_replace(t, "[^A-Za-z0-9 ]", ""))
+    non_upper = F.length(F.regexp_replace(t, "[A-Z]", ""))
+    # Zero-length guards: Spark 4 runs ANSI mode by default, where
+    # x/0 THROWS (not NULL) — empty documents must not kill the job.
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.size(regex_tokens(t)).alias("n_regex_tokens"),
+        F.when(
+            n_tok > 0,
+            F.aggregate(toks, F.lit(0), lambda acc, tok: acc + F.length(tok))
+            / n_tok,
+        ).otherwise(F.lit(0.0)).alias("mean_token_len"),
+        F.when(n_chars > 0, (n_chars - non_punct) / n_chars).otherwise(F.lit(0.0)).alias(
+            "punct_ratio"
+        ),
+        F.when(n_chars > 0, (n_chars - non_upper) / n_chars).otherwise(F.lit(0.0)).alias(
+            "upper_ratio"
+        ),
+    )
+
+
+def stopword_ratio(text_col: Column, lexicon: tuple[str, ...]) -> Column:
+    """Fraction of whitespace tokens found in ``lexicon`` —
+    multiplicity counted (filter + size, not set intersection)."""
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda tok: F.array_contains(lex, F.lower(tok))))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: stopword-hit ratio per language, argmax
+    with deterministic lexicographic tie-break; 'und' (undetermined)
+    when no lexicon scores above zero."""
+    t = F.col(text_col)
+    scored = docs.select(
+        "doc_id",
+        *[
+            stopword_ratio(t, lex).alias(f"score_{lang}")
+            for lang, lex in sorted(LANG_LEXICONS.items())
+        ],
+    )
+    langs = sorted(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reversed: earlier (lexicographically smaller) languages win ties.
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.withColumn("lang_pred", pred)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length in a sane band, low
+    punctuation density, healthy mean token length, some stopwords —
+    the C4/Gopher-style rule family as one Catalyst expression."""
+    stats = text_stats(docs, text_col).join(
+        docs.select(
+            "doc_id", stopword_ratio(F.col(text_col), LANG_LEXICONS["en"]).alias("sw_ratio")
+        ),
+        "doc_id",
+    )
+    len_ok = F.when(F.col("n_chars").between(100, 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
+    tok_ok = F.when(F.col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.0)
+    sw_ok = F.when(F.col("sw_ratio") >= 0.01, 1.0).otherwise(0.0)
+    return stats.select(
+        "doc_id",
+        ((len_ok + punct_ok + tok_ok + sw_ok) / 4.0).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------
+
+_FP_MOD = 1_000_000_007
+
+
+def rolling_hashes(text_col: Column, k: int = 8) -> Column:
+    """Array of polynomial rolling hashes over the char k-grams of the
+    text: ``h(i) = fold_j (acc·31 + ascii(text[i+j])) mod 1e9+7`` —
+    deterministic integer arithmetic reproducible in ANSI SQL."""
+    n = F.length(text_col)
+    body = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: (acc * 31 + F.ascii(F.substring(text_col, i + j, 1))) % _FP_MOD,
+        ),
+    )
+    return F.when(n >= k, body).otherwise(F.array().cast("array<bigint>"))
+
+
+def doc_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, mod_p: int = 16
+) -> DataFrame:
+    """Document fingerprint set: the distinct rolling k-gram hashes
+    selected by 0-mod-p sampling (the hash-sampling variant of
+    winnowing) — long format ``(doc_id, fp BIGINT)``."""
+    t = F.col(text_col)
+    return (
+        docs.select(
+            "doc_id", F.explode(rolling_hashes(t, k)).alias("fp")
+        )
+        .filter(F.col("fp") % mod_p == 0)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------
+
+
+def _shingle_expr(t: Column, k: int, mode: str) -> Column:
+    """Array of k-shingles of ``t`` — EMPTY when the doc is shorter
+    than k (``F.sequence(1, 0)`` would count DOWN, so the upper bound
+    is guarded and the whole expression gated on length)."""
+    if mode == "word":
+        toks = tokens(t)
+        n = F.size(toks)
+        body = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    elif mode == "char":
+        n = F.length(t)
+        body = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.substring(t, i, k),
+        )
+    else:
+        raise ValueError(f"mode must be 'word' or 'char', got {mode!r}")
+    return F.when(n >= k, F.array_distinct(body)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content: keep the lowest-id document per distinct
+    text. Hash-shuffle on md5(text) — the grouping key is the 32-char
+    digest, not the document body, so the shuffle stays narrow."""
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        docs.withColumn("__h", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    mode: str = "word",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct k-shingles per document, long format
+    ``(doc_id, shingle)``. ``mode='word'``: k-token grams joined by a
+    space; ``mode='char'``: k-char substrings."""
+    sh = _shingle_expr(F.col(text_col), k, mode)
+    return docs.select(id_col, F.explode(sh).alias("shingle"))
+
+
+def jaccard_pairs(
+    shingled: DataFrame, min_jaccard: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for every pair sharing ≥1 shingle:
+    equi-join on shingle → per-pair intersection counts → sizes →
+    ``J = |∩| / (|A|+|B|−|∩|)``. Returns
+    ``(doc_a, doc_b, n_common, n_a, n_b, jaccard)`` with doc_a<doc_b.
+
+    This is the ORACLE for the LSH path: exact, integer-counted,
+    reproducible in SQL. At corpus scale the shared-shingle join blows
+    up on hot shingles — use ``minhash_lsh_candidates`` there and keep
+    this for verification of candidate pairs only.
+    """
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 128,
+    mode: str = "word",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures: ``sig[i] = min over shingles of
+    xxhash64(i, shingle)`` — one array column per doc, computed with
+    nested higher-order functions entirely in the JVM (no shuffle,
+    no UDF). O(#shingles × n_hashes) per doc."""
+    shingles = _shingle_expr(F.col(text_col), k, mode)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+    )
+    # Docs shorter than k shingle into nothing — they cannot be
+    # near-duplicates, and an all-null signature would collide every
+    # short doc into every LSH bucket (candidate-pair explosion).
+    return docs.select(id_col, sig.alias("sig")).filter(
+        F.size(shingles) > 0
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` bands of
+    ``r = n_hashes/bands`` rows, hash each band, and emit every pair
+    of docs sharing a (band, band_hash) bucket — the candidate set is
+    produced by an equi-join on the bucket key, NEVER an all-pairs
+    product. Returns distinct ``(doc_a, doc_b)`` with doc_a<doc_b."""
+    buckets = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("sig"),
+                            b * (F.size(F.col("sig")) / bands).cast("int") + 1,
+                            (F.size(F.col("sig")) / bands).cast("int"),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def near_dedup_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 128,
+    bands: int = 32,
+    min_jaccard: float = 0.8,
+    mode: str = "word",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dedup: LSH candidates → exact-Jaccard verification on the
+    candidate pairs only → greedily drop the higher-id member of each
+    verified duplicate pair. Returns the surviving documents.
+
+    Scale shape: signatures are one narrow pass; the bucket join's
+    fan-out is bounded by band collision rates; verification touches
+    candidate pairs only (each a set intersection of two shingle
+    sets, computed by re-joining the shingle table on the pair list).
+    """
+    sigs = minhash_signatures(docs, text_col, k, n_hashes, mode, id_col)
+    cands = minhash_lsh_candidates(sigs, bands, id_col)
+    shingled = shingle_sets(docs, text_col, k, mode, id_col)
+    # Verify only candidate pairs: restrict the shingle join to them.
+    a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        a.join(b, "shingle")
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= min_jaccard
+        )
+    )
+    drop_ids = verified.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(drop_ids, id_col, "left_anti")
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    mode: str = "word",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash: per bit j, sum ±1 votes of every shingle's
+    ``xxhash64`` bit j; the sign pattern packs into one BIGINT.
+    Near-duplicates land within small Hamming distance — bucket by
+    16-bit chunks for candidate generation (4 tables, any exact chunk
+    match is a candidate)."""
+    # hash each shingle ONCE, then fold the 64 bit-votes over the
+    # hash array — not 64 re-hashes per shingle. Bit positions are
+    # Python ints, so the 64 folds unroll into one wide expression.
+    hashes = F.transform(
+        _shingle_expr(F.col(text_col), k, mode), lambda s: F.xxhash64(s)
+    )
+
+    def bit_vote(j: int):
+        # factory so the Spark lambda keeps exactly (acc, h) arity
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    packed = F.lit(0).cast("bigint")
+    for j in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_vote(j))
+        packed = packed + F.when(
+            vote > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return docs.select(id_col, packed.alias("simhash"))

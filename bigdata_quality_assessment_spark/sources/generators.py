@@ -8,6 +8,7 @@ Reference citations (files under /root/reference/):
   * S1 grid sampler        core/inputs.py:62-66 (np.mgrid lattice)
   * S2 latin hypercube     core/inputs.py:54-56 (pyDOE lhs)
   * S3 uniform sampler     core/inputs.py:58-60
+  * S4 gaussian sampler    core/inputs.py:68-69,169-171
   * S5 synthetic target    BigDataQualityAssessment_ActiveSampling.py:27
   * S6 OU Euler-Maruyama   SDE_forecast_ActiveSampling.py:23-43
 """
@@ -38,7 +39,7 @@ def grid_points_2d(
     never touches the driver.
     """
     step = (hi - lo) / (ngrid - 1)
-    i = F.col("point_id") // ngrid
+    i = F.expr(f"point_id DIV {ngrid}")  # integer division, stays BIGINT
     j = F.col("point_id") % ngrid
     df = (
         spark.range(ngrid * ngrid)
@@ -102,6 +103,38 @@ def uniform_samples(
     for k, (a, b) in enumerate(zip(lo, hi), start=1):
         df = df.withColumn(f"x{k}", F.lit(a) + (F.lit(b) - F.lit(a)) * F.rand(seed + k))
     return df
+
+
+def gaussian_samples(
+    spark: SparkSession,
+    n: int,
+    mean: list[float],
+    cov: list[list[float]],
+    seed: int = 42,
+) -> DataFrame:
+    """S4: ``n`` multivariate-normal samples as columns ``x1..xd``
+    (reference: ``np.random.multivariate_normal``,
+    core/inputs.py:68-69,169-171).
+
+    The d×d Cholesky factor ``L`` is computed once on the driver
+    (d ≤ 3 in every reference use) and folded in as literals:
+    ``x = μ + L·z`` with ``z ~ N(0,1)`` via per-column ``randn`` —
+    fully distributed, one ``range`` scan, pure Catalyst.
+    """
+    import numpy as np
+
+    L = np.linalg.cholesky(np.asarray(cov, dtype="float64"))
+    d = len(mean)
+    df = spark.range(n).withColumnRenamed("id", "point_id")
+    for k in range(d):
+        df = df.withColumn(f"__z{k}", F.randn(seed + k))
+    for i in range(d):
+        expr = F.lit(float(mean[i]))
+        for j in range(i + 1):
+            if L[i][j] != 0.0:
+                expr = expr + F.lit(float(L[i][j])) * F.col(f"__z{j}")
+        df = df.withColumn(f"x{i + 1}", expr)
+    return df.drop(*[f"__z{k}" for k in range(d)])
 
 
 def latin_hypercube(
