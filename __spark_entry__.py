@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship composite; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2
+plus the LLM-pipeline extensions, with DuckDB oracles where ANSI SQL
+can express the semantics (see bigdata_quality_assessment_spark/
+queries.py for the cross-engine float discipline).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bigdata_quality_assessment_spark import queries as _registry  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the us_lw scoring pass (SURVEY.md §7.2 grown to the
+    full composite M2→A5/A6→A11→J3→P15→T2) over a points frame derived
+    from sf0.001 lineitem — ensemble stats from the stub model, output
+    KDE, density interpolation at the ensemble mean, likelihood-weighted
+    acquisition, top-20 selection."""
+    from pyspark.sql import functions as F
+
+    from bigdata_quality_assessment_spark.operators.density import (
+        interp_uniform_grid,
+        kde_1d,
+    )
+    from bigdata_quality_assessment_spark.operators.score import (
+        acquisition_us_lw,
+        ensemble_stats,
+    )
+    from bigdata_quality_assessment_spark.operators.select import top_k
+    from bigdata_quality_assessment_spark.sources.generators import stub_predictions
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    pts = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.log("l_extendedprice").alias("y"),
+    )
+    scored = pts.join(ensemble_stats(stub_predictions(pts, 2)), "point_id")
+    grid = kde_1d(scored, "y_mean", bw=0.1, ngrid=256)
+    with_fy = interp_uniform_grid(scored, grid, q_col="y_mean", out_col="pdf_y_mean")
+    acq = with_fy.withColumn("acq", acquisition_us_lw(with_fy))
+    return top_k(acq, "acq", 20).select(
+        "point_id", "x1", "x2", "y", "y_mean", "y_var", "pdf_y_mean", "acq"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracle_sql()

@@ -30,8 +30,11 @@ def affine_rescale(col: Column | str, lo: float, hi: float) -> Column:
 
 
 def squared_error(pred: Column | str, truth: Column | str) -> Column:
-    """P7: ``(ŷ − y)²``."""
-    return F.pow(_c(pred) - _c(truth), 2)
+    """P7: ``(ŷ − y)²``. Written as a product (single correctly-rounded
+    multiply) rather than ``pow(x, 2)`` so the result is bit-identical
+    across engines — libm ``pow`` is not guaranteed correctly rounded."""
+    diff = _c(pred) - _c(truth)
+    return diff * diff
 
 
 def abs_error(pred: Column | str, truth: Column | str) -> Column:

@@ -358,13 +358,17 @@ def log_pdf_error(
     ``(log_pdf_error DOUBLE)``."""
     a = pdf_a.select(F.col(x_col).alias("x"), F.col(f_col).alias("fa"))
     b = pdf_b.select(F.col(x_col).alias("x"), F.col(f_col).alias("fb"))
+    # Densities are floored at 1e-300 before the log: np.log(0) → -inf
+    # clips to the floor anyway, and engines disagree on ln(0) (Spark
+    # null, DuckDB error) — the tiny positive floor makes P9 yield the
+    # clip value deterministically on every engine.
     diff = (
         a.join(b, "x")
         .select(
             "x",
             F.abs(
-                F.greatest(F.log("fa"), F.lit(floor))
-                - F.greatest(F.log("fb"), F.lit(floor))
+                F.greatest(F.log(F.greatest("fa", F.lit(1e-300))), F.lit(floor))
+                - F.greatest(F.log(F.greatest("fb", F.lit(1e-300))), F.lit(floor))
             ).alias("d"),
         )
         .filter(~F.isnan("d") & F.col("d").isNotNull())

@@ -144,10 +144,11 @@ def acquisition_us_lgw(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    fy_tol = F.col(fy_col) + F.lit(tol)
     w = F.abs(
         fx
         * F.abs(F.col(dfy_col))
-        / (2.0 * F.pow(F.col(fy_col) + F.lit(tol), 2))
+        / (2.0 * (fy_tol * fy_tol))
         * jthj
         / (jnorm2 * jnorm2 + F.lit(c_w3 * tol))
     ) * F.lit(c_w3)

@@ -1,0 +1,1264 @@
+"""Driver-contract query registry: every implemented operator exposed as
+a ``(spark, sf_dir) -> DataFrame`` callable plus, where ANSI-SQL can
+express the same semantics, a DuckDB oracle query over the same parquet
+tables (pre-registered views: region nation customer supplier part
+orders lineitem events documents embeddings).
+
+Cross-engine float discipline (the driver hash-compares values):
+  * every derived DOUBLE output is rounded — 6 decimals for O(1)-O(100)
+    magnitudes, 9 for small densities/variances, 2 for big sums — on
+    BOTH sides, so last-ulp libm/aggregation-order differences between
+    the JVM and DuckDB cannot flip the hash;
+  * squares are written as products (single correctly-rounded multiply),
+    never ``pow(x, 2)``;
+  * driver-side constants are embedded via ``repr(float)`` so both
+    engines parse the identical IEEE-754 double;
+  * fold/association order of Spark higher-order functions is mirrored
+    literally in the SQL (left-assoc sums).
+
+Integer-typed outputs are cast to BIGINT on the Spark side to match
+DuckDB's default integer width.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.functions.pdfs import (
+    _inv_and_logdet,
+    gaussian_pdf,
+    gaussian_pdf_grad,
+    lognormal_pdf,
+    lognormal_pdf_grad,
+    uniform_pdf,
+)
+from bigdata_quality_assessment_spark.functions.scalar import (
+    abs_error,
+    affine_rescale,
+    clamp_nonneg,
+    finite,
+    log_clip,
+    squared_error,
+)
+from bigdata_quality_assessment_spark.operators.decomp import comp_pca, project_coeffs
+from bigdata_quality_assessment_spark.operators.density import (
+    grid_nint,
+    histogram,
+    interp_linear,
+    interp_uniform_grid,
+    kde_1d,
+    log_pdf_error,
+    minmax,
+    trapz,
+)
+from bigdata_quality_assessment_spark.operators.models import (
+    ensemble_jac_hess,
+    predict_ensemble,
+    train_ensemble,
+)
+from bigdata_quality_assessment_spark.operators.profiling import (
+    approx_profile,
+    profile_table,
+    validity_rates,
+)
+from bigdata_quality_assessment_spark.operators.score import (
+    acquisition_us,
+    acquisition_us_lgw,
+    acquisition_us_lw,
+    ensemble_stats,
+    inverse_density_weights,
+    regression_metrics,
+)
+from bigdata_quality_assessment_spark.operators.select import (
+    argmax,
+    dedup,
+    middle_match,
+    pool_remove,
+    shuffle_rows,
+    top_k,
+    train_append,
+    weighted_sample_with_replacement,
+)
+from bigdata_quality_assessment_spark.operators.similarity import (
+    ann_hyperplane_knn,
+    embedding_near_dedup,
+    knn_brute_force,
+)
+from bigdata_quality_assessment_spark.operators.text import (
+    LANG_LEXICONS,
+    doc_fingerprints,
+    exact_dedup,
+    jaccard_pairs,
+    language_id,
+    near_dedup_minhash,
+    quality_score,
+    shingle_sets,
+    simhash,
+    text_stats,
+)
+from bigdata_quality_assessment_spark.operators.windows import (
+    concat_history_target,
+    horizon_abs_error,
+    minmax_scale,
+    sliding_windows,
+)
+from bigdata_quality_assessment_spark.sources.generators import (
+    gaussian_samples,
+    grid_points_2d,
+    latin_hypercube,
+    ou_process,
+    stub_predictions,
+    uniform_samples,
+)
+
+# --------------------------------------------------------------------
+# shared constants / helpers
+# --------------------------------------------------------------------
+
+GRID_N = 60  # fixture lattice size for grid-based oracle queries
+GRID_STEP = 2.0 / (GRID_N - 1)
+STUB = ((0.05, 0.10, 3.0), (-0.03, 0.08, 5.0))  # must match generators.STUB_MODEL_PARAMS[:2]
+
+GAUSS2_MEAN = [25.0, 30.0]
+GAUSS2_COV = [[100.0, 10.0], [10.0, 400.0]]
+LOGN_MEAN = [3.0]
+LOGN_COV = [[0.25]]
+FX_MEAN = [0.0, 0.0]
+FX_COV = [[0.5, 0.1], [0.1, 0.5]]
+
+
+def _r(x: float) -> str:
+    """Full-precision SQL literal that parses to the identical double.
+
+    Cast explicitly: DuckDB types bare decimal literals as DECIMAL and
+    escalates scale through multiplication chains until it overflows;
+    the cast pins DOUBLE arithmetic end-to-end (matching Spark)."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from bigdata_quality_assessment_spark.sources.tables import load_table
+
+    return load_table(spark, name, sf_dir)
+
+
+def _lineitem_id(df: DataFrame) -> DataFrame:
+    """Stable unique row id for lineitem (linenumber ≤ 7)."""
+    return df.withColumn("lid", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+
+
+LID_SQL = "l_orderkey*10 + l_linenumber"
+
+GRID_SQL = f"""
+  SELECT i*{GRID_N}+j AS point_id,
+         -1.0 + i*{_r(GRID_STEP)} AS x1,
+         -1.0 + j*{_r(GRID_STEP)} AS x2,
+         ((pow(-1.0 + i*{_r(GRID_STEP)}, 3) - (-1.0 + i*{_r(GRID_STEP)}))
+           + pow(-1.0 + j*{_r(GRID_STEP)}, 2))
+           + 0.5*sin(8.0*(-1.0 + i*{_r(GRID_STEP)})*(-1.0 + j*{_r(GRID_STEP)})) AS y
+  FROM range({GRID_N}) t1(i), range({GRID_N}) t2(j)
+"""
+
+STUB_SQL = f"""
+  SELECT g.point_id, g.x1, g.x2, g.y, m.model_id,
+         (g.y + m.a) + m.b*sin(m.c*g.x1) AS y_pred
+  FROM grid g CROSS JOIN (VALUES
+      (0, {_r(STUB[0][0])}, {_r(STUB[0][1])}, {_r(STUB[0][2])}),
+      (1, {_r(STUB[1][0])}, {_r(STUB[1][1])}, {_r(STUB[1][2])})
+    ) m(model_id, a, b, c)
+"""
+
+ENS_STATS_SQL = """
+  SELECT point_id, avg(y_pred) AS y_mean, var_pop(y_pred) AS y_var
+  FROM preds GROUP BY point_id
+"""
+
+
+def _gauss_quad_sql(diffs: list[str], inv: list[list[float]]) -> str:
+    """Mirror of pdfs._quad_form: left-assoc Σ inv[i][j]·di·dj, zeros skipped."""
+    terms = []
+    for i, di in enumerate(diffs):
+        for j, dj in enumerate(diffs):
+            if inv[i][j] != 0.0:
+                terms.append(f"{_r(inv[i][j])}*{di}*{dj}")
+    out = "0.0"
+    for t in terms:
+        out = f"({out} + {t})"
+    return out
+
+
+def _gauss_pdf_sql(cols: list[str], mean: list[float], cov: list[list[float]]) -> str:
+    inv, logdet = _inv_and_logdet(cov)
+    d = len(cols)
+    log_norm = -0.5 * (d * math.log(2.0 * math.pi) + logdet)
+    diffs = [f"({c} - {_r(m)})" for c, m in zip(cols, mean)]
+    return f"exp({_r(log_norm)} - 0.5*{_gauss_quad_sql(diffs, inv)})"
+
+
+def _kde_sql(
+    src: str, col: str, bw: float, ngrid: int, lo: float, hi: float, weight: str = "1.0"
+) -> str:
+    """SQL mirror of density.kde_1d with explicit bounds: exact linear
+    binning + grid convolution. Emits CTE body ending in a SELECT of
+    (node, grid_x, pdf) — wrap via `WITH ... SELECT`."""
+    dx = (hi - lo) / (ngrid - 1)
+    norm = 1.0 / (bw * math.sqrt(2.0 * math.pi))
+    return f"""
+    (WITH kde_src AS ({src}),
+     kde_pos AS (
+       SELECT ({col} - {_r(lo)}) / {_r(dx)} AS pos, {weight} AS w
+       FROM kde_src WHERE {col} IS NOT NULL
+     ),
+     kde_contrib AS (
+       SELECT LEAST(GREATEST(CAST(floor(pos) AS INT) + d.d, 0), {ngrid - 1}) AS node,
+              CASE WHEN d.d = 0 THEN w*(1.0 - (pos - floor(pos)))
+                   ELSE w*(pos - floor(pos)) END AS wgt
+       FROM kde_pos, (VALUES (0), (1)) d(d)
+     ),
+     kde_binned AS (SELECT node, sum(wgt) AS w FROM kde_contrib GROUP BY node)
+     SELECT CAST(g.i AS INT) AS node,
+            {_r(lo)} + g.i*{_r(dx)} AS grid_x,
+            sum(exp(-0.5 * pow((g.i - b.node)*{_r(dx)} / {_r(bw)}, 2)) * {_r(norm)} * b.w)
+              / sum(b.w) AS pdf
+     FROM range({ngrid}) g(i) CROSS JOIN kde_binned b
+     GROUP BY g.i)
+    """
+
+
+# --------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ------------------------- sources (S1, S5) --------------------------
+
+@_register(
+    "s1_s5_grid_target",
+    f"WITH grid AS ({GRID_SQL}) SELECT point_id, round(x1, 6) AS x1, round(x2, 6) AS x2, round(y, 6) AS y FROM grid",
+)
+def q_s1_s5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = grid_points_2d(spark, GRID_N)
+    return pts.select(
+        "point_id",
+        F.round("x1", 6).alias("x1"),
+        F.round("x2", 6).alias("x2"),
+        F.round("y", 6).alias("y"),
+    )
+
+
+@_register("s2_latin_hypercube")  # stochastic → rows-only
+def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latin_hypercube(spark, 200, [0.0, -1.0], [1.0, 1.0], seed=42)
+
+
+@_register("s3_uniform_samples")  # stochastic → rows-only
+def q_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uniform_samples(spark, 500, [0.0, -1.0], [1.0, 1.0], seed=42)
+
+
+@_register("s4_gaussian_samples")  # stochastic → rows-only
+def q_s4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gaussian_samples(spark, 500, [0.0, 1.0], [[1.0, 0.3], [0.3, 2.0]], seed=42)
+
+
+@_register("s6_ou_process")  # seeded numpy recurrence → rows-only
+def q_s6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ou_process(spark, n_trajectories=4, n_steps=500, seed=42)
+
+
+# ------------------- projections P1-P13, P17 -------------------------
+
+@_register(
+    "p1_affine_rescale",
+    f"SELECT {LID_SQL} AS lid, round(l_discount*10.0*(50.0-10.0) + 10.0, 6) AS rescaled FROM lineitem",
+)
+def q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    return li.select(
+        "lid",
+        F.round(affine_rescale(F.col("l_discount") * 10.0, 10.0, 50.0), 6).alias("rescaled"),
+    )
+
+
+@_register(
+    "p2_uniform_pdf",
+    f"""SELECT {LID_SQL} AS lid,
+        round((CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN {_r(1.0 / 49.0)} ELSE 0.0 END)
+              * (CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN {_r(1.0 / 0.1)} ELSE 0.0 END), 9) AS pdf
+        FROM lineitem""",
+)
+def q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    pdf = uniform_pdf([F.col("l_quantity"), F.col("l_discount")], [1.0, 0.0], [50.0, 0.1])
+    return li.select("lid", F.round(pdf, 9).alias("pdf"))
+
+
+@_register(
+    "p3_gaussian_pdf",
+    f"""SELECT {LID_SQL} AS lid,
+        round({_gauss_pdf_sql(['l_quantity', '(l_extendedprice/1000.0)'], GAUSS2_MEAN, GAUSS2_COV)}, 9) AS pdf
+        FROM lineitem""",
+)
+def q_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    pdf = gaussian_pdf(
+        [F.col("l_quantity"), F.col("l_extendedprice") / 1000.0], GAUSS2_MEAN, GAUSS2_COV
+    )
+    return li.select("lid", F.round(pdf, 9).alias("pdf"))
+
+
+def _gauss_grad_sql(cols: list[str], mean: list[float], cov: list[list[float]]) -> list[str]:
+    inv, _ = _inv_and_logdet(cov)
+    pdf = _gauss_pdf_sql(cols, mean, cov)
+    diffs = [f"({c} - {_r(m)})" for c, m in zip(cols, mean)]
+    out = []
+    for i in range(len(cols)):
+        lin = "0.0"
+        for j, dj in enumerate(diffs):
+            lin = f"({lin} + {_r(inv[i][j])}*{dj})"
+        out.append(f"(-{lin} * {pdf})")
+    return out
+
+
+_P4_G = _gauss_grad_sql(["l_quantity", "(l_extendedprice/1000.0)"], GAUSS2_MEAN, GAUSS2_COV)
+
+
+@_register(
+    "p4_gaussian_pdf_grad",
+    f"SELECT {LID_SQL} AS lid, round({_P4_G[0]}, 9) AS g1, round({_P4_G[1]}, 9) AS g2 FROM lineitem",
+)
+def q_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    g = gaussian_pdf_grad(
+        [F.col("l_quantity"), F.col("l_extendedprice") / 1000.0], GAUSS2_MEAN, GAUSS2_COV
+    )
+    return li.select("lid", F.round(g[0], 9).alias("g1"), F.round(g[1], 9).alias("g2"))
+
+
+def _logn_pdf_sql(col: str) -> str:
+    gauss = _gauss_pdf_sql([f"ln({col})"], LOGN_MEAN, LOGN_COV)
+    return f"CASE WHEN {col} > 0 THEN {gauss} * exp(-(0.0 + ln({col}))) ELSE 0.0 END"
+
+
+@_register(
+    "p5_lognormal_pdf",
+    f"SELECT {LID_SQL} AS lid, round({_logn_pdf_sql('l_quantity')}, 9) AS pdf FROM lineitem",
+)
+def q_p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    pdf = lognormal_pdf([F.col("l_quantity")], LOGN_MEAN, LOGN_COV)
+    return li.select("lid", F.round(pdf, 9).alias("pdf"))
+
+
+def _logn_grad_sql(col: str) -> str:
+    inv, _ = _inv_and_logdet(LOGN_COV)
+    pdf = _logn_pdf_sql(col)
+    lin = f"(0.0 + {_r(inv[0][0])}*(ln({col}) - {_r(LOGN_MEAN[0])}))"
+    return f"(-(1.0 + {lin}) / {col} * {pdf})"
+
+
+@_register(
+    "p6_lognormal_pdf_grad",
+    f"SELECT {LID_SQL} AS lid, round({_logn_grad_sql('l_quantity')}, 9) AS g1 FROM lineitem",
+)
+def q_p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    g = lognormal_pdf_grad([F.col("l_quantity")], LOGN_MEAN, LOGN_COV)
+    return li.select("lid", F.round(g[0], 9).alias("g1"))
+
+
+@_register(
+    "p7_squared_error",
+    f"""SELECT {LID_SQL} AS lid,
+        round((l_quantity*1000.0 - l_extendedprice)*(l_quantity*1000.0 - l_extendedprice), 2) AS se
+        FROM lineitem""",
+)
+def q_p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    se = squared_error(F.col("l_quantity") * 1000.0, F.col("l_extendedprice"))
+    return li.select("lid", F.round(se, 2).alias("se"))
+
+
+@_register(
+    "p8_abs_error",
+    f"SELECT {LID_SQL} AS lid, round(abs(l_quantity*1000.0 - l_extendedprice), 6) AS ae FROM lineitem",
+)
+def q_p8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    ae = abs_error(F.col("l_quantity") * 1000.0, F.col("l_extendedprice"))
+    return li.select("lid", F.round(ae, 6).alias("ae"))
+
+
+@_register(
+    "p9_log_clip",
+    f"SELECT {LID_SQL} AS lid, round(greatest(ln(l_discount + 0.01), -6.0), 6) AS logv FROM lineitem",
+)
+def q_p9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    return li.select("lid", F.round(log_clip(F.col("l_discount") + 0.01), 6).alias("logv"))
+
+
+@_register(
+    "p10_finite_filter",
+    f"""SELECT {LID_SQL} AS lid FROM lineitem
+        WHERE isfinite(CASE WHEN l_linenumber = 1 THEN 'nan'::DOUBLE
+                            WHEN l_linenumber = 2 THEN 'inf'::DOUBLE
+                            ELSE l_discount END)""",
+)
+def q_p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    v = (
+        F.when(F.col("l_linenumber") == 1, F.lit(float("nan")))
+        .when(F.col("l_linenumber") == 2, F.lit(float("inf")))
+        .otherwise(F.col("l_discount"))
+    )
+    return li.withColumn("__v", v).filter(finite(F.col("__v"))).select("lid")
+
+
+@_register(
+    "p11_minmax_scale",
+    """SELECT event_id,
+       round((value - (SELECT min(value) FROM events))
+             / ((SELECT max(value) FROM events) - (SELECT min(value) FROM events)), 6) AS value_scaled
+       FROM events""",
+)
+def q_p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = minmax_scale(ev, "value")
+    return out.select("event_id", F.round("value_scaled", 6).alias("value_scaled"))
+
+
+@_register(
+    "p12_inverse_density_weights",
+    f"""SELECT {LID_SQL} AS lid,
+        round((1.0/l_quantity) / (SELECT sum(1.0/l_quantity) FROM lineitem), 9) AS w
+        FROM lineitem""",
+)
+def q_p12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    out = inverse_density_weights(li, pdf_col="l_quantity", weight_col="w")
+    return out.select("lid", F.round("w", 9).alias("w"))
+
+
+@_register(
+    "p13_clamp_nonneg",
+    "SELECT event_id, round(greatest(value - 100.0, 0.0), 6) AS clamped FROM events",
+)
+def q_p13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(clamp_nonneg(F.col("value") - 100.0), 6).alias("clamped")
+    )
+
+
+# -------------------- acquisitions P14-P17 ---------------------------
+
+_FX_SQL = _gauss_pdf_sql(["g.x1", "g.x2"], FX_MEAN, FX_COV)
+
+
+@_register(
+    "p14_p17_acquisition_us",
+    f"""WITH grid AS ({GRID_SQL}), preds AS ({STUB_SQL}), st AS ({ENS_STATS_SQL})
+        SELECT g.point_id, round(st.y_var * {_FX_SQL}, 9) AS acq
+        FROM grid g JOIN st USING (point_id)""",
+)
+def q_p14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = grid_points_2d(spark, GRID_N)
+    st = ensemble_stats(stub_predictions(pts, 2))
+    df = pts.join(st, "point_id").withColumn(
+        "fx", gaussian_pdf([F.col("x1"), F.col("x2")], FX_MEAN, FX_COV)
+    )
+    return df.select("point_id", F.round(acquisition_us(df, fx_col="fx"), 9).alias("acq"))
+
+
+_FY_SQL = _gauss_pdf_sql(["st.y_mean"], [0.0], [[1.0]])
+
+
+@_register(
+    "p15_acquisition_us_lw",
+    f"""WITH grid AS ({GRID_SQL}), preds AS ({STUB_SQL}), st AS ({ENS_STATS_SQL})
+        SELECT st.point_id, round(1.0 / ({_FY_SQL} + 1e-12) * st.y_var, 9) AS acq
+        FROM st""",
+)
+def q_p15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = grid_points_2d(spark, GRID_N)
+    st = ensemble_stats(stub_predictions(pts, 2))
+    df = st.withColumn("pdf_y_mean", gaussian_pdf([F.col("y_mean")], [0.0], [[1.0]]))
+    return df.select("point_id", F.round(acquisition_us_lw(df), 9).alias("acq"))
+
+
+# P16 with synthetic-but-deterministic jac/hess columns: checks the
+# contraction + weight expression (the M5 producer is rows-only checked).
+_P16_FY = _gauss_pdf_sql(["g.y"], [0.0], [[1.0]])
+_P16_DFY = f"(-(0.0 + 1.0*(g.y - 0.0)) * {_P16_FY})"
+_P16_JTHJ = (
+    "(0.0 + g.x1*((0.0 + 1.0*g.x1) + (g.x1*g.x2)*g.x2))"
+    " + (g.x2*((0.0 + (g.x1*g.x2)*g.x1) + 2.0*g.x2))"
+)
+_P16_JN2 = "((0.0 + g.x1*g.x1) + g.x2*g.x2)"
+
+
+@_register(
+    "p16_acquisition_us_lgw",
+    f"""WITH grid AS ({GRID_SQL})
+        SELECT g.point_id,
+        round(abs(1.0 * abs({_P16_DFY}) / (2.0 * (({_P16_FY} + 1e-12)*({_P16_FY} + 1e-12)))
+                  * ({_P16_JTHJ}) / ({_P16_JN2}*{_P16_JN2} + 1e-12)) * 1.0
+              * (0.1 + g.x1*g.x1), 9) AS acq
+        FROM grid g""",
+)
+def q_p16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = grid_points_2d(spark, GRID_N)
+    fy = gaussian_pdf([F.col("y")], [0.0], [[1.0]])
+    dfy = gaussian_pdf_grad([F.col("y")], [0.0], [[1.0]])[0]
+    df = (
+        pts.withColumn("pdf_y_mean", fy)
+        .withColumn("dpdf_y_mean", dfy)
+        .withColumn("jac", F.array(F.col("x1"), F.col("x2")))
+        .withColumn(
+            "hess",
+            F.array(
+                F.array(F.lit(1.0), F.col("x1") * F.col("x2")),
+                F.array(F.col("x1") * F.col("x2"), F.lit(2.0)),
+            ),
+        )
+        .withColumn("vv", F.lit(0.1) + F.col("x1") * F.col("x1"))
+    )
+    acq = acquisition_us_lgw(df, var_col="vv", c_w3=1.0, tol=1e-12)
+    return df.select("point_id", F.round(acq, 9).alias("acq"))
+
+
+# --------------------------- joins J1-J3 -----------------------------
+
+@_register(
+    "j1_middle_match",
+    f"""WITH vals AS (SELECT i AS draw_id, CAST((i*7)%50 + 1 AS DOUBLE) AS l_quantity FROM range(20) t(i)),
+        m AS (
+          SELECT l_quantity, {LID_SQL} AS lid,
+                 row_number() OVER (PARTITION BY l_quantity ORDER BY {LID_SQL}) AS rn,
+                 count(*) OVER (PARTITION BY l_quantity) AS cnt
+          FROM lineitem WHERE l_quantity IN (SELECT l_quantity FROM vals)
+        ),
+        mid AS (SELECT l_quantity, lid FROM m WHERE rn = cnt//2 + 1)
+        SELECT v.draw_id, v.l_quantity, mid.lid FROM vals v JOIN mid USING (l_quantity)""",
+)
+def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    vals = spark.range(20).select(
+        F.col("id").alias("draw_id"),
+        ((F.col("id") * 7) % 50 + 1).cast("double").alias("l_quantity"),
+    )
+    out = middle_match(li, vals, on="l_quantity", id_col="lid")
+    return out.select("draw_id", "l_quantity", "lid")
+
+
+@_register(
+    "j2_pool_remove",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""",
+)
+def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sel = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    out = pool_remove(li, sel, id_col="l_orderkey")
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@_register(
+    "j3_interp_uniform_grid",
+    """WITH q AS (SELECT event_id, value,
+                  LEAST(GREATEST(floor((value - 0.0) / 5.0), 0), 99) AS i0,
+                  (value - 0.0) / 5.0 AS pos
+           FROM events)
+       SELECT event_id,
+              round(sin(i0/10.0) + (sin((i0+1)/10.0) - sin(i0/10.0))
+                    * LEAST(GREATEST(pos - i0, 0.0), 1.0), 6) AS fy
+       FROM q""",
+)
+def q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grid = spark.range(101).select(
+        F.col("id").cast("int").alias("node"),
+        (F.col("id") * 5.0).alias("grid_x"),
+        F.sin(F.col("id") / 10.0).alias("pdf"),
+    )
+    out = interp_uniform_grid(ev, grid, q_col="value", out_col="fy")
+    return out.select("event_id", F.round("fy", 6).alias("fy"))
+
+
+@_register(
+    "j3_interp_linear",
+    f"""WITH grid AS (SELECT (i*i)/100.0 AS x, sin(i/5.0) AS f FROM range(32) t(i)),
+        aug AS (SELECT x, f, lead(x) OVER (ORDER BY x) AS nx, lead(f) OVER (ORDER BY x) AS nf,
+                       min(x) OVER () AS xmin FROM grid),
+        q AS (SELECT {LID_SQL} AS lid, l_discount*100.0 AS qv FROM lineitem)
+        SELECT lid, round(CASE WHEN nx IS NULL OR qv < x THEN f
+                               ELSE f + (nf - f)*(qv - x)/(nx - x) END, 6) AS interp
+        FROM q JOIN aug ON (qv >= x AND qv < nx)
+                        OR (nx IS NULL AND qv >= x)
+                        OR (qv < xmin AND x = xmin)""",
+)
+def q_j3b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem")).withColumn(
+        "qv", F.col("l_discount") * 100.0
+    )
+    grid = spark.range(32).select(
+        ((F.col("id") * F.col("id")) / 100.0).alias("x"), F.sin(F.col("id") / 5.0).alias("f")
+    )
+    out = interp_linear(li, grid, q_col="qv", grid_x_col="x", grid_f_col="f")
+    return out.select("lid", F.round("interp", 6).alias("interp"))
+
+
+# ----------------------- aggregations A1-A13 -------------------------
+
+@_register(
+    "a1_a3_regression_metrics",
+    f"""WITH grid AS ({GRID_SQL}), preds AS ({STUB_SQL}), st AS ({ENS_STATS_SQL})
+        SELECT round(avg((st.y_mean - g.y)*(st.y_mean - g.y)), 9) AS mse,
+               round(avg(abs(st.y_mean - g.y)), 9) AS mae,
+               count(*) AS n_rows,
+               round(avg(st.y_var), 9) AS mean_var
+        FROM grid g JOIN st USING (point_id)""",
+)
+def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = grid_points_2d(spark, GRID_N)
+    st = ensemble_stats(stub_predictions(pts, 2))
+    m = regression_metrics(pts.join(st, "point_id"), "y_mean", "y", "y_var")
+    return m.select(
+        F.round("mse", 9).alias("mse"),
+        F.round("mae", 9).alias("mae"),
+        "n_rows",
+        F.round("mean_var", 9).alias("mean_var"),
+    )
+
+
+@_register(
+    "a5_a6_ensemble_stats",
+    f"""WITH grid AS ({GRID_SQL}), preds AS ({STUB_SQL}), st AS ({ENS_STATS_SQL})
+        SELECT point_id, round(y_mean, 6) AS y_mean, round(y_var, 9) AS y_var FROM st""",
+)
+def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = grid_points_2d(spark, GRID_N)
+    st = ensemble_stats(stub_predictions(pts, 2))
+    return st.select(
+        "point_id", F.round("y_mean", 6).alias("y_mean"), F.round("y_var", 9).alias("y_var")
+    )
+
+
+@_register(
+    "a7_histogram",
+    """WITH cnts AS (
+         SELECT LEAST(CAST(floor((value - 0.0)/50.0) AS INT), 9) AS bin, count(*) AS cnt
+         FROM events WHERE value BETWEEN 0.0 AND 500.0 GROUP BY 1
+       ),
+       dense AS (
+         SELECT CAST(t.i AS INT) AS bin, COALESCE(c.cnt, 0::BIGINT) AS cnt
+         FROM range(10) t(i) LEFT JOIN cnts c ON c.bin = t.i
+       )
+       SELECT bin, round(0.0 + bin*50.0, 6) AS bin_lo, round(0.0 + (bin+1)*50.0, 6) AS bin_hi,
+              cnt, round(cnt / (sum(cnt) OVER () * 50.0), 9) AS pdf
+       FROM dense""",
+)
+def q_a7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = histogram(ev, "value", nbins=10, density=True, lo=0.0, hi=500.0)
+    return h.select(
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "cnt",
+        F.round("pdf", 9).alias("pdf"),
+    )
+
+
+@_register(
+    "a8_trapz",
+    f"""WITH pts AS (SELECT i*{_r(math.pi / 200)} AS x, sin(i*{_r(math.pi / 200)}) AS f FROM range(201) t(i)),
+        segs AS (SELECT (x - lag(x) OVER (ORDER BY x)) * (f + lag(f) OVER (ORDER BY x)) / 2.0 AS seg FROM pts)
+        SELECT round(sum(seg), 9) AS integral FROM segs""",
+)
+def q_a8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    step = math.pi / 200
+    pts = spark.range(201).select(
+        (F.col("id") * step).alias("x"), F.sin(F.col("id") * step).alias("f")
+    )
+    return trapz(pts, "x", "f").select(F.round("integral", 9).alias("integral"))
+
+
+@_register(
+    "a9_grid_nint",
+    """WITH pts AS (SELECT i/40.0 AS x1, j/40.0 AS x2,
+                      (i/40.0)*(j/40.0) + (i/40.0)*(i/40.0) AS f
+               FROM range(41) a(i), range(41) b(j)),
+       s1 AS (SELECT x1, x2, f, lag(x2) OVER w AS px, lag(f) OVER w AS pf
+              FROM pts WINDOW w AS (PARTITION BY x1 ORDER BY x2)),
+       i1 AS (SELECT x1, sum((x2 - px) * (f + pf) / 2.0) AS f FROM s1 GROUP BY x1),
+       s2 AS (SELECT x1, f, lag(x1) OVER (ORDER BY x1) AS px, lag(f) OVER (ORDER BY x1) AS pf FROM i1)
+       SELECT round(sum((x1 - px) * (f + pf) / 2.0), 9) AS integral FROM s2""",
+)
+def q_a9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spark.range(41).select(F.col("id").alias("i"))
+    pts = (
+        base.crossJoin(spark.range(41).select(F.col("id").alias("j")))
+        .select((F.col("i") / 40.0).alias("x1"), (F.col("j") / 40.0).alias("x2"))
+        .withColumn("f", F.col("x1") * F.col("x2") + F.col("x1") * F.col("x1"))
+    )
+    return grid_nint(pts, "f", ["x1", "x2"]).select(F.round("integral", 9).alias("integral"))
+
+
+@_register(
+    "a10_minmax",
+    "SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem",
+)
+def q_a10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minmax(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@_register(
+    "a11_kde",
+    f"""WITH kde AS {_kde_sql('SELECT value FROM events', 'value', 20.0, 128, 0.0, 500.0)}
+        SELECT node, round(grid_x, 6) AS grid_x, round(pdf, 9) AS pdf FROM kde""",
+)
+def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = kde_1d(ev, "value", bw=20.0, ngrid=128, lo=0.0, hi=500.0)
+    return g.select("node", F.round("grid_x", 6).alias("grid_x"), F.round("pdf", 9).alias("pdf"))
+
+
+@_register(
+    "a11_kde_weighted",
+    f"""WITH kde AS {_kde_sql('SELECT l_quantity, l_extendedprice/1000.0 AS w FROM lineitem', 'l_quantity', 2.0, 64, 0.0, 52.0, weight='w')}
+        SELECT node, round(grid_x, 6) AS grid_x, round(pdf, 9) AS pdf FROM kde""",
+)
+def q_a11w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("w", F.col("l_extendedprice") / 1000.0)
+    g = kde_1d(li, "l_quantity", bw=2.0, ngrid=64, lo=0.0, hi=52.0, weight_col="w")
+    return g.select("node", F.round("grid_x", 6).alias("grid_x"), F.round("pdf", 9).alias("pdf"))
+
+
+@_register(
+    "a12_count_by_flag",
+    "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def q_a12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_A13_KDE_A = _kde_sql(
+    "SELECT value FROM events WHERE event_type = 'click'", "value", 20.0, 128, 0.0, 500.0
+)
+_A13_KDE_B = _kde_sql(
+    "SELECT value FROM events WHERE event_type = 'view'", "value", 20.0, 128, 0.0, 500.0
+)
+
+
+@_register(
+    "a13_log_pdf_error",
+    f"""WITH ka AS {_A13_KDE_A}, kb AS {_A13_KDE_B},
+        joined AS (
+          SELECT ka.grid_x AS x,
+                 abs(greatest(ln(greatest(ka.pdf, 1e-300)), -6.0)
+                     - greatest(ln(greatest(kb.pdf, 1e-300)), -6.0)) AS d
+          FROM ka JOIN kb ON ka.node = kb.node
+        ),
+        segs AS (SELECT (x - lag(x) OVER (ORDER BY x)) * (d + lag(d) OVER (ORDER BY x)) / 2.0 AS seg
+                 FROM joined)
+        SELECT round(sum(seg), 9) AS log_pdf_error FROM segs""",
+)
+def q_a13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ka = kde_1d(ev.filter(F.col("event_type") == "click"), "value", 20.0, 128, 0.0, 500.0)
+    kb = kde_1d(ev.filter(F.col("event_type") == "view"), "value", 20.0, 128, 0.0, 500.0)
+    out = log_pdf_error(ka, kb)
+    return out.select(F.round("log_pdf_error", 9).alias("log_pdf_error"))
+
+
+@_register("a14_pod_coeffs")  # driver-side eigh → rows-only
+def q_a14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = sliding_windows(ev, "event_id", "value", history=5, prediction=3, group_cols=["user_id"])
+    joint = concat_history_target(w)
+    lam, psi, mean = comp_pca(joint, "joint", p=8, n_trunc=3)
+    out = project_coeffs(joint, "joint", psi, mean)
+    return out.select(
+        "user_id",
+        "window_id",
+        F.round(F.col("coeff")[0], 6).alias("c0"),
+        F.round(F.col("coeff")[1], 6).alias("c1"),
+        F.round(F.col("coeff")[2], 6).alias("c2"),
+    )
+
+
+# ------------------- selection / set ops T*, U* ----------------------
+
+@_register(
+    "t1_argmax",
+    f"""SELECT {LID_SQL} AS lid, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, {LID_SQL} ASC LIMIT 1""",
+)
+def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    return argmax(li, "l_extendedprice", id_col="lid").select("lid", "l_extendedprice")
+
+
+@_register(
+    "t2_top_k",
+    f"""SELECT {LID_SQL} AS lid, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, {LID_SQL} DESC LIMIT 20""",
+)
+def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    return top_k(li, "l_extendedprice", 20, id_col="lid").select("lid", "l_extendedprice")
+
+
+@_register("t3_weighted_sample")  # stochastic → rows-only (count contract: exactly k draws)
+def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem")).filter(F.col("l_orderkey") <= 200)
+    w = inverse_density_weights(li, pdf_col="l_quantity", weight_col="w")
+    return weighted_sample_with_replacement(w, "w", 100, seed=42, id_col="lid").select(
+        "draw_id", "lid", "l_quantity"
+    )
+
+
+@_register(
+    "t4_shuffle",
+    f"SELECT {LID_SQL} AS lid, l_quantity FROM lineitem",
+)
+def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem")).select("lid", "l_quantity")
+    return shuffle_rows(li, seed=42)  # permutation == same multiset → oracle is identity
+
+
+@_register(
+    "t5_dedup",
+    "SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+)
+def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+    return dedup(li)
+
+
+@_register(
+    "u1_train_append",
+    f"""SELECT {LID_SQL} AS lid, l_quantity FROM lineitem WHERE l_orderkey < 500
+        UNION ALL
+        SELECT {LID_SQL} AS lid, l_quantity FROM lineitem WHERE l_orderkey >= 14500""",
+)
+def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    train = li.filter(F.col("l_orderkey") < 500).select("lid", "l_quantity")
+    sel = li.filter(F.col("l_orderkey") >= 14500).select("lid", "l_quantity")
+    return train_append(train, sel)
+
+
+# --------------------- windows W1, A4, U2 ----------------------------
+
+_W_SQL = """
+  SELECT user_id, event_id AS window_id,
+         value AS v0,
+         lead(value, 1) OVER win AS v1, lead(value, 2) OVER win AS v2,
+         lead(value, 3) OVER win AS v3, lead(value, 4) OVER win AS v4,
+         lead(value, 5) OVER win AS v5, lead(value, 6) OVER win AS v6,
+         lead(value, 7) OVER win AS v7
+  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@_register(
+    "w1_sliding_windows",
+    f"""WITH w AS ({_W_SQL})
+        SELECT user_id, window_id,
+               round(((((0.0 + v0) + v1) + v2) + v3) + v4, 6) AS h_sum,
+               round(((0.0 + v5) + v6) + v7, 6) AS t_sum
+        FROM w WHERE v7 IS NOT NULL""",
+)
+def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = sliding_windows(ev, "event_id", "value", history=5, prediction=3, group_cols=["user_id"])
+    hsum = F.aggregate(F.col("history"), F.lit(0.0), lambda a, v: a + v)
+    tsum = F.aggregate(F.col("target"), F.lit(0.0), lambda a, v: a + v)
+    return w.select(
+        "user_id", "window_id", F.round(hsum, 6).alias("h_sum"), F.round(tsum, 6).alias("t_sum")
+    )
+
+
+@_register(
+    "a4_horizon_error",
+    f"""WITH w AS ({_W_SQL})
+        SELECT user_id, window_id,
+               round(((0.0 + abs(v0 - v5)) + abs(v1 - v6)) + abs(v2 - v7), 6) AS horizon_err
+        FROM w WHERE v7 IS NOT NULL""",
+)
+def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = sliding_windows(ev, "event_id", "value", history=5, prediction=3, group_cols=["user_id"])
+    w = w.withColumn("pred", F.slice(F.col("history"), 1, 3))
+    out = horizon_abs_error(w, pred_col="pred", target_col="target")
+    return out.select("user_id", "window_id", F.round("horizon_err", 6).alias("horizon_err"))
+
+
+@_register(
+    "u2_concat_columns",
+    f"""WITH w AS ({_W_SQL})
+        SELECT user_id, window_id, 8::BIGINT AS joint_n,
+               round(((((((0.0 + v0) + v1) + v2) + v3) + v4) + v5 + v6) + v7, 6) AS joint_sum
+        FROM w WHERE v7 IS NOT NULL""",
+)
+def q_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = sliding_windows(ev, "event_id", "value", history=5, prediction=3, group_cols=["user_id"])
+    joint = concat_history_target(w)
+    jsum = F.aggregate(F.col("joint"), F.lit(0.0), lambda a, v: a + v)
+    return joint.select(
+        "user_id",
+        "window_id",
+        F.size("joint").cast("bigint").alias("joint_n"),
+        F.round(jsum, 6).alias("joint_sum"),
+    )
+
+
+# ------------------------- models M1/M2/M5 ---------------------------
+
+@_register("m2_predict_ensemble")  # closed-form fit (np.linalg) → rows-only
+def q_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = grid_points_2d(spark, 40)
+    train = pts.filter(F.col("point_id") % 7 == 0)
+    thetas = train_ensemble(train, ["x1", "x2"], "y", n_models=2, seed=42)
+    preds = predict_ensemble(pts, thetas, ["x1", "x2"])
+    return ensemble_stats(preds).select(
+        "point_id", F.round("y_mean", 6).alias("y_mean"), F.round("y_var", 9).alias("y_var")
+    )
+
+
+@_register("m5_jac_hess")  # rows-only
+def q_m5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = grid_points_2d(spark, 40)
+    train = pts.filter(F.col("point_id") % 7 == 0)
+    thetas = train_ensemble(train, ["x1", "x2"], "y", n_models=2, seed=42)
+    jh = ensemble_jac_hess(pts, thetas, ["x1", "x2"])
+    return jh.select(
+        "point_id",
+        F.round(F.col("jac")[0], 6).alias("j1"),
+        F.round(F.col("jac")[1], 6).alias("j2"),
+        F.round(F.col("hess")[0][0], 6).alias("h11"),
+        F.round(F.col("hess")[0][1], 6).alias("h12"),
+        F.round(F.col("hess")[1][1], 6).alias("h22"),
+    )
+
+
+# -------------------- LLM-pipeline extensions ------------------------
+
+_TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@_register(
+    "x_text_stats",
+    f"""SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '{_TOKRE}')) AS BIGINT) AS n_regex_tokens,
+        round(CASE WHEN len(string_split(text, ' ')) > 0
+              THEN list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 1.0
+                   / len(string_split(text, ' '))
+              ELSE 0.0 END, 6) AS mean_token_len,
+        round(CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0
+                   / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+        round(CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0
+                   / length(text) ELSE 0.0 END, 6) AS upper_ratio
+        FROM documents""",
+)
+def q_xtext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = text_stats(docs)
+    return s.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_regex_tokens").cast("bigint").alias("n_regex_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+    )
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang, lex in sorted(LANG_LEXICONS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+        scores.append(
+            f"CASE WHEN len(string_split(text, ' ')) > 0 THEN "
+            f"len(list_filter(string_split(text, ' '), t -> list_contains({arr}, lower(t)))) * 1.0 "
+            f"/ len(string_split(text, ' ')) ELSE 0.0 END AS score_{lang}"
+        )
+    langs = sorted(LANG_LEXICONS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH s AS (SELECT doc_id, {', '.join(scores)} FROM documents)
+    SELECT doc_id, {', '.join(f'round(score_{lang}, 6) AS score_{lang}' for lang in langs)},
+           CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_pred
+    FROM s"""
+
+
+@_register("x_language_id", _lang_sql())
+def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = language_id(docs)
+    langs = sorted(LANG_LEXICONS)
+    return out.select(
+        "doc_id",
+        *[F.round(f"score_{lang}", 6).alias(f"score_{lang}") for lang in langs],
+        "lang_pred",
+    )
+
+
+@_register(
+    "x_quality_score",
+    """WITH s AS (
+         SELECT doc_id, length(text) AS n_chars,
+           CASE WHEN len(string_split(text,' ')) > 0
+             THEN list_sum(list_transform(string_split(text,' '), t -> length(t))) * 1.0
+                  / len(string_split(text,' ')) ELSE 0.0 END AS mtl,
+           CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0
+                  / length(text) ELSE 0.0 END AS pr,
+           CASE WHEN len(string_split(text,' ')) > 0
+             THEN len(list_filter(string_split(text,' '),
+                      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], lower(t)))) * 1.0
+                  / len(string_split(text,' ')) ELSE 0.0 END AS swr
+         FROM documents)
+       SELECT doc_id,
+         round(((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN swr >= 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+       FROM s""",
+)
+def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", F.round("quality", 6).alias("quality"))
+
+
+@_register(
+    "x_exact_dedup",
+    """SELECT doc_id, lang, source FROM documents
+       QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
+)
+def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+@_register(
+    "x_jaccard_pairs",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       idx AS (
+         SELECT doc_id, ts,
+                unnest(CASE WHEN len(ts) >= 3 THEN generate_series(1, len(ts) - 2)
+                            ELSE [] END) AS i
+         FROM toks
+       ),
+       sh AS (
+         SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle FROM idx
+       ),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+              round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3""",
+)
+def q_xjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, k=3, mode="word")
+    out = jaccard_pairs(sh, min_jaccard=0.3)
+    return out.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@_register("x_minhash_near_dedup")  # xxhash64 not in DuckDB → rows-only
+def q_xminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return near_dedup_minhash(docs, k=3, n_hashes=64, bands=16, min_jaccard=0.7).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_register("x_simhash")  # rows-only
+def q_xsimhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, k=3, mode="word")
+
+
+_FP_POWS = " + ".join(
+    f"ascii(substr(text, i + {j}, 1))*{31 ** (7 - j)}::BIGINT" for j in range(7)
+)
+
+
+@_register(
+    "x_doc_fingerprints",
+    f"""WITH idx AS (
+          SELECT doc_id, text,
+                 unnest(CASE WHEN length(text) >= 8 THEN generate_series(1, length(text) - 7)
+                             ELSE [] END) AS i
+          FROM documents
+        ),
+        h AS (SELECT doc_id,
+                     ({_FP_POWS} + ascii(substr(text, i + 7, 1))) % 1000000007 AS fp
+              FROM idx)
+        SELECT DISTINCT doc_id, fp FROM h WHERE fp % 16 = 0""",
+)
+def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return doc_fingerprints(docs, k=8, mod_p=16)
+
+
+@_register(
+    "x_knn_cosine",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, cv) AS cosine
+             FROM c CROSS JOIN q WHERE c.vec_id != q.query_id)
+       SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+       FROM s QUALIFY rank <= 5""",
+)
+def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_brute_force(emb, q, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@_register("x_ann_knn")  # hyperplane literals impractical in SQL → rows-only
+def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann_hyperplane_knn(emb, q, dim=64, k=5, n_planes=8, n_tables=4)
+
+
+@_register("x_embedding_near_dedup")  # rows-only
+def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dedup(emb, threshold=0.95, dim=64).select("vec_id", "label")
+
+
+def _profile_sql() -> str:
+    cols = {
+        "c_custkey": True,
+        "c_name": False,
+        "c_nationkey": True,
+        "c_acctbal": True,
+        "c_mktsegment": False,
+    }
+    parts = []
+    for c, numeric in cols.items():
+        parts.append(
+            f"SELECT '{c}' AS \"column\", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM customer"
+        )
+        parts.append(
+            f"SELECT '{c}', 'n_null', CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM customer"
+        )
+        parts.append(f"SELECT '{c}', 'n_distinct', CAST(count(DISTINCT {c}) AS DOUBLE) FROM customer")
+        if numeric:
+            parts.append(f"SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM customer")
+            parts.append(f"SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE) FROM customer")
+            parts.append(f"SELECT '{c}', 'avg', round(CAST(avg({c}) AS DOUBLE), 6) FROM customer")
+    return " UNION ALL ".join(parts)
+
+
+@_register("x_profile_table", _profile_sql())
+def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    out = profile_table(cust)
+    return out.select(
+        "column",
+        "metric",
+        F.when(F.col("metric") == "avg", F.round("value", 6)).otherwise(F.col("value")).alias(
+            "value"
+        ),
+    )
+
+
+@_register("x_approx_profile")  # sketch values engine-specific → rows-only
+def q_xapprox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return approx_profile(li, ["l_quantity", "l_extendedprice", "l_returnflag"])
+
+
+_RULES = {
+    "l_quantity": "l_quantity BETWEEN 1 AND 50",
+    "l_discount": "l_discount <= 0.08",
+    "l_returnflag": "l_returnflag IN ('A', 'N', 'R')",
+}
+
+
+@_register(
+    "x_validity_rates",
+    """SELECT 'l_quantity' AS "column", 'l_quantity BETWEEN 1 AND 50' AS rule,
+              round(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END), 9) AS pass_rate FROM lineitem
+       UNION ALL
+       SELECT 'l_discount', 'l_discount <= 0.08',
+              round(avg(CASE WHEN l_discount <= 0.08 THEN 1.0 ELSE 0.0 END), 9) FROM lineitem
+       UNION ALL
+       SELECT 'l_returnflag', 'l_returnflag IN (''A'', ''N'', ''R'')',
+              round(avg(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1.0 ELSE 0.0 END), 9) FROM lineitem""",
+)
+def q_xvalidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = validity_rates(li, _RULES)
+    return out.select("column", "rule", F.round("pass_rate", 9).alias("pass_rate"))
+
+
+# ------------------------- public surface ----------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

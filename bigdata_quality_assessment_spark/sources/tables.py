@@ -11,6 +11,22 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# The driver's events.parquet stores ts as TIMESTAMP(NANOS), which the
+# Spark 4 parquet reader rejects (PARQUET_TYPE_ILLEGAL) and cannot map
+# to any Spark type. Fallback schema omits ts — every engine operator
+# keys on event_id order; the nanos column is unreadable in this Spark
+# version regardless of session config.
+EVENTS_FALLBACK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 TABLES = (
     "region",
@@ -32,7 +48,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """Read one test table. ``name`` must be in TABLES."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force schema resolution
+            return df
+        except Exception:
+            return spark.read.schema(EVENTS_FALLBACK_SCHEMA).parquet(path)
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
