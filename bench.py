@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship composites at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>}
+
+Each query materializes its (small) result with a collect/count so the
+measured time covers the full plan execution, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(path: str) -> float:
+    try:
+        return float(path.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bigdata_quality_assessment_spark.loop import active_sampling_loop
+    from bigdata_quality_assessment_spark.operators.density import (
+        histogram,
+        interp_uniform_grid,
+        kde_1d,
+    )
+    from bigdata_quality_assessment_spark.operators.models import (
+        predict_ensemble,
+        train_ensemble,
+    )
+    from bigdata_quality_assessment_spark.operators.profiling import profile_table
+    from bigdata_quality_assessment_spark.operators.score import (
+        acquisition_us_lw,
+        ensemble_stats,
+        regression_metrics,
+    )
+    from bigdata_quality_assessment_spark.operators.select import argmax, top_k
+    from bigdata_quality_assessment_spark.operators.similarity import knn_brute_force
+    from bigdata_quality_assessment_spark.operators.text import near_dedup_minhash
+    from bigdata_quality_assessment_spark.operators.windows import (
+        horizon_abs_error,
+        sliding_windows,
+    )
+    from bigdata_quality_assessment_spark.session import build_session
+    from bigdata_quality_assessment_spark.sources.generators import (
+        grid_points_2d,
+        stub_predictions,
+    )
+    from bigdata_quality_assessment_spark.sources.tables import load_table
+
+    spark = build_session(
+        app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+
+    def points(sf_dir: str):
+        li = load_table(spark, "lineitem", sf_dir)
+        return li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+            (F.col("l_quantity") / 50.0).alias("x1"),
+            (F.col("l_discount") * 10.0).alias("x2"),
+            F.log("l_extendedprice").alias("y"),
+        )
+
+    def q_flagship_us_lw():
+        """M2(stub)→A5/A6→A11→J3→P15→T2 over the full lineitem pool."""
+        pts = points(SF_DIR)
+        scored = pts.join(ensemble_stats(stub_predictions(pts, 2)), "point_id")
+        grid = kde_1d(scored, "y_mean", bw=0.1, ngrid=256)
+        with_fy = interp_uniform_grid(scored, grid, q_col="y_mean", out_col="pdf_y_mean")
+        acq = with_fy.withColumn("acq", acquisition_us_lw(with_fy))
+        return top_k(acq, "acq", 20).collect()
+
+    def q_ensemble_scoring():
+        """M1 train (poly ridge) + M2 mapInPandas inference over the full
+        pool + A5/A6 reduction + A1-A3 metrics + T1 argmax."""
+        pts = points(SF_DIR)
+        train = pts.filter(F.col("point_id") % 997 == 0)
+        thetas = train_ensemble(train, ["x1", "x2"], "y", n_models=2, seed=42)
+        preds = predict_ensemble(pts, thetas, ["x1", "x2"])
+        scored = pts.join(ensemble_stats(preds), "point_id").withColumn(
+            "se", (F.col("y_mean") - F.col("y")) * (F.col("y_mean") - F.col("y"))
+        )
+        m = regression_metrics(scored, "y_mean", "y", "y_var").collect()
+        a = argmax(scored, "se").collect()
+        return m, a
+
+    def q_kde_events():
+        ev = load_table(spark, "events", SF_DIR)
+        return kde_1d(ev, "value", bw=20.0, ngrid=1024, lo=0.0, hi=500.0).collect()
+
+    def q_histogram():
+        li = load_table(spark, "lineitem", SF_DIR)
+        return histogram(li, "l_extendedprice", nbins=50).collect()
+
+    def q_topk():
+        li = load_table(spark, "lineitem", SF_DIR)
+        li = li.withColumn("lid", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        return top_k(li, "l_extendedprice", 100, id_col="lid").collect()
+
+    def q_profile():
+        li = load_table(spark, "lineitem", SF_DIR)
+        return profile_table(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"]
+        ).collect()
+
+    def q_sliding_windows():
+        ev = load_table(spark, "events", SF_DIR)
+        w = sliding_windows(
+            ev, "event_id", "value", history=10, prediction=5, group_cols=["user_id"]
+        )
+        w = w.withColumn("pred", F.slice(F.col("history"), 6, 5))
+        return horizon_abs_error(w, pred_col="pred").agg(F.avg("horizon_err")).collect()
+
+    def q_near_dedup():
+        docs = load_table(spark, "documents", SF_DIR)
+        return near_dedup_minhash(docs, k=3, n_hashes=128, bands=16, min_jaccard=0.8).count()
+
+    def q_knn():
+        emb = load_table(spark, "embeddings", SF_DIR)
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return knn_brute_force(emb, q, k=10).collect()
+
+    def q_active_loop_3iter():
+        pts = grid_points_2d(spark, 100).cache()
+        pts.count()
+        res = active_sampling_loop(
+            pts, ["x1", "x2"], n_iter=3, n_init=100, n_models=2, ngrid=256, bw=0.1
+        )
+        n = res.train.count()
+        pts.unpersist()
+        return n
+
+    queries = {
+        "flagship_us_lw": q_flagship_us_lw,
+        "ensemble_scoring": q_ensemble_scoring,
+        "kde_events": q_kde_events,
+        "histogram": q_histogram,
+        "topk": q_topk,
+        "profile": q_profile,
+        "sliding_windows": q_sliding_windows,
+        "near_dedup_minhash": q_near_dedup,
+        "knn_cosine": q_knn,
+        "active_loop_3iter": q_active_loop_3iter,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -267,19 +267,31 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash signatures: ``sig[i] = min over shingles of
-    xxhash64(i, shingle)`` — one array column per doc, computed with
-    nested higher-order functions entirely in the JVM (no shuffle,
-    no UDF). O(#shingles × n_hashes) per doc."""
+    xxhash64(i, base_hash(shingle))``.
+
+    Shape chosen for scale AND single-evaluation: each shingle's
+    (expensive) string hash is computed ONCE via explode, then the
+    n_hashes lanes are cheap integer re-hashes inside one map-side-
+    combined aggregation (n_hashes ``min`` columns). A nested
+    higher-order-function formulation re-evaluates the shingle array
+    per lane — Catalyst does not CSE across lambda boundaries — which
+    is n_hashes× the string work; the explode+groupBy shuffle moves
+    only pre-aggregated (doc, 128 mins) rows and parallelizes cleanly.
+
+    Docs shorter than k shingle into nothing and drop out — they
+    cannot be near-duplicates, and an all-null signature would collide
+    every short doc into every LSH bucket (candidate-pair explosion).
+    """
     shingles = _shingle_expr(F.col(text_col), k, mode)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+    base = docs.select(
+        id_col, F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("__h")
     )
-    # Docs shorter than k shingle into nothing — they cannot be
-    # near-duplicates, and an all-null signature would collide every
-    # short doc into every LSH bucket (candidate-pair explosion).
-    return docs.select(id_col, sig.alias("sig")).filter(
-        F.size(shingles) > 0
+    lanes = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__s{i}") for i in range(n_hashes)
+    ]
+    wide = base.groupBy(id_col).agg(*lanes)
+    return wide.select(
+        id_col, F.array(*[F.col(f"__s{i}") for i in range(n_hashes)]).alias("sig")
     )
 
 
@@ -324,7 +336,7 @@ def near_dedup_minhash(
     text_col: str = "text",
     k: int = 3,
     n_hashes: int = 128,
-    bands: int = 32,
+    bands: int = 16,
     min_jaccard: float = 0.8,
     mode: str = "word",
     id_col: str = "doc_id",
@@ -341,13 +353,17 @@ def near_dedup_minhash(
     sigs = minhash_signatures(docs, text_col, k, n_hashes, mode, id_col)
     cands = minhash_lsh_candidates(sigs, bands, id_col)
     shingled = shingle_sets(docs, text_col, k, mode, id_col)
-    # Verify only candidate pairs: restrict the shingle join to them.
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # Verify only candidate pairs — and keep every intermediate bounded
+    # by |candidates|, not by hot-shingle fan-out: expand each candidate
+    # pair by doc_a's shingles, then semi-match doc_b's. Joining the two
+    # shingle tables first (then filtering to candidates) explodes on
+    # corpora with skewed shingle frequencies long before the filter.
     a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        a.join(b, "shingle")
-        .join(cands, ["doc_a", "doc_b"], "left_semi")
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -374,24 +390,26 @@ def simhash(
     ``xxhash64`` bit j; the sign pattern packs into one BIGINT.
     Near-duplicates land within small Hamming distance — bucket by
     16-bit chunks for candidate generation (4 tables, any exact chunk
-    match is a candidate)."""
-    # hash each shingle ONCE, then fold the 64 bit-votes over the
-    # hash array — not 64 re-hashes per shingle. Bit positions are
-    # Python ints, so the 64 folds unroll into one wide expression.
-    hashes = F.transform(
-        _shingle_expr(F.col(text_col), k, mode), lambda s: F.xxhash64(s)
+    match is a candidate).
+
+    Same explode+aggregate shape as ``minhash_signatures``: each
+    shingle is hashed once, the 64 bit-votes are map-side-combined sums
+    (a 64-fold array ``aggregate`` would re-evaluate the shingle+hash
+    array per bit — Catalyst does not CSE across lambda boundaries)."""
+    shingles = _shingle_expr(F.col(text_col), k, mode)
+    base = docs.select(
+        id_col, F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("__h")
     )
-
-    def bit_vote(j: int):
-        # factory so the Spark lambda keeps exactly (acc, h) arity
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(64)
+    ]
+    wide = base.groupBy(id_col).agg(*votes)
     packed = F.lit(0).cast("bigint")
     for j in range(64):
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_vote(j))
         packed = packed + F.when(
-            vote > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint")
+            F.col(f"__v{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-    return docs.select(id_col, packed.alias("simhash"))
+    return wide.select(id_col, packed.alias("simhash"))

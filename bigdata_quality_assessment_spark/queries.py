@@ -1115,7 +1115,7 @@ def q_xjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("x_minhash_near_dedup")  # xxhash64 not in DuckDB → rows-only
 def q_xminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return near_dedup_minhash(docs, k=3, n_hashes=64, bands=16, min_jaccard=0.7).select(
+    return near_dedup_minhash(docs, k=3, n_hashes=128, bands=16, min_jaccard=0.8).select(
         "doc_id", "lang", "source"
     )
 
