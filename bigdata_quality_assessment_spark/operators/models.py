@@ -80,6 +80,7 @@ def train_ensemble(
     n_models: int = 2,
     degree: int = 2,
     seed: int = 42,
+    ridge: float = 1e-6,
 ) -> list[list[float]]:
     """M1: train N members in parallel — one ``applyInPandas`` group
     per ``model_id``; the (small) training set is replicated across
@@ -101,7 +102,7 @@ def train_ensemble(
         mid = int(pdf["model_id"].iloc[0])
         X = pdf[feature_cols].to_numpy(dtype="float64")
         y = pdf[target_col].to_numpy(dtype="float64")
-        theta = fit_poly_member(X, y, mid, degree=degree, seed=seed)
+        theta = fit_poly_member(X, y, mid, degree=degree, ridge=ridge, seed=seed)
         return pd.DataFrame({"model_id": [mid], "theta": [list(theta)]})
 
     rows = (

@@ -1,0 +1,45 @@
+"""Driver-contract structural tests: registry consistency and the
+flagship entry() smoke on sf0.001 (the driver's own checks mirror
+these — keeping them green locally keeps CORRECTNESS green)."""
+
+from __future__ import annotations
+
+import inspect
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as E
+
+    return E
+
+
+def test_every_oracle_has_a_query(entry_mod):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 50
+    assert len(oracles) >= 40
+
+
+def test_query_callables_signature(entry_mod):
+    for name, fn in entry_mod.queries().items():
+        params = inspect.signature(fn).parameters
+        assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_entry_returns_rows(entry_mod, spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert set(df.columns) == {
+        "point_id", "x1", "x2", "y", "y_mean", "y_var", "pdf_y_mean", "acq"
+    }
+
+
+def test_sample_queries_run_at_sf0001(entry_mod, spark):
+    qs = entry_mod.queries()
+    for name in ("t1_argmax", "a7_histogram", "x_text_stats"):
+        assert qs[name](spark, "/root/testdata/sf0.001").count() > 0

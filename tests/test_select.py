@@ -1,0 +1,106 @@
+"""Selection/pool-algebra oracle tests (T1-T5, J1/J2, U1) pinning
+numpy tie/order semantics (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.select import (
+    argmax,
+    dedup,
+    middle_match,
+    pool_remove,
+    top_k,
+    train_append,
+    weighted_sample_with_replacement,
+    weighted_sample_without_replacement,
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # deliberate ties: score = id % 5
+    return spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(50)], "point_id BIGINT, score DOUBLE"
+    ).cache()
+
+
+def test_argmax_ties_lowest_id(scored):
+    # numpy argmax returns the FIRST maximal index
+    arr = np.array([i % 5 for i in range(50)], dtype=float)
+    assert argmax(scored, "score").first()["point_id"] == int(np.argmax(arr))
+
+
+def test_topk_ties_highest_id(scored):
+    # numpy argsort is stable ascending; reversed ⇒ ties break to highest index
+    arr = np.array([i % 5 for i in range(50)], dtype=float)
+    expect = list(np.argsort(arr, kind="stable")[::-1][:7])
+    got = [r["point_id"] for r in top_k(scored, "score", 7).collect()]
+    assert got == [int(i) for i in expect]
+
+
+def test_topk_subset_and_size(scored):
+    got = top_k(scored, "score", 1000).collect()
+    assert len(got) == 50  # k > n clamps
+
+
+def test_weighted_with_replacement_exact_k(spark):
+    df = spark.createDataFrame(
+        [(i, 1.0 + (i % 3)) for i in range(20)], "point_id BIGINT, w DOUBLE"
+    )
+    out = weighted_sample_with_replacement(df, "w", 200, seed=11)
+    assert out.count() == 200
+    # draws follow weights loosely: heaviest third should dominate
+    counts = (
+        out.groupBy((F.col("point_id") % 3).alias("g")).count().orderBy("g").collect()
+    )
+    by_g = {r["g"]: r["count"] for r in counts}
+    assert by_g[2] > by_g[0]
+
+
+def test_weighted_with_replacement_deterministic(spark):
+    df = spark.createDataFrame([(i, float(i + 1)) for i in range(10)], "point_id BIGINT, w DOUBLE")
+    a = sorted(r["draw_id"] * 100 + r["point_id"] for r in weighted_sample_with_replacement(df, "w", 30, seed=5).collect())
+    b = sorted(r["draw_id"] * 100 + r["point_id"] for r in weighted_sample_with_replacement(df, "w", 30, seed=5).collect())
+    assert a == b
+
+
+def test_weighted_without_replacement_distinct(spark):
+    df = spark.createDataFrame([(i, float(i + 1)) for i in range(30)], "point_id BIGINT, w DOUBLE")
+    rows = weighted_sample_without_replacement(df, "w", 10, seed=3).collect()
+    ids = [r["point_id"] for r in rows]
+    assert len(ids) == 10 and len(set(ids)) == 10
+
+
+def test_dedup_idempotent(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k BIGINT, v STRING")
+    once = dedup(df)
+    assert once.count() == 2
+    assert dedup(once).count() == 2
+
+
+def test_middle_match_numpy_parity(spark):
+    # data with known duplicate y values; reference: np.where(y==v)[0][len//2]
+    y = np.array([1.0, 2.0, 1.0, 3.0, 1.0, 2.0, 3.0, 1.0])
+    data = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(y)], "point_id BIGINT, y DOUBLE"
+    )
+    vals = spark.createDataFrame([(0, 1.0), (1, 2.0), (2, 1.0)], "draw_id BIGINT, y DOUBLE")
+    rows = middle_match(data, vals, on="y").collect()
+    assert len(rows) == 3  # one row per draw, multiplicity preserved
+    got = {(r["draw_id"], r["point_id"]) for r in rows}
+    for draw_id, v in [(0, 1.0), (1, 2.0), (2, 1.0)]:
+        idx = np.where(y == v)[0]
+        assert (draw_id, int(idx[len(idx) // 2])) in got
+
+
+def test_pool_conservation(spark):
+    pool = spark.createDataFrame([(i, float(i)) for i in range(100)], "point_id BIGINT, y DOUBLE")
+    sel = pool.filter(F.col("point_id") % 10 == 0)
+    remaining = pool_remove(pool, sel)
+    assert remaining.count() + sel.count() == 100
+    assert remaining.join(sel, "point_id", "inner").count() == 0
+    back = train_append(remaining.select("point_id", "y"), sel.select("point_id", "y"))
+    assert back.count() == 100

@@ -1,0 +1,133 @@
+"""Text/dedup operator tests: planted duplicates, python-set Jaccard
+oracles, rolling-hash reimplementation parity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.text import (
+    exact_dedup,
+    jaccard_pairs,
+    language_id,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    near_dedup_minhash,
+    quality_score,
+    rolling_hashes,
+    shingle_sets,
+    simhash,
+    text_stats,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun and the birds sing in the trees all day long here"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near duplicate of 0
+        (3, "completely different content about spark query engines and parquet files and shuffles galore today"),
+        (4, "der hund und die katze sind nicht auf der straße und das ist gut so für alle"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING").cache()
+
+
+def _pyshingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)} if len(toks) >= k else set()
+
+
+def test_shingle_sets_match_python(docs):
+    got = {
+        (r["doc_id"], r["shingle"]) for r in shingle_sets(docs, k=3, mode="word").collect()
+    }
+    pdf = docs.toPandas()
+    expect = {(r.doc_id, s) for r in pdf.itertuples() for s in _pyshingles(r.text)}
+    assert got == expect
+
+
+def test_jaccard_pairs_match_python(docs):
+    sh = shingle_sets(docs, k=3, mode="word")
+    rows = jaccard_pairs(sh, min_jaccard=0.0).collect()
+    pdf = docs.toPandas()
+    sets = {r.doc_id: _pyshingles(r.text) for r in pdf.itertuples()}
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                if inter:
+                    expect = inter / len(sets[i] | sets[j])
+                    assert abs(got[(i, j)] - expect) < 1e-12
+                else:
+                    assert (i, j) not in got
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    survivors = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert 0 in survivors and 1 not in survivors
+    assert {2, 3, 4, 5} <= survivors
+
+
+def test_minhash_near_dedup_finds_planted(docs):
+    out = {r["doc_id"] for r in near_dedup_minhash(docs, min_jaccard=0.6).collect()}
+    assert 1 not in out  # exact dup dropped
+    assert 2 not in out  # near dup (1-word change) dropped
+    assert {0, 3, 4, 5} <= out
+
+
+def test_minhash_candidates_superset_of_high_jaccard(docs):
+    sigs = minhash_signatures(docs, k=3, n_hashes=128)
+    cands = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(sigs, bands=32).collect()}
+    assert (0, 1) in cands and (0, 2) in cands
+    # short doc has no shingles → must not appear anywhere
+    assert not any(5 in pair for pair in cands)
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    vals = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert vals[0] == vals[1]  # identical docs, identical hash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(vals[0], vals[2]) < ham(vals[0], vals[3])
+
+
+def test_rolling_hashes_match_python(spark):
+    text = "hello world, rolling hashes!"
+    df = spark.createDataFrame([(text,)], "text STRING")
+    got = df.select(rolling_hashes(F.col("text"), k=8).alias("h")).first()["h"]
+    P = 1_000_000_007
+    expect = []
+    for i in range(len(text) - 7):
+        acc = 0
+        for ch in text[i : i + 8]:
+            acc = (acc * 31 + ord(ch)) % P
+        expect.append(acc)
+    assert got == expect
+
+
+def test_text_stats_and_quality(docs):
+    st = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert st[0]["n_chars"] == len(BASE)
+    assert st[0]["n_tokens"] == len(BASE.split(" "))
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert q[0] > q[5]  # long english beats 5-char doc
+
+
+def test_language_id(docs):
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "de"
