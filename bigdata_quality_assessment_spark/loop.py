@@ -171,3 +171,149 @@ def active_sampling_loop(
 
     truth_grid.unpersist()
     return LoopResult(train=train, pool=pool, metrics=metrics)
+
+
+# --------------------------------------------------------------------
+# §3.2: the SDE-forecast active-sampling pipeline
+# (/root/reference/SDE_forecast_ActiveSampling.py).
+# --------------------------------------------------------------------
+
+
+def sde_initial_resample(
+    windows: DataFrame,
+    coeff_col: str = "coeff",
+    n_modes: int = 5,
+    n_draws: int = 100,
+    bw: float = 0.05,
+    ngrid: int = 256,
+    seed: int = 42,
+    id_col: str = "window_id",
+) -> DataFrame:
+    """Per-mode inverse-density resample
+    (SDE_forecast_ActiveSampling.py:110-135): for each POD mode m,
+    KDE the coefficient distribution, weight every window ∝ 1/pdf,
+    draw ``n_draws`` with replacement, and keep EVERY window whose
+    coefficient equals a drawn value (the reference appends all
+    boolean-mask matches, :122-126 — not a middle match); union across
+    modes, then exact dedup on window identity (T5, :134-135 — deduped
+    on the JOINED row, not X/Y independently)."""
+    from .operators.select import dedup
+
+    picked = None
+    for mode in range(n_modes):
+        with_c = windows.withColumn("__c", F.col(coeff_col)[mode])
+        grid = kde_1d(with_c, "__c", bw=bw, ngrid=ngrid)
+        with_pdf = interp_uniform_grid(with_c, grid, q_col="__c", out_col="__pdf")
+        weighted = inverse_density_weights(with_pdf, pdf_col="__pdf", weight_col="__w")
+        draws = weighted_sample_with_replacement(
+            weighted.select(id_col, "__c", "__w"),
+            "__w",
+            n_draws,
+            seed=seed + mode,
+            id_col=id_col,
+        )
+        # every window matching a drawn coefficient value (values are
+        # continuous, so almost always exactly the drawn row itself)
+        matched = with_c.join(
+            F.broadcast(draws.select("__c").distinct()), "__c", "inner"
+        ).drop("__c")
+        picked = matched if picked is None else picked.unionByName(matched)
+    return dedup(picked, [id_col])
+
+
+@dataclass
+class SdeLoopResult:
+    train: DataFrame
+    pool: DataFrame
+    weights: list[list[float]]
+    metrics: list[dict] = field(default_factory=list)
+
+
+def sde_forecast_loop(
+    series: DataFrame,
+    value_col: str = "y",
+    order_col: str = "step",
+    history: int = 10,
+    prediction: int = 5,
+    n_iter: int = 20,
+    n_select: int = 20,
+    n_modes: int = 5,
+    n_draws: int = 100,
+    bw: float = 0.05,
+    ngrid: int = 256,
+    ridge: float = 1e-6,
+    seed: int = 42,
+    group_cols: list[str] | None = None,
+) -> SdeLoopResult:
+    """The full §3.2 pipeline: min-max scale (P11) → sliding windows
+    (W1) → column concat (U2) → POD (A14) → per-mode inverse-density
+    resample (A11→J3→P12→T3→J1, T5) → train forecaster (M6) → LOOP:
+    per-window horizon error (P8→A4) → top-k (T2) → pool transfer
+    (J2/U1) → retrain (M4) → MAE (A3).
+
+    Same loop hygiene as §3.1: localCheckpoint per iteration cuts the
+    union/anti-join lineage; the windows table is cached once."""
+    from .operators.decomp import pod_svd_modes, project_coeffs
+    from .operators.models import fit_linear_forecaster, predict_forecaster
+    from .operators.select import top_k
+    from .operators.windows import concat_history_target, minmax_scale, sliding_windows
+
+    scaled = minmax_scale(series, value_col, out_col="__v", group_cols=group_cols)
+    windows = sliding_windows(
+        scaled, order_col, "__v", history=history, prediction=prediction,
+        group_cols=group_cols,
+    )
+    if group_cols:
+        # window identity must be unique across series
+        windows = windows.withColumn(
+            "window_id", F.xxhash64(*group_cols, F.col("window_id"))
+        )
+    joint = concat_history_target(windows).cache()
+    joint.count()
+
+    p = history + prediction
+    s, u = pod_svd_modes(joint, "joint", p=p)
+    coeffs = project_coeffs(joint, "joint", u, mean=None)
+
+    train = sde_initial_resample(
+        coeffs, n_modes=n_modes, n_draws=n_draws, bw=bw, ngrid=ngrid, seed=seed
+    ).select("window_id", "history", "target").localCheckpoint(eager=True)
+    pool = pool_remove(joint, train, id_col="window_id").select(
+        "window_id", "history", "target"
+    ).localCheckpoint(eager=True)
+
+    weights = fit_linear_forecaster(train, ridge=ridge)
+    metrics: list[dict] = []
+    for it in range(n_iter):
+        pred_pool = predict_forecaster(pool, weights)
+        err = pred_pool.withColumn(
+            "horizon_err",
+            F.aggregate(
+                F.zip_with(F.col("pred"), F.col("target"), lambda a, b: F.abs(a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        sel = top_k(err, "horizon_err", n_select, id_col="window_id").select(
+            "window_id", "history", "target"
+        )
+        train = train_append(train, sel).localCheckpoint(eager=True)
+        pool = pool_remove(pool, sel, id_col="window_id").localCheckpoint(eager=True)
+        weights = fit_linear_forecaster(train, ridge=ridge)
+
+        full_pred = predict_forecaster(joint, weights)
+        mae = (
+            full_pred.select(
+                F.aggregate(
+                    F.zip_with(F.col("pred"), F.col("target"), lambda a, b: F.abs(a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("e")
+            )
+            .agg(F.avg("e"))
+            .first()[0]
+        )
+        metrics.append({"iter": it, "mae": mae, "train_rows": train.count()})
+
+    joint.unpersist()
+    return SdeLoopResult(train=train, pool=pool, weights=weights, metrics=metrics)

@@ -226,3 +226,74 @@ def stub_predictions_sql_expr(n_models: int) -> str:
     )
     return f"(VALUES {rows}) AS models(model_id, a, b, c)"
 
+
+
+# --------------------------------------------------------------------
+# M6: sequence forecaster (history window → prediction window).
+# The reference trains an LSTM (SDE_forecast_ActiveSampling.py:153-171);
+# this container has no TensorFlow, so the default member is a
+# closed-form multi-output linear ridge AR — same contract (windows in,
+# pred array out), deterministic, oracle-friendly. A Keras LSTM can be
+# slotted in via fit_lstm_forecaster when TF is installed.
+# --------------------------------------------------------------------
+
+
+def fit_linear_forecaster(
+    train_windows: DataFrame,
+    hist_col: str = "history",
+    target_col: str = "target",
+    ridge: float = 1e-6,
+) -> list[list[float]]:
+    """M6 (closed form): fit ``W ∈ R^{(h+1)×p}`` minimizing
+    ``‖[1, hist]·W − target‖² + λ‖W‖²`` over the (small by design)
+    training windows. The train set is collected to the driver exactly
+    like the reference's model.fit consumes it (M4 contract: Spark does
+    the heavy scoring; training data is ≤ a few hundred windows)."""
+    import numpy as np
+
+    rows = train_windows.select(hist_col, target_col).collect()
+    H = np.array([r[hist_col] for r in rows], dtype="float64")
+    Y = np.array([r[target_col] for r in rows], dtype="float64")
+    Phi = np.column_stack([np.ones(len(H)), H])
+    A = Phi.T @ Phi + ridge * np.eye(Phi.shape[1])
+    W = np.linalg.solve(A, Phi.T @ Y)
+    return W.tolist()
+
+
+def predict_forecaster(
+    windows: DataFrame,
+    weights: list[list[float]],
+    id_col: str = "window_id",
+    hist_col: str = "history",
+    out_col: str = "pred",
+) -> DataFrame:
+    """M6 inference: ``pred = [1, hist]·W`` as a pure Catalyst
+    expression — the weight matrix unrolls into literals (h+1 ≤ ~16
+    terms per output), so the full-pool forecast is whole-stage codegen
+    with zero shuffle and no Python in the loop."""
+    h = len(weights) - 1
+    p = len(weights[0])
+    hist = F.col(hist_col)
+    preds = []
+    for j in range(p):
+        term = F.lit(float(weights[0][j]))
+        for i in range(h):
+            term = term + hist[i] * F.lit(float(weights[i + 1][j]))
+        preds.append(term)
+    return windows.withColumn(out_col, F.array(*preds))
+
+
+def fit_lstm_forecaster(*args, **kwargs):
+    """M6 (reference-exact variant): Keras LSTM
+    (Dense 4/8/16 → LSTM 32 → Dense 16/16 → Dense p, Adam lr=1e-2,
+    MSE — SDE_forecast_ActiveSampling.py:153-171). TensorFlow is not
+    available in this environment; the linear forecaster above stands
+    in behind the same windows→pred contract."""
+    try:
+        import tensorflow  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "fit_lstm_forecaster requires tensorflow; use "
+            "fit_linear_forecaster for the TF-free contract"
+        ) from exc
+    raise NotImplementedError("Keras LSTM member not yet implemented")

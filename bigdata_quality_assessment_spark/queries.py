@@ -955,6 +955,27 @@ def q_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("m6_linear_forecaster")  # np.linalg closed-form fit → rows-only
+def q_m6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_quality_assessment_spark.operators.models import (
+        fit_linear_forecaster,
+        predict_forecaster,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = sliding_windows(ev, "event_id", "value", history=8, prediction=3, group_cols=["user_id"])
+    train = w.filter(F.col("window_id") % 11 == 0)
+    weights = fit_linear_forecaster(train)
+    out = predict_forecaster(w, weights)
+    return out.select(
+        "user_id",
+        "window_id",
+        F.round(F.col("pred")[0], 6).alias("p0"),
+        F.round(F.col("pred")[1], 6).alias("p1"),
+        F.round(F.col("pred")[2], 6).alias("p2"),
+    )
+
+
 @_register("m5_jac_hess")  # rows-only
 def q_m5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = grid_points_2d(spark, 40)
@@ -1228,6 +1249,46 @@ def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_xapprox(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return approx_profile(li, ["l_quantity", "l_extendedprice", "l_returnflag"])
+
+
+@_register(
+    "x_blob_stats",
+    """SELECT doc_id AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              'application/octet-stream' AS media_type,
+              CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
+       FROM documents""",
+)
+def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        blob_stats,
+        chunk_blob,
+        sniff_media_type,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    stats = blob_stats(media).drop("checksum")  # xxhash64 not oracle-expressible
+    chunks = chunk_blob(media, 64).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return stats.join(chunks, "media_id")
+
+
+@_register("x_decode_media")  # stub codec (content-seeded features) → rows-only
+def q_xdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_quality_assessment_spark.operators.multimodal import decode_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    out = decode_media(media)
+    return out.select(
+        "media_id", "width", "channels", F.round(F.col("features")[0], 6).alias("f0")
+    )
 
 
 _RULES = {

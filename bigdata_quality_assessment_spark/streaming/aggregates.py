@@ -1,0 +1,185 @@
+"""Structured Streaming variants of the engine's metric/density
+operators (SURVEY.md §2.9 roadmap): windowed A1-family metrics,
+streaming histogram (A7), histogram-drift detection (A13-flavored),
+and a custom stateful running-stats operator via
+``applyInPandasWithState``.
+
+Event time: the driver's events.parquet carries an unreadable
+TIMESTAMP(NANOS) column (see sources/tables.py), so streams synthesize
+event time from ``event_id`` — one second per event by default. On a
+real ingest the watermark/window logic is identical over the native
+timestamp.
+
+Scale notes: every aggregation here is keyed by (window, …) — state is
+bounded by watermark horizon × key cardinality, and Spark drops state
+past the watermark. The stateful operator keeps O(1) state per group
+(count/mean/M2 — Welford), the streaming analog of A5/A6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.sources.tables import EVENTS_FALLBACK_SCHEMA
+
+
+def with_event_time(
+    df: DataFrame, id_col: str = "event_id", step_seconds: int = 1, epoch: int = 1_700_000_000
+) -> DataFrame:
+    """Synthesize a monotone event-time column from the row id."""
+    return df.withColumn(
+        "ts", F.timestamp_seconds(F.lit(epoch) + F.col(id_col) * step_seconds)
+    )
+
+
+def stage_stream_source(
+    spark: SparkSession, sf_dir: str, staging_root: str = "/tmp/spark_graft_streaming"
+) -> str:
+    """Stage the events table into a stream-readable landing directory.
+
+    The streaming parquet source validates the FULL file schema (unlike
+    the batch reader with an explicit schema), so the driver's
+    TIMESTAMP(NANOS) column blocks it outright; re-landing through the
+    batch fallback reader mirrors a real ingest zone. Idempotent per
+    sf_dir."""
+    import hashlib
+
+    from bigdata_quality_assessment_spark.sources.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{staging_root}/events_{tag}"
+    import os
+
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        load_table(spark, "events", sf_dir).write.mode("overwrite").parquet(path)
+    return path
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the staged events landing dir; a
+    production ingest points the same reader at an arriving-files path
+    or Kafka source — downstream plans are unchanged."""
+    path = stage_stream_source(spark, sf_dir)
+    raw = spark.readStream.schema(EVENTS_FALLBACK_SCHEMA).parquet(path)
+    return with_event_time(raw)
+
+
+def windowed_metrics(
+    stream: DataFrame,
+    value_col: str = "value",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming A1-family: per event-time window (and optional keys)
+    count / mean / min / max / population variance. Watermark bounds
+    state; late rows beyond it are dropped, matching the engine's
+    documented late-data policy."""
+    keys = [F.window("ts", window)] + [F.col(c) for c in (group_cols or [])]
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("mean"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.var_pop(value_col).alias("var"),
+        )
+    )
+
+
+def windowed_histogram(
+    stream: DataFrame,
+    value_col: str = "value",
+    nbins: int = 10,
+    lo: float = 0.0,
+    hi: float = 500.0,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming A7: equal-width histogram per event-time window —
+    the incremental form of the batch operator (same binning rule:
+    right-closed last bin, in-range filter)."""
+    width = (hi - lo) / nbins
+    bin_idx = F.least(
+        F.floor((F.col(value_col) - lo) / width), F.lit(nbins - 1)
+    ).cast("int")
+    return (
+        stream.filter(F.col(value_col).between(lo, hi))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_drift(
+    windowed_hist: DataFrame, reference_hist: DataFrame, nbins: int = 10
+) -> DataFrame:
+    """Drift score per window: L1 distance between the window's
+    normalized bin mass and a (static, broadcast) reference histogram —
+    the streaming counterpart of the A13 density-error metric, on the
+    A7 estimator instead of the KDE. Join side is nbins rows →
+    broadcast; works on the *output* of windowed_histogram in
+    complete/update mode or on its batch materialization."""
+    ref = reference_hist.select(
+        F.col("bin").alias("bin"), (F.col("cnt") / F.sum("cnt").over(Window.partitionBy())).alias("ref_p")
+    )
+    cur = windowed_hist.withColumn(
+        "p", F.col("cnt") / F.sum("cnt").over(Window.partitionBy("window"))
+    )
+    return (
+        cur.join(F.broadcast(ref), "bin", "left")
+        .groupBy("window")
+        .agg(F.sum(F.abs(F.col("p") - F.coalesce("ref_p", F.lit(0.0)))).alias("l1_drift"))
+    )
+
+
+def running_stats_stateful(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-key
+    running count/mean/variance maintained with Welford's algorithm —
+    O(1) state per key, exact across micro-batches. Emits the updated
+    stats row per key per batch (the streaming A5/A6 contract)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} STRING, n BIGINT, mean DOUBLE, var_pop DOUBLE"
+    state_schema = "n BIGINT, mean DOUBLE, m2 DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            for v in pdf[value_col].astype("float64"):
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "mean": [mean], "var_pop": [m2 / n if n else 0.0]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "update") -> DataFrame:
+    """Drain the stream with the available-now trigger into a memory
+    sink and return the materialized result — the test/bench harness
+    path (a production job would writeStream to a real sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+

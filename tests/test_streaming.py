@@ -1,0 +1,78 @@
+"""Structured Streaming tests: batch/stream parity for windowed
+metrics + histogram, and the custom stateful running-stats operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.streaming.aggregates import (
+    histogram_drift,
+    run_available_now,
+    running_stats_stateful,
+    streaming_events,
+    windowed_histogram,
+    windowed_metrics,
+    with_event_time,
+)
+from bigdata_quality_assessment_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return with_event_time(load_table(spark, "events", SF)).cache()
+
+
+def test_windowed_metrics_parity(spark, batch_events):
+    stream = streaming_events(spark, SF)
+    got = run_available_now(windowed_metrics(stream, window="1 minute"), "wm").toPandas()
+    expect = (
+        batch_events.groupBy(F.window("ts", "1 minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_pop("value").alias("var"),
+        )
+        .toPandas()
+    )
+    assert len(got) == len(expect)
+    g = got.sort_values("n").reset_index()
+    e = expect.sort_values("n").reset_index()
+    assert np.allclose(g["mean"], e["mean"], atol=1e-9)
+    assert np.allclose(g["var"], e["var"], atol=1e-9)
+
+
+def test_windowed_histogram_parity_and_drift(spark, batch_events):
+    stream = streaming_events(spark, SF)
+    got = run_available_now(
+        windowed_histogram(stream, nbins=5, lo=0.0, hi=500.0, window="5 minutes"), "wh"
+    )
+    total_stream = got.agg(F.sum("cnt")).first()[0]
+    total_batch = batch_events.filter(F.col("value").between(0, 500)).count()
+    assert total_stream == total_batch
+    # drift of the stream histogram vs the global batch histogram
+    from bigdata_quality_assessment_spark.operators.density import histogram
+
+    ref = histogram(batch_events, "value", nbins=5, lo=0.0, hi=500.0, density=False)
+    drift = histogram_drift(got, ref.select("bin", "cnt"), nbins=5).collect()
+    assert all(0.0 <= r["l1_drift"] <= 2.0 for r in drift)
+
+
+def test_running_stats_stateful_matches_global(spark, batch_events):
+    stream = streaming_events(spark, SF)
+    out = run_available_now(running_stats_stateful(stream), "rs").toPandas()
+    # last emitted row per key == exact global stats
+    final = out.sort_values("n").groupby("event_type").tail(1).set_index("event_type")
+    expect = (
+        batch_events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean"), F.var_pop("value").alias("v"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    for k in expect.index:
+        assert final.loc[k, "n"] == expect.loc[k, "n"]
+        assert abs(final.loc[k, "mean"] - expect.loc[k, "mean"]) < 1e-9
+        assert abs(final.loc[k, "var_pop"] - expect.loc[k, "v"]) < 1e-9
