@@ -41,7 +41,7 @@ def main() -> None:
         kde_1d,
     )
     from bigdata_quality_assessment_spark.operators.models import (
-        predict_ensemble,
+        predict_ensemble_stats,
         train_ensemble,
     )
     from bigdata_quality_assessment_spark.operators.profiling import profile_table
@@ -78,7 +78,12 @@ def main() -> None:
         )
 
     def q_flagship_us_lw():
-        """M2(stub)→A5/A6→A11→J3→P15→T2 over the full lineitem pool."""
+        """M2(stub)→A5/A6→A11→J3→P15→T2 over the full lineitem pool.
+
+        ``scored`` feeds both the KDE binning pass and the interp query
+        side; recomputing it is cheaper than caching for a stub-cheap
+        model (measured 2×) — the loop caches instead because a real
+        model makes ``scored`` expensive and it is read 5×/iteration."""
         pts = points(SF_DIR)
         scored = pts.join(ensemble_stats(stub_predictions(pts, 2)), "point_id")
         grid = kde_1d(scored, "y_mean", bw=0.1, ngrid=256)
@@ -92,8 +97,9 @@ def main() -> None:
         pts = points(SF_DIR)
         train = pts.filter(F.col("point_id") % 997 == 0)
         thetas = train_ensemble(train, ["x1", "x2"], "y", n_models=2, seed=42)
-        preds = predict_ensemble(pts, thetas, ["x1", "x2"])
-        scored = pts.join(ensemble_stats(preds), "point_id").withColumn(
+        scored = predict_ensemble_stats(
+            pts, thetas, ["x1", "x2"], carry_cols=["x1", "x2", "y"]
+        ).withColumn(
             "se", (F.col("y_mean") - F.col("y")) * (F.col("y_mean") - F.col("y"))
         )
         m = regression_metrics(scored, "y_mean", "y", "y_var").collect()

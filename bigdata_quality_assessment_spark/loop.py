@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.density import histogram, interp_uniform_grid, kde_1d, log_pdf_error
-from .operators.models import predict_ensemble, train_ensemble
+from .operators.models import predict_ensemble_stats, train_ensemble
 from .operators.score import (
     acquisition_us,
     acquisition_us_lw,
@@ -115,10 +115,15 @@ def active_sampling_loop(
     thetas = train_ensemble(train, feature_cols, y_col, n_models=n_models, seed=seed)
 
     for it in range(n_iter):
-        preds = predict_ensemble(points, thetas, feature_cols, id_col=id_col)
+        # M2+M3 fused: one narrow mapInPandas pass over the pool carrying
+        # features+truth through — no groupBy shuffle, no join-back
+        # (predict_ensemble + ensemble_stats remain the general path).
         scored = (
-            points.join(ensemble_stats(preds, id_col=id_col), id_col)
-            .withColumn("se", F.pow(F.col("y_mean") - F.col(y_col), 2))
+            predict_ensemble_stats(
+                points, thetas, feature_cols, id_col=id_col,
+                carry_cols=[*feature_cols, y_col],
+            )
+            .withColumn("se", (F.col("y_mean") - F.col(y_col)) * (F.col("y_mean") - F.col(y_col)))
             .cache()
         )
 

@@ -297,3 +297,45 @@ def fit_lstm_forecaster(*args, **kwargs):
             "fit_linear_forecaster for the TF-free contract"
         ) from exc
     raise NotImplementedError("Keras LSTM member not yet implemented")
+
+
+def predict_ensemble_stats(
+    points: DataFrame,
+    thetas: list[list[float]],
+    feature_cols: list[str],
+    id_col: str = "point_id",
+    degree: int = 2,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """M2+M3 fused: per-point ensemble mean and population variance in
+    the SAME ``mapInPandas`` pass that evaluates the members — zero
+    shuffle, zero join.
+
+    The long-format ``predict_ensemble`` → ``ensemble_stats`` path is
+    the general contract (any model family, any reducer), but it costs
+    a groupBy shuffle of the predictions table plus a join back to the
+    pool. When the consumer only needs mean/var (the §3.1 scoring pass
+    — by far the hottest path at scale), fusing the reduction into the
+    scorer turns the whole M2→A5/A6 stage into one narrow map pass
+    over the pool: at 1000 executors there is no exchange at all."""
+    import numpy as np
+
+    theta_arr = [np.asarray(t, dtype="float64") for t in thetas]
+    f_cols = list(feature_cols)
+    carry = [c for c in (carry_cols or []) if c != id_col]
+    in_cols = [id_col, *dict.fromkeys([*f_cols, *carry])]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = pdf[f_cols].to_numpy(dtype="float64")
+            preds = np.stack([predict_poly(X, th, degree) for th in theta_arr])
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            out["y_mean"] = preds.mean(axis=0)
+            out["y_var"] = preds.var(axis=0)  # ddof=0, matching np.var/A6
+            yield pd.DataFrame(out)
+
+    carry_schema = "".join(f", {c} DOUBLE" for c in carry)
+    schema = f"{id_col} BIGINT{carry_schema}, y_mean DOUBLE, y_var DOUBLE"
+    return points.select(*in_cols).mapInPandas(score, schema)

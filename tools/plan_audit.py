@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Physical-plan audit: prints `explain(formatted)` for the engine's
+hottest paths and flags scale anti-patterns:
+
+  * `Exchange SinglePartition` on a data-sized frame (global window /
+    unpartitioned sort) — single-executor bottleneck at scale;
+  * missing `PushedFilters`/narrow `ReadSchema` on parquet scans;
+  * `BatchEvalPython` (row-at-a-time Python UDF) — only ArrowEval /
+    mapInPandas python boundaries are sanctioned;
+  * data-sized `SortMergeJoin` where a broadcast was expected.
+
+Run: python tools/plan_audit.py [sf_dir]   (default sf0.01)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+# substrings expected to appear ONLY on bounded (grid/sample-sized)
+# frames; flagged when the plan section containing them scans a table.
+FLAGS = ("Exchange SinglePartition", "BatchEvalPython")
+
+
+def audit(name: str, df, allow: tuple[str, ...] = ()) -> list[str]:
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    findings = []
+    for flag in FLAGS:
+        if flag in plan and flag not in allow:
+            findings.append(flag)
+    n_bc = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
+    n_smj = len(re.findall(r"SortMergeJoin", plan))
+    n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+    print(f"\n=== {name} ===")
+    print(f"broadcast_joins={n_bc} sortmerge_joins={n_smj} codegen_spans={n_codegen}"
+          + (f"  FLAGS: {findings}" if findings else "  clean"))
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    for s_ in scans[:4]:
+        print("  ", s_)
+    return findings
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from bigdata_quality_assessment_spark.operators.density import (
+        interp_uniform_grid,
+        kde_1d,
+    )
+    from bigdata_quality_assessment_spark.operators.models import (
+        predict_ensemble_stats,
+        train_ensemble,
+    )
+    from bigdata_quality_assessment_spark.operators.score import (
+        acquisition_us_lw,
+        ensemble_stats,
+        inverse_density_weights,
+    )
+    from bigdata_quality_assessment_spark.operators.select import pool_remove, top_k
+    from bigdata_quality_assessment_spark.operators.text import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from bigdata_quality_assessment_spark.session import build_session
+    from bigdata_quality_assessment_spark.sources.generators import stub_predictions
+    from bigdata_quality_assessment_spark.sources.tables import load_table
+
+    spark = build_session(
+        master="local[8]", shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    li = load_table(spark, "lineitem", SF_DIR)
+    pts = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.log("l_extendedprice").alias("y"),
+    )
+
+    bad = []
+
+    # column pruning / pushdown on a filtered scan
+    bad += audit(
+        "pruned_filtered_scan",
+        li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity"),
+    )
+
+    # flagship composite
+    scored = pts.join(ensemble_stats(stub_predictions(pts, 2)), "point_id")
+    grid = kde_1d(scored, "y_mean", bw=0.1, ngrid=256)
+    flag = interp_uniform_grid(scored, grid, q_col="y_mean", out_col="pdf_y_mean")
+    flag = flag.withColumn("acq", acquisition_us_lw(flag))
+    # top-k itself compiles to TakeOrderedAndProject (no global sort)
+    bad += audit("flagship_us_lw", top_k(flag, "acq", 20))
+
+    # fused scorer: must be a single narrow pass (no exchange at all)
+    thetas = train_ensemble(pts.filter(F.col("point_id") % 9973 == 0), ["x1", "x2"], "y")
+    fused = predict_ensemble_stats(pts, thetas, ["x1", "x2"], carry_cols=["y"])
+    plan = fused._sc._jvm.PythonSQLUtils.explainString(fused._jdf.queryExecution(), "formatted")
+    has_exchange = "Exchange" in plan
+    print("\n=== fused_predict_stats ===")
+    print(f"  exchange_free={not has_exchange}")
+    if has_exchange:
+        bad.append("fused scorer shuffles")
+
+    # P12 weights: agg + broadcast, no Window, no single-partition pass of the pool
+    bad += audit("inverse_density_weights", inverse_density_weights(pts.withColumn("pdf", F.col("y"))))
+
+    # pool deletion must broadcast the tiny side
+    sel = pts.filter(F.col("point_id") % 100000 == 3).select("point_id")
+    bad += audit("pool_remove_broadcast_anti", pool_remove(pts, sel))
+
+    # minhash candidates: shuffle only on (band,bucket) keys
+    docs = load_table(spark, "documents", SF_DIR)
+    bad += audit(
+        "minhash_lsh_candidates",
+        minhash_lsh_candidates(minhash_signatures(docs, n_hashes=32), bands=8),
+    )
+
+    print("\n" + ("AUDIT FAIL: " + str(bad) if bad else "AUDIT CLEAN"))
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
