@@ -113,6 +113,12 @@ def active_sampling_loop(
 
     metrics: list[dict] = []
     thetas = train_ensemble(train, feature_cols, y_col, n_models=n_models, seed=seed)
+    # A13's shared grid bounds are fixed across iterations — one job,
+    # hoisted out of the loop.
+    shared = truth_grid.agg(
+        F.min("grid_x").alias("lo"), F.max("grid_x").alias("hi")
+    ).first()
+    n_train = n_init  # exact running row count (saves a count job/iter)
 
     for it in range(n_iter):
         # M2+M3 fused: one narrow mapInPandas pass over the pool carrying
@@ -128,45 +134,79 @@ def active_sampling_loop(
         )
 
         m = regression_metrics(scored, "y_mean", y_col, "y_var").first().asDict()
-        # A13 needs both densities on a SHARED grid; truth_grid is
-        # cached and tiny, so reading its 2 bounds is a no-op job.
-        shared = truth_grid.agg(
-            F.min("grid_x").alias("lo"), F.max("grid_x").alias("hi")
-        ).first()
         pred_grid = kde_1d(
             scored, "y_mean", bw=bw, ngrid=ngrid, lo=shared["lo"], hi=shared["hi"]
         )
         m["log_pdf_error"] = log_pdf_error(pred_grid, truth_grid).first()["log_pdf_error"]
         m["iter"] = it
-        m["train_rows"] = train.count()
+        m["train_rows"] = n_train
         metrics.append(m)
 
-        selected_frames = []
+        keep_cols = [id_col, *feature_cols, y_col]
         # Pool membership = NOT in train; train is tiny by design, so
         # this is a broadcast anti-join — the pool-sized semi-join
         # against `pool` would shuffle the whole dataset every iter.
         candidates = scored.join(
             F.broadcast(train.select(id_col).distinct()), id_col, "left_anti"
         )
+        # The reference runs explorers SEQUENTIALLY, each removing its
+        # pick before the next argmaxes (:236-269) — explorer k's true
+        # pick excludes at most k−1 points, so it lies within its
+        # top-k of the shared candidate frame. Collect top-n_exp per
+        # explorer (with scores) in ONE job, then resolve the exclusion
+        # order on the driver: exact reference semantics, 1 collect.
+        n_exp = len(acq_list)
+        topk_frames = []
         if "se" in acq_list:
-            selected_frames.append(argmax(candidates, "se", id_col=id_col))
+            topk_frames.append(
+                candidates
+                .orderBy(F.col("se").desc(), F.col(id_col).asc()).limit(n_exp)
+                .select(*keep_cols, F.col("se").alias("__score"),
+                        F.lit("se").alias("__explorer"))
+            )
         if "us" in acq_list:
             with_us = candidates.withColumn("acq", acquisition_us(candidates))
-            selected_frames.append(argmax(with_us, "acq", id_col=id_col).drop("acq"))
+            topk_frames.append(
+                with_us
+                .orderBy(F.col("acq").desc(), F.col(id_col).asc()).limit(n_exp)
+                .select(*keep_cols, F.col("acq").alias("__score"),
+                        F.lit("us").alias("__explorer"))
+            )
         if "us_lw" in acq_list:
             with_fy = interp_uniform_grid(
                 candidates, truth_grid, q_col="y_mean", out_col="pdf_y_mean"
             )
             with_lw = with_fy.withColumn("acq", acquisition_us_lw(with_fy))
-            selected_frames.append(
-                argmax(with_lw, "acq", id_col=id_col).drop("acq", "pdf_y_mean")
+            topk_frames.append(
+                with_lw
+                .orderBy(F.col("acq").desc(), F.col(id_col).asc()).limit(n_exp)
+                .select(*keep_cols, F.col("acq").alias("__score"),
+                        F.lit("us_lw").alias("__explorer"))
             )
 
-        keep_cols = [id_col, *feature_cols, y_col]
-        for sel in selected_frames:
-            sel_rows = sel.select(*keep_cols)
-            train = train_append(train, sel_rows)
-            pool = pool_remove(pool, sel_rows, id_col=id_col)
+        union = topk_frames[0]
+        for f in topk_frames[1:]:
+            union = union.unionByName(f)
+        by_explorer: dict[str, list] = {}
+        for r in union.collect():
+            by_explorer.setdefault(r["__explorer"], []).append(r)
+        taken: dict = {}
+        for name in acq_list:
+            ranked = sorted(
+                by_explorer.get(name, ()),
+                key=lambda r: (-r["__score"], r[id_col]),
+            )
+            for r in ranked:
+                if r[id_col] not in taken:
+                    taken[r[id_col]] = r
+                    break
+        sel_rows = spark.createDataFrame(
+            [[row[c] for c in keep_cols] for row in taken.values()],
+            scored.select(*keep_cols).schema,
+        )
+        n_train += len(taken)
+        train = train_append(train, sel_rows)
+        pool = pool_remove(pool, sel_rows, id_col=id_col)
 
         train = train.localCheckpoint(eager=True)
         pool = pool.localCheckpoint(eager=True)
