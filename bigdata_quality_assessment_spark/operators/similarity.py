@@ -104,20 +104,33 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket ids: per table t, the sign bits of
     ``n_planes`` dot products pack into one BIGINT bucket key. The
-    planes are driver-seeded literals folded into the plan — the
-    bucketing is a pure projection, no UDF, no shuffle."""
+    planes ship as ONE nested array literal per table and the dot
+    products are ``transform``+``zip_with``/``aggregate`` folds — a
+    pure projection, no UDF, no shuffle, and O(n_tables) driver-side
+    Column objects (an unrolled per-element expression would cost
+    n_tables x n_planes x dim py4j calls and seconds of plan build)."""
     v = _as_double(F.col(vec_col))
     out = df.select(id_col, v.alias("__v"))
+    bit_weights = [float(1 << p_i) for p_i in range(n_planes)]
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        key = F.lit(0).cast("bigint")
-        for p_i, plane in enumerate(planes):
-            dot = F.lit(0.0)
-            for j, w in enumerate(plane):
-                dot = dot + F.col("__v")[j] * F.lit(w)
-            key = key + F.when(dot > 0, F.shiftleft(F.lit(1).cast("bigint"), p_i)).otherwise(
-                F.lit(0).cast("bigint")
-            )
+        dots = F.transform(
+            F.lit(planes),
+            lambda plane: F.aggregate(
+                F.zip_with(F.col("__v"), plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        key = F.aggregate(
+            F.zip_with(
+                dots,
+                F.lit(bit_weights),
+                lambda d, w: F.when(d > 0, w).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("bigint")
         out = out.withColumn(f"bucket_{t}", key)
     return out
 
@@ -140,17 +153,20 @@ def ann_hyperplane_knn(
     shrinks ~2^n_planes-fold vs brute force."""
     cb = hyperplane_buckets(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
     qb = hyperplane_buckets(queries, dim, n_planes, n_tables, seed, query_id_col, vec_col)
-    cand = None
-    for t in range(n_tables):
-        m = cb.select(id_col, "__v", F.col(f"bucket_{t}").alias("__b")).join(
-            F.broadcast(
-                qb.select(query_id_col, F.col("__v").alias("__qv"), F.col(f"bucket_{t}").alias("__b"))
-            ),
-            "__b",
-        )
-        cand = m if cand is None else cand.unionByName(m)
+    buckets = [F.col(f"bucket_{t}") for t in range(n_tables)]
+    # posexplode the per-table keys → ONE corpus scan + ONE join on
+    # (table, bucket), instead of n_tables scan+join+union branches.
+    cbe = cb.select(
+        id_col, "__v", F.posexplode(F.array(*buckets)).alias("__t", "__b")
+    )
+    qbe = qb.select(
+        query_id_col,
+        F.col("__v").alias("__qv"),
+        F.posexplode(F.array(*buckets)).alias("__t", "__b"),
+    )
     scored = (
-        cand.filter(F.col(id_col) != F.col(query_id_col))
+        cbe.join(F.broadcast(qbe), ["__t", "__b"])
+        .filter(F.col(id_col) != F.col(query_id_col))
         .dropDuplicates([query_id_col, id_col])
         .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__v")))
     )
@@ -176,12 +192,21 @@ def embedding_near_dedup(
     verify ≥ threshold → greedily drop the higher id. Returns the
     surviving rows of ``corpus``."""
     cb = hyperplane_buckets(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
-    pairs = None
-    for t in range(n_tables):
-        a = cb.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col(f"bucket_{t}").alias("__b"))
-        b = cb.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col(f"bucket_{t}").alias("__b"))
-        m = a.join(b, "__b").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "__va", "__vb")
-        pairs = m if pairs is None else pairs.unionByName(m)
+    buckets = [F.col(f"bucket_{t}") for t in range(n_tables)]
+    cbe = cb.select(
+        id_col, "__v", F.posexplode(F.array(*buckets)).alias("__t", "__b")
+    )
+    a = cbe.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__t", "__b"
+    )
+    b = cbe.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__t", "__b"
+    )
+    pairs = (
+        a.join(b, ["__t", "__b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+    )
     dup = (
         pairs.dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
