@@ -147,6 +147,30 @@ def middle_match(
     return middles.join(F.broadcast(values), on, "inner")
 
 
+def index_aligned(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "point_id",
+    suffix: str = "_r",
+    how: str = "inner",
+) -> DataFrame:
+    """J4/J5: index-aligned column algebra. numpy aligns arrays
+    implicitly by position (``pred - y_pool``,
+    BigDataQualityAssessment_ActiveSampling.py:190-197); distributed
+    frames carry no global order, so alignment is an equi-join on the
+    row-identity column — the engine-wide convention this helper makes
+    explicit. Overlapping non-key columns from ``right`` get
+    ``suffix``.
+
+    Scale: both sides hash-partition on the SAME key, so chained
+    alignments in one plan reuse the exchange; a small right side is
+    broadcast by Catalyst/AQE automatically."""
+    overlap = (set(left.columns) & set(right.columns)) - {id_col}
+    for c in overlap:
+        right = right.withColumnRenamed(c, c + suffix)
+    return left.join(right, id_col, how)
+
+
 def pool_remove(pool: DataFrame, selected: DataFrame, id_col: str = "point_id") -> DataFrame:
     """J2/U3: candidate-pool shrinkage — ``np.delete`` becomes a
     broadcast left-anti join on row identity."""

@@ -76,6 +76,7 @@ from bigdata_quality_assessment_spark.operators.score import (
 from bigdata_quality_assessment_spark.operators.select import (
     argmax,
     dedup,
+    index_aligned,
     middle_match,
     pool_remove,
     shuffle_rows,
@@ -628,6 +629,48 @@ def q_j3b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = interp_linear(li, grid, q_col="qv", grid_x_col="x", grid_f_col="f")
     return out.select("lid", F.round("interp", 6).alias("interp"))
+
+
+@_register(
+    "j4_index_aligned",
+    f"""WITH qty AS (SELECT {LID_SQL} AS lid, l_quantity FROM lineitem),
+        prc AS (SELECT {LID_SQL} AS lid, l_extendedprice, l_quantity AS q2 FROM lineitem)
+        SELECT qty.lid, round(prc.l_extendedprice - 1000.0*qty.l_quantity, 6) AS price_margin,
+               round(qty.l_quantity - prc.q2, 6) AS qty_diff
+        FROM qty JOIN prc ON qty.lid = prc.lid""",
+)
+def q_j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: index-aligned arithmetic between two frames sharing row ids —
+    numpy's positional ``a op b`` as an explicit id-equi-join."""
+    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    qty = li.select("lid", "l_quantity")
+    prc = li.select("lid", "l_extendedprice", F.col("l_quantity").alias("q2"))
+    out = index_aligned(qty, prc, id_col="lid")
+    return out.select(
+        "lid",
+        F.round(F.col("l_extendedprice") - 1000.0 * F.col("l_quantity"), 6).alias(
+            "price_margin"
+        ),
+        F.round(F.col("l_quantity") - F.col("q2"), 6).alias("qty_diff"),
+    )
+
+
+@_register(
+    "j5_pred_pool_align",
+    f"""WITH grid AS ({GRID_SQL}), preds AS ({STUB_SQL})
+        SELECT p.point_id, p.model_id, round(p.y_pred - g.y, 9) AS resid
+        FROM preds p JOIN grid g ON p.point_id = g.point_id""",
+)
+def q_j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: prediction↔pool alignment — the long predictions table joins
+    back to the pool on point identity; residuals are computed on the
+    aligned frame (ref :190-197 relies on implicit array order)."""
+    pts = grid_points_2d(spark, GRID_N)
+    preds = stub_predictions(pts, n_models=2)
+    out = index_aligned(preds, pts.select("point_id", "y"), id_col="point_id")
+    return out.select(
+        "point_id", "model_id", F.round(F.col("y_pred") - F.col("y"), 9).alias("resid")
+    )
 
 
 # ----------------------- aggregations A1-A13 -------------------------
@@ -1313,6 +1356,111 @@ def q_xvalidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     out = validity_rates(li, _RULES)
     return out.select("column", "rule", F.round("pass_rate", 9).alias("pass_rate"))
+
+
+# ---------------------- structured streaming -------------------------
+# Event time is synthesized as ts = EPOCH + event_id seconds
+# (streaming/aggregates.with_event_time), so tumbling windows are
+# SQL-expressible: Spark aligns windows to the unix epoch, hence
+# win_off = ((event_id + EPOCH) // W)*W - EPOCH. Each query drains the
+# file-source stream with trigger(availableNow) into a memory sink —
+# real watermarks, real state store, deterministic final answer.
+
+_ST_EPOCH = 1_700_000_000
+
+
+@_register(
+    "st_windowed_metrics",
+    f"""SELECT ((event_id + {_ST_EPOCH}) // 60)*60 - {_ST_EPOCH} AS win_off,
+               COUNT(*) AS n,
+               round(AVG(value), 6) AS mean_value,
+               round(MIN(value), 6) AS lo_value,
+               round(MAX(value), 6) AS hi_value,
+               round(VAR_POP(value), 3) AS var_value
+        FROM events GROUP BY win_off""",
+)
+def q_st_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A1-family: tumbling 1-minute windowed count/mean/
+    min/max/var_pop over the events stream, drained available-now."""
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        run_available_now,
+        streaming_events,
+        windowed_metrics,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    agg = windowed_metrics(stream, window="1 minute")
+    out = run_available_now(agg, "q_st_wm", output_mode="complete")
+    return out.select(
+        (F.col("window.start").cast("long") - F.lit(_ST_EPOCH)).alias("win_off"),
+        F.col("n"),
+        F.round("mean", 6).alias("mean_value"),
+        F.round("lo", 6).alias("lo_value"),
+        F.round("hi", 6).alias("hi_value"),
+        F.round("var", 3).alias("var_value"),
+    )
+
+
+@_register(
+    "st_windowed_histogram",
+    f"""SELECT ((event_id + {_ST_EPOCH}) // 300)*300 - {_ST_EPOCH} AS win_off,
+               CAST(LEAST(FLOOR(value / 100.0), 4) AS INT) AS bin,
+               COUNT(*) AS cnt
+        FROM events WHERE value BETWEEN 0.0 AND 500.0
+        GROUP BY win_off, bin""",
+)
+def q_st_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A7: per-5-minute-window equal-width histogram (exact
+    integer counts — the strongest cross-engine check)."""
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        run_available_now,
+        streaming_events,
+        windowed_histogram,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    agg = windowed_histogram(stream, nbins=5, lo=0.0, hi=500.0, window="5 minutes")
+    out = run_available_now(agg, "q_st_wh", output_mode="complete")
+    return out.select(
+        (F.col("window.start").cast("long") - F.lit(_ST_EPOCH)).alias("win_off"),
+        F.col("bin"),
+        F.col("cnt"),
+    )
+
+
+@_register(
+    "st_running_stats",
+    """SELECT event_type, COUNT(*) AS n,
+              round(AVG(value), 6) AS mean_value,
+              round(VAR_POP(value), 3) AS var_value
+       FROM events GROUP BY event_type""",
+)
+def q_st_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    Welford): the FINAL emitted row per key equals the exact global
+    stats regardless of micro-batch split — selected via a max-n
+    window so the check is batching-invariant."""
+    from pyspark.sql import Window
+
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        run_available_now,
+        running_stats_stateful,
+        streaming_events,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    out = run_available_now(running_stats_stateful(stream), "q_st_rs")
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 6).alias("mean_value"),
+            F.round("var_pop", 3).alias("var_value"),
+        )
+    )
 
 
 # ------------------------- public surface ----------------------------

@@ -104,3 +104,20 @@ def test_pool_conservation(spark):
     assert remaining.join(sel, "point_id", "inner").count() == 0
     back = train_append(remaining.select("point_id", "y"), sel.select("point_id", "y"))
     assert back.count() == 100
+
+
+def test_index_aligned_suffix_and_values(spark):
+    from bigdata_quality_assessment_spark.operators.select import index_aligned
+
+    a = spark.createDataFrame([(i, float(i)) for i in range(10)], "point_id BIGINT, v DOUBLE")
+    b = spark.createDataFrame(
+        [(i, float(i * i)) for i in range(10)], "point_id BIGINT, v DOUBLE"
+    )
+    out = index_aligned(a, b, id_col="point_id")
+    assert set(out.columns) == {"point_id", "v", "v_r"}
+    rows = {r["point_id"]: (r["v"], r["v_r"]) for r in out.collect()}
+    assert len(rows) == 10
+    assert all(rows[i] == (float(i), float(i * i)) for i in range(10))
+    # left outer keeps unmatched left rows with nulls on the right
+    outer = index_aligned(a, b.filter("point_id < 5"), id_col="point_id", how="left")
+    assert outer.filter("v_r IS NULL").count() == 5
