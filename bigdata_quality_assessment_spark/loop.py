@@ -13,18 +13,29 @@ Reference flow (/root/reference/BigDataQualityAssessment_ActiveSampling.py):
 
 Spark execution model: the loop is driver-side control flow; all the
 heavy lifting (scoring the full pool, KDE, selection) is lazy
-DataFrame work. Two pieces of loop hygiene keep 20 iterations from
-melting the planner (SURVEY.md §4.2):
+DataFrame work.
 
   * ``cache()`` the per-iteration scored pool — it feeds metrics AND
     three explorers, so without it each explorer would rescore from
     scratch (Catalyst does not CSE across actions).
-  * ``localCheckpoint(eager=True)`` the train/pool frames after each
-    iteration — truncates the union/anti-join lineage that otherwise
-    grows a 40-deep plan and blows up analysis time.
+  * The TRAINING SET lives on the driver. It is ≤ a few hundred rows
+    BY DESIGN (distillation is the whole point of the tool — M4,
+    SURVEY.md §2.8), and the reference itself collects it into
+    ``model.fit``. Keeping it local means: no per-iteration
+    train-union lineage (nothing to localCheckpoint), candidate
+    filtering is a literal ``isin`` (no join at all), and member
+    fitting is a driver-side closed-form solve — zero Spark jobs.
+  * The POOL is never read inside the loop (candidates = scored pool
+    minus train ids), so the shrinking pool frame is derived ONCE at
+    the end as an anti-join — not re-materialized per iteration.
+    Per-iteration pool copies would be O(n·iters) cluster work for
+    frames nothing consumes.
 
-Driver-side data: ONLY the argmax rows (1 per explorer), the scalar
-metrics, and the model parameters. The pool never leaves the cluster.
+Per iteration exactly three Spark jobs touch the cluster: the fused
+score+metrics pass, the KDE/log-pdf-error pass, and the one-collect
+explorer top-k. The pool never leaves the cluster; only argmax rows
+(n_explorers per iteration), scalar metrics, and model parameters
+cross the boundary.
 """
 
 from __future__ import annotations
@@ -35,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.density import histogram, interp_uniform_grid, kde_1d, log_pdf_error
-from .operators.models import predict_ensemble_stats, train_ensemble
+from .operators.models import predict_ensemble_stats
 from .operators.score import (
     acquisition_us,
     acquisition_us_lw,
@@ -97,28 +108,48 @@ def active_sampling_loop(
     iteration scores the pool once, runs the configured explorers, and
     retrains. Returns the final train/pool frames plus per-iteration
     metrics (A1/A2/A12/A13)."""
+    import numpy as np
+
+    from .operators.models import fit_poly_member
+
     spark = points.sparkSession
 
-    train = initial_selection(
-        points, n_init=n_init, bw=bw, ngrid=ngrid, seed=seed, id_col=id_col, y_col=y_col
-    ).localCheckpoint(eager=True)
-    pool = pool_remove(points, train.select(id_col).distinct(), id_col=id_col).localCheckpoint(
-        eager=True
-    )
+    keep_cols = [id_col, *feature_cols, y_col]
+    # The distilled training set is driver-sized BY DESIGN (n_init +
+    # n_iter×n_explorers rows) — collect it once; repeats from
+    # with-replacement draws keep their multiplicity.
+    train_rows = [
+        tuple(r[c] for c in keep_cols)
+        for r in initial_selection(
+            points, n_init=n_init, bw=bw, ngrid=ngrid, seed=seed, id_col=id_col, y_col=y_col
+        )
+        .select(*keep_cols)
+        .collect()
+    ]
+    train_ids = {t[0] for t in train_rows}
     # Truth density of the FULL dataset — fixed across iterations, so
     # compute once and cache (the reference reuses its fitted KDE,
     # BigDataQualityAssessment_ActiveSampling.py:33-35).
     truth_grid = kde_1d(points, y_col, bw=bw, ngrid=ngrid).cache()
     truth_grid.count()
 
+    def fit_members() -> list[list[float]]:
+        # M4 retrain contract: closed-form member fits on the local
+        # training set (the reference collects into model.fit the same
+        # way) — parameters, not data, cross back to the cluster.
+        X = np.array([t[1 : 1 + len(feature_cols)] for t in train_rows], dtype="float64")
+        y = np.array([t[-1] for t in train_rows], dtype="float64")
+        return [
+            list(fit_poly_member(X, y, mid, seed=seed)) for mid in range(n_models)
+        ]
+
     metrics: list[dict] = []
-    thetas = train_ensemble(train, feature_cols, y_col, n_models=n_models, seed=seed)
+    thetas = fit_members()
     # A13's shared grid bounds are fixed across iterations — one job,
     # hoisted out of the loop.
     shared = truth_grid.agg(
         F.min("grid_x").alias("lo"), F.max("grid_x").alias("hi")
     ).first()
-    n_train = n_init  # exact running row count (saves a count job/iter)
 
     for it in range(n_iter):
         # M2+M3 fused: one narrow mapInPandas pass over the pool carrying
@@ -139,16 +170,13 @@ def active_sampling_loop(
         )
         m["log_pdf_error"] = log_pdf_error(pred_grid, truth_grid).first()["log_pdf_error"]
         m["iter"] = it
-        m["train_rows"] = n_train
+        m["train_rows"] = len(train_rows)
         metrics.append(m)
 
-        keep_cols = [id_col, *feature_cols, y_col]
-        # Pool membership = NOT in train; train is tiny by design, so
-        # this is a broadcast anti-join — the pool-sized semi-join
-        # against `pool` would shuffle the whole dataset every iter.
-        candidates = scored.join(
-            F.broadcast(train.select(id_col).distinct()), id_col, "left_anti"
-        )
+        # Pool membership = NOT in train; the train-id set is tiny by
+        # design, so it folds into the plan as a literal ``isin`` — no
+        # join, no exchange, pushable to the scan.
+        candidates = scored.filter(~F.col(id_col).isin(*train_ids))
         # The reference runs explorers SEQUENTIALLY, each removing its
         # pick before the next argmaxes (:236-269) — explorer k's true
         # pick excludes at most k−1 points, so it lies within its
@@ -200,21 +228,15 @@ def active_sampling_loop(
                 if r[id_col] not in taken:
                     taken[r[id_col]] = r
                     break
-        sel_rows = spark.createDataFrame(
-            [[row[c] for c in keep_cols] for row in taken.values()],
-            scored.select(*keep_cols).schema,
-        )
-        n_train += len(taken)
-        train = train_append(train, sel_rows)
-        pool = pool_remove(pool, sel_rows, id_col=id_col)
-
-        train = train.localCheckpoint(eager=True)
-        pool = pool.localCheckpoint(eager=True)
+        train_rows.extend(tuple(r[c] for c in keep_cols) for r in taken.values())
+        train_ids.update(taken)
         scored.unpersist()
 
-        thetas = train_ensemble(train, feature_cols, y_col, n_models=n_models, seed=seed)
+        thetas = fit_members()
 
     truth_grid.unpersist()
+    train = spark.createDataFrame(train_rows, points.select(*keep_cols).schema)
+    pool = pool_remove(points, train.select(id_col).distinct(), id_col=id_col)
     return LoopResult(train=train, pool=pool, metrics=metrics)
 
 
