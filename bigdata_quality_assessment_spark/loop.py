@@ -31,9 +31,10 @@ DataFrame work.
     Per-iteration pool copies would be O(n·iters) cluster work for
     frames nothing consumes.
 
-Per iteration exactly three Spark jobs touch the cluster: the fused
-score+metrics pass, the KDE/log-pdf-error pass, and the one-collect
-explorer top-k. The pool never leaves the cluster; only argmax rows
+Per iteration exactly two Spark jobs touch the cluster: one fused
+score+metrics+KDE/log-pdf-error pass (the two 1-row metric frames are
+crossJoined so a single action materializes the cached scored pool and
+both reductions), and the one-collect explorer top-k. The pool never leaves the cluster; only argmax rows
 (n_explorers per iteration), scalar metrics, and model parameters
 cross the boundary.
 """
@@ -86,6 +87,12 @@ def initial_selection(
     with_pdf = interp_uniform_grid(points, grid, q_col=y_col, out_col="__pdf")
     weighted = inverse_density_weights(with_pdf, pdf_col="__pdf", weight_col="__w")
     draws = weighted_sample_with_replacement(weighted, "__w", n_init, seed=seed, id_col=id_col)
+    # Truncate lineage at the draw-sized frame (n_init rows): the
+    # KDE→interp→weights→sampler plan is deep, and middle_match
+    # references ``values`` twice — without the checkpoint Catalyst
+    # re-analyzes the whole upstream per reference (seconds of pure
+    # planning), and the sampler pipeline re-EXECUTES per action.
+    draws = draws.localCheckpoint(eager=True)
     values = draws.select(y_col, "draw_id")
     matched = middle_match(points, values, on=y_col, id_col=id_col)
     return matched.drop("draw_id")
@@ -164,11 +171,18 @@ def active_sampling_loop(
             .cache()
         )
 
-        m = regression_metrics(scored, "y_mean", y_col, "y_var").first().asDict()
         pred_grid = kde_1d(
             scored, "y_mean", bw=bw, ngrid=ngrid, lo=shared["lo"], hi=shared["hi"]
         )
-        m["log_pdf_error"] = log_pdf_error(pred_grid, truth_grid).first()["log_pdf_error"]
+        # A1-A3/A12 and A13 are both 1-row reductions over ``scored`` —
+        # crossJoin them so one job materializes the cache AND both
+        # metric frames (2 jobs/iter → 1).
+        m = (
+            regression_metrics(scored, "y_mean", y_col, "y_var")
+            .crossJoin(log_pdf_error(pred_grid, truth_grid))
+            .first()
+            .asDict()
+        )
         m["iter"] = it
         m["train_rows"] = len(train_rows)
         metrics.append(m)
@@ -278,7 +292,10 @@ def sde_initial_resample(
             n_draws,
             seed=seed + mode,
             id_col=id_col,
-        )
+        # draw-sized lineage cut: the n_modes per-mode KDE→sampler
+        # plans otherwise union into one enormous tree (see
+        # initial_selection).
+        ).localCheckpoint(eager=True)
         # every window matching a drawn coefficient value (values are
         # continuous, so almost always exactly the drawn row itself)
         matched = with_c.join(

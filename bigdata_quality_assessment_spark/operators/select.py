@@ -59,34 +59,63 @@ def weighted_sample_without_replacement(
 
 
 def weighted_sample_with_replacement(
-    df: DataFrame, weight_col: str, k: int, seed: int = 42, id_col: str = "point_id"
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "point_id",
+    n_parts: int | None = None,
 ) -> DataFrame:
     """T3: k draws WITH replacement, P(i) ∝ wᵢ — the exact
     ``np.random.choice(p=...)`` contract. Inverse-CDF over the
     cumulative-weight table: k uniforms are broadcast against the
-    weight intervals ``(cum_w − w, cum_w]``.
+    weight intervals ``[cum_w − w, cum_w)``.
 
-    The cumulative sum is a window over ``id_col``; for sampler-sized
-    inputs (the reference draws from ≤10k-row pools) this is one
-    partition-local pass — do NOT point this at the full pool (use the
-    without-replacement variant there). Output carries ``draw_id`` so
-    repeated rows keep distinct identity.
+    The cumulative sum is a DISTRIBUTED two-level prefix sum, safe to
+    point at the full pool. The total order is ``(bucket, id)`` where
+    ``bucket = pmod(xxhash64(id), n_parts)`` — any deterministic total
+    order realizes the same sampling distribution, and a HASH bucket
+    (unlike ``repartitionByRange``) is deterministic across plan
+    re-executions: range boundaries are sampled with an RDD-id-derived
+    seed, so two branches of one plan can disagree on them and
+    mis-align the offsets. The running sum is bucket-local (hash
+    shuffle, no sampling pass); cross-bucket offsets come from a
+    bucket-count-sized side frame (its window is single-partition, but
+    over ~dozens of rows). No pool-sized single-partition exchange
+    anywhere — that was round 1's one genuine scale-killer.
 
-    Each draw maps ``u ∈ [0,1)`` onto the interval
-    ``[cum_w − w, cum_w)`` — half-open so ``u = 0`` lands in the first
-    interval — and the total weight is ``max(cum_w)`` (the SAME
-    summation order as the running sum), so a ``u`` near 1 cannot fall
-    past the last interval by a one-ulp disagreement between two
-    differently-ordered sums.
+    Ulp-consistency: bucket totals are ``max`` over the SAME local
+    running sums (not an independent re-sum), and the global total is
+    the last offset + last bucket total from the same running-sum
+    chain — so a ``u`` near 1 cannot fall past the last interval, and
+    ``u = 0`` lands in the first (half-open intervals). Output carries
+    ``draw_id`` so repeated rows keep distinct identity.
     """
-    cum = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    total = Window.orderBy(id_col).rowsBetween(
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = df.withColumn(
+        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts)).cast("int")
+    )
+    local_cum = Window.partitionBy("__b").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = bucketed.withColumn("__lcum", F.sum(weight_col).over(local_cum))
+    # Tiny frame: one row per bucket. Its unpartitioned window is over
+    # n_parts rows, not the pool.
+    psums = local.groupBy("__b").agg(F.max("__lcum").alias("__psum"))
+    prefix = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    whole = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    weighted = (
-        df.withColumn("__cum_w", F.sum(weight_col).over(cum))
-        # max over the SAME running sum, not an independent re-sum.
-        .withColumn("__tot_w", F.max("__cum_w").over(total))
+    offs = psums.select(
+        "__b",
+        F.coalesce(F.sum("__psum").over(prefix), F.lit(0.0)).alias("__off"),
+        (F.coalesce(F.sum("__psum").over(prefix), F.lit(0.0)) + F.col("__psum")).alias(
+            "__cum_hi"
+        ),
+    ).withColumn("__tot_w", F.max("__cum_hi").over(whole))
+    weighted = local.join(F.broadcast(offs), "__b").withColumn(
+        "__cum_w", F.col("__off") + F.col("__lcum")
     )
     draws = (
         df.sparkSession.range(k)
@@ -98,7 +127,9 @@ def weighted_sample_with_replacement(
         & (F.col("__u") * F.col("__tot_w") < F.col("__cum_w")),
         "inner",
     )
-    return joined.drop("__cum_w", "__tot_w", "__u")
+    return joined.drop(
+        "__b", "__lcum", "__off", "__cum_hi", "__cum_w", "__tot_w", "__u"
+    )
 
 
 def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
