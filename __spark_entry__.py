@@ -46,7 +46,12 @@ def entry(spark: SparkSession) -> DataFrame:
         (F.col("l_discount") * 10.0).alias("x2"),
         F.log("l_extendedprice").alias("y"),
     )
-    scored = pts.join(ensemble_stats(stub_predictions(pts, 2)), "point_id")
+    # carry point columns through the stats groupBy — one shuffle, no
+    # join-back exchange of the pool.
+    scored = ensemble_stats(
+        stub_predictions(pts, 2, carry_cols=["x1", "x2", "y"]),
+        carry_cols=["x1", "x2", "y"],
+    )
     grid = kde_1d(scored, "y_mean", bw=0.1, ngrid=256)
     with_fy = interp_uniform_grid(scored, grid, q_col="y_mean", out_col="pdf_y_mean")
     acq = with_fy.withColumn("acq", acquisition_us_lw(with_fy))

@@ -31,18 +31,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def ensemble_stats(predictions: DataFrame, id_col: str = "point_id") -> DataFrame:
+def ensemble_stats(
+    predictions: DataFrame,
+    id_col: str = "point_id",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
     """A5+A6: per-point ensemble mean and POPULATION variance from the
     long-format ``predictions(point_id, model_id, y_pred)`` table.
 
     ``var_pop`` (ddof=0), matching ``np.var`` — with the reference's
     default N=2 ensemble the sample/population distinction is a 2×
     factor (core/ensemble_model.py:30,67).
+
+    ``carry_cols``: point-level columns already present on
+    ``predictions`` (constant within a ``id_col`` group) to carry
+    through the aggregation via ``first`` — one shuffle total, instead
+    of aggregating and then joining the point table back on (a second
+    exchange of the whole pool).
     """
-    return predictions.groupBy(id_col).agg(
+    aggs = [
         F.avg("y_pred").alias("y_mean"),
         F.var_pop("y_pred").alias("y_var"),
-    )
+    ]
+    for c in carry_cols or []:
+        aggs.append(F.first(c).alias(c))
+    return predictions.groupBy(id_col).agg(*aggs)
 
 
 def regression_metrics(

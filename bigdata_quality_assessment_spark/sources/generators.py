@@ -67,13 +67,17 @@ STUB_MODEL_PARAMS: tuple[tuple[float, float, float], ...] = (
 )
 
 
-def stub_predictions(points: DataFrame, n_models: int = 2) -> DataFrame:
+def stub_predictions(
+    points: DataFrame, n_models: int = 2, carry_cols: list[str] | None = None
+) -> DataFrame:
     """FIXTURES.md §2: long-format ``predictions(point_id, model_id,
     y_pred)`` from a deterministic closed-form "ensemble".
 
     The model table is a handful of literal rows — Catalyst broadcasts
     the cross join, so this stays a single narrow pass over ``points``
-    (no shuffle) at any pool size.
+    (no shuffle) at any pool size. ``carry_cols`` keeps point-level
+    columns on the output so downstream ``ensemble_stats(...,
+    carry_cols=...)`` needs no join back to the point table.
     """
     if n_models > len(STUB_MODEL_PARAMS):
         raise ValueError(f"at most {len(STUB_MODEL_PARAMS)} stub models available")
@@ -85,7 +89,7 @@ def stub_predictions(points: DataFrame, n_models: int = 2) -> DataFrame:
     return (
         points.crossJoin(F.broadcast(models))
         .withColumn("y_pred", F.col("y") + F.col("a") + F.col("b") * F.sin(F.col("c") * F.col("x1")))
-        .select("point_id", "model_id", "y_pred")
+        .select("point_id", "model_id", "y_pred", *(carry_cols or []))
     )
 
 
