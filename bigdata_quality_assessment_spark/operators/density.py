@@ -149,12 +149,13 @@ def scott_bandwidth(df: DataFrame, col: str) -> DataFrame:
 def kde_1d(
     df: DataFrame,
     col: str,
-    bw: float,
+    bw: float | DataFrame,
     ngrid: int = 1024,
     lo: float | None = None,
     hi: float | None = None,
     pad: float = 0.01,
     weight_col: str | None = None,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """A11: Gaussian-kernel KDE on a uniform grid via exact linear
     binning + grid-space convolution — the relational re-expression of
@@ -175,10 +176,23 @@ def kde_1d(
     composite (e.g. A13's two KDEs + interp + trapz) stays one Spark
     job. Returns ``density(node INT, grid_x DOUBLE, pdf DOUBLE)`` with
     ∫pdf dx ≈ 1.
+
+    ``bw`` may be a one-row DataFrame with column ``bw`` (e.g. from
+    ``scott_bandwidth``) — it rides the broadcast bounds frame, so
+    auto-bandwidth stays lazy (the reference's default path,
+    core/utils.py:108-119). ``bounds`` may be a one-row frame with
+    columns ``lo``/``hi`` to share an externally-derived evaluation
+    range (A13 rebuilds it per iteration from the joint pred+truth
+    data range, BigDataQualityAssessment_ActiveSampling.py:201-205).
     """
     spark = df.sparkSession
 
-    if lo is None or hi is None:
+    if bounds is not None:
+        bounds = bounds.select(
+            F.col("lo").cast("double").alias("__lo"),
+            F.col("hi").cast("double").alias("__hi"),
+        )
+    elif lo is None or hi is None:
         raw = df.agg(F.min(col).cast("double").alias("__mn"), F.max(col).cast("double").alias("__mx"))
         span = F.when(F.col("__mx") - F.col("__mn") > 0, F.col("__mx") - F.col("__mn")).otherwise(
             F.lit(1.0)
@@ -192,6 +206,12 @@ def kde_1d(
             F.lit(float(lo)).alias("__lo"), F.lit(float(hi)).alias("__hi")
         )
     bounds = bounds.withColumn("__dx", (F.col("__hi") - F.col("__lo")) / (ngrid - 1))
+    if isinstance(bw, DataFrame):
+        bounds = bounds.crossJoin(
+            F.broadcast(bw.select(F.col("bw").cast("double").alias("__bw")))
+        )
+    else:
+        bounds = bounds.withColumn("__bw", F.lit(float(bw)))
 
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     pos = (F.col(col) - F.col("__lo")) / F.col("__dx")
@@ -211,25 +231,31 @@ def kde_1d(
             ).alias("c"),
             "__lo",
             "__dx",
+            "__bw",
         )
         .select(
             F.least(F.greatest(F.col("c.node"), F.lit(0)), F.lit(ngrid - 1)).alias("node"),
             F.col("c.bw_").alias("w"),
             "__lo",
             "__dx",
+            "__bw",
         )
     )
-    # __lo/__dx are constant across rows; F.first rides them through
-    # the groupBy so the grid phase needs no second bounds scan.
+    # __lo/__dx/__bw are constant across rows; F.first rides them
+    # through the groupBy so the grid phase needs no second bounds scan.
     binned = contrib.groupBy("node").agg(
-        F.sum("w").alias("w"), F.first("__lo").alias("__lo"), F.first("__dx").alias("__dx")
+        F.sum("w").alias("w"),
+        F.first("__lo").alias("__lo"),
+        F.first("__dx").alias("__dx"),
+        F.first("__bw").alias("__bw"),
     )
 
     grid = spark.range(ngrid).select(F.col("id").cast("int").alias("eval_node"))
-    norm_const = 1.0 / (bw * math.sqrt(2.0 * math.pi))
+    norm_const = 1.0 / (F.col("__bw") * math.sqrt(2.0 * math.pi))
     kernel = F.exp(
-        -0.5 * F.pow((F.col("eval_node") - F.col("node")) * F.col("__dx") / F.lit(bw), 2)
-    ) * F.lit(norm_const)
+        -0.5
+        * F.pow((F.col("eval_node") - F.col("node")) * F.col("__dx") / F.col("__bw"), 2)
+    ) * norm_const
     # Every eval node pairs with every binned node (tiny broadcast
     # cross join), so sum(w) per eval node IS the global weight total —
     # normalization rides along without an extra pass.
@@ -259,6 +285,7 @@ def interp_uniform_grid(
     grid_f_col: str = "pdf",
     node_col: str = "node",
     out_col: str = "interp",
+    deriv_col: str | None = None,
 ) -> DataFrame:
     """J3 (fast path): ``np.interp`` against a UNIFORM grid — bracket
     index is computed arithmetically, then two broadcast hash
@@ -269,6 +296,13 @@ def interp_uniform_grid(
     np.interp. The grid frame must carry an integer ``node`` column
     (0..g-1) and uniform ``grid_x`` spacing — exactly what ``kde_1d``
     emits.
+
+    ``deriv_col``: additionally emit the first derivative of the
+    piecewise-linear interpolant — the segment slope ``(f1−f0)/dx`` —
+    matching ``InterpolatedUnivariateSpline(k=1).derivative()``
+    (core/likelihood.py:73: ``fy_jac`` for the us_lgw weight), which
+    is piecewise-constant and extrapolates with the edge segment's
+    slope.
     """
     g = grid.select(
         F.col(node_col).alias("__n"),
@@ -294,9 +328,14 @@ def interp_uniform_grid(
     )
     frac_clamped = F.least(F.greatest(F.col("__frac"), F.lit(0.0)), F.lit(1.0))
     val = F.col("__f0") + (F.col("__f1") - F.col("__f0")) * frac_clamped
-    return joined.withColumn(out_col, val).drop(
-        "__i0", "__frac", "__x0", "__f0", "__f1", "__lo", "__hi", "__nmax"
-    )
+    out = joined.withColumn(out_col, val)
+    if deriv_col is not None:
+        out = out.withColumn(
+            deriv_col,
+            (F.col("__f1") - F.col("__f0"))
+            / ((F.col("__hi") - F.col("__lo")) / F.col("__nmax")),
+        )
+    return out.drop("__i0", "__frac", "__x0", "__f0", "__f1", "__lo", "__hi", "__nmax")
 
 
 def interp_linear(
