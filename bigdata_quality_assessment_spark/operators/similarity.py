@@ -30,6 +30,36 @@ def _as_double(col):
     return F.transform(col, lambda v: v.cast("double"))
 
 
+def _topk_per_query(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Two-phase per-query top-k: phase 1 ranks within (query, input
+    partition) — every sort partition is bounded by the scan partition
+    size, never by the corpus — and keeps k; phase 2 ranks the
+    ≤ k·n_partitions survivors per query (a tiny frame). A single
+    ranking window over the scored frame would put the ENTIRE corpus's
+    scores for one query into one task, which dies at 100× scale.
+
+    The salt is ``spark_partition_id()``: it auto-scales with the data
+    (more input splits → more salts) and costs no extra column state.
+    The final result is salt-independent — ties break deterministically
+    on the candidate id in both phases."""
+    order = [F.col("cosine").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(query_id_col, "__salt").orderBy(*order)
+    partial = (
+        scored.withColumn("__salt", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        partial.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
+    )
+
+
 def knn_brute_force(
     corpus: DataFrame,
     queries: DataFrame,
@@ -42,9 +72,10 @@ def knn_brute_force(
 
     ``queries(query_id, embedding)`` is broadcast (queries are few;
     the corpus is the big side), every (query, candidate) pair is
-    scored in one pass, and a per-query ranking window keeps k rows.
-    Self-matches (same id) are excluded. Ties break to the lower
-    candidate id — pinned, deterministic."""
+    scored in one pass, then ranked by the two-phase per-query top-k
+    (no corpus-sized sort partition anywhere). Self-matches (same id)
+    are excluded. Ties break to the lower candidate id — pinned,
+    deterministic."""
     q = queries.select(
         F.col(query_id_col),
         _as_double(F.col(vec_col)).alias("__qv"),
@@ -58,12 +89,7 @@ def knn_brute_force(
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
 
 
 def cosine_pairs(
@@ -170,12 +196,9 @@ def ann_hyperplane_knn(
         .dropDuplicates([query_id_col, id_col])
         .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__v")))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
-    )
+    # candidates are bucket-bounded, but reuse the two-phase top-k so
+    # a hot bucket cannot create a corpus-sized ranking partition.
+    return _topk_per_query(scored, query_id_col, id_col, k)
 
 
 def embedding_near_dedup(

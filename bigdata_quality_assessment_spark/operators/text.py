@@ -199,15 +199,24 @@ def _shingle_expr(t: Column, k: int, mode: str) -> Column:
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content: keep the lowest-id document per distinct
-    text. Hash-shuffle on md5(text) — the grouping key is the 32-char
-    digest, not the document body, so the shuffle stays narrow."""
-    w = Window.partitionBy("__h").orderBy(id_col)
-    return (
-        docs.withColumn("__h", F.md5(F.col(text_col)))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__h", "__rn")
+    text. The DROP-id set is derived from a ``(digest, id)``-ONLY
+    projection — ``groupBy(md5(text)).agg(min(id))``, join back on the
+    digest, keep ids above the minimum — so every exchange carries
+    40-odd bytes per row, never the document bodies (``min`` is also
+    map-side combined, which a ``row_number`` window cannot be). The
+    corpus itself is never shuffled: the drop set is duplicates-only
+    (a small fraction of the corpus in any real dedup workload), so it
+    broadcasts and the final anti-join is exchange-free on the doc
+    side. For an adversarial mostly-duplicate corpus, remove the
+    broadcast hint and let AQE choose."""
+    slim = docs.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+    mins = slim.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    drops = (
+        slim.join(mins, "__h")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
     )
+    return docs.join(F.broadcast(drops), id_col, "left_anti")
 
 
 def shingle_sets(

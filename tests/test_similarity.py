@@ -73,3 +73,18 @@ def test_embedding_near_dedup_drops_planted(corpus):
     out = {r["vec_id"] for r in embedding_near_dedup(corpus, threshold=0.999, dim=DIM, n_planes=6, n_tables=8).collect()}
     assert 0 in out and 100 not in out  # higher id of the dup pair dropped
     assert len(out) == 119
+
+
+def test_knn_topk_is_two_phase(corpus):
+    """Scale guard: the per-query ranking must never sort the whole
+    scored corpus in one partition — phase 1 windows partition on
+    (query_id, spark_partition_id) before the k-bounded global merge."""
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_brute_force(corpus, q, k=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan, "partial top-k salt column missing from plan"
+    assert "SPARK_PARTITION_ID" in plan.upper().replace(" ", "_") or "spark_partition_id" in plan
+    # two ranking windows: the salted partial and the k-bounded merge
+    assert plan.count("row_number") >= 2
