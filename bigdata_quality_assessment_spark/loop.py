@@ -50,6 +50,7 @@ from .operators.density import histogram, interp_uniform_grid, kde_1d, log_pdf_e
 from .operators.models import predict_ensemble_stats
 from .operators.score import (
     acquisition_us,
+    acquisition_us_lgw,
     acquisition_us_lw,
     ensemble_stats,
     inverse_density_weights,
@@ -110,14 +111,37 @@ def active_sampling_loop(
     seed: int = 42,
     id_col: str = "point_id",
     y_col: str = "y",
+    init_train: DataFrame | None = None,
 ) -> LoopResult:
     """The full §3.1 loop with the polynomial ensemble (M1/M2). Each
-    iteration scores the pool once, runs the configured explorers, and
-    retrains. Returns the final train/pool frames plus per-iteration
-    metrics (A1/A2/A12/A13)."""
+    iteration scores the pool once, runs the configured explorers
+    (any of ``se``/``us``/``us_lw``/``us_lgw``), and retrains. Returns
+    the final train/pool frames plus per-iteration metrics
+    (A1/A2/A12/A13).
+
+    ``init_train``: optional explicit initial training frame (must
+    contain ``keep_cols``); bypasses the stochastic inverse-density
+    ``initial_selection`` so a seeded run is fully deterministic (the
+    loop-metrics oracle query uses this).
+
+    Reference-parity notes:
+      * only EXPLORER picks leave the candidate pool — the initial
+        selection stays eligible, exactly as ``pts_temp`` is only
+        ``np.delete``d per explorer pick (ref :236-237, :252-253).
+      * the us_lw / us_lgw likelihood weight interpolates a KDE of the
+        predicted means over the CURRENT candidate pool
+        (``custom_KDE(mu(pts_temp))``, core/likelihood.py:53-58) — not
+        the truth density. Deviation (documented): the pool KDE is
+        built once per iteration from the iteration-start candidate
+        set, while the reference rebuilds it after each sequential
+        explorer deletion (a ≤2-point perturbation of an n-point KDE).
+      * the A13 evaluation grid is rebuilt per iteration over the
+        joint pred+truth data range padded 1% (ref :201-205), so
+        predicted mass outside the truth range is never clamped away.
+    """
     import numpy as np
 
-    from .operators.models import fit_poly_member
+    from .operators.models import ensemble_jac_hess, fit_poly_member
 
     spark = points.sparkSession
 
@@ -125,20 +149,18 @@ def active_sampling_loop(
     # The distilled training set is driver-sized BY DESIGN (n_init +
     # n_iter×n_explorers rows) — collect it once; repeats from
     # with-replacement draws keep their multiplicity.
-    train_rows = [
-        tuple(r[c] for c in keep_cols)
-        for r in initial_selection(
+    init = (
+        init_train
+        if init_train is not None
+        else initial_selection(
             points, n_init=n_init, bw=bw, ngrid=ngrid, seed=seed, id_col=id_col, y_col=y_col
         )
-        .select(*keep_cols)
-        .collect()
+    )
+    train_rows = [
+        tuple(r[c] for c in keep_cols) for r in init.select(*keep_cols).collect()
     ]
-    train_ids = {t[0] for t in train_rows}
-    # Truth density of the FULL dataset — fixed across iterations, so
-    # compute once and cache (the reference reuses its fitted KDE,
-    # BigDataQualityAssessment_ActiveSampling.py:33-35).
-    truth_grid = kde_1d(points, y_col, bw=bw, ngrid=ngrid).cache()
-    truth_grid.count()
+    # Reference pool semantics: candidates exclude ONLY explorer picks.
+    explorer_ids: set = set()
 
     def fit_members() -> list[list[float]]:
         # M4 retrain contract: closed-form member fits on the local
@@ -152,11 +174,6 @@ def active_sampling_loop(
 
     metrics: list[dict] = []
     thetas = fit_members()
-    # A13's shared grid bounds are fixed across iterations — one job,
-    # hoisted out of the loop.
-    shared = truth_grid.agg(
-        F.min("grid_x").alias("lo"), F.max("grid_x").alias("hi")
-    ).first()
 
     for it in range(n_iter):
         # M2+M3 fused: one narrow mapInPandas pass over the pool carrying
@@ -171,9 +188,22 @@ def active_sampling_loop(
             .cache()
         )
 
-        pred_grid = kde_1d(
-            scored, "y_mean", bw=bw, ngrid=ngrid, lo=shared["lo"], hi=shared["hi"]
+        # A13 per-iteration evaluation grid: joint pred+truth data
+        # range padded 1% (ref :201-205) — a lazy one-row agg over the
+        # cached scored frame; both KDEs share it, so their nodes align.
+        span = F.col("__mx") - F.col("__mn")
+        jb = (
+            scored.agg(
+                F.least(F.min("y_mean"), F.min(y_col)).alias("__mn"),
+                F.greatest(F.max("y_mean"), F.max(y_col)).alias("__mx"),
+            )
+            .select(
+                (F.col("__mn") - 0.01 * span).alias("lo"),
+                (F.col("__mx") + 0.01 * span).alias("hi"),
+            )
         )
+        pred_grid = kde_1d(scored, "y_mean", bw=bw, ngrid=ngrid, bounds=jb)
+        truth_grid = kde_1d(scored, y_col, bw=bw, ngrid=ngrid, bounds=jb)
         # A1-A3/A12 and A13 are both 1-row reductions over ``scored`` —
         # crossJoin them so one job materializes the cache AND both
         # metric frames (2 jobs/iter → 1).
@@ -187,16 +217,25 @@ def active_sampling_loop(
         m["train_rows"] = len(train_rows)
         metrics.append(m)
 
-        # Pool membership = NOT in train; the train-id set is tiny by
-        # design, so it folds into the plan as a literal ``isin`` — no
-        # join, no exchange, pushable to the scan.
-        candidates = scored.filter(~F.col(id_col).isin(*train_ids))
+        # Pool membership = NOT an explorer pick (the initial selection
+        # stays in the pool, ref :236-237); the pick set is tiny, so it
+        # folds into the plan as a literal ``isin`` — no join.
+        candidates = (
+            scored.filter(~F.col(id_col).isin(*explorer_ids))
+            if explorer_ids
+            else scored
+        )
+        # us_lw/us_lgw share the pool-KDE of the predicted means
+        # (custom_KDE(mu(pts_temp)), core/likelihood.py:53-58, :68-69).
+        pool_grid = None
+        if "us_lw" in acq_list or "us_lgw" in acq_list:
+            pool_grid = kde_1d(candidates, "y_mean", bw=bw, ngrid=ngrid)
         # The reference runs explorers SEQUENTIALLY, each removing its
         # pick before the next argmaxes (:236-269) — explorer k's true
         # pick excludes at most k−1 points, so it lies within its
         # top-k of the shared candidate frame. Collect top-n_exp per
         # explorer (with scores) in ONE job, then resolve the exclusion
-        # order on the driver: exact reference semantics, 1 collect.
+        # order on the driver: reference semantics, 1 collect.
         n_exp = len(acq_list)
         topk_frames = []
         if "se" in acq_list:
@@ -216,7 +255,7 @@ def active_sampling_loop(
             )
         if "us_lw" in acq_list:
             with_fy = interp_uniform_grid(
-                candidates, truth_grid, q_col="y_mean", out_col="pdf_y_mean"
+                candidates, pool_grid, q_col="y_mean", out_col="pdf_y_mean"
             )
             with_lw = with_fy.withColumn("acq", acquisition_us_lw(with_fy))
             topk_frames.append(
@@ -224,6 +263,26 @@ def active_sampling_loop(
                 .orderBy(F.col("acq").desc(), F.col(id_col).asc()).limit(n_exp)
                 .select(*keep_cols, F.col("acq").alias("__score"),
                         F.lit("us_lw").alias("__explorer"))
+            )
+        if "us_lgw" in acq_list:
+            # M5 producer fused with the carry columns (one extra
+            # narrow mapInPandas pass over candidates, no join), then
+            # pdf + its spline derivative interpolated at the mean
+            # (core/likelihood.py:61-78).
+            jh = ensemble_jac_hess(
+                candidates, thetas, feature_cols, id_col=id_col,
+                carry_cols=[*feature_cols, y_col, "y_mean", "y_var"],
+            )
+            with_g = interp_uniform_grid(
+                jh, pool_grid, q_col="y_mean",
+                out_col="pdf_y_mean", deriv_col="dpdf_y_mean",
+            )
+            with_lgw = with_g.withColumn("acq", acquisition_us_lgw(with_g))
+            topk_frames.append(
+                with_lgw
+                .orderBy(F.col("acq").desc(), F.col(id_col).asc()).limit(n_exp)
+                .select(*keep_cols, F.col("acq").alias("__score"),
+                        F.lit("us_lgw").alias("__explorer"))
             )
 
         union = topk_frames[0]
@@ -243,14 +302,19 @@ def active_sampling_loop(
                     taken[r[id_col]] = r
                     break
         train_rows.extend(tuple(r[c] for c in keep_cols) for r in taken.values())
-        train_ids.update(taken)
+        explorer_ids.update(taken)
         scored.unpersist()
 
         thetas = fit_members()
 
-    truth_grid.unpersist()
     train = spark.createDataFrame(train_rows, points.select(*keep_cols).schema)
-    pool = pool_remove(points, train.select(id_col).distinct(), id_col=id_col)
+    pool = pool_remove(
+        points,
+        spark.createDataFrame(
+            [(i,) for i in explorer_ids] or [(-1,)], f"{id_col} bigint"
+        ),
+        id_col=id_col,
+    )
     return LoopResult(train=train, pool=pool, metrics=metrics)
 
 
@@ -328,12 +392,20 @@ def sde_forecast_loop(
     ridge: float = 1e-6,
     seed: int = 42,
     group_cols: list[str] | None = None,
+    init_train: DataFrame | None = None,
 ) -> SdeLoopResult:
     """The full §3.2 pipeline: min-max scale (P11) → sliding windows
     (W1) → column concat (U2) → POD (A14) → per-mode inverse-density
     resample (A11→J3→P12→T3→J1, T5) → train forecaster (M6) → LOOP:
     per-window horizon error (P8→A4) → top-k (T2) → pool transfer
-    (J2/U1) → retrain (M4) → MAE (A3).
+    (J2/U1) → retrain (M4) → MAE over the shrinking pool (A3,
+    ``model.predict(x_train_temp)`` vs ``y_train_temp``,
+    SDE_forecast_ActiveSampling.py:238-239).
+
+    ``init_train``: optional explicit initial window-id frame
+    (``window_id`` column); bypasses the stochastic per-mode resample
+    so a seeded run is fully deterministic (the loop-metrics oracle
+    query uses this).
 
     Same loop hygiene as §3.1: localCheckpoint per iteration cuts the
     union/anti-join lineage; the windows table is cached once."""
@@ -359,9 +431,15 @@ def sde_forecast_loop(
     s, u = pod_svd_modes(joint, "joint", p=p)
     coeffs = project_coeffs(joint, "joint", u, mean=None)
 
-    train = sde_initial_resample(
-        coeffs, n_modes=n_modes, n_draws=n_draws, bw=bw, ngrid=ngrid, seed=seed
-    ).select("window_id", "history", "target").localCheckpoint(eager=True)
+    if init_train is not None:
+        picked = joint.join(
+            F.broadcast(init_train.select("window_id")), "window_id", "inner"
+        )
+    else:
+        picked = sde_initial_resample(
+            coeffs, n_modes=n_modes, n_draws=n_draws, bw=bw, ngrid=ngrid, seed=seed
+        )
+    train = picked.select("window_id", "history", "target").localCheckpoint(eager=True)
     pool = pool_remove(joint, train, id_col="window_id").select(
         "window_id", "history", "target"
     ).localCheckpoint(eager=True)
@@ -385,9 +463,12 @@ def sde_forecast_loop(
         pool = pool_remove(pool, sel, id_col="window_id").localCheckpoint(eager=True)
         weights = fit_linear_forecaster(train, ridge=ridge)
 
-        full_pred = predict_forecaster(joint, weights)
+        # A3 over the SHRINKING POOL — the reference evaluates
+        # ``model.predict(x_train_temp)`` against ``y_train_temp``
+        # (SDE_forecast_ActiveSampling.py:238-239), not the full table.
+        pool_pred = predict_forecaster(pool, weights)
         mae = (
-            full_pred.select(
+            pool_pred.select(
                 F.aggregate(
                     F.zip_with(F.col("pred"), F.col("target"), lambda a, b: F.abs(a - b)),
                     F.lit(0.0),

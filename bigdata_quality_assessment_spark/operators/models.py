@@ -159,6 +159,7 @@ def ensemble_jac_hess(
     feature_cols: list[str],
     id_col: str = "point_id",
     degree: int = 2,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """M5: per-point ensemble-mean Jacobian and Hessian columns
     (``jac ARRAY<DOUBLE>``, ``hess ARRAY<ARRAY<DOUBLE>>``) — the
@@ -175,6 +176,8 @@ def ensemble_jac_hess(
     d = len(feature_cols)
     theta_arr = [np.asarray(t, dtype="float64") for t in thetas]
     f_cols = list(feature_cols)
+    carry = [c for c in (carry_cols or []) if c != id_col]
+    in_cols = [id_col, *dict.fromkeys([*f_cols, *carry])]
 
     # index maps for the quadratic terms laid out by _poly_features
     quad_idx = {}
@@ -202,16 +205,18 @@ def ensemble_jac_hess(
                     jac[:, i] += g
             jac /= len(theta_arr)
             hess /= len(theta_arr)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "jac": [list(row) for row in jac],
-                    "hess": [[list(r) for r in h] for h in hess],
-                }
-            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            out["jac"] = [list(row) for row in jac]
+            out["hess"] = [[list(r) for r in h] for h in hess]
+            yield pd.DataFrame(out)
 
-    schema = f"{id_col} BIGINT, jac ARRAY<DOUBLE>, hess ARRAY<ARRAY<DOUBLE>>"
-    return points.select(id_col, *f_cols).mapInPandas(grads, schema)
+    carry_schema = "".join(f", {c} DOUBLE" for c in carry)
+    schema = (
+        f"{id_col} BIGINT{carry_schema}, jac ARRAY<DOUBLE>, hess ARRAY<ARRAY<DOUBLE>>"
+    )
+    return points.select(*in_cols).mapInPandas(grads, schema)
 
 
 def stub_predictions_sql_expr(n_models: int) -> str:

@@ -989,6 +989,115 @@ def q_m6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ----------------------- M4: the loops end-to-end --------------------
+
+# Committed golden for the fully-deterministic seeded loop run (oracle
+# = literal VALUES): with an explicit init_train there is no rand()
+# anywhere — poly/ridge fits are closed-form numpy, selection is
+# argmax/top-k with pinned tie-breaks, and round(·, 6) absorbs
+# partition-order float-sum jitter. Regenerate with
+# tools/gen_loop_golden.py if loop semantics change.
+_M4_GOLDEN: list[tuple[str, int, str, float]] = [
+    ("active", 0, "mse", 0.148016),
+    ("active", 0, "mae", 0.319486),
+    ("active", 0, "mean_var", 0.004454),
+    ("active", 0, "log_pdf_error", 3.411284),
+    ("active", 0, "train_rows", 100.0),
+    ("active", 1, "mse", 0.153532),
+    ("active", 1, "mae", 0.323262),
+    ("active", 1, "mean_var", 0.003739),
+    ("active", 1, "log_pdf_error", 3.564403),
+    ("active", 1, "train_rows", 104.0),
+    ("active", 2, "mse", 0.149158),
+    ("active", 2, "mae", 0.319704),
+    ("active", 2, "mean_var", 0.002411),
+    ("active", 2, "log_pdf_error", 3.368752),
+    ("active", 2, "train_rows", 108.0),
+    ("sde", 0, "mae", 0.526208),
+    ("sde", 0, "train_rows", 19.0),
+    ("sde", 1, "mae", 0.52845),
+    ("sde", 1, "train_rows", 29.0),
+    ("sde", 2, "mae", 0.42651),
+    ("sde", 2, "train_rows", 39.0),
+]
+
+
+def _m4_oracle_sql() -> str:
+    rows = ",\n        ".join(
+        f"('{p}', CAST({i} AS BIGINT), '{k}', CAST({v!r} AS DOUBLE))"
+        for p, i, k, v in _M4_GOLDEN
+    )
+    return (
+        "SELECT * FROM (VALUES\n        "
+        + rows
+        + ") t(pipeline, iter, metric, value)"
+    )
+
+
+@_register("m4_loop_metrics", _m4_oracle_sql())
+def q_m4loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 end-to-end: a seeded 3-iteration §3.1 active-sampling loop
+    (all four explorers, deterministic initial selection) and a
+    3-iteration §3.2 SDE-forecast loop over one event series, emitting
+    the long-format per-iteration metrics table — the reference's
+    whole point (BigDataQualityAssessment_ActiveSampling.py:153-278,
+    SDE_forecast_ActiveSampling.py:210-239)."""
+    from bigdata_quality_assessment_spark.loop import (
+        active_sampling_loop,
+        sde_forecast_loop,
+    )
+
+    pts = grid_points_2d(spark, 40)
+    init = pts.filter(F.col("point_id") % 16 == 0)
+    res = active_sampling_loop(
+        pts,
+        ["x1", "x2"],
+        n_iter=3,
+        n_models=2,
+        ngrid=128,
+        bw=0.1,
+        acq_list=("se", "us", "us_lw", "us_lgw"),
+        init_train=init,
+    )
+    rows: list[tuple[str, int, str, float]] = []
+    for m in res.metrics:
+        it = int(m["iter"])
+        for k in ("mse", "mae", "mean_var", "log_pdf_error"):
+            rows.append(("active", it, k, float(m[k])))
+        rows.append(("active", it, "train_rows", float(m["train_rows"])))
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.filter(F.col("user_id") == 1).select(
+        F.col("event_id").alias("step"), F.col("value").alias("y")
+    )
+    sinit = series.select(F.col("step").alias("window_id")).filter(
+        F.col("window_id") % 7 == 0
+    )
+    sres = sde_forecast_loop(
+        series,
+        value_col="y",
+        order_col="step",
+        history=8,
+        prediction=3,
+        n_iter=3,
+        n_select=10,
+        init_train=sinit,
+    )
+    for m in sres.metrics:
+        rows.append(("sde", int(m["iter"]), "mae", float(m["mae"])))
+        rows.append(("sde", int(m["iter"]), "train_rows", float(m["train_rows"])))
+
+    out = spark.createDataFrame(
+        rows, "pipeline string, iter int, metric string, value double"
+    )
+    return out.select(
+        "pipeline",
+        F.col("iter").cast("bigint").alias("iter"),
+        "metric",
+        F.round("value", 6).alias("value"),
+    )
+
+
 # -------------------- LLM-pipeline extensions ------------------------
 
 _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"

@@ -28,13 +28,18 @@ def test_train_growth(result):
     assert res.train.count() == 30 + 2 * 3
 
 
-def test_pool_train_partition(result):
+def test_pool_semantics(result):
+    # Reference pool semantics (BigDataQualityAssessment_ActiveSampling
+    # .py:236-237): only EXPLORER picks are deleted from the candidate
+    # pool; the initial selection stays eligible.
     pts, res = result
     n = pts.count()
+    assert res.pool.select("point_id").count() == n - 2 * 3
+    # every id missing from the pool was picked by an explorer, hence
+    # is in the training set
+    missing = pts.join(res.pool, "point_id", "left_anti").select("point_id")
     train_ids = res.train.select("point_id").distinct()
-    pool_ids = res.pool.select("point_id")
-    assert pool_ids.count() + train_ids.count() == n
-    assert pool_ids.join(train_ids, "point_id", "inner").count() == 0
+    assert missing.join(train_ids, "point_id", "inner").count() == 2 * 3
 
 
 def test_metrics_rows(result):
@@ -53,3 +58,28 @@ def test_initial_selection_multiplicity(spark):
     sel = initial_selection(pts, n_init=40, bw=0.1, ngrid=64, seed=1)
     assert sel.count() == 40  # one row per draw, repeats included
     assert sel.select("point_id").distinct().count() <= 40
+
+
+def test_four_explorer_loop_with_us_lgw(spark):
+    # us_lgw wired end-to-end: M5 jac/hess producer + pool-KDE pdf and
+    # its spline derivative feed the higher-order geometric weight
+    # (core/acquisition_fcn.py:52-54, core/likelihood.py:61-78).
+    pts = grid_points_2d(spark, 15).cache()
+    pts.count()
+    init = pts.filter(F.col("point_id") % 8 == 0)
+    res = active_sampling_loop(
+        pts, ["x1", "x2"], n_iter=2, n_models=2, ngrid=64, bw=0.1,
+        acq_list=("se", "us", "us_lw", "us_lgw"), init_train=init,
+    )
+    n_init = init.count()
+    assert res.train.count() == n_init + 2 * 4
+    assert len(res.metrics) == 2
+    # deterministic given init_train: re-run matches exactly
+    res2 = active_sampling_loop(
+        pts, ["x1", "x2"], n_iter=2, n_models=2, ngrid=64, bw=0.1,
+        acq_list=("se", "us", "us_lw", "us_lgw"), init_train=init,
+    )
+    assert [sorted(m.items()) for m in res.metrics] == [
+        sorted(m.items()) for m in res2.metrics
+    ]
+    pts.unpersist()
