@@ -67,6 +67,12 @@ def main() -> None:
     spark = build_session(
         app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
+    # Silence executor WARN chatter (notably `WindowExec: No Partition
+    # Defined` — each such window in this repo is a documented BOUNDED
+    # frame: sampler prefix-sum offsets over n_parts rows, grid-sized
+    # interp/latin-hypercube sorts — never a pool-sized partition; see
+    # PLANS.md). Keeps the one-line JSON contract clean.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def points(sf_dir: str):
         li = load_table(spark, "lineitem", sf_dir)
