@@ -201,6 +201,108 @@ def ann_hyperplane_knn(
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 
+def _kmeans_centroids(vectors, k: int, n_iter: int = 10, seed: int = 42):
+    """Driver-side Lloyd's k-means on a bounded training sample — the
+    IVF coarse quantizer. Centroids are model parameters (k×dim
+    doubles), small by construction; the full corpus never leaves the
+    executors."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    v = np.asarray(vectors, dtype="float64")
+    idx = rng.choice(len(v), size=min(k, len(v)), replace=False)
+    C = v[idx].copy()
+    for _ in range(n_iter):
+        d = ((v[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(len(C)):
+            m = v[a == j]
+            if len(m):
+                C[j] = m.mean(0)
+    return C.tolist()
+
+
+def _centroid_dists(vec_col, centroids: list[list[float]]):
+    """array<double> of squared L2 distances from ``vec_col`` to each
+    centroid — a transform/fold over ONE nested-array literal (no UDF,
+    no shuffle; same plan-size discipline as hyperplane_buckets)."""
+    return F.transform(
+        F.lit(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_train: int = 2048,
+    train_fraction: float = 1.0,
+    n_kmeans_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    beside hyperplane LSH: a driver-trained coarse quantizer partitions
+    the corpus into ``n_centroids`` cells; each query probes its
+    ``n_probe`` nearest cells and scores only those candidates.
+
+    Spark shape: cell assignment is a pure Catalyst projection
+    (argmin over the centroid-literal distance array); the probe list
+    is ``array_sort(struct(dist, cell))[:n_probe]`` exploded on the
+    broadcast query side; candidates come from ONE equi-join on
+    ``__cell``; exact cosine + the two-phase top-k rank them. Expected
+    per-query work ≈ corpus·n_probe/n_centroids.
+
+    ``train_fraction`` bounds the k-means sample scan at scale (the
+    sample itself is capped at ``n_train`` rows)."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    sample = c.select("__v")
+    if train_fraction < 1.0:
+        sample = sample.sample(fraction=train_fraction, seed=seed)
+    train = [r["__v"] for r in sample.limit(n_train).collect()]
+    cents = _kmeans_centroids(train, n_centroids, n_iter=n_kmeans_iter, seed=seed)
+
+    cd = _centroid_dists(F.col("__v"), cents)
+    assigned = c.withColumn(
+        "__cell", (F.array_position(cd, F.array_min(cd)) - 1).cast("int")
+    )
+
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    qd = _centroid_dists(F.col("__qv"), cents)
+    ranked_cells = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: F.struct(
+                F.element_at(qd, i).alias("d"), (i - 1).cast("int").alias("cell")
+            ),
+        )
+    )
+    probes = F.transform(
+        F.slice(ranked_cells, 1, n_probe), lambda s: s.getField("cell")
+    )
+    qe = q.select(
+        query_id_col, "__qv", F.explode(probes).alias("__cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(qe), "__cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__v")))
+    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
+
+
 def embedding_near_dedup(
     corpus: DataFrame,
     threshold: float = 0.98,

@@ -1308,6 +1308,18 @@ def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_hyperplane_knn(emb, q, dim=64, k=5, n_planes=8, n_tables=4)
 
 
+@_register("x_ivf_knn")  # k-means quantizer state not SQL-expressible → rows-only
+def q_xivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized approximate top-k (the second ANN scale
+    path beside hyperplane LSH); recall vs brute force is
+    pytest-checked in tests/test_similarity.py."""
+    from bigdata_quality_assessment_spark.operators.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_knn(emb, q, dim=64, k=5, n_centroids=16, n_probe=4, seed=42)
+
+
 @_register("x_embedding_near_dedup")  # rows-only
 def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -1523,6 +1535,43 @@ def q_st_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean", 6).alias("mean_value"),
             F.round("var_pop", 3).alias("var_value"),
         )
+    )
+
+
+@_register(
+    "st_histogram_drift",
+    f"""WITH wh AS (SELECT ((event_id + {_ST_EPOCH}) // 300)*300 - {_ST_EPOCH} AS win_off,
+                   CAST(LEAST(FLOOR(value / 100.0), 4) AS INT) AS bin, COUNT(*) AS cnt
+            FROM events WHERE value BETWEEN 0.0 AND 500.0 GROUP BY win_off, bin),
+        ref AS (SELECT CAST(LEAST(FLOOR(value / 100.0), 4) AS INT) AS bin,
+                    COUNT(*)*1.0 / (SELECT COUNT(*) FROM events WHERE value BETWEEN 0.0 AND 500.0) AS ref_p
+             FROM events WHERE value BETWEEN 0.0 AND 500.0 GROUP BY bin),
+        cur AS (SELECT win_off, bin, cnt*1.0 / SUM(cnt) OVER (PARTITION BY win_off) AS p FROM wh)
+        SELECT win_off, round(SUM(ABS(p - COALESCE(ref_p, 0.0))), 9) AS l1_drift
+        FROM cur LEFT JOIN ref USING (bin) GROUP BY win_off""",
+)
+def q_st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift detection (the §2.9 A13-flavored extension):
+    per-window normalized histogram vs a static broadcast reference,
+    L1 distance per event-time window — windowed_histogram drained
+    available-now, then histogram_drift."""
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        histogram_drift,
+        run_available_now,
+        streaming_events,
+        windowed_histogram,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    agg = windowed_histogram(stream, nbins=5, lo=0.0, hi=500.0, window="5 minutes")
+    hist = run_available_now(agg, "q_st_hd", output_mode="complete")
+    ref = histogram(
+        _t(spark, sf_dir, "events"), "value", nbins=5, density=False, lo=0.0, hi=500.0
+    ).select("bin", "cnt")
+    drift = histogram_drift(hist, ref, nbins=5)
+    return drift.select(
+        (F.col("window.start").cast("long") - F.lit(_ST_EPOCH)).alias("win_off"),
+        F.round("l1_drift", 9).alias("l1_drift"),
     )
 
 

@@ -88,3 +88,25 @@ def test_knn_topk_is_two_phase(corpus):
     assert "SPARK_PARTITION_ID" in plan.upper().replace(" ", "_") or "spark_partition_id" in plan
     # two ranking windows: the salted partial and the k-bounded merge
     assert plan.count("row_number") >= 2
+
+
+def test_ivf_recall(corpus, vectors):
+    from bigdata_quality_assessment_spark.operators.similarity import ivf_knn
+
+    q = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_knn(corpus, q, dim=DIM, k=5, n_centroids=8, n_probe=4, seed=7)
+    got = {}
+    for r in ivf.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qi in range(10):
+        expect, _ = _np_topk(vectors, qi, 5)
+        hits += len(got.get(qi, set()) & {int(e) for e in expect})
+        total += 5
+    # probing half the cells on a 120-vector corpus: high recall
+    assert hits / total > 0.6
+    # every query returns exactly k ranked rows
+    counts = {qi: len(v) for qi, v in got.items()}
+    assert all(c == 5 for c in counts.values())
