@@ -422,3 +422,54 @@ def simhash(
             F.col(f"__v{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return wide.select(id_col, packed.alias("simhash"))
+
+
+def simhash_near_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    mode: str = "word",
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dedup: 64-bit signatures → 4×16-bit band buckets →
+    exact Hamming verify (``bit_count(a XOR b)``) → greedily drop the
+    higher id. Returns the surviving rows of ``docs``.
+
+    Completeness: with ``max_hamming ≤ 3`` and 4 bands, any pair within
+    the threshold differs in at most 3 bits, so by pigeonhole at least
+    one 16-bit band matches EXACTLY — the band equi-join misses no
+    qualifying pair (same banding argument as MinHash-LSH, but exact).
+    Candidate volume per band key ≈ corpus/2¹⁶; the signature frame is
+    (id, BIGINT) — the equi-join never carries document text. The drop
+    set is duplicates-only, so the final anti-join broadcasts (see
+    exact_dedup for the same discipline)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4x16-bit banding is complete only for max_hamming <= 3")
+    sig = simhash(docs, text_col, k, mode, id_col)
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * t).bitwiseAND(F.lit(0xFFFF))
+            for t in range(4)
+        ]
+    )
+    sige = sig.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(bands).alias("__t", "__b")
+    )
+    a = sige.select(
+        F.col(id_col).alias("__ida"), F.col("simhash").alias("__sa"), "__t", "__b"
+    )
+    b = sige.select(
+        F.col(id_col).alias("__idb"), F.col("simhash").alias("__sb"), "__t", "__b"
+    )
+    dup = (
+        a.join(b, ["__t", "__b"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .dropDuplicates(["__ida", "__idb"])
+        .filter(
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= max_hamming
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return docs.join(F.broadcast(dup), id_col, "left_anti")

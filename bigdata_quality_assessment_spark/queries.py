@@ -1253,6 +1253,16 @@ def q_xsimhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, k=3, mode="word")
 
 
+@_register("x_simhash_near_dedup")  # rows-only (signature-space dedup)
+def q_xsimdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash near-dedup survivors (Hamming ≤ 3; 4×16-bit band
+    candidate join is pigeonhole-complete at that threshold)."""
+    from bigdata_quality_assessment_spark.operators.text import simhash_near_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dedup(docs, k=3, max_hamming=3).select("doc_id", "source")
+
+
 _FP_POWS = " + ".join(
     f"ascii(substr(text, i + {j}, 1))*{31 ** (7 - j)}::BIGINT" for j in range(7)
 )

@@ -131,3 +131,18 @@ def test_language_id(docs):
     langs = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
     assert langs[0] == "en"
     assert langs[4] == "de"
+
+
+def test_simhash_near_dedup(docs):
+    from bigdata_quality_assessment_spark.operators.text import simhash_near_dedup
+
+    out = {r["doc_id"] for r in simhash_near_dedup(docs, k=3, max_hamming=3).collect()}
+    # exact dup (1) has Hamming 0 from doc 0 -> dropped; the distinct
+    # docs (3, 4, 5) survive; doc 0 is the lowest id of its group.
+    assert 0 in out and 1 not in out
+    assert {3, 4, 5} <= out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_near_dedup(docs, max_hamming=7)
