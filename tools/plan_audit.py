@@ -123,6 +123,36 @@ def main() -> int:
         minhash_lsh_candidates(minhash_signatures(docs, n_hashes=32), bands=8),
     )
 
+    # exact/simhash dedup: exchanges carry (digest/signature, id) only;
+    # the doc-side anti-join must be broadcast (never shuffles text)
+    from bigdata_quality_assessment_spark.operators.text import (
+        exact_dedup,
+        simhash_near_dedup,
+    )
+
+    bad += audit("exact_dedup", exact_dedup(docs))
+    bad += audit("simhash_near_dedup", simhash_near_dedup(docs))
+
+    # knn: two-phase top-k — no single-partition sort over the scored
+    # corpus (phase-1 window partitions on (query, spark_partition_id))
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        ivf_knn,
+        knn_brute_force,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    knn = knn_brute_force(emb, q, k=5)
+    bad += audit("knn_two_phase_topk", knn)
+    knn_plan = knn._sc._jvm.PythonSQLUtils.explainString(
+        knn._jdf.queryExecution(), "formatted"
+    )
+    if "SPARK_PARTITION_ID" not in knn_plan.upper():
+        bad.append("knn missing partial-topk salt")
+    bad += audit("ivf_knn", ivf_knn(emb, q, dim=64, k=5, n_centroids=8, n_probe=2))
+
     print("\n" + ("AUDIT FAIL: " + str(bad) if bad else "AUDIT CLEAN"))
     spark.stop()
     return 1 if bad else 0
