@@ -100,6 +100,14 @@ def weighted_sample_with_replacement(
         Window.unboundedPreceding, 0
     )
     local = bucketed.withColumn("__lcum", F.sum(weight_col).over(local_cum))
+    # ``local`` feeds BOTH the bucket-offset side frame and the interval
+    # join below; without a lineage cut each branch re-executes the
+    # (often deep: KDE→interp→weights) upstream — measured 2× the
+    # sampler cost in the loop's initial selection. The lazy local
+    # checkpoint materializes the running sums once, and makes the
+    # ulp-consistency contract physical: offsets and intervals read the
+    # SAME stored sums, not two re-planned evaluations.
+    local = local.localCheckpoint(eager=False)
     # Tiny frame: one row per bucket. Its unpartitioned window is over
     # n_parts rows, not the pool.
     psums = local.groupBy("__b").agg(F.max("__lcum").alias("__psum"))
