@@ -68,3 +68,35 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register all test tables as temp views for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED managed table: rows are hash-
+    partitioned into ``n_buckets`` files per partition on
+    ``bucket_cols`` (optionally sorted within buckets).
+
+    The 100 TB join strategy this enables: two tables bucketed on the
+    same key with the same bucket count join WITHOUT any exchange —
+    Spark recognizes the co-partitioning (`spark.sql.sources.bucketing
+    .enabled`) and plans a SortMergeJoin whose children read bucket
+    files directly. For the engine's repeated point_id joins
+    (pool↔predictions↔scores) that removes the dominant shuffle at
+    scale; tests/test_tables.py asserts the exchange-free plan."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a table written by ``write_bucketed`` (bucket metadata is
+    honored from the catalog — a plain ``spark.read.parquet`` of the
+    files would lose it)."""
+    return spark.table(table_name)
