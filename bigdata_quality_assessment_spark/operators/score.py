@@ -89,8 +89,15 @@ def inverse_density_weights(
     would physically move every row into a single partition. P12 runs
     over the full candidate pool, so this distinction is the
     difference between a narrow pass and a single-executor bottleneck
-    at scale."""
-    raw = 1.0 / F.col(pdf_col)
+    at scale.
+
+    ANSI guard: the pdf is floored at 1e-300 — a Gaussian-kernel KDE is
+    strictly positive at every data point, so the floor never fires on
+    real densities (oracle values unchanged), but a literal zero pdf
+    would otherwise throw DIVIDE_BY_ZERO under Spark 4's ANSI mode;
+    with the floor it degenerates to a dominating (≈inf) weight, the
+    closest finite analog of numpy's inf/inf behavior."""
+    raw = 1.0 / F.greatest(F.col(pdf_col), F.lit(1e-300))
     total = df.agg(F.sum(raw).alias("__w_tot"))
     return (
         df.crossJoin(F.broadcast(total))

@@ -83,3 +83,21 @@ def test_acquisitions_formulas(spark, grid20):
     for r in rows:
         assert abs(r["us"] - 2.0 * r["y_var"]) < 1e-12
         assert abs(r["us_lw"] - 2.0 / 0.5 * r["y_var"]) < 1e-12
+
+
+def test_inverse_density_weights_zero_pdf_ansi_safe(spark):
+    # ANSI mode: a zero pdf must not throw DIVIDE_BY_ZERO; it yields a
+    # dominating weight (the finite analog of numpy inf/inf).
+    from bigdata_quality_assessment_spark.operators.score import (
+        inverse_density_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0.0), (1, 0.5), (2, 0.5)], "point_id BIGINT, pdf DOUBLE"
+    )
+    rows = {
+        r["point_id"]: r["w"]
+        for r in inverse_density_weights(df, pdf_col="pdf", weight_col="w").collect()
+    }
+    assert rows[0] > 0.999999
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
