@@ -112,6 +112,9 @@ def active_sampling_loop(
     id_col: str = "point_id",
     y_col: str = "y",
     init_train: DataFrame | None = None,
+    member_family: str = "poly",
+    mlp_epochs: int = 300,
+    mlp_lr: float = 1e-3,
 ) -> LoopResult:
     """The full §3.1 loop with the polynomial ensemble (M1/M2). Each
     iteration scores the pool once, runs the configured explorers
@@ -123,6 +126,11 @@ def active_sampling_loop(
     contain ``keep_cols``); bypasses the stochastic inverse-density
     ``initial_selection`` so a seeded run is fully deterministic (the
     loop-metrics oracle query uses this).
+
+    ``member_family``: ``"poly"`` (closed-form ridge — deterministic,
+    the oracle path) or ``"mlp"`` (the reference's actual network
+    family, numpy 3×Dense(8)-swish + Adam, operators/mlp.py;
+    ``us_lgw`` requires the poly family's analytic jac/hess).
 
     Reference-parity notes:
       * only EXPLORER picks leave the candidate pool — the initial
@@ -143,6 +151,11 @@ def active_sampling_loop(
 
     from .operators.models import ensemble_jac_hess, fit_poly_member
 
+    if member_family not in ("poly", "mlp"):
+        raise ValueError(f"member_family must be 'poly' or 'mlp', got {member_family!r}")
+    if member_family == "mlp" and "us_lgw" in acq_list:
+        raise ValueError("us_lgw needs the poly family's analytic jac/hess")
+
     spark = points.sparkSession
 
     keep_cols = [id_col, *feature_cols, y_col]
@@ -162,15 +175,37 @@ def active_sampling_loop(
     # Reference pool semantics: candidates exclude ONLY explorer picks.
     explorer_ids: set = set()
 
-    def fit_members() -> list[list[float]]:
-        # M4 retrain contract: closed-form member fits on the local
-        # training set (the reference collects into model.fit the same
-        # way) — parameters, not data, cross back to the cluster.
+    def fit_members():
+        # M4 retrain contract: member fits on the local training set
+        # (the reference collects into model.fit the same way) —
+        # parameters, not data, cross back to the cluster.
         X = np.array([t[1 : 1 + len(feature_cols)] for t in train_rows], dtype="float64")
         y = np.array([t[-1] for t in train_rows], dtype="float64")
+        if member_family == "mlp":
+            from .operators.mlp import _params_to_lists, fit_mlp_member
+
+            return [
+                _params_to_lists(
+                    fit_mlp_member(X, y, mid, lr=mlp_lr, epochs=mlp_epochs, seed=seed)
+                )
+                for mid in range(n_models)
+            ]
         return [
             list(fit_poly_member(X, y, mid, seed=seed)) for mid in range(n_models)
         ]
+
+    def score_pool(thetas):
+        if member_family == "mlp":
+            from .operators.mlp import predict_ensemble_stats_mlp
+
+            return predict_ensemble_stats_mlp(
+                points, thetas, feature_cols, id_col=id_col,
+                carry_cols=[*feature_cols, y_col],
+            )
+        return predict_ensemble_stats(
+            points, thetas, feature_cols, id_col=id_col,
+            carry_cols=[*feature_cols, y_col],
+        )
 
     metrics: list[dict] = []
     thetas = fit_members()
@@ -180,10 +215,7 @@ def active_sampling_loop(
         # features+truth through — no groupBy shuffle, no join-back
         # (predict_ensemble + ensemble_stats remain the general path).
         scored = (
-            predict_ensemble_stats(
-                points, thetas, feature_cols, id_col=id_col,
-                carry_cols=[*feature_cols, y_col],
-            )
+            score_pool(thetas)
             .withColumn("se", (F.col("y_mean") - F.col(y_col)) * (F.col("y_mean") - F.col(y_col)))
             .cache()
         )
