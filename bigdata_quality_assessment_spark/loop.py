@@ -425,6 +425,9 @@ def sde_forecast_loop(
     seed: int = 42,
     group_cols: list[str] | None = None,
     init_train: DataFrame | None = None,
+    forecaster_family: str = "linear",
+    lstm_epochs: int = 100,
+    lstm_lr: float = 1e-2,
 ) -> SdeLoopResult:
     """The full §3.2 pipeline: min-max scale (P11) → sliding windows
     (W1) → column concat (U2) → POD (A14) → per-mode inverse-density
@@ -438,6 +441,12 @@ def sde_forecast_loop(
     (``window_id`` column); bypasses the stochastic per-mode resample
     so a seeded run is fully deterministic (the loop-metrics oracle
     query uses this).
+
+    ``forecaster_family``: ``"linear"`` (closed-form ridge stand-in —
+    deterministic, the oracle path) or ``"lstm"`` (the reference's
+    exact network, numpy BPTT in operators/lstm.py; per-iteration
+    retrain CONTINUES training the same weights, matching the
+    reference's repeated ``model.fit``, ref :234).
 
     Same loop hygiene as §3.1: localCheckpoint per iteration cuts the
     union/anti-join lineage; the windows table is cached once."""
@@ -476,10 +485,29 @@ def sde_forecast_loop(
         "window_id", "history", "target"
     ).localCheckpoint(eager=True)
 
-    weights = fit_linear_forecaster(train, ridge=ridge)
+    if forecaster_family == "lstm":
+        from .operators.lstm import fit_lstm_forecaster_df, predict_lstm_forecaster
+
+        def fit_fc(train_df, prev):
+            return fit_lstm_forecaster_df(
+                train_df, lr=lstm_lr, epochs=lstm_epochs, seed=seed, params=prev
+            )
+
+        predict_fc = predict_lstm_forecaster
+    elif forecaster_family == "linear":
+        def fit_fc(train_df, prev):
+            return fit_linear_forecaster(train_df, ridge=ridge)
+
+        predict_fc = predict_forecaster
+    else:
+        raise ValueError(
+            f"forecaster_family must be 'linear' or 'lstm', got {forecaster_family!r}"
+        )
+
+    weights = fit_fc(train, None)
     metrics: list[dict] = []
     for it in range(n_iter):
-        pred_pool = predict_forecaster(pool, weights)
+        pred_pool = predict_fc(pool, weights)
         err = pred_pool.withColumn(
             "horizon_err",
             F.aggregate(
@@ -493,12 +521,12 @@ def sde_forecast_loop(
         )
         train = train_append(train, sel).localCheckpoint(eager=True)
         pool = pool_remove(pool, sel, id_col="window_id").localCheckpoint(eager=True)
-        weights = fit_linear_forecaster(train, ridge=ridge)
+        weights = fit_fc(train, weights)
 
         # A3 over the SHRINKING POOL — the reference evaluates
         # ``model.predict(x_train_temp)`` against ``y_train_temp``
         # (SDE_forecast_ActiveSampling.py:238-239), not the full table.
-        pool_pred = predict_forecaster(pool, weights)
+        pool_pred = predict_fc(pool, weights)
         mae = (
             pool_pred.select(
                 F.aggregate(

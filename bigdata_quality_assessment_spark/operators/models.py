@@ -288,20 +288,17 @@ def predict_forecaster(
     return windows.withColumn(out_col, F.array(*preds))
 
 
-def fit_lstm_forecaster(*args, **kwargs):
-    """M6 (reference-exact variant): Keras LSTM
-    (Dense 4/8/16 → LSTM 32 → Dense 16/16 → Dense p, Adam lr=1e-2,
-    MSE — SDE_forecast_ActiveSampling.py:153-171). TensorFlow is not
-    available in this environment; the linear forecaster above stands
-    in behind the same windows→pred contract."""
-    try:
-        import tensorflow  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "fit_lstm_forecaster requires tensorflow; use "
-            "fit_linear_forecaster for the TF-free contract"
-        ) from exc
-    raise NotImplementedError("Keras LSTM member not yet implemented")
+def fit_lstm_forecaster(windows: DataFrame, **kwargs) -> dict:
+    """M6 (reference network): Dense 4/8/16 → LSTM 32 → Dense 16/16 →
+    Dense p, Adam lr=1e-2, MSE (SDE_forecast_ActiveSampling.py:153-171)
+    — implemented in pure numpy (operators/lstm.py: hand-derived BPTT,
+    numerically gradient-checked in tests/test_lstm.py), so the
+    reference-exact architecture trains without TensorFlow. The linear
+    forecaster above remains the fast deterministic stand-in behind
+    the same windows→pred contract."""
+    from .lstm import fit_lstm_forecaster_df
+
+    return fit_lstm_forecaster_df(windows, **kwargs)
 
 
 def predict_ensemble_stats(

@@ -67,9 +67,12 @@ def test_predict_forecaster_matches_numpy(windows):
         assert np.allclose(r["pred"], phi @ W, atol=1e-12)
 
 
-def test_lstm_stub_raises_without_tf():
-    with pytest.raises(NotImplementedError):
-        fit_lstm_forecaster()
+def test_lstm_forecaster_trains_tf_free(spark, windows):
+    # M6 reference network now trains via the numpy BPTT implementation
+    # (operators/lstm.py) — no TensorFlow required; full coverage in
+    # tests/test_lstm.py.
+    params = fit_lstm_forecaster(windows.limit(20), epochs=2, seed=1)
+    assert set(params) >= {"meta", "embed", "head", "Wx", "Wh", "b"}
 
 
 def test_initial_resample_union_dedup(spark, windows):
