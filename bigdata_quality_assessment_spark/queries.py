@@ -1311,6 +1311,26 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_cosine_pairs",
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id < 150)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       FROM c a JOIN c b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.2""",
+)
+def q_xcospairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold on a bounded slice — the
+    verification oracle for the ANN paths (documented O(n²); the scale
+    paths are x_ann_knn / x_ivf_knn / x_embedding_near_dedup)."""
+    from bigdata_quality_assessment_spark.operators.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    out = cosine_pairs(emb, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 @_register("x_ann_knn")  # hyperplane literals impractical in SQL → rows-only
 def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
