@@ -1,0 +1,89 @@
+"""Hypothesis property tests: numpy-parity for the numeric core
+(interp, trapz, histogram, KDE mass) under randomized inputs — the
+reference IS numpy, so `op(spark) == op(numpy)` is the strongest
+property available (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+floats = st.floats(min_value=-50, max_value=50, allow_nan=False, width=64)
+
+
+@given(qs=st.lists(floats, min_size=1, max_size=25))
+@SET
+def test_interp_uniform_matches_numpy(spark, qs):
+    from bigdata_quality_assessment_spark.operators.density import interp_uniform_grid
+
+    gx = np.linspace(-60.0, 60.0, 31)
+    gf = np.sin(gx / 7.0) * 3.0
+    grid = spark.createDataFrame(
+        [(int(i), float(x), float(f)) for i, (x, f) in enumerate(zip(gx, gf))],
+        "node INT, grid_x DOUBLE, pdf DOUBLE",
+    )
+    q = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(qs)], "qid BIGINT, v DOUBLE"
+    )
+    got = {
+        r["qid"]: r["fy"]
+        for r in interp_uniform_grid(q, grid, q_col="v", out_col="fy").collect()
+    }
+    want = np.interp(np.array(qs), gx, gf)
+    for i, w in enumerate(want):
+        assert abs(got[i] - w) < 1e-9, (qs[i], got[i], w)
+
+
+@given(
+    fs=st.lists(floats, min_size=2, max_size=30),
+)
+@SET
+def test_trapz_matches_numpy(spark, fs):
+    from bigdata_quality_assessment_spark.operators.density import trapz
+
+    xs = np.linspace(0.0, 1.0, len(fs)) ** 2  # irregular spacing
+    df = spark.createDataFrame(
+        [(float(x), float(f)) for x, f in zip(xs, fs)], "x DOUBLE, f DOUBLE"
+    )
+    got = trapz(df, "x", "f").first()["integral"]
+    want = float(np.trapz(np.array(fs), xs))
+    assert abs(got - want) < 1e-9 * max(1.0, abs(want))
+
+
+@given(vals=st.lists(st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=64), min_size=1, max_size=60))
+@SET
+def test_histogram_matches_numpy(spark, vals):
+    from bigdata_quality_assessment_spark.operators.density import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v DOUBLE")
+    h = histogram(df, "v", nbins=7, density=True, lo=0.0, hi=100.0)
+    got = {r["bin"]: (r["cnt"], r["pdf"]) for r in h.collect()}
+    want_cnt, edges = np.histogram(np.array(vals), bins=7, range=(0.0, 100.0))
+    want_pdf, _ = np.histogram(np.array(vals), bins=7, range=(0.0, 100.0), density=True)
+    for b in range(7):
+        assert got[b][0] == int(want_cnt[b]), (b, got[b], want_cnt[b])
+        assert abs(got[b][1] - float(want_pdf[b])) < 1e-9
+
+
+@given(
+    vals=st.lists(st.floats(min_value=-5, max_value=5, allow_nan=False, width=64), min_size=3, max_size=40),
+    bw=st.floats(min_value=0.1, max_value=2.0, allow_nan=False, width=64),
+)
+@SET
+def test_kde_integrates_to_one(spark, vals, bw):
+    from bigdata_quality_assessment_spark.operators.density import kde_1d, trapz
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v DOUBLE")
+    lo, hi = min(vals) - 6 * bw, max(vals) + 6 * bw  # cover the kernel mass
+    g = kde_1d(df, "v", bw=float(bw), ngrid=256, lo=float(lo), hi=float(hi))
+    mass = trapz(g, "grid_x", "pdf").first()["integral"]
+    assert abs(mass - 1.0) < 2e-3, mass
