@@ -221,3 +221,34 @@ def train_append(train: DataFrame, selected: DataFrame) -> DataFrame:
     (columns aligned by name, extras dropped via allowMissingColumns
     =False contract: caller selects matching columns)."""
     return train.unionByName(selected.select(*train.columns))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-mitigated equi-join: when ``big``'s join-key distribution is
+    heavy-tailed and ``small`` is too large to broadcast, a plain
+    shuffle join lands every hot-key row on ONE reducer. Salting splits
+    each hot key across ``n_salts`` reducers: ``big`` rows get a random
+    salt in ``[0, n_salts)``; ``small`` is replicated once per salt
+    value (an ``explode(sequence(...))`` projection, n_salts× the small
+    side only); the join key becomes ``(key…, salt)``.
+
+    Any salt assignment yields the same join result (each big row still
+    meets exactly one replica of its key), so the per-row ``rand`` is
+    correctness-neutral under retries. AQE's skew-join splitting covers
+    moderate skew automatically (session.py enables it); this is the
+    explicit tool for the pathological case — e.g. joining document
+    rows to per-language or per-domain side tables where one key owns
+    half the corpus."""
+    keys = [on] if isinstance(on, str) else list(on)
+    big2 = big.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
+    small2 = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salts - 1).cast("int")))
+    )
+    return big2.join(small2, [*keys, "__salt"], how).drop("__salt")

@@ -121,3 +121,27 @@ def test_index_aligned_suffix_and_values(spark):
     # left outer keeps unmatched left rows with nulls on the right
     outer = index_aligned(a, b.filter("point_id < 5"), id_col="point_id", how="left")
     assert outer.filter("v_r IS NULL").count() == 5
+
+
+def test_salted_join_matches_plain_join(spark):
+    from bigdata_quality_assessment_spark.operators.select import salted_join
+
+    # heavy-tailed key: 80% of rows share one key
+    big = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 != 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(7)], "k STRING, v DOUBLE"
+    )
+    got = salted_join(big, small, "k", n_salts=8)
+    want = big.join(small, "k")
+    assert got.count() == want.count()
+    assert (
+        got.agg(F.sum("v")).first()[0] == want.agg(F.sum("v")).first()[0]
+    )
+    # the join key carries the salt (hot key split across reducers)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan
