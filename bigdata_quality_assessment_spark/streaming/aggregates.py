@@ -183,3 +183,27 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "updat
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup for a document ingest: content digest +
+    Spark's built-in streaming deduplication state. The idiomatic
+    scale path — state lives in the state store (RocksDB in
+    production), keyed by the 32-char digest, NOT the document body,
+    and ``dropDuplicatesWithinWatermark`` bounds it by the watermark
+    horizon (an unbounded-history dedup would grow state forever on an
+    infinite stream; the batch ``exact_dedup`` covers that case over
+    the lake). Emits the first-seen row per digest."""
+    digested = stream.withColumn("__h", F.md5(F.col(text_col))).withWatermark(
+        "ts", watermark
+    )
+    if within_watermark:
+        out = digested.dropDuplicatesWithinWatermark(["__h"])
+    else:
+        out = digested.dropDuplicates(["__h"])
+    return out.drop("__h")

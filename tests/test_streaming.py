@@ -76,3 +76,36 @@ def test_running_stats_stateful_matches_global(spark, batch_events):
         assert final.loc[k, "n"] == expect.loc[k, "n"]
         assert abs(final.loc[k, "mean"] - expect.loc[k, "mean"]) < 1e-9
         assert abs(final.loc[k, "var_pop"] - expect.loc[k, "v"]) < 1e-9
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import os
+
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        run_available_now,
+        streaming_exact_dedup,
+        with_event_time,
+    )
+
+    path = str(tmp_path / "docs_stream")
+    os.makedirs(path, exist_ok=True)
+    rows = [
+        (0, "alpha beta"),
+        (1, "alpha beta"),   # dup of 0
+        (2, "gamma delta"),
+        (3, "alpha beta"),   # dup of 0
+        (4, "epsilon"),
+    ]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.mode(
+        "overwrite"
+    ).parquet(path)
+    raw = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(path)
+    stream = with_event_time(raw, id_col="doc_id")
+    out = run_available_now(
+        streaming_exact_dedup(stream), "st_dedup_test", output_mode="append"
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    # one survivor per distinct text; dups of "alpha beta" dropped
+    assert len(got) == 3
+    assert 2 in got and 4 in got
+    assert len(got & {0, 1, 3}) == 1
