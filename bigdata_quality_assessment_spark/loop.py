@@ -46,7 +46,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.density import histogram, interp_uniform_grid, kde_1d, log_pdf_error
+from .operators.density import (
+    histogram,
+    interp_uniform_grid,
+    kde_1d,
+    kde_1d_pair,
+    log_pdf_error,
+)
 from .operators.models import predict_ensemble_stats
 from .operators.score import (
     acquisition_us,
@@ -234,8 +240,12 @@ def active_sampling_loop(
                 (F.col("__mx") + 0.01 * span).alias("hi"),
             )
         )
-        pred_grid = kde_1d(scored, "y_mean", bw=bw, ngrid=ngrid, bounds=jb)
-        truth_grid = kde_1d(scored, y_col, bw=bw, ngrid=ngrid, bounds=jb)
+        # Fused A11×2: one scored scan + one (tag, node) shuffle bins
+        # BOTH series; the shared exchange is reused inside the metrics
+        # job below (kde_1d_pair docstring, tests/test_density.py).
+        pred_grid, truth_grid = kde_1d_pair(
+            scored, "y_mean", y_col, bw=bw, ngrid=ngrid, bounds=jb
+        )
         # A1-A3/A12 and A13 are both 1-row reductions over ``scored`` —
         # crossJoin them so one job materializes the cache AND both
         # metric frames (2 jobs/iter → 1).

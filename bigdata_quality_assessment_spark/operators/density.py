@@ -274,7 +274,149 @@ def kde_1d(
             (F.col("kw_sum") / F.col("w_tot")).alias("pdf"),
         )
     )
-    return pdf
+    # LAZY plan barrier on the ≤ngrid-row result. Without it every
+    # downstream reference re-executes the WHOLE subtree including the
+    # O(data) binning scan — ``interp_uniform_grid`` alone references
+    # its grid three times (two bracket joins + the bounds agg), and
+    # measured plans showed 3× the binning shuffle and 7× the source
+    # scan in one job with ReuseExchange finding nothing (the broadcast
+    # subtrees differ above the shared exchange). The checkpoint makes
+    # single-execution physical: still no eager job (eager=False — the
+    # first action materializes it), but all consumers then share the
+    # stored ≤ngrid rows. At 100 TB this is the difference between one
+    # pool scan per KDE and one per KDE *reference*.
+    return pdf.localCheckpoint(eager=False)
+
+
+def kde_1d_pair(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bw: float,
+    ngrid: int = 1024,
+    bounds: DataFrame | None = None,
+    pad: float = 0.01,
+) -> tuple[DataFrame, DataFrame]:
+    """A11 (fused): two KDEs over the SAME frame and evaluation grid in
+    ONE data scan + ONE shuffle — the A13 log-pdf-error shape, where
+    the reference KDEs both the predicted and the true target over a
+    shared grid (BigDataQualityAssessment_ActiveSampling.py:199-207).
+
+    ``kde_1d`` twice costs two full passes over the pool (two scans,
+    two ≤ngrid-key shuffles). Here each row emits its four (tag, node,
+    weight) linear-binning contributions in a single projection and one
+    ``groupBy(tag, node)`` bins both series; the per-series grids are
+    filters of that one aggregate, so when both feed one job (A13's
+    interp→trapz) the exchange is planned once and REUSED — verified by
+    a plan assertion in tests/test_density.py. At 100 TB this halves
+    the per-iteration metric cost of the §3.1 loop.
+
+    ``bounds``: optional one-row ``lo``/``hi`` frame (the loop passes
+    the joint pred+truth range); defaults to the joint range of the two
+    columns padded ``pad``, derived lazily like ``kde_1d``.
+    """
+    spark = df.sparkSession
+
+    if bounds is not None:
+        b = bounds.select(
+            F.col("lo").cast("double").alias("__lo"),
+            F.col("hi").cast("double").alias("__hi"),
+        )
+    else:
+        raw = df.agg(
+            F.least(F.min(col_a), F.min(col_b)).cast("double").alias("__mn"),
+            F.greatest(F.max(col_a), F.max(col_b)).cast("double").alias("__mx"),
+        )
+        span = F.when(
+            F.col("__mx") - F.col("__mn") > 0, F.col("__mx") - F.col("__mn")
+        ).otherwise(F.lit(1.0))
+        b = raw.select(
+            (F.col("__mn") - pad * span).alias("__lo"),
+            (F.col("__mx") + pad * span).alias("__hi"),
+        )
+    b = b.withColumn("__dx", (F.col("__hi") - F.col("__lo")) / (ngrid - 1)).withColumn(
+        "__bw", F.lit(float(bw))
+    )
+
+    def _contribs(col: str, tag: str) -> F.Column:
+        pos = (F.col(col) - F.col("__lo")) / F.col("__dx")
+        node0 = F.floor(pos).cast("int")
+        frac = pos - F.floor(pos)
+        return F.array(
+            F.struct(
+                F.lit(tag).alias("tag"),
+                node0.alias("node"),
+                (1.0 - frac).alias("bw_"),
+            ),
+            F.struct(
+                F.lit(tag).alias("tag"),
+                (node0 + 1).alias("node"),
+                frac.alias("bw_"),
+            ),
+        )
+
+    contrib = (
+        df.crossJoin(F.broadcast(b))
+        .select(
+            F.explode(
+                F.concat(_contribs(col_a, "a"), _contribs(col_b, "b"))
+            ).alias("c"),
+            "__lo",
+            "__dx",
+            "__bw",
+        )
+        .filter(F.col("c.bw_").isNotNull())
+        .select(
+            F.col("c.tag").alias("tag"),
+            F.least(F.greatest(F.col("c.node"), F.lit(0)), F.lit(ngrid - 1)).alias(
+                "node"
+            ),
+            F.col("c.bw_").alias("w"),
+            "__lo",
+            "__dx",
+            "__bw",
+        )
+    )
+    binned = contrib.groupBy("tag", "node").agg(
+        F.sum("w").alias("w"),
+        F.first("__lo").alias("__lo"),
+        F.first("__dx").alias("__dx"),
+        F.first("__bw").alias("__bw"),
+    )
+    # LAZY barrier on the ≤2·ngrid-row binned frame — REQUIRED for the
+    # one-scan contract: the per-series ``filter(tag=…)`` would
+    # otherwise push BELOW the aggregate into two separate scans of the
+    # source (verified: two `Exchange hashpartitioning(tag, node)`
+    # subtrees, zero reuse). Behind the barrier both convolutions read
+    # the same stored binning; the scan runs once per action, period.
+    binned = binned.localCheckpoint(eager=False)
+
+    grid = spark.range(ngrid).select(F.col("id").cast("int").alias("eval_node"))
+    norm_const = 1.0 / (F.col("__bw") * math.sqrt(2.0 * math.pi))
+    kernel = F.exp(
+        -0.5
+        * F.pow((F.col("eval_node") - F.col("node")) * F.col("__dx") / F.col("__bw"), 2)
+    ) * norm_const
+
+    def _convolve(tag: str) -> DataFrame:
+        one = binned.filter(F.col("tag") == tag).drop("tag")
+        return (
+            grid.join(F.broadcast(one), F.lit(True))
+            .groupBy("eval_node")
+            .agg(
+                F.sum(kernel * F.col("w")).alias("kw_sum"),
+                F.sum("w").alias("w_tot"),
+                F.first("__lo").alias("__lo"),
+                F.first("__dx").alias("__dx"),
+            )
+            .select(
+                F.col("eval_node").alias("node"),
+                (F.col("__lo") + F.col("eval_node") * F.col("__dx")).alias("grid_x"),
+                (F.col("kw_sum") / F.col("w_tot")).alias("pdf"),
+            )
+        )
+
+    return _convolve("a"), _convolve("b")
 
 
 def interp_uniform_grid(

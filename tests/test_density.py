@@ -189,3 +189,61 @@ def test_log_pdf_error_identity_and_positivity(vdf):
     assert log_pdf_error(a, a).first()["log_pdf_error"] == 0.0
     b = kde_1d(vdf.withColumn("y", F.col("y") + 1.0), "y", bw=0.4, ngrid=64, lo=-3.0, hi=6.0)
     assert log_pdf_error(a, b).first()["log_pdf_error"] > 0.1
+
+
+def test_kde_pair_matches_kde_1d(spark, vdf, values):
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_pair
+
+    two = vdf.withColumn("z", F.col("y") * 0.5 + 1.0)
+    b = spark.range(1).select(F.lit(-3.0).alias("lo"), F.lit(6.0).alias("hi"))
+    ga, gb = kde_1d_pair(two, "y", "z", bw=0.4, ngrid=64, bounds=b)
+    ra = kde_1d(two, "y", bw=0.4, ngrid=64, bounds=b).orderBy("node").collect()
+    rb = kde_1d(two, "z", bw=0.4, ngrid=64, bounds=b).orderBy("node").collect()
+    pa = ga.orderBy("node").collect()
+    pb = gb.orderBy("node").collect()
+    assert np.allclose([r["pdf"] for r in pa], [r["pdf"] for r in ra], atol=1e-12)
+    assert np.allclose([r["pdf"] for r in pb], [r["pdf"] for r in rb], atol=1e-12)
+    assert np.allclose([r["grid_x"] for r in pa], [r["grid_x"] for r in ra], atol=1e-12)
+
+
+def test_kde_pair_default_joint_bounds(spark, vdf):
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_pair
+
+    two = vdf.withColumn("z", F.col("y") + 10.0)
+    ga, gb = kde_1d_pair(two, "y", "z", bw=0.4, ngrid=64)
+    xa = [r["grid_x"] for r in ga.orderBy("node").collect()]
+    xb = [r["grid_x"] for r in gb.orderBy("node").collect()]
+    # shared joint-range grid: identical axes spanning BOTH series
+    assert xa == xb
+    zmax = two.agg(F.max("z")).first()[0]
+    ymin = two.agg(F.min("y")).first()[0]
+    assert xa[0] < ymin and xa[-1] > zmax
+
+
+def test_kde_pair_single_binning_pass(spark, vdf):
+    """The A13 shape (both grids feeding one job) must execute the
+    binning scan+shuffle ONCE. The pair binning sits behind a lazy
+    checkpoint barrier, so the joint plan contains NO (tag, node)
+    shuffle and no re-scan of the source — both convolutions read the
+    stored binned rows."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_pair
+
+    two = vdf.withColumn("z", F.col("y") * 0.5 + 1.0)
+    b = spark.range(1).select(F.lit(-3.0).alias("lo"), F.lit(6.0).alias("hi"))
+    ga, gb = kde_1d_pair(two, "y", "z", bw=0.4, ngrid=64, bounds=b)
+    joint = log_pdf_error(ga, gb)
+    joint.first()
+    plan = joint._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(tag" not in plan, plan
+
+
+def test_kde_interp_composite_single_scan(spark, vdf):
+    """kde_1d's output barrier: interp references its grid three times
+    (two bracket joins + bounds agg); the composite plan must not
+    re-execute the pool binning per reference."""
+    out = interp_uniform_grid(
+        vdf, kde_1d(vdf, "y", bw=0.4, ngrid=64, lo=-3.0, hi=6.0), q_col="y", out_col="p"
+    )
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(node" not in plan, plan
