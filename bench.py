@@ -112,10 +112,18 @@ def main() -> None:
             pts, thetas, ["x1", "x2"], carry_cols=["x1", "x2", "y"]
         ).withColumn(
             "se", (F.col("y_mean") - F.col("y")) * (F.col("y_mean") - F.col("y"))
+        ).cache()
+        # one Arrow inference pass, pinned by an explicit materialization;
+        # metrics + argmax then fuse into a single job over the cache
+        # (two separate actions would each re-run the 600k-row predict).
+        scored.count()
+        out = (
+            regression_metrics(scored, "y_mean", "y", "y_var")
+            .crossJoin(argmax(scored, "se"))
+            .collect()
         )
-        m = regression_metrics(scored, "y_mean", "y", "y_var").collect()
-        a = argmax(scored, "se").collect()
-        return m, a
+        scored.unpersist()
+        return out
 
     def q_kde_events():
         ev = load_table(spark, "events", SF_DIR)

@@ -225,6 +225,14 @@ def active_sampling_loop(
             .withColumn("se", (F.col("y_mean") - F.col(y_col)) * (F.col("y_mean") - F.col(y_col)))
             .cache()
         )
+        # Materialize the cache with ONE clean pass before the fanned-out
+        # metrics job: its bounds agg, KDE binning, and metric reductions
+        # are independent root stages over the same cold cache, and the
+        # scheduler may run them concurrently — each computing missing
+        # partitions itself (racy duplicate execution of the ensemble
+        # inference pass). One count() pins exactly one compute; every
+        # later stage is a cached read.
+        scored.count()
 
         # A13 per-iteration evaluation grid: joint pred+truth data
         # range padded 1% (ref :201-205) — a lazy one-row agg over the
