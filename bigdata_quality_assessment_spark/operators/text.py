@@ -359,20 +359,50 @@ def near_dedup_minhash(
     candidate pairs only (each a set intersection of two shingle
     sets, computed by re-joining the shingle table on the pair list).
     """
-    sigs = minhash_signatures(docs, text_col, k, n_hashes, mode, id_col)
+    # ONE shingling pass feeds everything. Signatures, set sizes, and
+    # BOTH verify sides all need the per-doc distinct shingle hashes;
+    # as separate subtrees each reference re-executes the (expensive:
+    # tokenize + k-gram + hash) shingling scan — four corpus scans per
+    # action, and the dominant noise amplifier in the bench. The lazy
+    # barrier stores the narrow ``(doc_id, hash BIGINT)`` long format
+    # (16 bytes/shingle, MEMORY_AND_DISK — comparable to the text it
+    # came from and far cheaper than 4× regex work at 100 TB); every
+    # consumer then reads stored longs. Verification intersects HASHED
+    # shingles, not strings: identical counts up to 64-bit xxhash64
+    # collisions (P ≈ |sh_a|·|sh_b|/2⁶⁴ per pair — immaterial against
+    # an 0.8 Jaccard threshold), with long join keys instead of string
+    # shingles on the wire. The string-exact path remains
+    # ``jaccard_pairs`` (the SQL oracle).
+    sh = _shingle_expr(F.col(text_col), k, mode)
+    hashes = docs.select(
+        id_col, F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("__h")
+    ).localCheckpoint(eager=False)
+    lanes = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__s{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = (
+        hashes.groupBy(id_col)
+        .agg(*lanes)
+        .select(
+            id_col,
+            F.array(*[F.col(f"__s{i}") for i in range(n_hashes)]).alias("sig"),
+        )
+    )
     cands = minhash_lsh_candidates(sigs, bands, id_col)
-    shingled = shingle_sets(docs, text_col, k, mode, id_col)
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # separate light count agg — the sizes path must not re-run the
+    # 128-lane min aggregation it doesn't need
+    sizes = hashes.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # Verify only candidate pairs — and keep every intermediate bounded
     # by |candidates|, not by hot-shingle fan-out: expand each candidate
     # pair by doc_a's shingles, then semi-match doc_b's. Joining the two
     # shingle tables first (then filtering to candidates) explodes on
     # corpora with skewed shingle frequencies long before the filter.
-    a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = hashes.select(F.col(id_col).alias("doc_a"), "__h")
+    b = hashes.select(F.col(id_col).alias("doc_b"), "__h")
     inter = (
         cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "__h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
