@@ -316,7 +316,12 @@ def embedding_near_dedup(
     """Embedding-cosine near-dedup: LSH candidates → exact cosine
     verify ≥ threshold → greedily drop the higher id. Returns the
     surviving rows of ``corpus``."""
-    cb = hyperplane_buckets(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
+    # Lazy barrier on the pre-explode bucket frame (corpus + n_tables
+    # longs per row): the a/b self-join below otherwise re-executes the
+    # n_tables × n_planes × dim hyperplane dot products once per side.
+    cb = hyperplane_buckets(
+        corpus, dim, n_planes, n_tables, seed, id_col, vec_col
+    ).localCheckpoint(eager=False)
     buckets = [F.col(f"bucket_{t}") for t in range(n_tables)]
     cbe = cb.select(
         id_col, "__v", F.posexplode(F.array(*buckets)).alias("__t", "__b")

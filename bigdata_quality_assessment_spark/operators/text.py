@@ -476,7 +476,10 @@ def simhash_near_dedup(
     exact_dedup for the same discipline)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4x16-bit banding is complete only for max_hamming <= 3")
-    sig = simhash(docs, text_col, k, mode, id_col)
+    # Lazy barrier on the (id, simhash) frame — 16 bytes/doc. The a/b
+    # band self-join below otherwise re-executes the whole shingling +
+    # 64-vote aggregation once per side.
+    sig = simhash(docs, text_col, k, mode, id_col).localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * t).bitwiseAND(F.lit(0xFFFF))
