@@ -246,6 +246,10 @@ def jaccard_pairs(
     up on hot shingles — use ``minhash_lsh_candidates`` there and keep
     this for verification of candidate pairs only.
     """
+    # sizes + both join sides reference ``shingled`` — barrier it so
+    # the shingling computes once (see near_dedup_minhash for the
+    # measured pathology).
+    shingled = shingled.localCheckpoint(eager=False)
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -22,6 +22,7 @@ from bigdata_quality_assessment_spark.loop import initial_selection
 from bigdata_quality_assessment_spark.operators.density import (
     interp_uniform_grid,
     kde_1d,
+    kde_1d_pair,
     log_pdf_error,
 )
 from bigdata_quality_assessment_spark.operators.models import (
@@ -79,7 +80,8 @@ for it in range(3):
         .withColumn("se", (F.col("y_mean") - F.col("y")) * (F.col("y_mean") - F.col("y")))
         .cache()
     )
-    t0 = tick("build_scored_plan", t0)
+    scored.count()
+    t0 = tick("materialize_scored", t0)
 
     span = F.col("__mx") - F.col("__mn")
     jb = (
@@ -91,8 +93,7 @@ for it in range(3):
             (F.col("__mx") + 0.01 * span).alias("hi"),
         )
     )
-    pred_grid = kde_1d(scored, "y_mean", bw=0.1, ngrid=256, bounds=jb)
-    truth_grid = kde_1d(scored, "y", bw=0.1, ngrid=256, bounds=jb)
+    pred_grid, truth_grid = kde_1d_pair(scored, "y_mean", "y", bw=0.1, ngrid=256, bounds=jb)
     t0 = tick("build_kde_plans", t0)
     m = (
         regression_metrics(scored, "y_mean", "y", "y_var")
