@@ -523,40 +523,42 @@ def sde_forecast_loop(
         )
 
     weights = fit_fc(train, None)
+    # ONE forecaster pass over the pool per iteration. The post-retrain
+    # prediction serves BOTH this iteration's MAE (reference semantics:
+    # ``model.predict(x_train_temp)`` vs ``y_train_temp`` over the
+    # shrinking pool, SDE_forecast_ActiveSampling.py:238-239) and the
+    # NEXT iteration's selection — they are the same (pool, weights)
+    # frame. It is cached (the MAE action materializes it; next
+    # iteration's top-k reads the cache), and ``sel`` is checkpointed
+    # eagerly BEFORE the train/pool branches consume it — as two lazy
+    # references it would re-execute the pool prediction per branch.
+    # Net: 1 predict/iteration where the naive structure runs 3.
+    pred = predict_fc(pool, weights).cache()
+    horizon_err = F.aggregate(
+        F.zip_with(F.col("pred"), F.col("target"), lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     metrics: list[dict] = []
     for it in range(n_iter):
-        pred_pool = predict_fc(pool, weights)
-        err = pred_pool.withColumn(
-            "horizon_err",
-            F.aggregate(
-                F.zip_with(F.col("pred"), F.col("target"), lambda a, b: F.abs(a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        sel = top_k(err, "horizon_err", n_select, id_col="window_id").select(
-            "window_id", "history", "target"
+        err = pred.withColumn("horizon_err", horizon_err)
+        sel = (
+            top_k(err, "horizon_err", n_select, id_col="window_id")
+            .select("window_id", "history", "target")
+            .localCheckpoint(eager=True)
         )
         train = train_append(train, sel).localCheckpoint(eager=True)
         pool = pool_remove(pool, sel, id_col="window_id").localCheckpoint(eager=True)
         weights = fit_fc(train, weights)
 
-        # A3 over the SHRINKING POOL — the reference evaluates
-        # ``model.predict(x_train_temp)`` against ``y_train_temp``
-        # (SDE_forecast_ActiveSampling.py:238-239), not the full table.
-        pool_pred = predict_fc(pool, weights)
+        prev = pred
+        pred = predict_fc(pool, weights).cache()
         mae = (
-            pool_pred.select(
-                F.aggregate(
-                    F.zip_with(F.col("pred"), F.col("target"), lambda a, b: F.abs(a - b)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("e")
-            )
-            .agg(F.avg("e"))
-            .first()[0]
+            pred.select(horizon_err.alias("e")).agg(F.avg("e")).first()[0]
         )
+        prev.unpersist()
         metrics.append({"iter": it, "mae": mae, "train_rows": train.count()})
 
+    pred.unpersist()
     joint.unpersist()
     return SdeLoopResult(train=train, pool=pool, weights=weights, metrics=metrics)
