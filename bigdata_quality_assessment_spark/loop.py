@@ -50,7 +50,7 @@ from .operators.density import (
     histogram,
     interp_uniform_grid,
     kde_1d,
-    kde_1d_pair,
+    kde_1d_multi,
     log_pdf_error,
 )
 from .operators.models import predict_ensemble_stats
@@ -220,66 +220,56 @@ def active_sampling_loop(
         # M2+M3 fused: one narrow mapInPandas pass over the pool carrying
         # features+truth through — no groupBy shuffle, no join-back
         # (predict_ensemble + ensemble_stats remain the general path).
+        # ``localCheckpoint(eager=True)`` both MATERIALIZES the pass
+        # (one clean execution — the fanned-out consumers below all
+        # read stored blocks, no racy cold-cache recompute) and
+        # TRUNCATES lineage to a LogicalRDD, so every downstream frame
+        # this iteration builds analyzes a two-node plan instead of the
+        # deep Arrow-inference tree (measured: ~2× faster per-iteration
+        # plan construction). Blocks are reclaimed by the
+        # ContextCleaner when the frame goes out of scope at the next
+        # iteration — the same discipline train/pool already use.
         scored = (
             score_pool(thetas)
             .withColumn("se", (F.col("y_mean") - F.col(y_col)) * (F.col("y_mean") - F.col(y_col)))
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        # Materialize the cache with ONE clean pass before the fanned-out
-        # metrics job: its bounds agg, KDE binning, and metric reductions
-        # are independent root stages over the same cold cache, and the
-        # scheduler may run them concurrently — each computing missing
-        # partitions itself (racy duplicate execution of the ensemble
-        # inference pass). One count() pins exactly one compute; every
-        # later stage is a cached read.
-        scored.count()
 
-        # A13 per-iteration evaluation grid: joint pred+truth data
-        # range padded 1% (ref :201-205) — a lazy one-row agg over the
-        # cached scored frame; both KDEs share it, so their nodes align.
-        span = F.col("__mx") - F.col("__mn")
-        jb = (
-            scored.agg(
-                F.least(F.min("y_mean"), F.min(y_col)).alias("__mn"),
-                F.greatest(F.max("y_mean"), F.max(y_col)).alias("__mx"),
-            )
-            .select(
-                (F.col("__mn") - 0.01 * span).alias("lo"),
-                (F.col("__mx") + 0.01 * span).alias("hi"),
-            )
-        )
-        # Fused A11×2: one scored scan + one (tag, node) shuffle bins
-        # BOTH series; the shared exchange is reused inside the metrics
-        # job below (kde_1d_pair docstring, tests/test_density.py).
-        pred_grid, truth_grid = kde_1d_pair(
-            scored, "y_mean", y_col, bw=bw, ngrid=ngrid, bounds=jb
-        )
-        # A1-A3/A12 and A13 are both 1-row reductions over ``scored`` —
-        # crossJoin them so one job materializes the cache AND both
-        # metric frames (2 jobs/iter → 1).
-        m = (
-            regression_metrics(scored, "y_mean", y_col, "y_var")
-            .crossJoin(log_pdf_error(pred_grid, truth_grid))
-            .first()
-            .asDict()
-        )
-        m["iter"] = it
-        m["train_rows"] = len(train_rows)
-        metrics.append(m)
-
+        # The iteration needs THREE densities of the scored pool —
+        # pred + truth on the shared joint-range A13 grid rebuilt per
+        # iteration (ref :201-205), and (for us_lw/us_lgw) the pool
+        # density of the predicted means over the CURRENT candidates
+        # (custom_KDE(mu(pts_temp)), core/likelihood.py:53-58). One
+        # fused tagged pass computes all three: one scan, one (tag,
+        # node) shuffle, one plan barrier (kde_1d_multi docstring).
+        specs = [
+            {"tag": "pred", "col": "y_mean", "bw": bw, "range_cols": ["y_mean", y_col]},
+            {"tag": "truth", "col": y_col, "bw": bw, "range_cols": ["y_mean", y_col]},
+        ]
         # Pool membership = NOT an explorer pick (the initial selection
         # stays in the pool, ref :236-237); the pick set is tiny, so it
         # folds into the plan as a literal ``isin`` — no join.
-        candidates = (
-            scored.filter(~F.col(id_col).isin(*explorer_ids))
-            if explorer_ids
-            else scored
+        not_picked = (
+            ~F.col(id_col).isin(*explorer_ids) if explorer_ids else None
         )
-        # us_lw/us_lgw share the pool-KDE of the predicted means
-        # (custom_KDE(mu(pts_temp)), core/likelihood.py:53-58, :68-69).
-        pool_grid = None
         if "us_lw" in acq_list or "us_lgw" in acq_list:
-            pool_grid = kde_1d(candidates, "y_mean", bw=bw, ngrid=ngrid)
+            specs.append(
+                {"tag": "pool", "col": "y_mean", "bw": bw, "where": not_picked}
+            )
+        grids = kde_1d_multi(scored, specs, ngrid=ngrid)
+        pred_grid, truth_grid = grids["pred"], grids["truth"]
+        pool_grid = grids.get("pool")
+
+        # A1-A3/A12 and A13 are 1-row reductions over ``scored``; the
+        # one-row metric frame crossJoins onto the explorer top-k union
+        # below so ONE collect per iteration delivers metrics AND picks.
+        metric_frame = regression_metrics(scored, "y_mean", y_col, "y_var").crossJoin(
+            log_pdf_error(pred_grid, truth_grid)
+        )
+
+        candidates = (
+            scored.filter(not_picked) if explorer_ids else scored
+        )
         # The reference runs explorers SEQUENTIALLY, each removing its
         # pick before the next argmaxes (:236-269) — explorer k's true
         # pick excludes at most k−1 points, so it lies within its
@@ -338,8 +328,20 @@ def active_sampling_loop(
         union = topk_frames[0]
         for f in topk_frames[1:]:
             union = union.unionByName(f)
+        # ONE job per iteration: the 1-row metric frame rides every
+        # explorer row (broadcast nested-loop), so this collect is the
+        # iteration's only action after the checkpoint.
+        rows = union.crossJoin(F.broadcast(metric_frame)).collect()
+        m = (
+            {c: rows[0][c] for c in metric_frame.columns}
+            if rows
+            else metric_frame.first().asDict()  # degenerate: empty candidate pool
+        )
+        m["iter"] = it
+        m["train_rows"] = len(train_rows)
+        metrics.append(m)
         by_explorer: dict[str, list] = {}
-        for r in union.collect():
+        for r in rows:
             by_explorer.setdefault(r["__explorer"], []).append(r)
         taken: dict = {}
         for name in acq_list:
@@ -353,7 +355,6 @@ def active_sampling_loop(
                     break
         train_rows.extend(tuple(r[c] for c in keep_cols) for r in taken.values())
         explorer_ids.update(taken)
-        scored.unpersist()
 
         thetas = fit_members()
 

@@ -419,6 +419,171 @@ def kde_1d_pair(
     return _convolve("a"), _convolve("b")
 
 
+def kde_1d_multi(
+    df: DataFrame,
+    specs: list[dict],
+    ngrid: int = 1024,
+    pad: float = 0.01,
+) -> dict[str, DataFrame]:
+    """A11 (fused, N-way): any number of KDEs over the SAME frame in
+    ONE data scan, ONE (tag, node) shuffle, and ONE plan barrier — the
+    generalization of ``kde_1d_pair`` that also admits per-series row
+    predicates and per-series evaluation ranges. Built for the §3.1
+    loop, where one iteration needs THREE densities of the scored
+    pool: pred + truth on a shared joint-range grid (A13,
+    BigDataQualityAssessment_ActiveSampling.py:199-207) and the
+    us_lw/us_lgw pool density of the predicted means over the current
+    candidates (core/likelihood.py:53-58). Unfused that is 3 pool
+    passes and 3 barrier plan-compilations per iteration; fused it is
+    one of each — at 100 TB the scan fusion is the win, at bench SF
+    the ~1 s/plan physical-planning cost of each lazy-checkpoint
+    barrier is.
+
+    ``specs``: ordered list of dicts with keys
+      * ``tag`` (str, unique) — names the output grid;
+      * ``col`` (str) — the value column to density-estimate;
+      * ``bw`` (float) — Gaussian kernel bandwidth;
+      * ``where`` (Column, optional) — row predicate restricting this
+        series (rows failing it contribute nothing, exactly as if the
+        frame were pre-filtered);
+      * ``range_cols`` (list[str], optional, default ``[col]``) —
+        columns whose (predicate-filtered) joint min/max define this
+        series' grid bounds, padded ``pad`` per side (giving two specs
+        the same ``range_cols`` puts them on an identical grid);
+      * ``bounds`` (DataFrame, optional) — external one-row lo/hi
+        frame overriding range derivation (stays lazy, rides the
+        broadcast).
+
+    All internal ranges fold into a single one-row aggregate over
+    ``df``, so bounds derivation adds no extra pass. Returns
+    ``{tag: density(node INT, grid_x DOUBLE, pdf DOUBLE)}``.
+    """
+    spark = df.sparkSession
+    tags = [s["tag"] for s in specs]
+    if len(set(tags)) != len(tags):
+        raise ValueError(f"duplicate tags in specs: {tags}")
+
+    def _masked(s: dict, c: str) -> Column:
+        w = s.get("where")
+        return F.when(w, F.col(c)) if w is not None else F.col(c)
+
+    internal = [s for s in specs if s.get("bounds") is None]
+    b: DataFrame | None = None
+    if internal:
+        agg_exprs = []
+        for s in internal:
+            t = s["tag"]
+            rng = s.get("range_cols", [s["col"]])
+            mins = [F.min(_masked(s, c)).cast("double") for c in rng]
+            maxs = [F.max(_masked(s, c)).cast("double") for c in rng]
+            agg_exprs.append(
+                (mins[0] if len(mins) == 1 else F.least(*mins)).alias(f"__mn_{t}")
+            )
+            agg_exprs.append(
+                (maxs[0] if len(maxs) == 1 else F.greatest(*maxs)).alias(f"__mx_{t}")
+            )
+        sel = []
+        for s in internal:
+            t = s["tag"]
+            span = F.when(
+                F.col(f"__mx_{t}") - F.col(f"__mn_{t}") > 0,
+                F.col(f"__mx_{t}") - F.col(f"__mn_{t}"),
+            ).otherwise(F.lit(1.0))
+            sel.append((F.col(f"__mn_{t}") - pad * span).alias(f"__lo_{t}"))
+            sel.append((F.col(f"__mx_{t}") + pad * span).alias(f"__hi_{t}"))
+        b = df.agg(*agg_exprs).select(*sel)
+    for s in specs:
+        if s.get("bounds") is None:
+            continue
+        t = s["tag"]
+        eb = s["bounds"].select(
+            F.col("lo").cast("double").alias(f"__lo_{t}"),
+            F.col("hi").cast("double").alias(f"__hi_{t}"),
+        )
+        b = eb if b is None else b.crossJoin(F.broadcast(eb))
+    for t in tags:
+        b = b.withColumn(
+            f"__dx_{t}", (F.col(f"__hi_{t}") - F.col(f"__lo_{t}")) / (ngrid - 1)
+        )
+
+    arrays = []
+    for s in specs:
+        t = s["tag"]
+        kbw = float(s["bw"])
+        pos = (F.col(s["col"]) - F.col(f"__lo_{t}")) / F.col(f"__dx_{t}")
+        node0 = F.floor(pos).cast("int")
+        frac = pos - F.floor(pos)
+        w0: Column = 1.0 - frac
+        w1: Column = frac
+        if s.get("where") is not None:
+            w0, w1 = F.when(s["where"], w0), F.when(s["where"], w1)
+
+        def _mk(node: Column, w: Column, t: str = t, kbw: float = kbw) -> Column:
+            return F.struct(
+                F.lit(t).alias("tag"),
+                node.alias("node"),
+                w.alias("w"),
+                F.col(f"__lo_{t}").alias("lo"),
+                F.col(f"__dx_{t}").alias("dx"),
+                F.lit(kbw).alias("kbw"),
+            )
+
+        arrays.append(F.array(_mk(node0, w0), _mk(node0 + 1, w1)))
+
+    contrib = (
+        df.crossJoin(F.broadcast(b))
+        .select(F.explode(F.concat(*arrays)).alias("c"))
+        .filter(F.col("c.w").isNotNull())
+        .select(
+            F.col("c.tag").alias("tag"),
+            F.least(F.greatest(F.col("c.node"), F.lit(0)), F.lit(ngrid - 1)).alias(
+                "node"
+            ),
+            F.col("c.w").alias("w"),
+            F.col("c.lo").alias("__lo"),
+            F.col("c.dx").alias("__dx"),
+            F.col("c.kbw").alias("__bw"),
+        )
+    )
+    # The ONE lazy barrier (see kde_1d_pair's): keeps the per-tag
+    # filters from pushing below the aggregate into N source scans,
+    # and is the only physical-plan compilation the whole N-density
+    # family pays.
+    binned = contrib.groupBy("tag", "node").agg(
+        F.sum("w").alias("w"),
+        F.first("__lo").alias("__lo"),
+        F.first("__dx").alias("__dx"),
+        F.first("__bw").alias("__bw"),
+    ).localCheckpoint(eager=False)
+
+    grid = spark.range(ngrid).select(F.col("id").cast("int").alias("eval_node"))
+    norm_const = 1.0 / (F.col("__bw") * math.sqrt(2.0 * math.pi))
+    kernel = F.exp(
+        -0.5
+        * F.pow((F.col("eval_node") - F.col("node")) * F.col("__dx") / F.col("__bw"), 2)
+    ) * norm_const
+
+    def _convolve(tag: str) -> DataFrame:
+        one = binned.filter(F.col("tag") == tag).drop("tag")
+        return (
+            grid.join(F.broadcast(one), F.lit(True))
+            .groupBy("eval_node")
+            .agg(
+                F.sum(kernel * F.col("w")).alias("kw_sum"),
+                F.sum("w").alias("w_tot"),
+                F.first("__lo").alias("__lo"),
+                F.first("__dx").alias("__dx"),
+            )
+            .select(
+                F.col("eval_node").alias("node"),
+                (F.col("__lo") + F.col("eval_node") * F.col("__dx")).alias("grid_x"),
+                (F.col("kw_sum") / F.col("w_tot")).alias("pdf"),
+            )
+        )
+
+    return {t: _convolve(t) for t in tags}
+
+
 def interp_uniform_grid(
     queries: DataFrame,
     grid: DataFrame,

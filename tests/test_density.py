@@ -247,3 +247,68 @@ def test_kde_interp_composite_single_scan(spark, vdf):
     out.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(node" not in plan, plan
+
+
+def test_kde_multi_matches_kde_1d(spark, vdf):
+    """Two unfiltered specs on an external shared-bounds grid must
+    reproduce kde_1d exactly (same arithmetic, one pass)."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
+    two = vdf.withColumn("z", F.col("y") * 0.5 + 1.0)
+    b = spark.range(1).select(F.lit(-3.0).alias("lo"), F.lit(6.0).alias("hi"))
+    grids = kde_1d_multi(
+        two,
+        [
+            {"tag": "a", "col": "y", "bw": 0.4, "bounds": b},
+            {"tag": "b", "col": "z", "bw": 0.4, "bounds": b},
+        ],
+        ngrid=64,
+    )
+    ra = kde_1d(two, "y", bw=0.4, ngrid=64, bounds=b).orderBy("node").collect()
+    rb = kde_1d(two, "z", bw=0.4, ngrid=64, bounds=b).orderBy("node").collect()
+    pa = grids["a"].orderBy("node").collect()
+    pb = grids["b"].orderBy("node").collect()
+    assert np.allclose([r["pdf"] for r in pa], [r["pdf"] for r in ra], atol=1e-12)
+    assert np.allclose([r["pdf"] for r in pb], [r["pdf"] for r in rb], atol=1e-12)
+    assert np.allclose([r["grid_x"] for r in pa], [r["grid_x"] for r in ra], atol=1e-12)
+
+
+def test_kde_multi_where_matches_prefiltered(spark, vdf):
+    """A where-spec must equal kde_1d over the pre-filtered frame —
+    bounds derivation AND binning both see only surviving rows."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
+    pred = F.col("y") > 0.5
+    grids = kde_1d_multi(
+        vdf, [{"tag": "p", "col": "y", "bw": 0.4, "where": pred}], ngrid=64
+    )
+    ref = kde_1d(vdf.filter(pred), "y", bw=0.4, ngrid=64).orderBy("node").collect()
+    got = grids["p"].orderBy("node").collect()
+    assert np.allclose([r["pdf"] for r in got], [r["pdf"] for r in ref], atol=1e-12)
+    assert np.allclose([r["grid_x"] for r in got], [r["grid_x"] for r in ref], atol=1e-12)
+
+
+def test_kde_multi_shared_range_cols_single_pass(spark, vdf):
+    """The loop shape: pred+truth share a joint-range grid, pool is a
+    filtered series with its own range — all from ONE tagged pass
+    (no (tag, node) exchange survives in a consuming job's plan), on
+    identical axes for the shared-range tags."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
+    two = vdf.withColumn("z", F.col("y") * 0.5 + 1.0)
+    grids = kde_1d_multi(
+        two,
+        [
+            {"tag": "pred", "col": "y", "bw": 0.4, "range_cols": ["y", "z"]},
+            {"tag": "truth", "col": "z", "bw": 0.4, "range_cols": ["y", "z"]},
+            {"tag": "pool", "col": "y", "bw": 0.4, "where": F.col("y") > 0.0},
+        ],
+        ngrid=64,
+    )
+    xa = [r["grid_x"] for r in grids["pred"].orderBy("node").collect()]
+    xb = [r["grid_x"] for r in grids["truth"].orderBy("node").collect()]
+    assert xa == xb
+    joint = log_pdf_error(grids["pred"], grids["truth"])
+    joint.first()
+    plan = joint._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(tag" not in plan, plan

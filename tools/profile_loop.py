@@ -3,7 +3,10 @@
 
 Replicates bench.py's `q_active_loop_3iter` but with per-phase timers
 inside a copy of the loop body, to locate where wall-clock goes
-(planning vs KDE vs explorer collect vs member fits).
+(planning vs KDE vs explorer collect vs member fits). Mirrors the
+fused loop shape: eager-checkpointed scored frame, one kde_1d_multi
+tagged pass (pred/truth/pool), metrics crossJoined onto the explorer
+union, one collect per iteration.
 """
 
 from __future__ import annotations
@@ -21,8 +24,7 @@ from pyspark.sql import functions as F
 from bigdata_quality_assessment_spark.loop import initial_selection
 from bigdata_quality_assessment_spark.operators.density import (
     interp_uniform_grid,
-    kde_1d,
-    kde_1d_pair,
+    kde_1d_multi,
     log_pdf_error,
 )
 from bigdata_quality_assessment_spark.operators.models import (
@@ -78,34 +80,26 @@ for it in range(3):
             pts, thetas, ["x1", "x2"], carry_cols=["x1", "x2", "y"]
         )
         .withColumn("se", (F.col("y_mean") - F.col("y")) * (F.col("y_mean") - F.col("y")))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    scored.count()
     t0 = tick("materialize_scored", t0)
 
-    span = F.col("__mx") - F.col("__mn")
-    jb = (
-        scored.agg(
-            F.least(F.min("y_mean"), F.min("y")).alias("__mn"),
-            F.greatest(F.max("y_mean"), F.max("y")).alias("__mx"),
-        ).select(
-            (F.col("__mn") - 0.01 * span).alias("lo"),
-            (F.col("__mx") + 0.01 * span).alias("hi"),
-        )
-    )
-    pred_grid, truth_grid = kde_1d_pair(scored, "y_mean", "y", bw=0.1, ngrid=256, bounds=jb)
-    t0 = tick("build_kde_plans", t0)
-    m = (
-        regression_metrics(scored, "y_mean", "y", "y_var")
-        .crossJoin(log_pdf_error(pred_grid, truth_grid))
-        .first()
-    )
-    t0 = tick("metrics_job", t0)
+    specs = [
+        {"tag": "pred", "col": "y_mean", "bw": 0.1, "range_cols": ["y_mean", "y"]},
+        {"tag": "truth", "col": "y", "bw": 0.1, "range_cols": ["y_mean", "y"]},
+    ]
+    not_picked = ~F.col("point_id").isin(*explorer_ids) if explorer_ids else None
+    specs.append({"tag": "pool", "col": "y_mean", "bw": 0.1, "where": not_picked})
+    grids = kde_1d_multi(scored, specs, ngrid=256)
+    pred_grid, truth_grid, pool_grid = grids["pred"], grids["truth"], grids["pool"]
+    t0 = tick("plan_kde_multi", t0)
 
-    candidates = (
-        scored.filter(~F.col("point_id").isin(*explorer_ids)) if explorer_ids else scored
+    metric_frame = regression_metrics(scored, "y_mean", "y", "y_var").crossJoin(
+        log_pdf_error(pred_grid, truth_grid)
     )
-    pool_grid = kde_1d(candidates, "y_mean", bw=0.1, ngrid=256)
+    t0 = tick("plan_metrics", t0)
+
+    candidates = scored.filter(not_picked) if explorer_ids else scored
     topk_frames = [
         candidates.orderBy(F.col("se").desc(), F.col("point_id").asc())
         .limit(3)
@@ -127,9 +121,9 @@ for it in range(3):
     union = topk_frames[0]
     for f in topk_frames[1:]:
         union = union.unionByName(f)
-    t0 = tick("build_explorer_plans", t0)
-    rows = union.collect()
-    t0 = tick("explorer_job", t0)
+    t0 = tick("plan_explorers", t0)
+    rows = union.crossJoin(F.broadcast(metric_frame)).collect()
+    t0 = tick("fused_collect", t0)
 
     by_explorer: dict[str, list] = {}
     for r in rows:
@@ -143,7 +137,6 @@ for it in range(3):
                 break
     train_rows.extend(tuple(r[c] for c in keep_cols) for r in taken.values())
     explorer_ids.update(taken)
-    scored.unpersist()
     thetas = fit_members()
     t0 = tick("fit", t0)
 
