@@ -1464,29 +1464,31 @@ def q_xvalidity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------- structured streaming -------------------------
-# Event time is synthesized as ts = EPOCH + event_id seconds
-# (streaming/aggregates.with_event_time), so tumbling windows are
-# SQL-expressible: Spark aligns windows to the unix epoch, hence
-# win_off = ((event_id + EPOCH) // W)*W - EPOCH. Each query drains the
-# file-source stream with trigger(availableNow) into a memory sink —
-# real watermarks, real state store, deterministic final answer.
-
-_ST_EPOCH = 1_700_000_000
+# Event time is the events table's REAL timestamp: parquet
+# TIMESTAMP(NANOS) read as epoch-nanos BIGINT (nanosAsLong), converted
+# to TimestampType in streaming/aggregates.with_event_time. Spark
+# aligns tumbling windows to the unix epoch, so the oracle recovers the
+# same window start as (epoch_ns(ts) // (W·1e9)) · W — nanos→micros
+# truncation cannot move an event across a whole-second boundary.
+# Each query drains the file-source stream with trigger(availableNow)
+# into a memory sink — real watermarks, real state store,
+# deterministic final answer.
 
 
 @_register(
     "st_windowed_metrics",
-    f"""SELECT ((event_id + {_ST_EPOCH}) // 60)*60 - {_ST_EPOCH} AS win_off,
+    """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS win_start,
                COUNT(*) AS n,
                round(AVG(value), 6) AS mean_value,
                round(MIN(value), 6) AS lo_value,
                round(MAX(value), 6) AS hi_value,
                round(VAR_POP(value), 3) AS var_value
-        FROM events GROUP BY win_off""",
+        FROM events GROUP BY win_start""",
 )
 def q_st_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming A1-family: tumbling 1-minute windowed count/mean/
-    min/max/var_pop over the events stream, drained available-now."""
+    """Streaming A1-family: tumbling 1-hour windowed count/mean/
+    min/max/var_pop over the events stream (real event time), drained
+    available-now."""
     from bigdata_quality_assessment_spark.streaming.aggregates import (
         run_available_now,
         streaming_events,
@@ -1494,10 +1496,10 @@ def q_st_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = streaming_events(spark, sf_dir)
-    agg = windowed_metrics(stream, window="1 minute")
+    agg = windowed_metrics(stream, window="1 hour", watermark="2 hours")
     out = run_available_now(agg, "q_st_wm", output_mode="complete")
     return out.select(
-        (F.col("window.start").cast("long") - F.lit(_ST_EPOCH)).alias("win_off"),
+        F.col("window.start").cast("long").alias("win_start"),
         F.col("n"),
         F.round("mean", 6).alias("mean_value"),
         F.round("lo", 6).alias("lo_value"),
@@ -1508,15 +1510,16 @@ def q_st_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "st_windowed_histogram",
-    f"""SELECT ((event_id + {_ST_EPOCH}) // 300)*300 - {_ST_EPOCH} AS win_off,
+    """SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS win_start,
                CAST(LEAST(FLOOR(value / 100.0), 4) AS INT) AS bin,
                COUNT(*) AS cnt
         FROM events WHERE value BETWEEN 0.0 AND 500.0
-        GROUP BY win_off, bin""",
+        GROUP BY win_start, bin""",
 )
 def q_st_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming A7: per-5-minute-window equal-width histogram (exact
-    integer counts — the strongest cross-engine check)."""
+    """Streaming A7: per-day-window equal-width histogram over real
+    event time (exact integer counts — the strongest cross-engine
+    check)."""
     from bigdata_quality_assessment_spark.streaming.aggregates import (
         run_available_now,
         streaming_events,
@@ -1524,10 +1527,12 @@ def q_st_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = streaming_events(spark, sf_dir)
-    agg = windowed_histogram(stream, nbins=5, lo=0.0, hi=500.0, window="5 minutes")
+    agg = windowed_histogram(
+        stream, nbins=5, lo=0.0, hi=500.0, window="1 day", watermark="2 days"
+    )
     out = run_available_now(agg, "q_st_wh", output_mode="complete")
     return out.select(
-        (F.col("window.start").cast("long") - F.lit(_ST_EPOCH)).alias("win_off"),
+        F.col("window.start").cast("long").alias("win_start"),
         F.col("bin"),
         F.col("cnt"),
     )
@@ -1570,21 +1575,21 @@ def q_st_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "st_histogram_drift",
-    f"""WITH wh AS (SELECT ((event_id + {_ST_EPOCH}) // 300)*300 - {_ST_EPOCH} AS win_off,
+    """WITH wh AS (SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS win_start,
                    CAST(LEAST(FLOOR(value / 100.0), 4) AS INT) AS bin, COUNT(*) AS cnt
-            FROM events WHERE value BETWEEN 0.0 AND 500.0 GROUP BY win_off, bin),
+            FROM events WHERE value BETWEEN 0.0 AND 500.0 GROUP BY win_start, bin),
         ref AS (SELECT CAST(LEAST(FLOOR(value / 100.0), 4) AS INT) AS bin,
                     COUNT(*)*1.0 / (SELECT COUNT(*) FROM events WHERE value BETWEEN 0.0 AND 500.0) AS ref_p
              FROM events WHERE value BETWEEN 0.0 AND 500.0 GROUP BY bin),
-        cur AS (SELECT win_off, bin, cnt*1.0 / SUM(cnt) OVER (PARTITION BY win_off) AS p FROM wh)
-        SELECT win_off, round(SUM(ABS(p - COALESCE(ref_p, 0.0))), 9) AS l1_drift
-        FROM cur LEFT JOIN ref USING (bin) GROUP BY win_off""",
+        cur AS (SELECT win_start, bin, cnt*1.0 / SUM(cnt) OVER (PARTITION BY win_start) AS p FROM wh)
+        SELECT win_start, round(SUM(ABS(p - COALESCE(ref_p, 0.0))), 9) AS l1_drift
+        FROM cur LEFT JOIN ref USING (bin) GROUP BY win_start""",
 )
 def q_st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift detection (the §2.9 A13-flavored extension):
     per-window normalized histogram vs a static broadcast reference,
-    L1 distance per event-time window — windowed_histogram drained
-    available-now, then histogram_drift."""
+    L1 distance per event-time (1-day) window — windowed_histogram
+    drained available-now, then histogram_drift."""
     from bigdata_quality_assessment_spark.streaming.aggregates import (
         histogram_drift,
         run_available_now,
@@ -1593,14 +1598,16 @@ def q_st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = streaming_events(spark, sf_dir)
-    agg = windowed_histogram(stream, nbins=5, lo=0.0, hi=500.0, window="5 minutes")
+    agg = windowed_histogram(
+        stream, nbins=5, lo=0.0, hi=500.0, window="1 day", watermark="2 days"
+    )
     hist = run_available_now(agg, "q_st_hd", output_mode="complete")
     ref = histogram(
         _t(spark, sf_dir, "events"), "value", nbins=5, density=False, lo=0.0, hi=500.0
     ).select("bin", "cnt")
     drift = histogram_drift(hist, ref, nbins=5)
     return drift.select(
-        (F.col("window.start").cast("long") - F.lit(_ST_EPOCH)).alias("win_off"),
+        F.col("window.start").cast("long").alias("win_start"),
         F.round("l1_drift", 9).alias("l1_drift"),
     )
 

@@ -14,13 +14,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 # The driver's events.parquet stores ts as TIMESTAMP(NANOS), which the
-# Spark 4 parquet reader rejects (PARQUET_TYPE_ILLEGAL) and cannot map
-# to any Spark type. Fallback schema omits ts — every engine operator
-# keys on event_id order; the nanos column is unreadable in this Spark
-# version regardless of session config.
+# Spark 4 parquet reader rejects by default (PARQUET_TYPE_ILLEGAL —
+# Spark has no nanosecond timestamp type). The sanctioned escape hatch
+# is `spark.sql.legacy.parquet.nanosAsLong=true`, which reads the
+# column as epoch-nanoseconds BIGINT; `load_table` sets it and exposes
+# `ts` as LongType nanos (callers convert to TimestampType via
+# timestamp_micros(ts div 1000) when they need event-time semantics —
+# see streaming/aggregates.py). Fallback schema (conf unavailable)
+# omits ts; every batch operator keys on event_id order.
+EVENTS_TS_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
 EVENTS_FALLBACK_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# Schema of events as read with nanosAsLong: ts is epoch-nanos BIGINT.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -51,9 +69,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         try:
-            df = spark.read.parquet(path)
-            df.schema  # force schema resolution
-            return df
+            spark.conf.set(EVENTS_TS_NANOS_CONF, "true")
+            return spark.read.schema(EVENTS_SCHEMA).parquet(path)
         except Exception:
             return spark.read.schema(EVENTS_FALLBACK_SCHEMA).parquet(path)
     return spark.read.parquet(path)

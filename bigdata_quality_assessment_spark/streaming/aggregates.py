@@ -4,11 +4,13 @@ streaming histogram (A7), histogram-drift detection (A13-flavored),
 and a custom stateful running-stats operator via
 ``applyInPandasWithState``.
 
-Event time: the driver's events.parquet carries an unreadable
-TIMESTAMP(NANOS) column (see sources/tables.py), so streams synthesize
-event time from ``event_id`` — one second per event by default. On a
-real ingest the watermark/window logic is identical over the native
-timestamp.
+Event time: the driver's events.parquet carries a TIMESTAMP(NANOS)
+column, read as epoch-nanos BIGINT via the nanosAsLong legacy conf
+(see sources/tables.py) and converted here to a real TimestampType
+``ts`` (microsecond truncation — irrelevant at minute/hour window
+granularity). Watermarks and windows therefore run on the table's real
+event time; ``with_synthetic_event_time`` remains for sources with no
+timestamp at all.
 
 Scale notes: every aggregation here is keyed by (window, …) — state is
 bounded by watermark horizon × key cardinality, and Spark drops state
@@ -21,13 +23,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdata_quality_assessment_spark.sources.tables import EVENTS_FALLBACK_SCHEMA
+from bigdata_quality_assessment_spark.sources.tables import EVENTS_SCHEMA
 
 
-def with_event_time(
+def with_event_time(df: DataFrame, ts_nanos_col: str = "ts") -> DataFrame:
+    """Convert the epoch-nanos BIGINT ``ts`` to a TimestampType event-
+    time column (micros truncation; window/watermark granularity is
+    minutes+)."""
+    return df.withColumn(
+        ts_nanos_col, F.timestamp_micros((F.col(ts_nanos_col) / 1000).cast("long"))
+    )
+
+
+def with_synthetic_event_time(
     df: DataFrame, id_col: str = "event_id", step_seconds: int = 1, epoch: int = 1_700_000_000
 ) -> DataFrame:
-    """Synthesize a monotone event-time column from the row id."""
+    """Synthesize a monotone event-time column from the row id — for
+    sources that genuinely carry no timestamp."""
     return df.withColumn(
         "ts", F.timestamp_seconds(F.lit(epoch) + F.col(id_col) * step_seconds)
     )
@@ -39,15 +51,15 @@ def stage_stream_source(
     """Stage the events table into a stream-readable landing directory.
 
     The streaming parquet source validates the FULL file schema (unlike
-    the batch reader with an explicit schema), so the driver's
-    TIMESTAMP(NANOS) column blocks it outright; re-landing through the
-    batch fallback reader mirrors a real ingest zone. Idempotent per
-    sf_dir."""
+    the batch reader with an explicit schema), and the driver's raw
+    TIMESTAMP(NANOS) column blocks it; re-landing through the batch
+    nanosAsLong reader (ts → plain BIGINT) mirrors a real ingest zone.
+    Idempotent per sf_dir; the tag is versioned on the landed schema."""
     import hashlib
 
     from bigdata_quality_assessment_spark.sources.tables import load_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}:ts_ns".encode()).hexdigest()[:8]
     path = f"{staging_root}/events_{tag}"
     import os
 
@@ -61,7 +73,7 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     production ingest points the same reader at an arriving-files path
     or Kafka source — downstream plans are unchanged."""
     path = stage_stream_source(spark, sf_dir)
-    raw = spark.readStream.schema(EVENTS_FALLBACK_SCHEMA).parquet(path)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
     return with_event_time(raw)
 
 

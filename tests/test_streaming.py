@@ -28,21 +28,28 @@ def batch_events(spark):
 
 def test_windowed_metrics_parity(spark, batch_events):
     stream = streaming_events(spark, SF)
-    got = run_available_now(windowed_metrics(stream, window="1 minute"), "wm").toPandas()
+    got = (
+        run_available_now(windowed_metrics(stream, window="1 hour"), "wm")
+        .withColumn("window", F.col("window.start"))
+        .toPandas()
+    )
     expect = (
-        batch_events.groupBy(F.window("ts", "1 minute"))
+        batch_events.groupBy(F.window("ts", "1 hour"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg("value").alias("mean"),
             F.var_pop("value").alias("var"),
         )
+        .withColumn("window", F.col("window.start"))
         .toPandas()
     )
     assert len(got) == len(expect)
-    g = got.sort_values("n").reset_index()
-    e = expect.sort_values("n").reset_index()
+    g = got.sort_values("window").reset_index()
+    e = expect.sort_values("window").reset_index()
+    assert (g["window"] == e["window"]).all()
+    assert (g["n"] == e["n"]).all()
     assert np.allclose(g["mean"], e["mean"], atol=1e-9)
-    assert np.allclose(g["var"], e["var"], atol=1e-9)
+    assert np.allclose(g["var"], e["var"], equal_nan=True, atol=1e-9)
 
 
 def test_windowed_histogram_parity_and_drift(spark, batch_events):
@@ -84,7 +91,7 @@ def test_streaming_exact_dedup(spark, tmp_path):
     from bigdata_quality_assessment_spark.streaming.aggregates import (
         run_available_now,
         streaming_exact_dedup,
-        with_event_time,
+        with_synthetic_event_time,
     )
 
     path = str(tmp_path / "docs_stream")
@@ -100,7 +107,7 @@ def test_streaming_exact_dedup(spark, tmp_path):
         "overwrite"
     ).parquet(path)
     raw = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(path)
-    stream = with_event_time(raw, id_col="doc_id")
+    stream = with_synthetic_event_time(raw, id_col="doc_id")
     out = run_available_now(
         streaming_exact_dedup(stream), "st_dedup_test", output_mode="append"
     )
