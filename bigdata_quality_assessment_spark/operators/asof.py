@@ -1,0 +1,137 @@
+"""As-of (point-in-time) join and time-hierarchy rollup.
+
+Neither exists in the reference (its only range-flavored lookup is the
+J3 linear interpolation, ``core/likelihood.py:56-57``) and Spark has no
+built-in ASOF JOIN — but any event-time pipeline at scale needs "attach
+the most recent dimension row as of this event's timestamp" (slowly
+changing dimensions, last-known-price, feature freshness joins).
+
+Scale design (the part that matters at 100 TB):
+
+* ``asof_join`` is the union+window formulation, NOT a range join: tag
+  both inputs, union them, and run ``last(value, ignorenulls=True)``
+  over ``partitionBy(keys).orderBy(ts, side)``. Exactly ONE hash
+  exchange on the join keys (the same shuffle an equi-join would pay)
+  and one within-partition sort — no range-predicate row explosion, no
+  per-key candidate blowup on skewed timestamps, and both sides stream
+  through the window operator. A broadcast-range formulation would put
+  the FULL right side in every task; a theta-join ``l.ts >= r.ts``
+  would be quadratic. At 1000 executors this plan is just a bucketed
+  sort-merge pass.
+* ``time_rollup`` uses native ``ROLLUP`` grouping sets, so Spark
+  computes day/hour/grand-total in one shuffle with partial (map-side)
+  aggregation instead of three scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: int | float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``ts_col`` <= the left row's ``ts_col``, per ``on`` key group —
+    pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics (backward
+    direction, inclusive).
+
+    ``right_cols`` are the right-side payload columns to carry (default:
+    everything except keys and ts). The matched right timestamp is
+    exposed as ``{ts_col}{suffix}``. With ``tolerance`` set, matches
+    older than ``tolerance`` (in ``ts_col`` units) are nulled out —
+    pandas merge_asof's ``tolerance``.
+
+    Ties: right rows sort BEFORE left rows at equal ts (inclusive <=),
+    and among right rows at identical (keys, ts) the LAST one in
+    ``right``'s deterministic column order wins only if distinct — for
+    a deterministic pick, pre-dedup the right side (see the x_asof_join
+    registry query, which keeps max event_id per (user, ts)).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*on, ts_col)]
+    payload = [*right_cols, ts_col]
+
+    # Tagged union: left carries its full row + null payload slots;
+    # right carries keys/ts + payload. __side orders right (0) before
+    # left (1) at equal ts => inclusive match.
+    lhs = left.select(
+        *left.columns,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (*on, ts_col)],
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    ).select(*lhs.columns)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        *[F.col(c) for c in left.columns],
+        F.col("__side"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in payload],
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        stale = F.col(ts_col) - F.col(f"__m_{ts_col}") > F.lit(tolerance)
+        out = out.select(
+            *left.columns,
+            *[F.when(stale, F.lit(None)).otherwise(F.col(f"__m_{c}")).alias(f"__m_{c}") for c in payload],
+        )
+    renames = {f"__m_{c}": (f"{ts_col}{suffix}" if c == ts_col else c) for c in payload}
+    return out.withColumnsRenamed(renames)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_nanos_col: str,
+    value_col: str,
+    levels: tuple[int, ...] = (86400, 3600),
+    null_bucket: int = -1,
+) -> DataFrame:
+    """Multi-resolution time rollup (the "hypertable rollup" shape):
+    bucket the epoch-nanos timestamp at each level (seconds) and
+    aggregate count/sum/min/max with ROLLUP grouping sets — finest
+    buckets, each coarser level's subtotals, and the grand total in ONE
+    aggregation pass (one shuffle, map-side partials).
+
+    ``levels`` must be coarsest→finest (e.g. day, hour). Null grouping
+    slots in super-aggregate rows are coalesced to ``null_bucket`` so
+    downstream consumers (and cross-engine comparisons) need no
+    three-valued-logic handling.
+    """
+    bucket_cols = []
+    out = df
+    for lv in levels:
+        name = f"bucket_{lv}s"
+        out = out.withColumn(
+            name, (F.floor(F.col(ts_nanos_col) / F.lit(lv * 1_000_000_000)) * lv).cast("long")
+        )
+        bucket_cols.append(name)
+    agg = out.rollup(*bucket_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+    return agg.select(
+        *[F.coalesce(F.col(c), F.lit(null_bucket)).alias(c) for c in bucket_cols],
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )

@@ -44,6 +44,7 @@ from bigdata_quality_assessment_spark.functions.scalar import (
     log_clip,
     squared_error,
 )
+from bigdata_quality_assessment_spark.operators.asof import asof_join, time_rollup
 from bigdata_quality_assessment_spark.operators.decomp import comp_pca, project_coeffs
 from bigdata_quality_assessment_spark.operators.density import (
     grid_nint,
@@ -863,21 +864,17 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "t4_shuffle",
-    f"SELECT {LID_SQL} AS lid, l_quantity FROM lineitem",
-)
-def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _lineitem_id(_t(spark, sf_dir, "lineitem")).select("lid", "l_quantity")
-    return shuffle_rows(li, seed=42)  # permutation == same multiset → oracle is identity
-
-
-@_register(
-    "t5_dedup",
+    "t4_t5_shuffle_dedup",
     "SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
 )
-def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_t4t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 shuffle + T5 dedup composed: dedup of a seeded random
+    permutation. The oracle (plain DISTINCT) proves both that the
+    shuffle is multiset-preserving and that dedup matches SQL DISTINCT
+    (shuffle is semantically a no-op under Spark's unordered relations
+    — exactly the point of T4, SDE_forecast_ActiveSampling.py:146-149)."""
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
-    return dedup(li)
+    return dedup(shuffle_rows(li, seed=42))
 
 
 @_register(
@@ -1247,20 +1244,19 @@ def q_xminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("x_simhash")  # rows-only
-def q_xsimhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return simhash(docs, k=3, mode="word")
-
-
 @_register("x_simhash_near_dedup")  # rows-only (signature-space dedup)
 def q_xsimdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-SimHash near-dedup survivors (Hamming ≤ 3; 4×16-bit band
-    candidate join is pigeonhole-complete at that threshold)."""
+    """SimHash signature + banded-SimHash near-dedup in one row: the
+    64-bit signature of every SURVIVOR (Hamming ≤ 3 dups dropped; the
+    4×16-bit band candidate join is pigeonhole-complete at that
+    threshold). Covers both the signature operator (text.py simhash)
+    and the dedup composite; Hamming/bit-vote invariants are
+    pytest-checked in tests/test_text.py."""
     from bigdata_quality_assessment_spark.operators.text import simhash_near_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dedup(docs, k=3, max_hamming=3).select("doc_id", "source")
+    survivors = simhash_near_dedup(docs, k=3, max_hamming=3).select("doc_id", "source")
+    return survivors.join(simhash(docs, k=3, mode="word"), "doc_id")
 
 
 _FP_POWS = " + ".join(
@@ -1331,23 +1327,23 @@ def q_xcospairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@_register("x_ann_knn")  # hyperplane literals impractical in SQL → rows-only
+@_register("x_ann_knn")  # hyperplane/k-means state not SQL-expressible → rows-only
 def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ann_hyperplane_knn(emb, q, dim=64, k=5, n_planes=8, n_tables=4)
-
-
-@_register("x_ivf_knn")  # k-means quantizer state not SQL-expressible → rows-only
-def q_xivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized approximate top-k (the second ANN scale
-    path beside hyperplane LSH); recall vs brute force is
-    pytest-checked in tests/test_similarity.py."""
+    """BOTH ANN scale paths in one tagged union: hyperplane-LSH
+    bucketed top-k and IVF coarse-quantized top-k. Recall vs the
+    brute-force oracle (x_knn_cosine) is pytest-checked per method in
+    tests/test_similarity.py."""
     from bigdata_quality_assessment_spark.operators.similarity import ivf_knn
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_knn(emb, q, dim=64, k=5, n_centroids=16, n_probe=4, seed=42)
+    lsh = ann_hyperplane_knn(emb, q, dim=64, k=5, n_planes=8, n_tables=4).select(
+        F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine", "rank"
+    )
+    ivf = ivf_knn(emb, q, dim=64, k=5, n_centroids=16, n_probe=4, seed=42).select(
+        F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank"
+    )
+    return lsh.unionByName(ivf)
 
 
 @_register("x_embedding_near_dedup")  # rows-only
@@ -1461,6 +1457,93 @@ def q_xvalidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     out = validity_rates(li, _RULES)
     return out.select("column", "rule", F.round("pass_rate", 9).alias("pass_rate"))
+
+
+@_register(
+    "x_asof_join",
+    """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts, value
+                  FROM events WHERE event_type = 'click'),
+        r0 AS (SELECT user_id, epoch_us(ts) AS ts, value, event_id,
+                      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                         ORDER BY event_id DESC) AS rn
+               FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, value AS purchase_value,
+                     event_id AS purchase_event_id
+              FROM r0 WHERE rn = 1)
+        SELECT l.event_id, l.user_id, l.ts, round(l.value, 6) AS value,
+               COALESCE(round(r.purchase_value, 6), -1.0) AS purchase_value,
+               COALESCE(r.purchase_event_id, -1) AS purchase_event_id,
+               COALESCE(r.ts, -1) AS ts_purchase
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q_xasof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: attach to every click event the most
+    recent prior-or-equal purchase of the same user — the union+window
+    formulation (one key shuffle, no range-join row explosion; see
+    operators/asof.py). Timestamps compared at MICROsecond precision on
+    both engines (DuckDB truncates parquet nanos to µs; Spark DIV 1000
+    — integer division, because nanos exceed 2^53). Right side
+    pre-deduped per (user, ts) by max event_id so the tie pick is
+    deterministic cross-engine; oracle is DuckDB's native ASOF LEFT
+    JOIN."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts DIV 1000"))
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+    )
+    out = asof_join(left, right, on=["user_id"], ts_col="ts", suffix="_purchase")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.coalesce(F.round("purchase_value", 6), F.lit(-1.0)).alias("purchase_value"),
+        F.coalesce("purchase_event_id", F.lit(-1)).alias("purchase_event_id"),
+        F.coalesce("ts_purchase", F.lit(-1)).alias("ts_purchase"),
+    )
+
+
+@_register(
+    "x_time_rollup",
+    """WITH b AS (SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS d,
+                         (epoch_ns(ts) // 3600000000000) * 3600 AS h,
+                         value
+                  FROM events)
+        SELECT COALESCE(d, -1) AS bucket_86400s, COALESCE(h, -1) AS bucket_3600s,
+               COUNT(*) AS n, round(SUM(value), 4) AS sum_value,
+               round(MIN(value), 6) AS min_value, round(MAX(value), 6) AS max_value
+        FROM b GROUP BY ROLLUP(d, h)""",
+)
+def q_xrollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable-rollup shape): hour
+    buckets, day subtotals, and the grand total in ONE grouping-sets
+    aggregation (single shuffle, map-side partials) over the events
+    table's real nanos timestamps — operators/asof.py time_rollup."""
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(ev, "ts", "value", levels=(86400, 3600))
+    return out.select(
+        "bucket_86400s",
+        "bucket_3600s",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
 
 
 # ---------------------- structured streaming -------------------------
@@ -1609,6 +1692,47 @@ def q_st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.select(
         F.col("window.start").cast("long").alias("win_start"),
         F.round("l1_drift", 9).alias("l1_drift"),
+    )
+
+
+@_register(
+    "st_session_windows",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w >= 21600000000
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        t AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s)
+        SELECT user_id, MIN(ts_us) AS session_start_us,
+               MAX(ts_us) + 21600000000 AS session_end_us,
+               COUNT(*) AS n, round(SUM(value), 6) AS sum_value
+        FROM t GROUP BY user_id, sid""",
+)
+def q_st_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (dynamic gap-merged windows,
+    ``F.session_window`` state-store merging): per-user sessions with a
+    6-hour inactivity gap over real event time, drained available-now
+    in complete mode. The oracle derives identical sessions relationally
+    (lag-gap flag → running-sum session id → group): window.start =
+    first event, window.end = last event + gap, half-open boundary
+    (a gap of exactly 6h starts a new session on both sides)."""
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        run_available_now,
+        session_metrics,
+        streaming_events,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    agg = session_metrics(stream, key_col="user_id", gap="6 hours", watermark="12 hours")
+    out = run_available_now(agg, "q_st_sess", output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
     )
 
 

@@ -28,10 +28,12 @@ from bigdata_quality_assessment_spark.sources.tables import EVENTS_SCHEMA
 
 def with_event_time(df: DataFrame, ts_nanos_col: str = "ts") -> DataFrame:
     """Convert the epoch-nanos BIGINT ``ts`` to a TimestampType event-
-    time column (micros truncation; window/watermark granularity is
-    minutes+)."""
+    time column. INTEGER division (DIV) is load-bearing: epoch-nanos
+    (~1.7e18) exceeds 2^53, so float division rounds the dividend and
+    yields ±1 µs errors; DIV stays in exact 64-bit integer arithmetic
+    and matches DuckDB's epoch_us truncation bit-for-bit."""
     return df.withColumn(
-        ts_nanos_col, F.timestamp_micros((F.col(ts_nanos_col) / 1000).cast("long"))
+        ts_nanos_col, F.expr(f"timestamp_micros({ts_nanos_col} DIV 1000)")
     )
 
 
@@ -145,6 +147,36 @@ def histogram_drift(
         cur.join(F.broadcast(ref), "bin", "left")
         .groupBy("window")
         .agg(F.sum(F.abs(F.col("p") - F.coalesce("ref_p", F.lit(0.0)))).alias("l1_drift"))
+    )
+
+
+def session_metrics(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows over event time: per key, events closer than
+    ``gap`` merge into one session (``F.session_window`` — dynamic,
+    data-driven windows; Spark merges overlapping [ts, ts+gap) spans in
+    the state store). Emits per-session count / value stats / span.
+
+    Scale: state per key is one open session (merged incrementally);
+    the watermark closes sessions whose end fell behind it, so state is
+    bounded by key cardinality × gap horizon — the canonical streaming
+    sessionization plan. Batch parity: same call compiles to a
+    SessionWindow aggregation over the static frame (one shuffle on
+    (key, session)); the SQL-oracle form is the lag/gap/cumsum
+    session-id assignment (see st_session_windows)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("mean_value"),
+            F.sum(value_col).alias("sum_value"),
+        )
     )
 
 

@@ -85,6 +85,34 @@ def test_running_stats_stateful_matches_global(spark, batch_events):
         assert abs(final.loc[k, "var_pop"] - expect.loc[k, "v"]) < 1e-9
 
 
+def test_session_windows_batch_stream_parity(spark, batch_events):
+    from bigdata_quality_assessment_spark.streaming.aggregates import session_metrics
+
+    stream = streaming_events(spark, SF)
+    got = (
+        run_available_now(
+            session_metrics(stream, gap="6 hours", watermark="12 hours"),
+            "sess_parity",
+            output_mode="complete",
+        )
+        .select(F.col("session_window.start").alias("s"), "user_id", "n")
+        .toPandas()
+        .sort_values(["user_id", "s"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        batch_events.groupBy(F.session_window("ts", "6 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("session_window.start").alias("s"), "user_id", "n")
+        .toPandas()
+        .sort_values(["user_id", "s"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect)
+    assert (got["n"].values == expect["n"].values).all()
+    assert (got["s"].values == expect["s"].values).all()
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     import os
 
