@@ -170,6 +170,44 @@ def main() -> None:
         )
         return knn_brute_force(emb, q, k=10).collect()
 
+    def q_asof_join():
+        """Point-in-time join: every click -> most recent prior purchase
+        per user (union + last-ignorenulls window; ONE key exchange)."""
+        from bigdata_quality_assessment_spark.operators.asof import asof_join
+
+        ev = load_table(spark, "events", SF_DIR).withColumn("ts", F.expr("ts DIV 1000"))
+        left = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        out = asof_join(left, right, on=["user_id"], ts_col="ts")
+        return out.agg(
+            F.count(F.lit(1)), F.sum("purchase_value"), F.max("ts_right")
+        ).collect()
+
+    def q_time_rollup():
+        """Hour/day/total ROLLUP grouping sets in one shuffle."""
+        from bigdata_quality_assessment_spark.operators.asof import time_rollup
+
+        ev = load_table(spark, "events", SF_DIR)
+        return time_rollup(ev, "ts", "value", levels=(86400, 3600)).collect()
+
+    def q_session_windows():
+        """Gap-merged session windows (SessionWindow aggregation; same
+        physical operator batch and streaming — withWatermark is a
+        batch no-op)."""
+        from bigdata_quality_assessment_spark.streaming.aggregates import (
+            session_metrics,
+            with_event_time,
+        )
+
+        ev = with_event_time(load_table(spark, "events", SF_DIR))
+        return session_metrics(ev, gap="6 hours").agg(
+            F.count(F.lit(1)), F.sum("sum_value")
+        ).collect()
+
     def q_active_loop_3iter():
         pts = grid_points_2d(spark, 100).cache()
         pts.count()
@@ -190,6 +228,9 @@ def main() -> None:
         "sliding_windows": q_sliding_windows,
         "near_dedup_minhash": q_near_dedup,
         "knn_cosine": q_knn,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "session_windows": q_session_windows,
         "active_loop_3iter": q_active_loop_3iter,
     }
 

@@ -153,6 +153,37 @@ def main() -> int:
         bad.append("knn missing partial-topk salt")
     bad += audit("ivf_knn", ivf_knn(emb, q, dim=64, k=5, n_centroids=8, n_probe=2))
 
+    # as-of join: one hash exchange on the key, no cartesian/range blowup
+    from bigdata_quality_assessment_spark.operators.asof import asof_join, time_rollup
+
+    ev = load_table(spark, "events", SF_DIR).withColumn("ts", F.expr("ts DIV 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    asof = asof_join(clicks, buys, on=["user_id"], ts_col="ts")
+    bad += audit("asof_join", asof)
+    asof_plan = asof._sc._jvm.PythonSQLUtils.explainString(
+        asof._jdf.queryExecution(), "formatted"
+    )
+    if asof_plan.count("Exchange hashpartitioning") != 1:
+        bad.append("asof join != exactly one hash exchange")
+    if "CartesianProduct" in asof_plan or "BroadcastNestedLoopJoin" in asof_plan:
+        bad.append("asof join degenerated to product")
+
+    # rollup: Expand + single aggregation, no re-scan per level
+    roll = time_rollup(ev.withColumn("ts", F.col("ts") * 1000), "ts", "value")
+    roll_plan = roll._sc._jvm.PythonSQLUtils.explainString(
+        roll._jdf.queryExecution(), "formatted"
+    )
+    print("\n=== time_rollup ===")
+    one_scan = roll_plan.count("Scan parquet") == 1 and "Expand" in roll_plan
+    print(f"  single_scan_with_expand={one_scan}")
+    if not one_scan:
+        bad.append("rollup rescans per level")
+
     print("\n" + ("AUDIT FAIL: " + str(bad) if bad else "AUDIT CLEAN"))
     spark.stop()
     return 1 if bad else 0
