@@ -312,9 +312,12 @@ def embedding_near_dedup(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cluster: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dedup: LSH candidates → exact cosine
-    verify ≥ threshold → greedily drop the higher id. Returns the
+    verify ≥ threshold → connected-components closure; keep the
+    minimum id of each duplicate cluster (``cluster=False``: pairwise
+    higher-id drop, which misses transitive chains). Returns the
     surviving rows of ``corpus``."""
     # Lazy barrier on the pre-explode bucket frame (corpus + n_tables
     # longs per row): the a/b self-join below otherwise re-executes the
@@ -337,11 +340,17 @@ def embedding_near_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__va", "__vb")
     )
-    dup = (
+    verified = (
         pairs.dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
     )
+    if cluster:
+        from bigdata_quality_assessment_spark.operators.graph import duplicate_drop_ids
+
+        dup = duplicate_drop_ids(verified, "id_a", "id_b").select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        dup = verified.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(dup, id_col, "left_anti")

@@ -353,16 +353,26 @@ def near_dedup_minhash(
     min_jaccard: float = 0.8,
     mode: str = "word",
     id_col: str = "doc_id",
+    cluster: bool = True,
 ) -> DataFrame:
     """Near-dedup: LSH candidates → exact-Jaccard verification on the
-    candidate pairs only → greedily drop the higher-id member of each
-    verified duplicate pair. Returns the surviving documents.
+    candidate pairs only → connected-components closure over the
+    verified-pair graph; keep exactly the minimum id of each duplicate
+    cluster. Returns the surviving documents.
+
+    ``cluster=False`` reverts to the pairwise rule (drop the higher
+    member of each direct pair), which leaves transitive chains behind
+    — for edges (1,3),(2,3) doc 2 would survive although it is in doc
+    1's cluster.
 
     Scale shape: signatures are one narrow pass; the bucket join's
     fan-out is bounded by band collision rates; verification touches
     candidate pairs only (each a set intersection of two shingle
-    sets, computed by re-joining the shingle table on the pair list).
+    sets, computed by re-joining the shingle table on the pair list);
+    the closure iterates over the duplicates-only edge list (see
+    operators/graph.py).
     """
+    from bigdata_quality_assessment_spark.operators.graph import duplicate_drop_ids
     # ONE shingling pass feeds everything. Signatures, set sizes, and
     # BOTH verify sides all need the per-doc distinct shingle hashes;
     # as separate subtrees each reference re-executes the (expensive:
@@ -418,7 +428,10 @@ def near_dedup_minhash(
             >= min_jaccard
         )
     )
-    drop_ids = verified.select(F.col("doc_b").alias(id_col)).distinct()
+    if cluster:
+        drop_ids = duplicate_drop_ids(verified).select(F.col("id").alias(id_col))
+    else:
+        drop_ids = verified.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(drop_ids, id_col, "left_anti")
 
 
@@ -465,10 +478,13 @@ def simhash_near_dedup(
     mode: str = "word",
     max_hamming: int = 3,
     id_col: str = "doc_id",
+    cluster: bool = True,
 ) -> DataFrame:
     """SimHash near-dedup: 64-bit signatures → 4×16-bit band buckets →
-    exact Hamming verify (``bit_count(a XOR b)``) → greedily drop the
-    higher id. Returns the surviving rows of ``docs``.
+    exact Hamming verify (``bit_count(a XOR b)``) → connected-
+    components closure; keep the minimum id of each duplicate cluster
+    (``cluster=False``: pairwise higher-id drop, which misses
+    transitive chains). Returns the surviving rows of ``docs``.
 
     Completeness: with ``max_hamming ≤ 3`` and 4 bands, any pair within
     the threshold differs in at most 3 bits, so by pigeonhole at least
@@ -499,14 +515,20 @@ def simhash_near_dedup(
     b = sige.select(
         F.col(id_col).alias("__idb"), F.col("simhash").alias("__sb"), "__t", "__b"
     )
-    dup = (
+    verified = (
         a.join(b, ["__t", "__b"])
         .filter(F.col("__ida") < F.col("__idb"))
         .dropDuplicates(["__ida", "__idb"])
         .filter(
             F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= max_hamming
         )
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
     )
+    if cluster:
+        from bigdata_quality_assessment_spark.operators.graph import duplicate_drop_ids
+
+        dup = duplicate_drop_ids(verified, "__ida", "__idb").select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        dup = verified.select(F.col("__idb").alias(id_col)).distinct()
     return docs.join(F.broadcast(dup), id_col, "left_anti")

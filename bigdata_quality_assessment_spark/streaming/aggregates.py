@@ -180,15 +180,38 @@ def session_metrics(
     )
 
 
+def chan_merge(n: int, mean: float, m2: float, vals) -> tuple[int, float, float]:
+    """Merge one value chunk into carried ``(n, mean, M2)`` moments via
+    Chan et al.'s pairwise update — the batch-parallel form of Welford's
+    recurrence (identical result, O(1) scalar ops per chunk)."""
+    import numpy as np
+
+    nb = len(vals)
+    if nb == 0:
+        return n, mean, m2
+    mb = float(vals.mean())
+    m2b = float(np.square(vals - mb).sum())
+    delta = mb - mean
+    tot = n + nb
+    return tot, mean + delta * nb / tot, m2 + m2b + delta * delta * n * nb / tot
+
+
 def running_stats_stateful(
     stream: DataFrame,
     key_col: str = "event_type",
     value_col: str = "value",
 ) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per-key
-    running count/mean/variance maintained with Welford's algorithm —
-    O(1) state per key, exact across micro-batches. Emits the updated
-    stats row per key per batch (the streaming A5/A6 contract)."""
+    running count/mean/variance — O(1) state per key, exact across
+    micro-batches. Emits the updated stats row per key per batch (the
+    streaming A5/A6 contract).
+
+    Per-chunk moments are computed vectorized (numpy ``len``/``mean``/
+    sum-of-squared-deviations over the whole Arrow batch) and merged
+    into the carried ``(n, mean, M2)`` state with Chan's pairwise
+    update — algebraically the batch form of Welford, so results are
+    exact (not approximated) while Python executes O(1) ops per
+    micro-batch chunk instead of O(rows)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -198,11 +221,7 @@ def running_stats_stateful(
     def update(key, pdfs, state: GroupState):
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         for pdf in pdfs:
-            for v in pdf[value_col].astype("float64"):
-                n += 1
-                delta = v - mean
-                mean += delta / n
-                m2 += delta * (v - mean)
+            n, mean, m2 = chan_merge(n, mean, m2, pdf[value_col].to_numpy(dtype="float64"))
         state.update((n, mean, m2))
         yield pd.DataFrame(
             {key_col: [key[0]], "n": [n], "mean": [mean], "var_pop": [m2 / n if n else 0.0]}

@@ -1,0 +1,58 @@
+"""Connected-components duplicate clustering: closure semantics for
+the near-dedup families (transitive chains must not survive)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.graph import (
+    connected_components,
+    duplicate_drop_ids,
+)
+from bigdata_quality_assessment_spark.operators.text import near_dedup_minhash
+
+
+def test_connected_components_chain_and_star(spark):
+    # chain 1-2-3-4-5, star 10-{11,12,13}, singleton edge 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert all(cc[v] == 1 for v in (1, 2, 3, 4, 5))
+    assert all(cc[v] == 10 for v in (10, 11, 12, 13))
+    assert cc[20] == 20 and cc[21] == 20
+
+
+def test_duplicate_drop_ids_transitive_pair(spark):
+    # the verdict's counterexample: edges (1,3),(2,3) — no direct (1,2)
+    # edge, but 2 is in 1's cluster and must be dropped.
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "doc_a BIGINT, doc_b BIGINT")
+    drops = {r["id"] for r in duplicate_drop_ids(pairs).collect()}
+    assert drops == {2, 3}
+
+
+def test_near_dedup_minhash_closes_transitive_chains(spark):
+    # A and C are each near-duplicates of B (each differs from B in a
+    # different token) but farther from each other — a classic chain
+    # where the pairwise rule keeps C. Only the cluster min survives.
+    base = "the quick brown fox jumps over the lazy dog again and again today %s"
+    rows = [
+        (1, base % "alpha alpha alpha"),
+        (2, base % "alpha alpha beta"),   # near 1
+        (3, base % "alpha gamma beta"),   # near 2, farther from 1
+        (4, "completely unrelated text about databases and query engines entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = near_dedup_minhash(
+        docs, k=3, n_hashes=64, bands=32, min_jaccard=0.6, cluster=True
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 4 in kept
+    # whatever the verified edge set is, survivors must be cluster
+    # minima: if 2 and 3 are near and 1 and 2 are near, only 1 survives.
+    assert kept == {1, 4}
+    # pairwise mode on the same corpus leaves the transitive member in
+    pairwise = near_dedup_minhash(
+        docs, k=3, n_hashes=64, bands=32, min_jaccard=0.6, cluster=False
+    )
+    kept_pw = {r["doc_id"] for r in pairwise.collect()}
+    assert kept.issubset(kept_pw)

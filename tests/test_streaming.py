@@ -85,6 +85,33 @@ def test_running_stats_stateful_matches_global(spark, batch_events):
         assert abs(final.loc[k, "var_pop"] - expect.loc[k, "v"]) < 1e-9
 
 
+def test_chan_merge_equals_naive_welford():
+    """The vectorized chunk merge must reproduce per-row Welford exactly
+    (same algebra), for every way the stream is split into batches."""
+    from bigdata_quality_assessment_spark.streaming.aggregates import chan_merge
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(loc=3.0, scale=2.5, size=1000) * 10 + rng.exponential(5, 1000)
+
+    # naive sequential Welford over the full stream
+    n, mean, m2 = 0, 0.0, 0.0
+    for v in vals:
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+
+    for splits in ([1000], [1, 999], [100] * 10, [7, 0, 500, 493], [3, 997]):
+        cn, cmean, cm2 = 0, 0.0, 0.0
+        i = 0
+        for s in splits:
+            cn, cmean, cm2 = chan_merge(cn, cmean, cm2, vals[i : i + s])
+            i += s
+        assert cn == n
+        assert abs(cmean - mean) < 1e-10 * max(1.0, abs(mean))
+        assert abs(cm2 - m2) < 1e-10 * max(1.0, abs(m2))
+
+
 def test_session_windows_batch_stream_parity(spark, batch_events):
     from bigdata_quality_assessment_spark.streaming.aggregates import session_metrics
 
