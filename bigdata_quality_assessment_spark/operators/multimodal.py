@@ -5,12 +5,16 @@ Design: media rides in a ``content BINARY`` column with a sniffed
 ``media_type`` and a parsed header-metadata struct. Everything that can
 be done without a codec is JVM-side Catalyst (magic-byte sniffing, byte
 stats, chunking); codec work (pixel decode, resample, frame extraction)
-is ``mapInPandas`` with Arrow batches — real schema/partitioning/batch
-plumbing, with the codec itself STUBBED: this container ships no
-image/audio libraries, so the decoder parses real container headers
-(PNG IHDR, WAV fmt) and produces a deterministic content-hash-seeded
-feature vector in place of pixels. Swap ``_fake_pixels`` for a PIL/
-ffmpeg call when the libraries exist — the Spark plumbing is unchanged.
+is ``mapInPandas`` with Arrow batches.
+
+The codec itself is REAL for the two formats the stdlib can handle:
+PNG (zlib IDAT inflate + full filter reconstruction → pixel
+statistics) and WAV (PCM 8/16-bit sample decode → signal statistics).
+This container ships no PIL/librosa/ffmpeg, so JPEG/GIF/MP3/WebM fall
+back to header metadata (where parseable) plus a deterministic
+content-hash-seeded feature vector; the ``decoder`` output column says
+which path ran ('png' | 'wav' | 'stub'). Swap ``_fake_pixels`` for a
+PIL/ffmpeg call to extend coverage — the Spark plumbing is unchanged.
 
 Scale notes: content bytes never leave the executors; per-row work is
 O(bytes); the only shuffle anywhere is the optional groupBy in
@@ -86,8 +90,10 @@ def chunk_blob(
     )
 
 
-# ------------------------- header parsers ----------------------------
-# Real container-header parsing (no codec needed): PNG IHDR, WAV fmt.
+# ----------------------- header parsers + codecs ---------------------
+# Real stdlib codecs: PNG (zlib inflate + filter reconstruction) and
+# WAV (PCM sample decode). Header-only parsers remain the fallback for
+# blobs whose pixel/sample data is absent or malformed.
 
 
 def _parse_png_header(b: bytes) -> dict | None:
@@ -105,10 +111,170 @@ def _parse_wav_header(b: bytes) -> dict | None:
     return {"width": None, "height": None, "channels": int(channels), "sample_rate": int(rate)}
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Reverse PNG scanline filtering (types 0-4, PNG spec §9) into an
+    (h, w, ch) uint8 array. Up/None rows are vectorized; Sub/Average/
+    Paeth carry a left-neighbor dependency and run per-sample."""
+    import numpy as np
+
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += stride + 1
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                bb = int(prev[x])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + bb) >> 1
+                else:
+                    c0 = int(prev[x - ch]) if x >= ch else 0
+                    p = a + bb - c0
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c0)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c0)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch).astype(np.uint8)
+
+
+def _decode_png(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
+    """Full PNG decode with stdlib ``zlib``: walk chunks, inflate IDAT,
+    unfilter, emit pixel statistics. Supports 8-bit depth, color types
+    0/2/4/6, non-interlaced — returns None (caller falls back to
+    header-only + stub features) for anything else or on corruption."""
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", b[16:29])
+        if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+            return None
+        ch = _PNG_CHANNELS[color]
+        # chunk walk: 4B len BE, 4B type, data, 4B CRC (CRC not verified —
+        # zlib inflate catches corrupt pixel data, which is what matters)
+        idat = bytearray()
+        pos = 8
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos : pos + 4])
+            ctype = b[pos + 4 : pos + 8]
+            data_end = pos + 8 + length
+            if data_end > len(b):
+                return None
+            if ctype == b"IDAT":
+                idat += b[pos + 8 : data_end]
+            elif ctype == b"IEND":
+                break
+            pos = data_end + 4
+        if not idat:
+            return None
+        px = _png_unfilter(zlib.decompress(bytes(idat)), h, w, ch)
+    except Exception:
+        return None
+    f = px.astype(np.float64) / 255.0
+    if ch >= 3:
+        lum = f[..., :3].mean(axis=2)
+        cr, cg, cb = (float(f[..., i].mean()) for i in range(3))
+    else:
+        lum = f[..., 0]
+        cr = cg = cb = float(lum.mean())
+    grad = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+    feats = [
+        float(lum.mean()), float(lum.std()), float(lum.min()), float(lum.max()),
+        cr, cg, cb, grad,
+    ]
+    meta = {"width": int(w), "height": int(h), "channels": int(ch), "sample_rate": None}
+    return meta, _fit_features(feats, n_features)
+
+
+def _decode_wav(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
+    """Full WAV PCM decode with stdlib ``struct`` + numpy: walk RIFF
+    chunks for ``fmt `` and ``data``, decode 8/16-bit PCM samples,
+    emit signal statistics. Returns None for non-PCM or corruption."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        fmt = data = None
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            chunk = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt " and len(chunk) >= 16:
+                fmt = struct.unpack("<HHIIHH", chunk[:16])
+            elif cid == b"data":
+                data = chunk
+            pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+        if fmt is None or data is None:
+            return None
+        audio_format, channels, rate, _, _, bits = fmt
+        if audio_format != 1 or channels < 1 or bits not in (8, 16):
+            return None
+        if bits == 16:
+            x = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+            x = x.astype(np.float64) / 32768.0
+        else:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        n_frames = len(x) // channels
+        x = x[: n_frames * channels]
+        mono = x.reshape(-1, channels).mean(axis=1) if n_frames else np.zeros(0)
+    except Exception:
+        return None
+    if len(mono):
+        zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+        feats = [
+            (float(mono.mean()) + 1.0) / 2.0,
+            float(np.sqrt(np.mean(mono**2))),
+            float(np.abs(mono).max()),
+            zcr,
+            min(float(mono.std()), 1.0),
+            (float(mono.min()) + 1.0) / 2.0,
+            (float(mono.max()) + 1.0) / 2.0,
+            min(n_frames / rate / 60.0, 1.0) if rate else 0.0,
+        ]
+    else:
+        feats = [0.5, 0.0, 0.0, 0.0, 0.0, 0.5, 0.5, 0.0]
+    meta = {"width": None, "height": None, "channels": int(channels), "sample_rate": int(rate)}
+    return meta, _fit_features(feats, n_features)
+
+
+def _fit_features(feats: list[float], n_features: int) -> list[float]:
+    """Pad (cycling) or truncate a stat vector to the requested width so
+    the Arrow schema stays fixed regardless of codec."""
+    if n_features <= len(feats):
+        return feats[:n_features]
+    return (feats * (n_features // len(feats) + 1))[:n_features]
+
+
 def _fake_pixels(b: bytes, n_features: int = 8) -> list[float]:
-    """STUB decoder: deterministic content-derived feature vector in
-    place of real pixel statistics. Replace with PIL/librosa/ffmpeg
-    when available — signature and batch shape stay identical."""
+    """Fallback feature vector for formats with no stdlib codec
+    (JPEG/GIF/MP3/WebM/raw bytes): deterministic content-hash-seeded
+    uniforms in place of real pixel statistics. Replace with PIL/
+    librosa/ffmpeg when available — signature and batch shape stay
+    identical."""
     import numpy as np
 
     seed = int.from_bytes(b[:8].ljust(8, b"\0"), "big") % (2**32)
@@ -122,11 +288,12 @@ def decode_media(
     id_col: str = "media_id",
     n_features: int = 8,
 ) -> DataFrame:
-    """Decode + feature-extract as ``mapInPandas``: parses REAL headers
-    (PNG dimensions, WAV channels/sample-rate) and emits a
-    deterministic stub feature vector where a codec would emit pixel/
-    sample statistics. One Arrow-batched pass, no shuffle; blobs stay
-    on the executors."""
+    """Decode + feature-extract as ``mapInPandas``. PNG and WAV blobs
+    get a REAL decode (stdlib zlib inflate + filter reconstruction /
+    PCM sample decode) → pixel/signal statistics; other formats fall
+    back to header metadata + a deterministic stub vector (``decoder``
+    column records which path ran). One Arrow-batched pass, no shuffle;
+    blobs stay on the executors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,22 +304,34 @@ def decode_media(
                 "channels": [],
                 "sample_rate": [],
                 "features": [],
+                "decoder": [],
             }
             for blob in pdf[content_col]:
                 b = bytes(blob) if blob is not None else b""
-                meta = _parse_png_header(b) or _parse_wav_header(b) or {
-                    "width": None, "height": None, "channels": None, "sample_rate": None
-                }
+                decoded = _decode_png(b, n_features)
+                which = "png"
+                if decoded is None:
+                    decoded = _decode_wav(b, n_features)
+                    which = "wav"
+                if decoded is not None:
+                    meta, feats = decoded
+                else:
+                    which = "stub"
+                    meta = _parse_png_header(b) or _parse_wav_header(b) or {
+                        "width": None, "height": None, "channels": None, "sample_rate": None
+                    }
+                    feats = _fake_pixels(b, n_features)
                 out["width"].append(meta["width"])
                 out["height"].append(meta["height"])
                 out["channels"].append(meta["channels"])
                 out["sample_rate"].append(meta["sample_rate"])
-                out["features"].append(_fake_pixels(b, n_features))
+                out["features"].append(feats)
+                out["decoder"].append(which)
             yield pd.DataFrame(out)
 
     schema = (
         f"{id_col} BIGINT, width INT, height INT, channels INT, "
-        "sample_rate INT, features ARRAY<DOUBLE>"
+        "sample_rate INT, features ARRAY<DOUBLE>, decoder STRING"
     )
     return media.select(id_col, content_col).mapInPandas(run, schema)
 

@@ -105,3 +105,147 @@ def test_media_summary(media):
     assert classes[(640, 480, None, None)] == 1
     assert classes[(None, None, 2, 44100)] == 1
     assert classes[(None, None, None, None)] == 2  # octet-stream + jpeg (no parser)
+
+
+# --------------------- real stdlib codec tests -----------------------
+# Valid PNGs (zlib IDAT, every filter type) and PCM WAVs with known
+# pixel/sample content, checked against numpy-computed statistics.
+
+import zlib
+
+import numpy as np
+
+from bigdata_quality_assessment_spark.operators.multimodal import (
+    _decode_png,
+    _decode_wav,
+)
+
+
+def _real_png(px: "np.ndarray", color: int, filters=None) -> bytes:
+    """Encode an (h, w, ch) uint8 array as a real PNG using the given
+    per-row filter types (default all-0/None)."""
+    h, w, ch = px.shape
+    stride = w * ch
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ft in enumerate(filters):
+        line = px[y].reshape(-1).astype(np.int32)
+        raw.append(ft)
+        if ft == 0:
+            enc = line
+        elif ft == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
+            enc = (line - left) & 0xFF
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes(int(v) for v in enc)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_wav(samples: "np.ndarray", channels: int, rate: int) -> bytes:
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * channels * 2, channels * 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def test_png_codec_all_filters_roundtrip():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        meta, feats = _decode_png(_real_png(px, color=2, filters=filters), 8)
+        assert (meta["width"], meta["height"], meta["channels"]) == (4, 5, 3)
+        f = px.astype(np.float64) / 255.0
+        lum = f.mean(axis=2)
+        assert feats[0] == pytest.approx(float(lum.mean()), abs=1e-12)
+        assert feats[1] == pytest.approx(float(lum.std()), abs=1e-12)
+        assert feats[4] == pytest.approx(float(f[..., 0].mean()), abs=1e-12)
+
+
+def test_png_codec_grayscale_and_alpha():
+    gray = np.full((3, 3, 1), 100, dtype=np.uint8)
+    meta, feats = _decode_png(_real_png(gray, color=0), 8)
+    assert meta["channels"] == 1
+    assert feats[0] == pytest.approx(100 / 255.0)
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    meta, feats = _decode_png(_real_png(rgba, color=6), 8)
+    assert meta["channels"] == 4 and feats[0] == 0.0
+
+
+def test_png_codec_rejects_garbage():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _real_png(px, color=2)
+    assert _decode_png(good[:40], 8) is None  # truncated
+    assert _decode_png(b"\x89PNG\r\n\x1a\n" + bytes(60), 8) is None  # no IDAT
+    corrupt = good.replace(b"IDAT", b"IDAT", 1)[:-20] + bytes(20)  # bad deflate tail
+    assert _decode_png(corrupt[:len(good) - 25], 8) is None
+
+
+def test_wav_codec_sine_statistics():
+    rate = 8000
+    t = np.arange(rate) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    meta, feats = _decode_wav(_real_wav(sine, 1, rate), 8)
+    assert meta["channels"] == 1 and meta["sample_rate"] == rate
+    assert feats[1] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)  # rms
+    assert feats[2] == pytest.approx(0.5, abs=1e-3)  # peak
+    assert feats[3] == pytest.approx(2 * 440 / rate, rel=0.05)  # zcr
+
+
+def test_wav_codec_stereo_mixdown():
+    left = np.full(100, 0.25)
+    right = np.full(100, -0.25)
+    inter = np.empty(200)
+    inter[0::2], inter[1::2] = left, right
+    meta, feats = _decode_wav(_real_wav(inter, 2, 16000), 8)
+    assert meta["channels"] == 2
+    assert feats[0] == pytest.approx(0.5, abs=1e-3)  # mono mean ~0 → (0+1)/2
+    assert feats[1] == pytest.approx(0.0, abs=1e-3)  # mixdown cancels
+
+
+def test_decode_media_real_path_marked(spark):
+    px = np.full((4, 4, 3), 200, dtype=np.uint8)
+    rows = [
+        (0, _real_png(px, color=2)),
+        (1, _real_wav(np.zeros(64), 1, 8000)),
+        (2, _png(640, 480)),  # header-only PNG → stub fallback
+        (3, b"\x00raw"),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[0]["decoder"] == "png" and got[0]["features"][0] == pytest.approx(200 / 255.0)
+    assert got[1]["decoder"] == "wav" and got[1]["sample_rate"] == 8000
+    assert got[2]["decoder"] == "stub" and got[2]["width"] == 640
+    assert got[3]["decoder"] == "stub"
