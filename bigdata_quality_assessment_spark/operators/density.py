@@ -149,7 +149,7 @@ def scott_bandwidth(df: DataFrame, col: str) -> DataFrame:
 def kde_1d(
     df: DataFrame,
     col: str,
-    bw: float | DataFrame,
+    bw: float | str | DataFrame,
     ngrid: int = 1024,
     lo: float | None = None,
     hi: float | None = None,
@@ -180,12 +180,18 @@ def kde_1d(
     ``bw`` may be a one-row DataFrame with column ``bw`` (e.g. from
     ``scott_bandwidth``) — it rides the broadcast bounds frame, so
     auto-bandwidth stays lazy (the reference's default path,
-    core/utils.py:108-119). ``bounds`` may be a one-row frame with
+    core/utils.py:108-119) — or the string ``"scott"`` as shorthand
+    for ``scott_bandwidth(df, col)``. ``bounds`` may be a one-row frame with
     columns ``lo``/``hi`` to share an externally-derived evaluation
     range (A13 rebuilds it per iteration from the joint pred+truth
     data range, BigDataQualityAssessment_ActiveSampling.py:201-205).
     """
     spark = df.sparkSession
+
+    if isinstance(bw, str):
+        if bw != "scott":
+            raise ValueError(f"bw must be a float, DataFrame, or 'scott'; got {bw!r}")
+        bw = scott_bandwidth(df, col)
 
     if bounds is not None:
         bounds = bounds.select(
@@ -292,7 +298,7 @@ def kde_1d_pair(
     df: DataFrame,
     col_a: str,
     col_b: str,
-    bw: float,
+    bw: float | str | DataFrame,
     ngrid: int = 1024,
     bounds: DataFrame | None = None,
     pad: float = 0.01,
@@ -303,120 +309,35 @@ def kde_1d_pair(
     shared grid (BigDataQualityAssessment_ActiveSampling.py:199-207).
 
     ``kde_1d`` twice costs two full passes over the pool (two scans,
-    two ≤ngrid-key shuffles). Here each row emits its four (tag, node,
-    weight) linear-binning contributions in a single projection and one
-    ``groupBy(tag, node)`` bins both series; the per-series grids are
-    filters of that one aggregate, so when both feed one job (A13's
-    interp→trapz) the exchange is planned once and REUSED — verified by
-    a plan assertion in tests/test_density.py. At 100 TB this halves
-    the per-iteration metric cost of the §3.1 loop.
+    two ≤ngrid-key shuffles); fused, both series bin in one tagged
+    pass — see ``kde_1d_multi``, of which this is the two-series
+    special case (shared joint-range grid, no predicates). The
+    single-exchange contract is pinned by a plan assertion in
+    tests/test_density.py. At 100 TB this halves the per-iteration
+    metric cost of the §3.1 loop.
+
+    ``bw``: float, ``"scott"`` (per-series Scott auto-bandwidth, folded
+    into the same one-row aggregate as bounds derivation — no extra
+    pass; the reference's default, core/utils.py:108-119), or a
+    one-row ``bw`` frame shared by both series.
 
     ``bounds``: optional one-row ``lo``/``hi`` frame (the loop passes
     the joint pred+truth range); defaults to the joint range of the two
     columns padded ``pad``, derived lazily like ``kde_1d``.
     """
-    spark = df.sparkSession
-
-    if bounds is not None:
-        b = bounds.select(
-            F.col("lo").cast("double").alias("__lo"),
-            F.col("hi").cast("double").alias("__hi"),
-        )
-    else:
-        raw = df.agg(
-            F.least(F.min(col_a), F.min(col_b)).cast("double").alias("__mn"),
-            F.greatest(F.max(col_a), F.max(col_b)).cast("double").alias("__mx"),
-        )
-        span = F.when(
-            F.col("__mx") - F.col("__mn") > 0, F.col("__mx") - F.col("__mn")
-        ).otherwise(F.lit(1.0))
-        b = raw.select(
-            (F.col("__mn") - pad * span).alias("__lo"),
-            (F.col("__mx") + pad * span).alias("__hi"),
-        )
-    b = b.withColumn("__dx", (F.col("__hi") - F.col("__lo")) / (ngrid - 1)).withColumn(
-        "__bw", F.lit(float(bw))
+    shared: dict = (
+        {"range_cols": [col_a, col_b]} if bounds is None else {"bounds": bounds}
     )
-
-    def _contribs(col: str, tag: str) -> F.Column:
-        pos = (F.col(col) - F.col("__lo")) / F.col("__dx")
-        node0 = F.floor(pos).cast("int")
-        frac = pos - F.floor(pos)
-        return F.array(
-            F.struct(
-                F.lit(tag).alias("tag"),
-                node0.alias("node"),
-                (1.0 - frac).alias("bw_"),
-            ),
-            F.struct(
-                F.lit(tag).alias("tag"),
-                (node0 + 1).alias("node"),
-                frac.alias("bw_"),
-            ),
-        )
-
-    contrib = (
-        df.crossJoin(F.broadcast(b))
-        .select(
-            F.explode(
-                F.concat(_contribs(col_a, "a"), _contribs(col_b, "b"))
-            ).alias("c"),
-            "__lo",
-            "__dx",
-            "__bw",
-        )
-        .filter(F.col("c.bw_").isNotNull())
-        .select(
-            F.col("c.tag").alias("tag"),
-            F.least(F.greatest(F.col("c.node"), F.lit(0)), F.lit(ngrid - 1)).alias(
-                "node"
-            ),
-            F.col("c.bw_").alias("w"),
-            "__lo",
-            "__dx",
-            "__bw",
-        )
+    grids = kde_1d_multi(
+        df,
+        [
+            {"tag": "a", "col": col_a, "bw": bw, **shared},
+            {"tag": "b", "col": col_b, "bw": bw, **shared},
+        ],
+        ngrid=ngrid,
+        pad=pad,
     )
-    binned = contrib.groupBy("tag", "node").agg(
-        F.sum("w").alias("w"),
-        F.first("__lo").alias("__lo"),
-        F.first("__dx").alias("__dx"),
-        F.first("__bw").alias("__bw"),
-    )
-    # LAZY barrier on the ≤2·ngrid-row binned frame — REQUIRED for the
-    # one-scan contract: the per-series ``filter(tag=…)`` would
-    # otherwise push BELOW the aggregate into two separate scans of the
-    # source (verified: two `Exchange hashpartitioning(tag, node)`
-    # subtrees, zero reuse). Behind the barrier both convolutions read
-    # the same stored binning; the scan runs once per action, period.
-    binned = binned.localCheckpoint(eager=False)
-
-    grid = spark.range(ngrid).select(F.col("id").cast("int").alias("eval_node"))
-    norm_const = 1.0 / (F.col("__bw") * math.sqrt(2.0 * math.pi))
-    kernel = F.exp(
-        -0.5
-        * F.pow((F.col("eval_node") - F.col("node")) * F.col("__dx") / F.col("__bw"), 2)
-    ) * norm_const
-
-    def _convolve(tag: str) -> DataFrame:
-        one = binned.filter(F.col("tag") == tag).drop("tag")
-        return (
-            grid.join(F.broadcast(one), F.lit(True))
-            .groupBy("eval_node")
-            .agg(
-                F.sum(kernel * F.col("w")).alias("kw_sum"),
-                F.sum("w").alias("w_tot"),
-                F.first("__lo").alias("__lo"),
-                F.first("__dx").alias("__dx"),
-            )
-            .select(
-                F.col("eval_node").alias("node"),
-                (F.col("__lo") + F.col("eval_node") * F.col("__dx")).alias("grid_x"),
-                (F.col("kw_sum") / F.col("w_tot")).alias("pdf"),
-            )
-        )
-
-    return _convolve("a"), _convolve("b")
+    return grids["a"], grids["b"]
 
 
 def kde_1d_multi(
@@ -442,7 +363,15 @@ def kde_1d_multi(
     ``specs``: ordered list of dicts with keys
       * ``tag`` (str, unique) — names the output grid;
       * ``col`` (str) — the value column to density-estimate;
-      * ``bw`` (float) — Gaussian kernel bandwidth;
+      * ``bw`` (float | ``"scott"`` | DataFrame) — Gaussian kernel
+        bandwidth. ``"scott"`` computes the per-series Scott
+        auto-bandwidth ``n^(-1/5)·σ`` (sample std, 1.0 degenerate
+        floor — ``scott_bandwidth``'s exact rule, the reference's
+        default, core/utils.py:108-119) over this series'
+        predicate-filtered non-null rows, FOLDED into the same
+        one-row aggregate that derives grid bounds — auto-bandwidth
+        costs no extra pass. A one-row ``bw`` frame rides the
+        broadcast lazily like external bounds;
       * ``where`` (Column, optional) — row predicate restricting this
         series (rows failing it contribute nothing, exactly as if the
         frame were pre-filtered);
@@ -468,8 +397,14 @@ def kde_1d_multi(
         return F.when(w, F.col(c)) if w is not None else F.col(c)
 
     internal = [s for s in specs if s.get("bounds") is None]
+    scott = [s for s in specs if isinstance(s.get("bw"), str)]
+    for s in scott:
+        if s["bw"] != "scott":
+            raise ValueError(
+                f"bw must be a float, DataFrame, or 'scott'; got {s['bw']!r}"
+            )
     b: DataFrame | None = None
-    if internal:
+    if internal or scott:
         agg_exprs = []
         for s in internal:
             t = s["tag"]
@@ -482,6 +417,10 @@ def kde_1d_multi(
             agg_exprs.append(
                 (maxs[0] if len(maxs) == 1 else F.greatest(*maxs)).alias(f"__mx_{t}")
             )
+        for s in scott:
+            t = s["tag"]
+            agg_exprs.append(F.count(_masked(s, s["col"])).alias(f"__n_{t}"))
+            agg_exprs.append(F.stddev_samp(_masked(s, s["col"])).alias(f"__sd_{t}"))
         sel = []
         for s in internal:
             t = s["tag"]
@@ -491,6 +430,16 @@ def kde_1d_multi(
             ).otherwise(F.lit(1.0))
             sel.append((F.col(f"__mn_{t}") - pad * span).alias(f"__lo_{t}"))
             sel.append((F.col(f"__mx_{t}") + pad * span).alias(f"__hi_{t}"))
+        for s in scott:
+            t = s["tag"]
+            raw = F.pow(F.col(f"__n_{t}").cast("double"), F.lit(-0.2)) * F.col(
+                f"__sd_{t}"
+            )
+            sel.append(
+                F.when(F.coalesce(raw, F.lit(0.0)) >= 1e-8, raw)
+                .otherwise(F.lit(1.0))
+                .alias(f"__bw_{t}")
+            )
         b = df.agg(*agg_exprs).select(*sel)
     for s in specs:
         if s.get("bounds") is None:
@@ -501,6 +450,13 @@ def kde_1d_multi(
             F.col("hi").cast("double").alias(f"__hi_{t}"),
         )
         b = eb if b is None else b.crossJoin(F.broadcast(eb))
+    for s in specs:
+        t = s["tag"]
+        if isinstance(s["bw"], DataFrame):
+            ebw = s["bw"].select(F.col("bw").cast("double").alias(f"__bw_{t}"))
+            b = ebw if b is None else b.crossJoin(F.broadcast(ebw))
+        elif not isinstance(s["bw"], str):
+            b = b.withColumn(f"__bw_{t}", F.lit(float(s["bw"])))
     for t in tags:
         b = b.withColumn(
             f"__dx_{t}", (F.col(f"__hi_{t}") - F.col(f"__lo_{t}")) / (ngrid - 1)
@@ -509,7 +465,6 @@ def kde_1d_multi(
     arrays = []
     for s in specs:
         t = s["tag"]
-        kbw = float(s["bw"])
         pos = (F.col(s["col"]) - F.col(f"__lo_{t}")) / F.col(f"__dx_{t}")
         node0 = F.floor(pos).cast("int")
         frac = pos - F.floor(pos)
@@ -518,14 +473,14 @@ def kde_1d_multi(
         if s.get("where") is not None:
             w0, w1 = F.when(s["where"], w0), F.when(s["where"], w1)
 
-        def _mk(node: Column, w: Column, t: str = t, kbw: float = kbw) -> Column:
+        def _mk(node: Column, w: Column, t: str = t) -> Column:
             return F.struct(
                 F.lit(t).alias("tag"),
                 node.alias("node"),
                 w.alias("w"),
                 F.col(f"__lo_{t}").alias("lo"),
                 F.col(f"__dx_{t}").alias("dx"),
-                F.lit(kbw).alias("kbw"),
+                F.col(f"__bw_{t}").alias("kbw"),
             )
 
         arrays.append(F.array(_mk(node0, w0), _mk(node0 + 1, w1)))

@@ -54,7 +54,6 @@ from bigdata_quality_assessment_spark.operators.density import (
     kde_1d,
     log_pdf_error,
     minmax,
-    scott_bandwidth,
     trapz,
 )
 from bigdata_quality_assessment_spark.operators.models import (
@@ -759,16 +758,25 @@ _SCOTT_BW_SQL = """SELECT CASE WHEN COALESCE(pow(CAST(count(*) AS DOUBLE), -0.2)
 def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 three ways: fixed-bandwidth KDE, weighted KDE
     (``weights=fx``, core/likelihood.py:51), and Scott's-rule
-    auto-bandwidth (the reference's default, core/utils.py:108-119) —
-    the bandwidth frame rides the lazy broadcast bounds, so the
-    composite is still collect-free."""
+    auto-bandwidth (the reference's default, core/utils.py:108-119).
+    The fixed and scott series share one FUSED tagged pass over events
+    (``kde_1d_multi`` — auto-bw folds into the binning aggregate, so
+    the pair costs one scan), and the whole composite is collect-free."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
     ev = _t(spark, sf_dir, "events")
     li = _t(spark, sf_dir, "lineitem").withColumn("w", F.col("l_extendedprice") / 1000.0)
-    k1 = kde_1d(ev, "value", bw=20.0, ngrid=128, lo=0.0, hi=500.0)
-    k2 = kde_1d(li, "l_quantity", bw=2.0, ngrid=64, lo=0.0, hi=52.0, weight_col="w")
-    k3 = kde_1d(
-        ev, "value", bw=scott_bandwidth(ev, "value"), ngrid=128, lo=0.0, hi=500.0
+    b = spark.range(1).select(F.lit(0.0).alias("lo"), F.lit(500.0).alias("hi"))
+    ev_grids = kde_1d_multi(
+        ev,
+        [
+            {"tag": "fixed", "col": "value", "bw": 20.0, "bounds": b},
+            {"tag": "scott", "col": "value", "bw": "scott", "bounds": b},
+        ],
+        ngrid=128,
     )
+    k1, k3 = ev_grids["fixed"], ev_grids["scott"]
+    k2 = kde_1d(li, "l_quantity", bw=2.0, ngrid=64, lo=0.0, hi=52.0, weight_col="w")
     frames = [
         k.select(
             F.lit(tag).alias("kde"),

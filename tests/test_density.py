@@ -312,3 +312,85 @@ def test_kde_multi_shared_range_cols_single_pass(spark, vdf):
     joint.first()
     plan = joint._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(tag" not in plan, plan
+
+
+def test_kde_pair_scott_matches_kde_1d_auto_bw(spark, vdf):
+    """bw='scott' in the fused pair must equal kde_1d with the
+    scott_bandwidth frame, per series (the reference's default KDE
+    path, now available fused)."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_pair
+
+    two = vdf.withColumn("z", F.col("y") * 0.5 + 1.0)
+    b = spark.range(1).select(F.lit(-3.0).alias("lo"), F.lit(6.0).alias("hi"))
+    ga, gb = kde_1d_pair(two, "y", "z", bw="scott", ngrid=64, bounds=b)
+    ra = (
+        kde_1d(two, "y", bw=scott_bandwidth(two, "y"), ngrid=64, bounds=b)
+        .orderBy("node")
+        .collect()
+    )
+    rb = (
+        kde_1d(two, "z", bw=scott_bandwidth(two, "z"), ngrid=64, bounds=b)
+        .orderBy("node")
+        .collect()
+    )
+    pa = ga.orderBy("node").collect()
+    pb = gb.orderBy("node").collect()
+    assert np.allclose([r["pdf"] for r in pa], [r["pdf"] for r in ra], atol=1e-12)
+    assert np.allclose([r["pdf"] for r in pb], [r["pdf"] for r in rb], atol=1e-12)
+
+
+def test_kde_multi_scott_with_where_matches_prefiltered(spark, vdf):
+    """Scott auto-bw in a where-spec must use the FILTERED series'
+    n and σ — equal to kde_1d + scott_bandwidth on the pre-filtered
+    frame."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
+    pred = F.col("y") > 0.5
+    sub = vdf.filter(pred)
+    grids = kde_1d_multi(
+        vdf, [{"tag": "p", "col": "y", "bw": "scott", "where": pred}], ngrid=64
+    )
+    ref = (
+        kde_1d(sub, "y", bw=scott_bandwidth(sub, "y"), ngrid=64)
+        .orderBy("node")
+        .collect()
+    )
+    got = grids["p"].orderBy("node").collect()
+    assert np.allclose([r["pdf"] for r in got], [r["pdf"] for r in ref], atol=1e-12)
+    assert np.allclose([r["grid_x"] for r in got], [r["grid_x"] for r in ref], atol=1e-12)
+
+
+def test_kde_multi_dataframe_bw_rides_broadcast(spark, vdf):
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
+    bwf = scott_bandwidth(vdf, "y")
+    grids = kde_1d_multi(vdf, [{"tag": "a", "col": "y", "bw": bwf}], ngrid=64)
+    ref = kde_1d(vdf, "y", bw=bwf, ngrid=64).orderBy("node").collect()
+    got = grids["a"].orderBy("node").collect()
+    assert np.allclose([r["pdf"] for r in got], [r["pdf"] for r in ref], atol=1e-12)
+
+
+def test_kde_multi_scott_single_scan(spark, vdf):
+    """Auto-bw must fold into the bounds aggregate: the consuming
+    plan still has no (tag, node) exchange, and degenerate data hits
+    the 1.0 floor without erroring."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
+    two = vdf.withColumn("z", F.col("y") * 0.5 + 1.0)
+    grids = kde_1d_multi(
+        two,
+        [
+            {"tag": "pred", "col": "y", "bw": "scott", "range_cols": ["y", "z"]},
+            {"tag": "truth", "col": "z", "bw": "scott", "range_cols": ["y", "z"]},
+        ],
+        ngrid=64,
+    )
+    joint = log_pdf_error(grids["pred"], grids["truth"])
+    joint.first()
+    plan = joint._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(tag" not in plan, plan
+    # degenerate series → bw floor 1.0, finite pdf
+    one = spark.range(5).select(F.lit(2.0).alias("y"))
+    g = kde_1d_multi(one, [{"tag": "d", "col": "y", "bw": "scott"}], ngrid=16)
+    vals = [r["pdf"] for r in g["d"].collect()]
+    assert all(np.isfinite(vals))
