@@ -1202,12 +1202,83 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x_exact_dedup",
-    """SELECT doc_id, lang, source FROM documents
-       QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
+    """WITH surv AS (
+         SELECT 'survivor' AS part, doc_id, lang, source,
+                CAST(NULL AS BIGINT) AS component
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+       ),
+       seq AS (
+         SELECT doc_id, lang, n_chars,
+                lag(doc_id) OVER w AS prev_id, lag(n_chars) OVER w AS prev_len
+         FROM documents WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+       ),
+       brk AS (
+         SELECT doc_id, lang,
+                CASE WHEN prev_id IS NULL OR abs(n_chars - prev_len) > 5
+                     THEN 1 ELSE 0 END AS is_break,
+                n_chars
+         FROM seq
+       ),
+       isl AS (
+         SELECT doc_id, lang,
+                sum(is_break) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS grp
+         FROM brk
+       ),
+       comp AS (
+         SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY lang, grp) AS component,
+                count(*) OVER (PARTITION BY lang, grp) AS sz
+         FROM isl
+       )
+       SELECT * FROM surv
+       UNION ALL
+       SELECT 'closure', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), component
+       FROM comp WHERE sz > 1""",
 )
 def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style exact dedup PLUS the connected-components duplicate
+    closure (operators/graph.py) in one tagged frame.
+
+    The ``closure`` part builds a deterministic chain-shaped duplicate
+    graph — an edge links each doc to its predecessor in the
+    (lang, n_chars, doc_id) order whenever the length gap is ≤ 5 — and
+    labels every edged doc with the min id of its connected component
+    via the REAL iterative min-propagation operator. Chains reach ~40
+    docs, so the oracle (gaps-and-islands per-run min in SQL) only
+    matches if transitive closure actually propagates end-to-end;
+    pointer jumping closes them in O(log chain) rounds."""
+    from pyspark.sql import Window
+
+    from bigdata_quality_assessment_spark.operators.graph import connected_components
+
     docs = _t(spark, sf_dir, "documents")
-    return exact_dedup(docs).select("doc_id", "lang", "source")
+    surv = exact_dedup(docs).select(
+        F.lit("survivor").alias("part"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("bigint").alias("component"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    seq = docs.select(
+        "doc_id",
+        "n_chars",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("n_chars").over(w).alias("prev_len"),
+    )
+    edges = seq.filter(
+        F.col("prev_id").isNotNull()
+        & (F.abs(F.col("n_chars") - F.col("prev_len")) <= 5)
+    ).select(F.col("prev_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    closure = connected_components(edges).select(
+        F.lit("closure").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        "component",
+    )
+    return surv.unionByName(closure)
 
 
 @_register(

@@ -56,3 +56,39 @@ def test_near_dedup_minhash_closes_transitive_chains(spark):
     )
     kept_pw = {r["doc_id"] for r in pairwise.collect()}
     assert kept.issubset(kept_pw)
+
+
+def test_cc_single_and_iterative_agree(spark):
+    # random-ish graph incl. a long chain (pointer-jump stress), dup
+    # edges, and self-contained stars; both tiers must agree exactly.
+    edges = [(i, i + 1) for i in range(100, 140)]  # 41-node chain
+    edges += [(200, 201), (201, 202), (200, 202), (200, 201)]  # triangle + dup
+    edges += [(7, 3), (3, 9), (9, 5), (5, 7)]  # cycle, min inside
+    pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    single = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, strategy="single").collect()
+    }
+    iterative = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, strategy="iterative").collect()
+    }
+    assert single == iterative
+    comp = dict(single)
+    assert all(comp[v] == 100 for v in range(100, 141))
+    assert comp[202] == 200
+    assert comp[7] == 3 and comp[5] == 3 and comp[9] == 3
+
+
+def test_cc_auto_threshold_switch(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a BIGINT, doc_b BIGINT")
+    # tiny threshold forces the iterative tier through the auto path
+    forced = connected_components(pairs, small_edge_threshold=1)
+    assert {r["component"] for r in forced.collect()} == {1}
+    auto = connected_components(pairs)  # default: single-task tier
+    assert {r["component"] for r in auto.collect()} == {1}
+
+
+def test_cc_empty_edges(spark):
+    pairs = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+    assert connected_components(pairs).count() == 0
