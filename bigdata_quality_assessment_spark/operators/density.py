@@ -375,6 +375,10 @@ def kde_1d_multi(
       * ``where`` (Column, optional) — row predicate restricting this
         series (rows failing it contribute nothing, exactly as if the
         frame were pre-filtered);
+      * ``weight_col`` (str, optional) — per-row weight column for this
+        series (the reference's ``weights=fx`` path,
+        core/likelihood.py:51), applied to both linear-binning
+        contributions;
       * ``range_cols`` (list[str], optional, default ``[col]``) —
         columns whose (predicate-filtered) joint min/max define this
         series' grid bounds, padded ``pad`` per side (giving two specs
@@ -470,6 +474,8 @@ def kde_1d_multi(
         frac = pos - F.floor(pos)
         w0: Column = 1.0 - frac
         w1: Column = frac
+        if s.get("weight_col"):
+            w0, w1 = w0 * F.col(s["weight_col"]), w1 * F.col(s["weight_col"])
         if s.get("where") is not None:
             w0, w1 = F.when(s["where"], w0), F.when(s["where"], w1)
 

@@ -394,3 +394,21 @@ def test_kde_multi_scott_single_scan(spark, vdf):
     g = kde_1d_multi(one, [{"tag": "d", "col": "y", "bw": "scott"}], ngrid=16)
     vals = [r["pdf"] for r in g["d"].collect()]
     assert all(np.isfinite(vals))
+
+
+def test_kde_multi_weight_col_matches_kde_1d(spark, vdf):
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
+    wdf = vdf.withColumn("wt", F.abs(F.col("y")) + 0.1)
+    b = spark.range(1).select(F.lit(-3.0).alias("lo"), F.lit(6.0).alias("hi"))
+    grids = kde_1d_multi(
+        wdf, [{"tag": "w", "col": "y", "bw": 0.4, "weight_col": "wt", "bounds": b}],
+        ngrid=64,
+    )
+    ref = (
+        kde_1d(wdf, "y", bw=0.4, ngrid=64, bounds=b, weight_col="wt")
+        .orderBy("node")
+        .collect()
+    )
+    got = grids["w"].orderBy("node").collect()
+    assert np.allclose([r["pdf"] for r in got], [r["pdf"] for r in ref], atol=1e-12)
