@@ -13,15 +13,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-# The driver's events.parquet stores ts as TIMESTAMP(NANOS), which the
-# Spark 4 parquet reader rejects by default (PARQUET_TYPE_ILLEGAL —
-# Spark has no nanosecond timestamp type). The sanctioned escape hatch
-# is `spark.sql.legacy.parquet.nanosAsLong=true`, which reads the
-# column as epoch-nanoseconds BIGINT; `load_table` sets it and exposes
-# `ts` as LongType nanos (callers convert to TimestampType via
-# timestamp_micros(ts div 1000) when they need event-time semantics —
-# see streaming/aggregates.py). Fallback schema (conf unavailable)
-# omits ts; every batch operator keys on event_id order.
+# events.ts is normalized to epoch-nanoseconds BIGINT REGARDLESS of
+# the parquet storage type — the driver has generated it both as
+# TIMESTAMP(NANOS) (round 3) and timestamp[us] (round 4), and every
+# downstream operator (streaming event time, as-of, rollup) keys on
+# the epoch-nanos invariant:
+#   * timestamp[us/ms] → native TimestampType read, projected through
+#     `unix_micros(ts) * 1000` (exact, no precision loss);
+#   * TIMESTAMP(NANOS) → rejected by the Spark 4 reader by default
+#     (PARQUET_TYPE_ILLEGAL; Spark has no nanosecond timestamp type);
+#     the sanctioned escape hatch `spark.sql.legacy.parquet
+#     .nanosAsLong=true` reads it as epoch-nanos BIGINT directly.
+# Fallback schema (neither read works) omits ts; every batch operator
+# keys on event_id order.
 EVENTS_TS_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 EVENTS_FALLBACK_SCHEMA = T.StructType(
@@ -68,12 +72,37 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        try:
-            spark.conf.set(EVENTS_TS_NANOS_CONF, "true")
-            return spark.read.schema(EVENTS_SCHEMA).parquet(path)
-        except Exception:
-            return spark.read.schema(EVENTS_FALLBACK_SCHEMA).parquet(path)
+        return _load_events(spark, path)
     return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read events with ``ts`` normalized to epoch-nanos BIGINT (see
+    module comment: the driver has shipped both timestamp[us] and
+    TIMESTAMP(NANOS) storage)."""
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            return df.select(
+                "event_id",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        if isinstance(ts_type, T.LongType):
+            return df.select([f.name for f in EVENTS_SCHEMA])
+    except Exception:
+        pass
+    try:
+        spark.conf.set(EVENTS_TS_NANOS_CONF, "true")
+        return spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    except Exception:
+        return spark.read.schema(EVENTS_FALLBACK_SCHEMA).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

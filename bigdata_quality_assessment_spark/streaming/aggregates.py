@@ -58,13 +58,19 @@ def stage_stream_source(
     nanosAsLong reader (ts → plain BIGINT) mirrors a real ingest zone.
     Idempotent per sf_dir; the tag is versioned on the landed schema."""
     import hashlib
+    import os
 
     from bigdata_quality_assessment_spark.sources.tables import load_table
 
-    tag = hashlib.md5(f"{sf_dir}:ts_ns".encode()).hexdigest()[:8]
+    # tag on the SOURCE file identity too: the driver regenerates the
+    # testdata between rounds (and has changed ts storage type before);
+    # a stale landing dir must not survive that.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}:ts_ns:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
     path = f"{staging_root}/events_{tag}"
-    import os
-
     if not os.path.exists(f"{path}/_SUCCESS"):
         load_table(spark, "events", sf_dir).write.mode("overwrite").parquet(path)
     return path

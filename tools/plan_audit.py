@@ -173,6 +173,31 @@ def main() -> int:
     if "CartesianProduct" in asof_plan or "BroadcastNestedLoopJoin" in asof_plan:
         bad.append("asof join degenerated to product")
 
+    # media decode: ONE Arrow pass, blobs never leave the executors —
+    # any Exchange in this plan means content bytes are shuffling
+    from bigdata_quality_assessment_spark.operators.multimodal import decode_media
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    dec = decode_media(media)
+    bad += audit("decode_media", dec)
+    dec_plan = dec._sc._jvm.PythonSQLUtils.explainString(
+        dec._jdf.queryExecution(), "formatted"
+    )
+    if "Exchange" in dec_plan:
+        bad.append("decode_media shuffles blobs")
+
+    # near-dedup with cluster closure: the corpus-sized anti-join must
+    # stay broadcast; the closure's single-partition hop is sanctioned
+    # ONLY because it moves the duplicates-only edge list (threshold-
+    # bounded in operators/graph.py), never documents
+    from bigdata_quality_assessment_spark.operators.text import near_dedup_minhash
+
+    nd = near_dedup_minhash(docs, k=3, n_hashes=32, bands=8, min_jaccard=0.7)
+    bad += audit(
+        "near_dedup_minhash_cluster", nd, allow=("Exchange SinglePartition",)
+    )
     # rollup: Expand + single aggregation, no re-scan per level
     roll = time_rollup(ev.withColumn("ts", F.col("ts") * 1000), "ts", "value")
     roll_plan = roll._sc._jvm.PythonSQLUtils.explainString(
