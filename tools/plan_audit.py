@@ -165,9 +165,10 @@ def main() -> int:
     )
     asof = asof_join(clicks, buys, on=["user_id"], ts_col="ts")
     bad += audit("asof_join", asof)
-    asof_plan = asof._sc._jvm.PythonSQLUtils.explainString(
-        asof._jdf.queryExecution(), "formatted"
-    )
+    # count structural nodes on the simple plan string (formatted mode
+    # separates node names from their arguments, breaking substring
+    # counts)
+    asof_plan = asof._jdf.queryExecution().executedPlan().toString()
     if asof_plan.count("Exchange hashpartitioning") != 1:
         bad.append("asof join != exactly one hash exchange")
     if "CartesianProduct" in asof_plan or "BroadcastNestedLoopJoin" in asof_plan:
@@ -200,11 +201,9 @@ def main() -> int:
     )
     # rollup: Expand + single aggregation, no re-scan per level
     roll = time_rollup(ev.withColumn("ts", F.col("ts") * 1000), "ts", "value")
-    roll_plan = roll._sc._jvm.PythonSQLUtils.explainString(
-        roll._jdf.queryExecution(), "formatted"
-    )
+    roll_plan = roll._jdf.queryExecution().executedPlan().toString()
     print("\n=== time_rollup ===")
-    one_scan = roll_plan.count("Scan parquet") == 1 and "Expand" in roll_plan
+    one_scan = roll_plan.count("FileScan parquet") == 1 and "Expand" in roll_plan
     print(f"  single_scan_with_expand={one_scan}")
     if not one_scan:
         bad.append("rollup rescans per level")
