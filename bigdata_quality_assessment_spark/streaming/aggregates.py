@@ -5,7 +5,7 @@ and a custom stateful running-stats operator via
 ``applyInPandasWithState``.
 
 Event time: the driver's events.parquet carries a TIMESTAMP(NANOS)
-column, read as epoch-nanos BIGINT via the nanosAsLong legacy conf
+column, normalized to epoch-nanos BIGINT by sources/tables.load_table
 (see sources/tables.py) and converted here to a real TimestampType
 ``ts`` (microsecond truncation — irrelevant at minute/hour window
 granularity). Watermarks and windows therefore run on the table's real
