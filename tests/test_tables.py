@@ -54,3 +54,45 @@ def test_bucketed_join_values(spark, bucketed_pair):
     joined = read_bucketed(spark, a).join(read_bucketed(spark, b), "point_id")
     row = joined.filter(F.col("point_id") == 5).first()
     assert abs(row["score"] - 2 * row["y"]) < 1e-12
+
+
+def test_events_ts_normalized_across_storage_types(spark, tmp_path):
+    """events.ts must come back as IDENTICAL epoch-nanos BIGINT whether
+    the parquet stores timestamp[us], timestamp[ns], or timestamp[ms]
+    (the driver has shipped different types in different rounds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_quality_assessment_spark.operators import density  # noqa: F401 (spark session warm)
+    from bigdata_quality_assessment_spark.sources.tables import load_table
+
+    base_us = [1_700_000_000_000_000 + i * 1_234_567 for i in range(20)]
+    cols = {
+        "event_id": pa.array(range(20), pa.int64()),
+        "user_id": pa.array([i % 3 for i in range(20)], pa.int64()),
+        "event_type": pa.array(["click"] * 20),
+        "value": pa.array([float(i) for i in range(20)]),
+        "props": pa.array(["{}"] * 20),
+    }
+    expected = [us * 1000 for us in base_us]
+    got = {}
+    for unit in ("us", "ns", "ms"):
+        d = tmp_path / f"ev_{unit}"
+        d.mkdir()
+        if unit == "ms":
+            ts = pa.array([us // 1000 for us in base_us], pa.timestamp("ms"))
+            exp = [us // 1000 * 1_000_000 for us in base_us]
+        elif unit == "us":
+            ts = pa.array(base_us, pa.timestamp("us"))
+            exp = expected
+        else:
+            ts = pa.array([us * 1000 for us in base_us], pa.timestamp("ns"))
+            exp = expected
+        t = pa.table({"event_id": cols["event_id"], "ts": ts, **{k: v for k, v in cols.items() if k != "event_id"}})
+        pq.write_table(t, str(d / "events.parquet"))
+        df = load_table(spark, "events", str(d))
+        assert dict(df.dtypes)["ts"] == "bigint", df.dtypes
+        vals = [r["ts"] for r in df.orderBy("event_id").collect()]
+        assert vals == exp, (unit, vals[:3], exp[:3])
+        got[unit] = vals
+    assert got["us"] == got["ns"]
