@@ -1702,37 +1702,75 @@ def q_st_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "st_running_stats",
-    """SELECT event_type, COUNT(*) AS n,
+    """SELECT 'welford' AS part, event_type, COUNT(*) AS n,
               round(AVG(value), 6) AS mean_value,
-              round(VAR_POP(value), 3) AS var_value
+              round(VAR_POP(value), 3) AS var_value,
+              CAST(NULL AS DOUBLE) AS sum_value
+       FROM events GROUP BY event_type
+       UNION ALL
+       SELECT 'dedup', event_type, COUNT(*), NULL, NULL,
+              round(SUM(value), 4)
        FROM events GROUP BY event_type""",
 )
 def q_st_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState,
-    Welford): the FINAL emitted row per key equals the exact global
-    stats regardless of micro-batch split — selected via a max-n
-    window so the check is batching-invariant."""
+    """Two custom streaming operators in one tagged frame.
+
+    ``welford``: stateful running stats (applyInPandasWithState,
+    chunk-vectorized Welford): the FINAL emitted row per key equals
+    the exact global stats regardless of micro-batch split — selected
+    via a max-n window so the check is batching-invariant.
+
+    ``dedup``: streaming exact dedup
+    (``dropDuplicatesWithinWatermark`` on a content digest): every
+    event is injected TWICE via an in-row explode (copies share a
+    micro-batch, so the test is batching-invariant), and the
+    per-type count/sum after the streaming dedup must equal the
+    original table's — i.e. the state store dropped exactly the
+    injected copies."""
     from pyspark.sql import Window
 
     from bigdata_quality_assessment_spark.streaming.aggregates import (
         run_available_now,
         running_stats_stateful,
         streaming_events,
+        streaming_exact_dedup,
     )
 
     stream = streaming_events(spark, sf_dir)
     out = run_available_now(running_stats_stateful(stream), "q_st_rs")
     w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
-    return (
+    welford = (
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
+            F.lit("welford").alias("part"),
             "event_type",
             "n",
             F.round("mean", 6).alias("mean_value"),
             F.round("var_pop", 3).alias("var_value"),
+            F.lit(None).cast("double").alias("sum_value"),
         )
     )
+    doubled = (
+        streaming_events(spark, sf_dir)
+        .withColumn("__copy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn("__k", F.col("event_id").cast("string"))
+        .drop("__copy")
+    )
+    ded = run_available_now(
+        streaming_exact_dedup(doubled, text_col="__k"), "q_st_dedup"
+    )
+    dedup = ded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    ).select(
+        F.lit("dedup").alias("part"),
+        "event_type",
+        "n",
+        F.lit(None).cast("double").alias("mean_value"),
+        F.lit(None).cast("double").alias("var_value"),
+        "sum_value",
+    )
+    return welford.unionByName(dedup)
 
 
 @_register(
