@@ -1,0 +1,69 @@
+"""Adversarial-input robustness: Spark 4 runs ANSI mode, so any
+unguarded ratio (x/0) or malformed input throws at runtime. Every
+text/similarity operator must survive empty/null/unicode/degenerate
+rows without erroring — the 100 TB corpora these target always
+contain them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators import similarity as S
+from bigdata_quality_assessment_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def nasty_docs(spark):
+    rows = [
+        (1, ""), (2, "   "), (3, "\n\t"), (4, "one"),
+        (5, "héllo wörld ünïcode ẞ 中文 🎉"), (6, "a " * 5000),
+        (7, None), (8, "word"), (9, ". . . . ."),
+        (10, "ALLCAPS SHOUTING TEXT HERE"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING").cache()
+
+
+@pytest.fixture(scope="module")
+def nasty_emb(spark):
+    import random
+
+    random.seed(1)
+    rows = [(i, [random.random() for _ in range(8)]) for i in range(20)]
+    rows += [(100, [0.0] * 8), (101, None), (102, [float("nan")] * 8)]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>").cache()
+
+
+def test_text_operators_survive_nasty_docs(nasty_docs):
+    n = nasty_docs.count()
+    assert T.text_stats(nasty_docs).count() == n
+    assert T.language_id(nasty_docs).count() == n
+    assert T.quality_score(nasty_docs).count() == n
+    assert T.exact_dedup(nasty_docs).count() == n  # all texts distinct (incl null)
+    T.doc_fingerprints(nasty_docs).count()  # short docs yield no shingles — no error
+    assert T.near_dedup_minhash(
+        nasty_docs, k=3, n_hashes=16, bands=4, min_jaccard=0.5
+    ).count() == n
+    assert T.simhash_near_dedup(nasty_docs).count() == n
+
+
+def test_quality_score_bounded_on_nasty_docs(nasty_docs):
+    rows = T.quality_score(nasty_docs).collect()
+    for r in rows:
+        if r["quality"] is not None:
+            assert 0.0 <= r["quality"] <= 1.0, r
+
+
+def test_similarity_operators_survive_degenerate_vectors(nasty_emb):
+    q = nasty_emb.filter(F.col("vec_id").isin(0, 100, 102)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # zero-norm and NaN queries must not throw; real query still gets k
+    out = S.knn_brute_force(nasty_emb, q, k=3)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q[0]) == 3
+    S.cosine_pairs(nasty_emb, threshold=0.5).count()
+    S.ann_hyperplane_knn(nasty_emb, q, dim=8, k=3).count()
+    assert S.embedding_near_dedup(nasty_emb, threshold=0.95, dim=8).count() >= 1
