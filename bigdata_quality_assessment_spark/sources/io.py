@@ -1,0 +1,109 @@
+"""Generic ingest/egress beyond the parquet test tables: CSV and
+JSON(L) readers with ENFORCED schemas, and a partitioned-parquet lake
+sink.
+
+Scale posture per format:
+
+* **Parquet** is the only format with real predicate pushdown and
+  column pruning at the scan; it is the lake format. CSV/JSON readers
+  exist for INGEST — the first job lands them as (partitioned,
+  optionally bucketed) parquet via ``write_lake``, and everything
+  downstream reads that.
+* Schemas are mandatory for CSV/JSON. Schema inference is a full
+  extra pass over the data at 100 TB and can silently mistype columns
+  on skewed samples; an explicit ``StructType`` makes ingest one pass
+  and deterministic.
+* Malformed rows: default ``PERMISSIVE`` with a ``_corrupt_record``
+  column so bad lines are quarantined relationally (filter + sink),
+  not crashed on (the 100 TB corpus always has a few). ``FAILFAST``
+  is one flag away when the contract is strict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt_capture(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+    mode: str = "PERMISSIVE",
+    **options: str,
+) -> DataFrame:
+    """Schema-enforced CSV ingest. ``mode='PERMISSIVE'`` routes
+    malformed lines into ``_corrupt_record`` (see ``quarantine``);
+    ``'FAILFAST'`` raises on the first bad line; ``'DROPMALFORMED'``
+    silently drops them."""
+    use = _with_corrupt_capture(schema) if mode == "PERMISSIVE" else schema
+    return (
+        spark.read.schema(use)
+        .options(header=str(header).lower(), sep=sep, mode=mode, **options)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "PERMISSIVE",
+    **options: str,
+) -> DataFrame:
+    """Schema-enforced JSON-lines ingest (one object per line — the
+    splittable layout; multiline JSON arrays are not parallelizable)."""
+    use = _with_corrupt_capture(schema) if mode == "PERMISSIVE" else schema
+    return spark.read.schema(use).options(mode=mode, **options).json(path)
+
+
+def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE-read frame into (clean, corrupt). Corrupt
+    rows keep every column (whatever half-parsed plus the raw line in
+    ``_corrupt_record``) so the quarantine sink is self-describing;
+    clean rows drop the capture column. The parsed frame is cached
+    first: Spark refuses plans over a raw file scan that reference
+    ONLY the internal corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. a
+    count of the corrupt side), and the official remedy is to cache or
+    land the parsed result; the cache also means the ingest file is
+    parsed once for both sides."""
+    if CORRUPT_COL not in df.columns:
+        return df, df.limit(0)
+    df = df.cache()
+    corrupt = df.filter(F.col(CORRUPT_COL).isNotNull())
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return clean, corrupt
+
+
+def write_lake(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Land a frame as the lake's parquet layout. ``partition_cols``
+    become directory partitions (partition PRUNING for every
+    downstream query filtering on them — the coarse analog of
+    predicate pushdown); ``max_records_per_file`` caps file size so a
+    skewed partition does not produce one giant unsplittable-rowgroup
+    file. For co-located join keys use ``tables.write_bucketed``
+    instead (bucketing needs the catalog)."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)

@@ -1,0 +1,73 @@
+"""CSV/JSONL ingest + lake sink: schema enforcement, corrupt-row
+quarantine, partition pruning on the landed layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_quality_assessment_spark.sources.io import (
+    quarantine,
+    read_csv,
+    read_jsonl,
+    write_lake,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def test_csv_roundtrip_and_quarantine(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,lang,score\n1,en,0.5\n2,de,0.25\nnot_a_number,xx,zzz\n3,fr,1.0\n")
+    df = read_csv(spark, str(p), SCHEMA)
+    clean, corrupt = quarantine(df)
+    rows = {r["id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["score"] == 0.25
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "lang": "en", "score": 0.5}\n'
+        "{this is not json}\n"
+        '{"id": 2, "lang": "de", "score": 1.5}\n'
+    )
+    clean, corrupt = quarantine(read_jsonl(spark, str(p), SCHEMA))
+    assert {r["id"] for r in clean.collect()} == {1, 2}
+    assert corrupt.count() == 1
+
+
+def test_write_lake_partition_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], float(i)) for i in range(30)], SCHEMA
+    )
+    out = str(tmp_path / "lake")
+    write_lake(df, out, partition_cols=["lang"], max_records_per_file=7)
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    q = back.filter(F.col("lang") == "de")
+    assert q.count() == 10
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # directory-partition pruning: the de-filter becomes a PartitionFilter
+    # on the scan, not a row filter over all three partitions
+    assert "PartitionFilters: [isnotnull(lang" in plan or "PartitionFilters: [(lang" in plan, plan
+
+
+def test_csv_failfast_raises(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,lang,score\n1,en,0.5\nboom,xx,zzz\n")
+    df = read_csv(spark, str(p), SCHEMA, mode="FAILFAST")
+    with pytest.raises(Exception):
+        df.collect()
