@@ -92,3 +92,53 @@ def test_cc_auto_threshold_switch(spark):
 def test_cc_empty_edges(spark):
     pairs = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
     assert connected_components(pairs).count() == 0
+
+
+def test_cc_property_random_graphs_match_union_find(spark):
+    """Property: on arbitrary random graphs, the single-task tier's
+    labels equal a naive driver-side union-find's min-id components.
+    (Seeded loop instead of hypothesis: each case needs a Spark job,
+    so we keep the case count bounded and deterministic.)"""
+    import random
+
+    def naive_components(edges):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for v in parent:
+            comp.setdefault(find(v), []).append(v)
+        out = {}
+        for members in comp.values():
+            m = min(members)
+            for v in members:
+                out[v] = m
+        return out
+
+    rng = random.Random(1234)
+    for case in range(6):
+        n_vertices = rng.randint(2, 60)
+        n_edges = rng.randint(1, 120)
+        edges = [
+            (rng.randrange(n_vertices), rng.randrange(n_vertices))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        expected = naive_components(edges)
+        pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, strategy="single").collect()
+        }
+        assert got == expected, f"case {case}: {sorted(got.items())[:5]}..."
