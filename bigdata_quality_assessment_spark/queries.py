@@ -813,10 +813,24 @@ _A13_KDE_B = _kde_sql(
         SELECT round(sum(seg), 9) AS log_pdf_error FROM segs""",
 )
 def q_a13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 over two event-type slices — ONE fused tagged scan of
+    events bins both conditional densities (where-specs in
+    kde_1d_multi), then interp-free aligned log-pdf-error."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
     ev = _t(spark, sf_dir, "events")
-    ka = kde_1d(ev.filter(F.col("event_type") == "click"), "value", 20.0, 128, 0.0, 500.0)
-    kb = kde_1d(ev.filter(F.col("event_type") == "view"), "value", 20.0, 128, 0.0, 500.0)
-    out = log_pdf_error(ka, kb)
+    b = spark.range(1).select(F.lit(0.0).alias("lo"), F.lit(500.0).alias("hi"))
+    grids = kde_1d_multi(
+        ev,
+        [
+            {"tag": "a", "col": "value", "bw": 20.0, "bounds": b,
+             "where": F.col("event_type") == "click"},
+            {"tag": "b", "col": "value", "bw": 20.0, "bounds": b,
+             "where": F.col("event_type") == "view"},
+        ],
+        ngrid=128,
+    )
+    out = log_pdf_error(grids["a"], grids["b"])
     return out.select(F.round("log_pdf_error", 9).alias("log_pdf_error"))
 
 
