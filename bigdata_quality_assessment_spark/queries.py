@@ -720,21 +720,25 @@ def q_a8a9(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM lineitem GROUP BY l_returnflag""",
 )
 def q_a10a12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 global min/max + A12 count-by-flag, long format
-    ``(stat, value)`` (both are exact global aggregations)."""
+    """A10 global min/max + A12 count-by-flag in ONE rollup pass over
+    lineitem (was a union of two scans): the grand-total grouping row
+    supplies the global min/max, the detail rows the per-flag counts —
+    single scan, single shuffle, long format ``(stat, value)``."""
     li = _t(spark, sf_dir, "lineitem")
-    mm = minmax(li, "l_extendedprice").select(
+    rolled = li.rollup("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("l_returnflag").alias("__total"),
+    ).localCheckpoint(eager=False)  # ≤5 rows; referenced twice below
+    mm = rolled.filter(F.col("__total") == 1).select(
         F.explode(
             F.create_map(F.lit("lo"), F.col("lo"), F.lit("hi"), F.col("hi"))
         ).alias("stat", "value")
     )
-    cnt = (
-        li.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.concat(F.lit("n_"), F.col("l_returnflag")).alias("stat"),
-            F.col("n").cast("double").alias("value"),
-        )
+    cnt = rolled.filter(F.col("__total") == 0).select(
+        F.concat(F.lit("n_"), F.col("l_returnflag")).alias("stat"),
+        F.col("n").cast("double").alias("value"),
     )
     return mm.unionByName(cnt)
 
