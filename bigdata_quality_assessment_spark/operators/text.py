@@ -208,8 +208,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     (a small fraction of the corpus in any real dedup workload), so it
     broadcasts and the final anti-join is exchange-free on the doc
     side. For an adversarial mostly-duplicate corpus, remove the
-    broadcast hint and let AQE choose."""
-    slim = docs.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+    broadcast hint and let AQE choose.
+
+    The slim projection sits behind a lazy barrier: it is referenced
+    twice (min aggregate + join-back), and without the barrier each
+    reference re-scans the corpus and re-hashes every body. With it
+    the digest pass runs ONCE (stores 40 B/row), both consumers read
+    the stored rows (executed-plan scan count pinned in
+    tests/test_scan_discipline.py)."""
+    slim = docs.select(
+        F.md5(F.col(text_col)).alias("__h"), F.col(id_col)
+    ).localCheckpoint(eager=False)
     mins = slim.groupBy("__h").agg(F.min(id_col).alias("__keep"))
     drops = (
         slim.join(mins, "__h")
