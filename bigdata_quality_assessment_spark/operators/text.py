@@ -46,10 +46,16 @@ def regex_tokens(text_col: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0)
 
 
-def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def text_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
     """Per-document stats: char count, whitespace-token count,
     regex-token count, mean token length, punctuation ratio,
-    uppercase ratio."""
+    uppercase ratio. ``extra`` appends additional named column
+    expressions to the SAME projection — composites (quality_score)
+    extend the one pass instead of self-joining a second scan."""
     t = F.col(text_col)
     toks = tokens(t)
     n_chars = F.length(t)
@@ -74,6 +80,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(n_chars > 0, (n_chars - non_upper) / n_chars).otherwise(F.lit(0.0)).alias(
             "upper_ratio"
         ),
+        *[c.alias(name) for name, c in (extra or {}).items()],
     )
 
 
@@ -113,11 +120,14 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1]: length in a sane band, low
     punctuation density, healthy mean token length, some stopwords —
     the C4/Gopher-style rule family as one Catalyst expression."""
-    stats = text_stats(docs, text_col).join(
-        docs.select(
-            "doc_id", stopword_ratio(F.col(text_col), LANG_LEXICONS["en"]).alias("sw_ratio")
-        ),
-        "doc_id",
+    # ONE projection: sw_ratio rides the text_stats pass. (The old
+    # form self-joined two projections of the same table on doc_id —
+    # locally a broadcast, but at 100 TB a full shuffle of both sides
+    # for what is a row-wise computation.)
+    stats = text_stats(
+        docs,
+        text_col,
+        extra={"sw_ratio": stopword_ratio(F.col(text_col), LANG_LEXICONS["en"])},
     )
     len_ok = F.when(F.col("n_chars").between(100, 20000), 1.0).otherwise(0.0)
     punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
@@ -488,6 +498,7 @@ def simhash_near_dedup(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     cluster: bool = True,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dedup: 64-bit signatures → 4×16-bit band buckets →
     exact Hamming verify (``bit_count(a XOR b)``) → connected-
@@ -502,13 +513,21 @@ def simhash_near_dedup(
     Candidate volume per band key ≈ corpus/2¹⁶; the signature frame is
     (id, BIGINT) — the equi-join never carries document text. The drop
     set is duplicates-only, so the final anti-join broadcasts (see
-    exact_dedup for the same discipline)."""
+    exact_dedup for the same discipline).
+
+    ``signatures``: optional precomputed ``simhash(docs, ...)`` frame —
+    pass it when the caller ALSO consumes the signatures so the
+    shingling + 64-vote pass runs once, not once per consumer (put a
+    lazy ``localCheckpoint`` on it; this function adds one otherwise)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4x16-bit banding is complete only for max_hamming <= 3")
     # Lazy barrier on the (id, simhash) frame — 16 bytes/doc. The a/b
     # band self-join below otherwise re-executes the whole shingling +
     # 64-vote aggregation once per side.
-    sig = simhash(docs, text_col, k, mode, id_col).localCheckpoint(eager=False)
+    if signatures is None:
+        sig = simhash(docs, text_col, k, mode, id_col).localCheckpoint(eager=False)
+    else:
+        sig = signatures
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * t).bitwiseAND(F.lit(0xFFFF))

@@ -1352,8 +1352,14 @@ def q_xsimdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_quality_assessment_spark.operators.text import simhash_near_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    survivors = simhash_near_dedup(docs, k=3, max_hamming=3).select("doc_id", "source")
-    return survivors.join(simhash(docs, k=3, mode="word"), "doc_id")
+    # ONE signature pass: the barriered frame feeds both the dedup's
+    # band self-join and the survivor join-back (was: a second full
+    # shingling + 64-vote scan just to re-attach signatures).
+    sig = simhash(docs, k=3, mode="word").localCheckpoint(eager=False)
+    survivors = simhash_near_dedup(
+        docs, k=3, max_hamming=3, signatures=sig
+    ).select("doc_id", "source")
+    return survivors.join(sig, "doc_id")
 
 
 _FP_POWS = " + ".join(
