@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Executed-plan FileScan sweep over every batch registry query.
+
+Catches the multi-reference re-execution pathology (PLANS.md) in the
+graded surface: runs each query at sf0.001, executes it, and counts
+`FileScan parquet` nodes in the FINAL executed plan. Queries above
+their expected scan count get flagged.
+
+Known-legitimate >=1 scan counts (two genuinely different derivations
+of the same table, where a barrier would materialize a data-sized
+frame):
+
+  p1_p12 / p11_p13      one-row agg + broadcast join-back over the data
+  j2 / u1 / x_asof      union/anti-join of two different filters
+  j3 / j4_j5 / t1_t2    two projections feeding a join/union of top-ks
+  x_knn / x_cosine_pairs corpus + query-subset (or self-join) scans
+  x_ann_knn (4)         tagged union of two independent ANN variants
+  x_blob_stats          stats + chunking (blobs must not materialize)
+
+Round-4 catches fixed by this sweep: exact_dedup (3 -> 1, digest pass
+re-hashed the corpus), x_quality_score (2 -> 1, self-join of two
+projections), x_simhash_near_dedup (2 -> 1, second signature pass).
+
+Run: python tools/scan_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+EXPECTED_MAX = {
+    "x_ann_knn": 4,
+    "p1_p12_pointwise_fields": 2,
+    "p11_p13_event_fields": 2,
+    "j2_pool_remove": 2,
+    "j3_interp": 2,
+    "j4_j5_index_aligned": 2,
+    "t1_t2_selection": 2,
+    "u1_train_append": 2,
+    "x_knn_cosine": 2,
+    "x_cosine_pairs": 2,
+    "x_blob_stats": 2,
+    "x_asof_join": 2,
+}
+DEFAULT_MAX = 1
+SKIP_PREFIXES = ("st_",)  # streaming drains; m4 is minutes-long
+SKIP = {"m4_loop_metrics"}
+
+
+def main() -> int:
+    from bigdata_quality_assessment_spark.session import build_session
+
+    spec = importlib.util.spec_from_file_location("entry", REPO / "__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    spark = build_session(
+        master="local[8]", shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = []
+    for name, fn in m.queries().items():
+        if name.startswith(SKIP_PREFIXES) or name in SKIP:
+            continue
+        df = fn(spark, SF_DIR)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("FileScan parquet")
+        limit = EXPECTED_MAX.get(name, DEFAULT_MAX)
+        marker = "OK " if n <= limit else "BAD"
+        print(f"{marker} {name:28s} filescans={n} (limit {limit})")
+        if n > limit:
+            bad.append(name)
+    print("\n" + ("SWEEP FAIL: " + str(bad) if bad else "SWEEP CLEAN"))
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
