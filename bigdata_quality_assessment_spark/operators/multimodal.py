@@ -103,6 +103,46 @@ def _parse_png_header(b: bytes) -> dict | None:
     return {"width": int(w), "height": int(h), "channels": None, "sample_rate": None}
 
 
+def _parse_jpeg_header(b: bytes) -> dict | None:
+    """JPEG dimensions from the first SOF0-SOF15 frame marker (walks
+    the segment chain; real parse, no codec)."""
+    if len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            # SOF0-SOF15 except DHT(C4)/DAC(CC)/RST: frame header
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > len(b):
+                    return None
+                h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+                ch = b[pos + 9] if pos + 9 < len(b) else None
+                return {
+                    "width": int(w), "height": int(h),
+                    "channels": int(ch) if ch is not None else None,
+                    "sample_rate": None,
+                }
+            pos += 2 + seg_len
+    except Exception:
+        return None
+    return None
+
+
+def _parse_gif_header(b: bytes) -> dict | None:
+    """GIF logical-screen dimensions (little-endian, bytes 6-10)."""
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    return {"width": int(w), "height": int(h), "channels": None, "sample_rate": None}
+
+
 def _parse_wav_header(b: bytes) -> dict | None:
     if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -317,7 +357,7 @@ def decode_media(
                     meta, feats = decoded
                 else:
                     which = "stub"
-                    meta = _parse_png_header(b) or _parse_wav_header(b) or {
+                    meta = _parse_png_header(b) or _parse_wav_header(b) or _parse_jpeg_header(b) or _parse_gif_header(b) or {
                         "width": None, "height": None, "channels": None, "sample_rate": None
                     }
                     feats = _fake_pixels(b, n_features)

@@ -249,3 +249,25 @@ def test_decode_media_real_path_marked(spark):
     assert got[1]["decoder"] == "wav" and got[1]["sample_rate"] == 8000
     assert got[2]["decoder"] == "stub" and got[2]["width"] == 640
     assert got[3]["decoder"] == "stub"
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG: SOI, APP0, DQT (skipped segment), SOF0, EOI."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + bytes(2)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + bytes(2)
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + bytes(20)
+
+
+def test_jpeg_and_gif_header_dimensions(spark):
+    rows = [(0, _jpeg(1920, 1080)), (1, _gif(320, 200)), (2, b"\xff\xd8\xff")]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["channels"]) == (1920, 1080, 3)
+    assert got[0]["decoder"] == "stub"  # metadata real, pixels stubbed
+    assert (got[1]["width"], got[1]["height"]) == (320, 200)
+    assert got[2]["width"] is None  # truncated JPEG -> no crash, no dims
