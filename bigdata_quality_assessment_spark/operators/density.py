@@ -368,10 +368,13 @@ def kde_1d_multi(
         auto-bandwidth ``n^(-1/5)·σ`` (sample std, 1.0 degenerate
         floor — ``scott_bandwidth``'s exact rule, the reference's
         default, core/utils.py:108-119) over this series'
-        predicate-filtered non-null rows, FOLDED into the same
-        one-row aggregate that derives grid bounds — auto-bandwidth
-        costs no extra pass. A one-row ``bw`` frame rides the
-        broadcast lazily like external bounds;
+        predicate-filtered rows (count(*) semantics, matching
+        ``scott_bandwidth``), FOLDED into the same one-row aggregate
+        that derives grid bounds — when at least one spec derives its
+        bounds internally, auto-bandwidth costs no extra pass; when
+        ALL bounds are external the scott aggregate is its own one-row
+        pass over ``df`` (still lazy, rides the broadcast). A one-row
+        ``bw`` frame rides the broadcast lazily like external bounds;
       * ``where`` (Column, optional) — row predicate restricting this
         series (rows failing it contribute nothing, exactly as if the
         frame were pre-filtered);
@@ -423,7 +426,13 @@ def kde_1d_multi(
             )
         for s in scott:
             t = s["tag"]
-            agg_exprs.append(F.count(_masked(s, s["col"])).alias(f"__n_{t}"))
+            # count(*) semantics over the predicate-passing rows (NOT
+            # non-null count) — scott_bandwidth and the SQL oracle both
+            # use total row count, and the two differ on null-bearing
+            # columns
+            w = s.get("where")
+            n_expr = F.count(F.when(w, 1)) if w is not None else F.count(F.lit(1))
+            agg_exprs.append(n_expr.alias(f"__n_{t}"))
             agg_exprs.append(F.stddev_samp(_masked(s, s["col"])).alias(f"__sd_{t}"))
         sel = []
         for s in internal:

@@ -113,6 +113,11 @@ def _parse_jpeg_header(b: bytes) -> dict | None:
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
                 return None
+            # spec B.1.1.2: any number of 0xFF fill bytes may pad a marker
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(b):
+                return None
             marker = b[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
                 pos += 2
@@ -163,6 +168,8 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
     stride = w * ch
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
+    # Up/None/Sub rows are vectorized; Average/Paeth carry a
+    # left-neighbor dependency and run per-sample.
     out = np.zeros((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
     pos = 0
@@ -174,14 +181,14 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
             cur = line
         elif ft == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256 — vectorized
+            cur = np.cumsum(line.reshape(-1, ch), axis=0).reshape(-1) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth
             cur = np.empty(stride, dtype=np.int32)
             for x in range(stride):
                 a = int(cur[x - ch]) if x >= ch else 0
                 bb = int(prev[x])
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + bb) >> 1
                 else:
                     c0 = int(prev[x - ch]) if x >= ch else 0
@@ -229,21 +236,25 @@ def _decode_png(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
             pos = data_end + 4
         if not idat:
             return None
+        if w < 1 or h < 1:  # structurally valid but empty — stub path
+            return None
         px = _png_unfilter(zlib.decompress(bytes(idat)), h, w, ch)
+        f = px.astype(np.float64) / 255.0
+        if ch >= 3:
+            lum = f[..., :3].mean(axis=2)
+            cr, cg, cb = (float(f[..., i].mean()) for i in range(3))
+        else:
+            lum = f[..., 0]
+            cr = cg = cb = float(lum.mean())
+        grad = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+        feats = [
+            float(lum.mean()), float(lum.std()), float(lum.min()), float(lum.max()),
+            cr, cg, cb, grad,
+        ]
     except Exception:
+        # stats stay inside the guard: ANY malformed-but-plausible blob
+        # must fall back to the stub, never fail the Spark task
         return None
-    f = px.astype(np.float64) / 255.0
-    if ch >= 3:
-        lum = f[..., :3].mean(axis=2)
-        cr, cg, cb = (float(f[..., i].mean()) for i in range(3))
-    else:
-        lum = f[..., 0]
-        cr = cg = cb = float(lum.mean())
-    grad = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
-    feats = [
-        float(lum.mean()), float(lum.std()), float(lum.min()), float(lum.max()),
-        cr, cg, cb, grad,
-    ]
     meta = {"width": int(w), "height": int(h), "channels": int(ch), "sample_rate": None}
     return meta, _fit_features(feats, n_features)
 
@@ -299,6 +310,16 @@ def _decode_wav(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
         feats = [0.5, 0.0, 0.0, 0.0, 0.0, 0.5, 0.5, 0.0]
     meta = {"width": None, "height": None, "channels": int(channels), "sample_rate": int(rate)}
     return meta, _fit_features(feats, n_features)
+
+
+_INT32_MAX = 2**31 - 1
+
+
+def _safe_i32(v):
+    """Header fields are unsigned in their containers but the Arrow
+    schema is INT; out-of-range values mean a hostile/corrupt header —
+    surface NULL rather than failing the batch conversion."""
+    return int(v) if v is not None and 0 <= int(v) <= _INT32_MAX else None
 
 
 def _fit_features(feats: list[float], n_features: int) -> list[float]:
@@ -361,10 +382,10 @@ def decode_media(
                         "width": None, "height": None, "channels": None, "sample_rate": None
                     }
                     feats = _fake_pixels(b, n_features)
-                out["width"].append(meta["width"])
-                out["height"].append(meta["height"])
-                out["channels"].append(meta["channels"])
-                out["sample_rate"].append(meta["sample_rate"])
+                out["width"].append(_safe_i32(meta["width"]))
+                out["height"].append(_safe_i32(meta["height"]))
+                out["channels"].append(_safe_i32(meta["channels"]))
+                out["sample_rate"].append(_safe_i32(meta["sample_rate"]))
                 out["features"].append(feats)
                 out["decoder"].append(which)
             yield pd.DataFrame(out)

@@ -763,9 +763,11 @@ def q_a11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 three ways: fixed-bandwidth KDE, weighted KDE
     (``weights=fx``, core/likelihood.py:51), and Scott's-rule
     auto-bandwidth (the reference's default, core/utils.py:108-119).
-    The fixed and scott series share one FUSED tagged pass over events
-    (``kde_1d_multi`` — auto-bw folds into the binning aggregate, so
-    the pair costs one scan), and the whole composite is collect-free."""
+    The fixed and scott series share one FUSED tagged binning pass
+    over events (``kde_1d_multi``); with this query's external bounds
+    the scott bandwidth is one additional lazy one-row aggregate over
+    events (bounds-internal callers get it folded for free). The whole
+    composite is collect-free."""
     from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
 
     ev = _t(spark, sf_dir, "events")
@@ -1262,10 +1264,12 @@ def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — an edge links each doc to its predecessor in the
     (lang, n_chars, doc_id) order whenever the length gap is ≤ 5 — and
     labels every edged doc with the min id of its connected component
-    via the REAL iterative min-propagation operator. Chains reach ~40
-    docs, so the oracle (gaps-and-islands per-run min in SQL) only
-    matches if transitive closure actually propagates end-to-end;
-    pointer jumping closes them in O(log chain) rounds."""
+    via the real ``connected_components`` operator (the auto strategy
+    selects the single-task vectorized tier at this edge count; the
+    distributed iterative tier is pinned equal on the same shapes by
+    tests/test_graph.py). Chains reach ~40 docs, so the oracle
+    (gaps-and-islands per-run min in SQL) only matches if transitive
+    closure actually propagates end-to-end."""
     from pyspark.sql import Window
 
     from bigdata_quality_assessment_spark.operators.graph import connected_components

@@ -68,7 +68,7 @@ def read_jsonl(
     return spark.read.schema(use).options(mode=mode, **options).json(path)
 
 
-def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def quarantine(df: DataFrame, cache: bool = True) -> tuple[DataFrame, DataFrame]:
     """Split a PERMISSIVE-read frame into (clean, corrupt). Corrupt
     rows keep every column (whatever half-parsed plus the raw line in
     ``_corrupt_record``) so the quarantine sink is self-describing;
@@ -78,10 +78,15 @@ def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. a
     count of the corrupt side), and the official remedy is to cache or
     land the parsed result; the cache also means the ingest file is
-    parsed once for both sides."""
+    parsed once for both sides. The cache is NOT auto-unpersisted —
+    long-lived sessions ingesting many files should unpersist the
+    returned frames' parent when done, or pass ``cache=False`` and
+    immediately ``write_lake`` both sides (landing counts as the
+    official remedy too)."""
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
-    df = df.cache()
+    if cache:
+        df = df.cache()
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull())
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     return clean, corrupt

@@ -412,3 +412,23 @@ def test_kde_multi_weight_col_matches_kde_1d(spark, vdf):
     )
     got = grids["w"].orderBy("node").collect()
     assert np.allclose([r["pdf"] for r in got], [r["pdf"] for r in ref], atol=1e-12)
+
+
+def test_kde_multi_scott_counts_nulls_like_scott_bandwidth(spark):
+    """count(*) semantics on null-bearing columns: fused 'scott' must
+    equal kde_1d + scott_bandwidth exactly (code-review finding —
+    non-null count gave a different n and bandwidth)."""
+    from bigdata_quality_assessment_spark.operators.density import kde_1d_multi
+
+    rows = [(float(i),) for i in range(40)] + [(None,)] * 10
+    df = spark.createDataFrame(rows, "y DOUBLE")
+    b = spark.range(1).select(F.lit(-1.0).alias("lo"), F.lit(41.0).alias("hi"))
+    got = (
+        kde_1d_multi(df, [{"tag": "a", "col": "y", "bw": "scott", "bounds": b}], ngrid=32)["a"]
+        .orderBy("node").collect()
+    )
+    ref = (
+        kde_1d(df, "y", bw=scott_bandwidth(df, "y"), ngrid=32, bounds=b)
+        .orderBy("node").collect()
+    )
+    assert np.allclose([r["pdf"] for r in got], [r["pdf"] for r in ref], atol=1e-12)

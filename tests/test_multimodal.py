@@ -271,3 +271,51 @@ def test_jpeg_and_gif_header_dimensions(spark):
     assert got[0]["decoder"] == "stub"  # metadata real, pixels stubbed
     assert (got[1]["width"], got[1]["height"]) == (320, 200)
     assert got[2]["width"] is None  # truncated JPEG -> no crash, no dims
+
+
+def test_zero_dimension_png_falls_back_to_stub(spark):
+    """Structurally valid PNG declaring h=0 must not kill the task
+    (code-review finding): decoder falls back to stub features."""
+    ihdr = struct.pack(">IIBBBBB", 4, 0, 8, 2, 0, 0, 0)  # w=4 h=0
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data))
+
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    assert _decode_png(blob, 8) is None
+    df = spark.createDataFrame([(0, blob)], "media_id BIGINT, content BINARY")
+    row = decode_media(df).collect()[0]
+    assert row["decoder"] == "stub" and len(row["features"]) == 8
+
+
+def test_unsigned_header_overflow_yields_null_not_crash(spark):
+    """WAV sample_rate > int32 and PNG width near 2^32 must surface
+    NULL metadata, not fail the Arrow conversion."""
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 4_000_000_000, 0, 2, 16)
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
+    huge_png_header = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 2**32 - 16, 10)
+        + b"\x08\x06\x00\x00\x00" + bytes(50)
+    )
+    df = spark.createDataFrame(
+        [(0, bad_wav), (1, huge_png_header)], "media_id BIGINT, content BINARY"
+    )
+    rows = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert rows[0]["sample_rate"] is None  # overflow -> NULL, job survives
+    assert rows[1]["width"] is None
+
+
+def test_jpeg_fill_bytes_before_marker():
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _parse_jpeg_header,
+    )
+
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 99, 77) + b"\x03" + bytes(2)
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\xff\xd9"  # fill bytes pad SOF
+    meta = _parse_jpeg_header(padded)
+    assert meta is not None and (meta["width"], meta["height"]) == (77, 99)

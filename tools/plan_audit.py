@@ -30,10 +30,30 @@ FLAGS = ("Exchange SinglePartition", "BatchEvalPython")
 
 def audit(name: str, df, allow: tuple[str, ...] = ()) -> list[str]:
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # FLAGS are matched on the SIMPLE plan string: formatted mode prints
+    # node names and their arguments in separate sections, so substrings
+    # like "Exchange SinglePartition" can never match there (a vacuous
+    # check, caught in review).
+    simple = df._jdf.queryExecution().executedPlan().toString()
     findings = []
+    lines = simple.splitlines()
     for flag in FLAGS:
-        if flag in plan and flag not in allow:
-            findings.append(flag)
+        if flag in allow:
+            continue
+        if flag != "Exchange SinglePartition":
+            if flag in simple:
+                findings.append(flag)
+            continue
+        # a single-partition exchange is SANCTIONED when its child is a
+        # partial aggregate (map-side combine ran: the exchange carries
+        # one row per task, not data rows); the pathology is raw data
+        # rows feeding a global window/sort through one partition
+        for i, line in enumerate(lines):
+            if flag in line:
+                child = lines[i + 1] if i + 1 < len(lines) else ""
+                if "partial_" not in child:
+                    findings.append(flag)
+                    break
     n_bc = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
     n_smj = len(re.findall(r"SortMergeJoin", plan))
     n_codegen = len(re.findall(r"WholeStageCodegen", plan))
@@ -131,7 +151,12 @@ def main() -> int:
     )
 
     bad += audit("exact_dedup", exact_dedup(docs))
-    bad += audit("simhash_near_dedup", simhash_near_dedup(docs))
+    # closure's single-partition hop moves the duplicates-only edge
+    # list (threshold-bounded, operators/graph.py) — sanctioned
+    bad += audit(
+        "simhash_near_dedup", simhash_near_dedup(docs),
+        allow=("Exchange SinglePartition",),
+    )
 
     # knn: two-phase top-k — no single-partition sort over the scored
     # corpus (phase-1 window partitions on (query, spark_partition_id))

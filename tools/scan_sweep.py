@@ -21,6 +21,13 @@ Round-4 catches fixed by this sweep: exact_dedup (3 -> 1, digest pass
 re-hashed the corpus), x_quality_score (2 -> 1, self-join of two
 projections), x_simhash_near_dedup (2 -> 1, second signature pass).
 
+LIMITATION: the final executed plan cannot see scans that ran inside
+lazy-localCheckpoint materialization jobs (they appear as Scan
+ExistingRDD here), so this sweep bounds the CONSUMING action only;
+re-scan regressions UPSTREAM of a barrier are covered by the per-
+operator plan assertions in tests/ (test_density, test_scan_discipline)
+rather than this tool.
+
 Run: python tools/scan_sweep.py [sf_dir]
 """
 
