@@ -1254,6 +1254,9 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT * FROM surv
        UNION ALL
        SELECT 'closure', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), component
+       FROM comp WHERE sz > 1
+       UNION ALL
+       SELECT 'closure_iter', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), component
        FROM comp WHERE sz > 1""",
 )
 def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1293,14 +1296,24 @@ def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_id").isNotNull()
         & (F.abs(F.col("n_chars") - F.col("prev_len")) <= 5)
     ).select(F.col("prev_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    closure = connected_components(edges).select(
-        F.lit("closure").alias("part"),
-        F.col("id").alias("doc_id"),
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(None).cast("string").alias("source"),
-        "component",
+    edges = edges.localCheckpoint(eager=False)  # one derivation, both tiers
+
+    def _closure_part(tag: str, strategy: str) -> DataFrame:
+        return connected_components(edges, strategy=strategy).select(
+            F.lit(tag).alias("part"),
+            F.col("id").alias("doc_id"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            "component",
+        )
+
+    # BOTH closure tiers graded against the same oracle rows: the
+    # single-task vectorized tier (the sub-threshold common case) and
+    # the distributed min-label + pointer-jumping tier (the 100 TB
+    # adversarial-graph path) must agree with the gaps-and-islands SQL.
+    return surv.unionByName(_closure_part("closure", "single")).unionByName(
+        _closure_part("closure_iter", "iterative")
     )
-    return surv.unionByName(closure)
 
 
 @_register(
