@@ -59,6 +59,14 @@ def histogram(
         bounds = spark.range(1).select(
             F.lit(float(lo)).alias("__lo"), F.lit(float(hi)).alias("__hi")
         )
+    # degenerate range (all values equal, or caller passed lo == hi):
+    # expand by ±0.5 exactly as np.histogram does — ANSI mode would
+    # otherwise throw DIVIDE_BY_ZERO on the zero bin width
+    span_ok = F.col("__hi") > F.col("__lo")
+    bounds = bounds.select(
+        F.when(span_ok, F.col("__lo")).otherwise(F.col("__lo") - 0.5).alias("__lo"),
+        F.when(span_ok, F.col("__hi")).otherwise(F.col("__hi") + 0.5).alias("__hi"),
+    )
 
     src = df.crossJoin(F.broadcast(bounds))
     lo_c, hi_c = F.col("__lo"), F.col("__hi")
@@ -87,7 +95,11 @@ def histogram(
         (lo_c + (F.col("bin") + 1) * width).alias("bin_hi"),
         "cnt",
         (
-            F.col("cnt") / (F.sum("cnt").over(total) * width)
+            # empty input → total 0 → pdf 0.0 (ANSI would throw on 0/0)
+            F.when(
+                F.sum("cnt").over(total) > 0,
+                F.col("cnt") / (F.sum("cnt").over(total) * width),
+            ).otherwise(F.lit(0.0))
             if density
             else F.lit(None).cast("double")
         ).alias("pdf"),

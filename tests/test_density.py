@@ -432,3 +432,20 @@ def test_kde_multi_scott_counts_nulls_like_scott_bandwidth(spark):
         .orderBy("node").collect()
     )
     assert np.allclose([r["pdf"] for r in got], [r["pdf"] for r in ref], atol=1e-12)
+
+
+def test_histogram_degenerate_and_empty_inputs(spark):
+    """ANSI regression: all-equal values (width 0) expand the range by
+    +-0.5 like np.histogram; an empty frame yields dense zero bins —
+    neither may throw DIVIDE_BY_ZERO."""
+    one = spark.createDataFrame([(1, 2.5)] * 3, "point_id BIGINT, y DOUBLE")
+    rows = histogram(one, "y", nbins=4).orderBy("bin").collect()
+    assert len(rows) == 4
+    assert rows[0]["bin_lo"] == pytest.approx(2.0)
+    assert rows[-1]["bin_hi"] == pytest.approx(3.0)
+    assert sum(r["cnt"] for r in rows) == 3
+    total_mass = sum(r["pdf"] * (r["bin_hi"] - r["bin_lo"]) for r in rows)
+    assert total_mass == pytest.approx(1.0)
+    empty = spark.createDataFrame([], "point_id BIGINT, y DOUBLE")
+    erows = histogram(empty, "y", nbins=4, lo=0.0, hi=1.0).collect()
+    assert len(erows) == 4 and all(r["cnt"] == 0 and r["pdf"] == 0.0 for r in erows)
