@@ -67,3 +67,39 @@ def test_similarity_operators_survive_degenerate_vectors(nasty_emb):
     S.cosine_pairs(nasty_emb, threshold=0.5).count()
     S.ann_hyperplane_knn(nasty_emb, q, dim=8, k=3).count()
     assert S.embedding_near_dedup(nasty_emb, threshold=0.95, dim=8).count() >= 1
+
+
+def test_operators_survive_empty_frames(spark):
+    """Empty-input sweep across families: no operator may throw on a
+    0-row frame (the 100 TB pipeline routinely produces empty slices
+    after filters)."""
+    from bigdata_quality_assessment_spark.operators import asof as A
+    from bigdata_quality_assessment_spark.operators import score as SC
+    from bigdata_quality_assessment_spark.operators import select as SEL
+    from bigdata_quality_assessment_spark.operators import windows as W
+    from bigdata_quality_assessment_spark.operators.density import kde_1d, trapz
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id BIGINT, user_id BIGINT, ts BIGINT, value DOUBLE"
+    )
+    empty_pool = spark.createDataFrame(
+        [], "point_id BIGINT, y DOUBLE, y_mean DOUBLE, y_var DOUBLE"
+    )
+    assert W.sliding_windows(
+        empty_ev, "event_id", "value", history=3, prediction=1, group_cols=["user_id"]
+    ).count() == 0
+    assert W.minmax_scale(empty_ev, "value").count() == 0
+    assert A.time_rollup(empty_ev, "ts", "value").count() == 0
+    assert kde_1d(empty_ev, "value", bw=0.5, ngrid=8).count() == 0
+    assert trapz(
+        empty_ev.select(F.col("value").alias("x"), F.col("value").alias("f")), "x", "f"
+    ).count() == 1  # one NULL-integral row, not an error
+    assert SEL.top_k(empty_pool, "y", 5).count() == 0
+    assert SEL.argmax(empty_pool, "y").count() == 0
+    assert SC.regression_metrics(empty_pool, "y_mean", "y", "y_var").count() == 1
+    assert SC.inverse_density_weights(
+        empty_pool.withColumn("pdf", F.col("y"))
+    ).count() == 0
+    assert SEL.weighted_sample_without_replacement(
+        empty_pool.withColumn("w", F.lit(1.0)), "w", 3
+    ).count() == 0
