@@ -99,13 +99,26 @@ def connected_components(
     """
     if strategy not in ("auto", "single", "iterative"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    edges = pairs.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        # a null endpoint would surface as an opaque executor-side numpy
+        # failure in the single-task tier; drop it here on the slim frame
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     if strategy == "auto":
-        strategy = (
-            "single" if edges.count() <= small_edge_threshold else "iterative"
+        # tier on DISTINCT undirected edges so dup-heavy pair lists
+        # (e.g. both (a,b) and (b,a) from a symmetric verify join) don't
+        # spill small graphs into the slower iterative tier; the count
+        # also materializes the lazy barrier exactly once.
+        n_edges = (
+            edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .distinct()
+            .count()
         )
+        strategy = "single" if n_edges <= small_edge_threshold else "iterative"
     if strategy == "single":
         return _cc_single_task(edges)
 

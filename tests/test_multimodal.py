@@ -319,3 +319,46 @@ def test_jpeg_fill_bytes_before_marker():
     padded = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\xff\xd9"  # fill bytes pad SOF
     meta = _parse_jpeg_header(padded)
     assert meta is not None and (meta["width"], meta["height"]) == (77, 99)
+
+
+def test_decode_media_jpeg_gif_real_paths(spark):
+    """JPEG/GIF blobs take the REAL pixel path (round-5): decoder
+    markers flip from 'stub' to 'jpeg'/'gif', and the JPEG features
+    cross-validate against the trusted PNG codec on the same image."""
+    from tests.test_imagecodec import _encode_gif, _encode_jpeg
+
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    gif_idx = rng.randint(0, 8, size=(10, 12), dtype=np.uint8)
+    rows = [
+        (0, _encode_jpeg(img, quant=1)),
+        (1, _real_png(img, color=2)),
+        (2, _encode_gif(gif_idx, palette)),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[0]["decoder"] == "jpeg"
+    assert (got[0]["width"], got[0]["height"], got[0]["channels"]) == (32, 24, 3)
+    assert got[1]["decoder"] == "png"
+    # same image through two independent codecs: stats must agree
+    # (quality-1 JPEG is lossy only through DCT/YCbCr rounding)
+    for j in range(8):
+        assert got[0]["features"][j] == pytest.approx(got[1]["features"][j], abs=0.02)
+    assert got[2]["decoder"] == "gif"
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (12, 10, 3)
+    exp = palette[gif_idx].astype(np.float64) / 255.0
+    assert got[2]["features"][0] == pytest.approx(float(exp.mean(axis=2).mean()), abs=1e-9)
+
+
+def test_decode_media_progressive_jpeg_stays_stub(spark):
+    """SOF2 (progressive) is out of codec scope: header dims real,
+    decoder marker 'stub'."""
+    from tests.test_imagecodec import _encode_jpeg
+
+    blob = bytearray(_encode_jpeg(np.full((8, 8), 90, dtype=np.uint8), quant=1))
+    blob[blob.index(b"\xff\xc0") + 1] = 0xC2
+    df = spark.createDataFrame([(0, bytes(blob))], "media_id BIGINT, content BINARY")
+    row = decode_media(df).collect()[0]
+    assert row["decoder"] == "stub"
+    assert (row["width"], row["height"]) == (8, 8)

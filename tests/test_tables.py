@@ -96,3 +96,43 @@ def test_events_ts_normalized_across_storage_types(spark, tmp_path):
         assert vals == exp, (unit, vals[:3], exp[:3])
         got[unit] = vals
     assert got["us"] == got["ns"]
+
+
+def test_events_ts_ntz_is_session_timezone_invariant(spark, tmp_path):
+    """TimestampNTZ storage must yield the same epoch-nanos under ANY
+    session timezone (ADVICE r4: the old cast-to-timestamp path shifted
+    values by the session offset for non-UTC sessions)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_quality_assessment_spark.sources.tables import load_table
+
+    base_us = [1_700_000_000_000_000 + i * 7_777_777 for i in range(10)]
+    d = tmp_path / "ev_ntz"
+    d.mkdir()
+    t = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            # pyarrow timestamp without tz metadata -> Spark TimestampNTZ
+            # (with spark.sql.parquet.inferTimestampNTZ.enabled default)
+            "ts": pa.array(base_us, pa.timestamp("us")),
+            "user_id": pa.array([0] * 10, pa.int64()),
+            "event_type": pa.array(["click"] * 10),
+            "value": pa.array([0.0] * 10),
+            "props": pa.array(["{}"] * 10),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    expected = [us * 1000 for us in base_us]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_infer = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = load_table(spark, "events", str(d))
+            vals = [r["ts"] for r in df.orderBy("event_id").collect()]
+            assert vals == expected, (tz, vals[:2], expected[:2])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", old_infer)

@@ -50,7 +50,20 @@ def audit(name: str, df, allow: tuple[str, ...] = ()) -> list[str]:
         # rows feeding a global window/sort through one partition
         for i, line in enumerate(lines):
             if flag in line:
-                child = lines[i + 1] if i + 1 < len(lines) else ""
+                # the aggregate child may sit under wrapper nodes
+                # (WholeStageCodegen / InputAdapter / AQEShuffleRead /
+                # ShuffleQueryStage); walk past them to the first real
+                # operator line before testing for the partial_ combine
+                child = ""
+                for nxt in lines[i + 1 : i + 6]:
+                    stripped = re.sub(r"^[\s:+\-*()0-9]*", "", nxt)
+                    if not stripped or stripped.startswith(
+                        ("WholeStageCodegen", "InputAdapter", "AQEShuffleRead",
+                         "ShuffleQueryStage", "ReusedExchange")
+                    ):
+                        continue
+                    child = nxt
+                    break
                 if "partial_" not in child:
                     findings.append(flag)
                     break
