@@ -20,14 +20,18 @@ Scale shape — two tiers, auto-selected by edge count:
   sizing ``count()`` materializes the (possibly expensive) verify
   subtree exactly once and both the sizing and the closure reuse it.
 * **iterative** (adversarial corpora whose duplicate graph is itself
-  data-sized): distributed min-label propagation; each round is one
-  equi-join + one map-side-combined ``min`` aggregation, plus a
-  pointer-jumping (label-of-label) step so star- and chain-shaped
-  clusters both close in O(log diameter) rounds. Lineage is cut per
-  round with a lazy barrier so the plan does not grow across
-  iterations (the classic iterative-Spark failure mode). This is the
-  standard MapReduce-CC recipe (Kiveris et al., "Connected Components
-  in MapReduce and Beyond") minus the large-star/small-star rewrite.
+  data-sized): the ALTERNATING large-star/small-star algorithm of
+  Kiveris et al., "Connected Components in MapReduce and Beyond"
+  (SoCC'14). Each half-round is one map-side-combined ``min``
+  aggregation + one equi-join + a distinct, and — unlike plain
+  min-label propagation, which re-shuffles the FULL edge list every
+  round — the rewrites *shrink* the edge set toward disjoint stars
+  rooted at each component's minimum id, so per-round shuffle bytes
+  decay as components collapse. Converges in O(log² n) rounds
+  worst-case (O(log n) observed); fixpoint is detected with a cheap
+  count+hash checksum instead of a full set comparison. Lineage is
+  cut per round with a lazy barrier so the plan does not grow across
+  iterations (the classic iterative-Spark failure mode).
 """
 
 from __future__ import annotations
@@ -121,58 +125,84 @@ def connected_components(
         strategy = "single" if n_edges <= small_edge_threshold else "iterative"
     if strategy == "single":
         return _cc_single_task(edges)
+    return _cc_alternating_stars(edges, max_iter)
 
-    und = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris large-star: for every node u with neighborhood Γ(u) and
+    m = min(Γ(u) ∪ {u}), rewrite each edge to a LARGER neighbor v > u
+    as (v, m). Keeps the canonical bigger-first orientation (v > u ≥ m)
+    and strictly never grows the edge count."""
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = und.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("u", "mv").alias("m")
+    )
+    return (
+        und.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris small-star: per node u over its SMALLER neighbors
+    Γ⁻(u) (all of them, given bigger-first orientation) with
+    m = min(Γ⁻(u)), rewrite to (v, m) for v ∈ Γ⁻(u) \\ {m} plus
+    (u, m). Bigger-first orientation is preserved (v > m, u > m)."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mins.select("u", F.col("m").alias("v"))
+    return rewired.union(centers).distinct()
+
+
+def _cc_alternating_stars(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed CC via alternating large-star/small-star rounds.
+    At fixpoint the edge set is exactly the disjoint star forest
+    {(child, component-min)}; labels fall out of one final left join
+    against the full vertex set (covering roots, isolated self-loop
+    vertices, and singletons alike)."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = (
-        und.select(F.col("src").alias("id"))
+    # canonical bigger-first undirected edge list, self-loops dropped
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
         .distinct()
-        .withColumn("component", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    prev_sig = None
     for _ in range(max_iter):
-        neigh = (
-            und.join(
-                labels.select(F.col("id").alias("dst"), F.col("component").alias("__nl")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("__nl").alias("__minl"))
-        )
-        stepped = labels.join(
-            neigh.select(F.col("src").alias("id"), "__minl"), "id", "left"
-        ).select(
-            "id",
-            F.least(F.col("component"), F.coalesce(F.col("__minl"), F.col("component"))).alias(
-                "component"
-            ),
-        )
-        # pointer jumping: component <- component's own label, halving
-        # chain depth every round (chains close in O(log n) not O(n)).
-        jumped = (
-            stepped.join(
-                stepped.select(
-                    F.col("id").alias("component"), F.col("component").alias("__jl")
-                ),
-                "component",
-                "left",
-            )
-            .select("id", F.coalesce("__jl", "component").alias("component"))
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            jumped.join(labels.select("id", F.col("component").alias("__old")), "id")
-            .filter(F.col("component") != F.col("__old"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # cheap fixpoint probe: count + two independent hash sums over
+        # the canonical edge set (materializes the round's barrier)
+        # bit_xor, not sum: ANSI mode overflows a long sum of hashes,
+        # and the edge list is distinct so xor is a sound set signature
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h1"),
+            F.coalesce(F.expr("bit_xor(hash(u, v))"), F.lit(0)).alias("h2"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h1"], sig_row["h2"])
+        if sig == prev_sig:
             break
-    return labels.select("id", "component")
+        prev_sig = sig
+    # star forest -> labels; vertices not appearing as a child (roots,
+    # singletons from self-loop-only input) label themselves
+    child_map = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return verts.join(child_map, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
 
 
 def duplicate_drop_ids(
