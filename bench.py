@@ -255,6 +255,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # plan-depth regression sentinel (round-5): the 20-iteration loop
+    # must stay flat per iteration (eager-checkpoint lineage cuts —
+    # a growing plan shows up here as superlinear s/iter). Recorded
+    # OUTSIDE the headline sum and run once (not best-of-2) so
+    # headline_total stays comparable with pre-round-5 baselines.
+    t0 = time.perf_counter()
+    pts20 = grid_points_2d(spark, 100).cache()
+    pts20.count()
+    active_sampling_loop(
+        pts20, ["x1", "x2"], n_iter=20, n_init=100, n_models=2, ngrid=256, bw=0.1
+    ).train.count()
+    pts20.unpersist()
+    loop20 = time.perf_counter() - t0
+
     spark.stop()
     print(
         json.dumps(
@@ -263,6 +277,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "extras": {
+                    "active_loop_20iter": round(loop20, 3),
+                    "active_loop_20iter_s_per_iter": round(loop20 / 20, 3),
+                },
                 "sf": _sf_label(SF_DIR),
             }
         )

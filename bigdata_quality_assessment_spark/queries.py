@@ -341,8 +341,8 @@ def _logn_grad_sql(col: str) -> str:
 
 
 @_register(
-    "p1_p12_pointwise_fields",
-    f"""SELECT {LID_SQL} AS lid,
+    "p1_p13_pointwise_fields",
+    f"""SELECT 'li' AS part, {LID_SQL} AS rid,
         round(l_discount*10.0*(50.0-10.0) + 10.0, 6) AS rescaled,
         round((CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN {_r(1.0 / 49.0)} ELSE 0.0 END)
               * (CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN {_r(1.0 / 0.1)} ELSE 0.0 END), 9) AS pdf_u,
@@ -353,16 +353,30 @@ def _logn_grad_sql(col: str) -> str:
         round((l_quantity*1000.0 - l_extendedprice)*(l_quantity*1000.0 - l_extendedprice), 2) AS se,
         round(abs(l_quantity*1000.0 - l_extendedprice), 6) AS ae,
         round(greatest(ln(l_discount + 0.01), -6.0), 6) AS logv,
-        isfinite(CASE WHEN l_linenumber = 1 THEN 'nan'::DOUBLE
+        CAST(isfinite(CASE WHEN l_linenumber = 1 THEN 'nan'::DOUBLE
                       WHEN l_linenumber = 2 THEN 'inf'::DOUBLE
-                      ELSE l_discount END) AS is_finite,
-        round((1.0/l_quantity) / (SELECT sum(1.0/l_quantity) FROM lineitem), 9) AS w
-        FROM lineitem""",
+                      ELSE l_discount END) AS DOUBLE) AS is_finite,
+        round((1.0/l_quantity) / (SELECT sum(1.0/l_quantity) FROM lineitem), 9) AS w,
+        CAST(NULL AS DOUBLE) AS value_scaled, CAST(NULL AS DOUBLE) AS clamped
+        FROM lineitem
+        UNION ALL
+        SELECT 'ev', event_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        CAST(NULL AS DOUBLE),
+        round((value - (SELECT min(value) FROM events))
+              / ((SELECT max(value) FROM events) - (SELECT min(value) FROM events)), 6),
+        round(greatest(value - 100.0, 0.0), 6)
+        FROM events""",
 )
-def q_p1p12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 affine rescale, P2–P6 pdfs/gradients, P7/P8 error fields,
-    P9 log-clip, P10 finite predicate (as a flag column), P12
-    inverse-density weights — one pointwise pass over lineitem."""
+def q_p1p13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the two pointwise-field families (one registry
+    row each was overkill — round-5 registry rebalance): part='li' is
+    P1 affine rescale, P2–P6 pdfs/gradients, P7/P8 error fields, P9
+    log-clip, P10 finite predicate, P12 inverse-density weights over
+    lineitem; part='ev' is P11 min-max scaling + P13 non-negativity
+    clamp over events."""
     li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
     li = inverse_density_weights(li, pdf_col="l_quantity", weight_col="__w")
     g = gaussian_pdf_grad(
@@ -373,8 +387,9 @@ def q_p1p12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_linenumber") == 2, F.lit(float("inf")))
         .otherwise(F.col("l_discount"))
     )
-    return li.select(
-        "lid",
+    li_part = li.select(
+        F.lit("li").alias("part"),
+        F.col("lid").alias("rid"),
         F.round(affine_rescale(F.col("l_discount") * 10.0, 10.0, 50.0), 6).alias("rescaled"),
         F.round(
             uniform_pdf([F.col("l_quantity"), F.col("l_discount")], [1.0, 0.0], [50.0, 0.1]),
@@ -401,28 +416,25 @@ def q_p1p12(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ae"
         ),
         F.round(log_clip(F.col("l_discount") + 0.01), 6).alias("logv"),
-        finite(fv).alias("is_finite"),
+        finite(fv).cast("double").alias("is_finite"),
         F.round(F.col("__w"), 9).alias("w"),
+        F.lit(None).cast("double").alias("value_scaled"),
+        F.lit(None).cast("double").alias("clamped"),
     )
-
-
-@_register(
-    "p11_p13_event_fields",
-    """SELECT event_id,
-       round((value - (SELECT min(value) FROM events))
-             / ((SELECT max(value) FROM events) - (SELECT min(value) FROM events)), 6) AS value_scaled,
-       round(greatest(value - 100.0, 0.0), 6) AS clamped
-       FROM events""",
-)
-def q_p11p13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11 min-max scaling + P13 non-negativity clamp over events."""
     ev = _t(spark, sf_dir, "events")
-    out = minmax_scale(ev, "value")
-    return out.select(
-        "event_id",
+    ev_part = minmax_scale(ev, "value").select(
+        F.lit("ev").alias("part"),
+        F.col("event_id").alias("rid"),
+        *[F.lit(None).cast("double").alias(c) for c in (
+            "rescaled", "pdf_u", "pdf_g", "g1", "g2", "pdf_ln", "g_ln",
+            "se", "ae", "logv",
+        )],
+        F.lit(None).cast("double").alias("is_finite"),
+        F.lit(None).cast("double").alias("w"),
         F.round("value_scaled", 6).alias("value_scaled"),
         F.round(clamp_nonneg(F.col("value") - 100.0), 6).alias("clamped"),
     )
+    return li_part.unionByName(ev_part)
 
 
 # -------------------- acquisitions P14-P17 ---------------------------
@@ -859,27 +871,60 @@ def q_a14(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------- selection / set ops T*, U* ----------------------
 
 @_register(
-    "t1_t2_selection",
-    f"""SELECT 'argmax' AS sel, lid, l_extendedprice FROM
+    "t1_u1_selection_set_ops",
+    f"""SELECT 'argmax' AS part, lid, l_extendedprice,
+               CAST(NULL AS VARCHAR) AS l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
+               CAST(NULL AS DOUBLE) AS l_quantity FROM
           (SELECT {LID_SQL} AS lid, l_extendedprice FROM lineitem
            ORDER BY l_extendedprice DESC, {LID_SQL} ASC LIMIT 1) a
         UNION ALL
-        SELECT 'topk', lid, l_extendedprice FROM
+        SELECT 'topk', lid, l_extendedprice, NULL, NULL, NULL FROM
           (SELECT {LID_SQL} AS lid, l_extendedprice FROM lineitem
-           ORDER BY l_extendedprice DESC, {LID_SQL} DESC LIMIT 20) b""",
+           ORDER BY l_extendedprice DESC, {LID_SQL} DESC LIMIT 20) b
+        UNION ALL
+        SELECT 'dedup', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               l_returnflag, l_linestatus, l_quantity FROM
+          (SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem) c
+        UNION ALL
+        SELECT 'append', lid, CAST(NULL AS DOUBLE), NULL, NULL, l_quantity FROM
+          (SELECT {LID_SQL} AS lid, l_quantity FROM lineitem WHERE l_orderkey < 500
+           UNION ALL
+           SELECT {LID_SQL} AS lid, l_quantity FROM lineitem WHERE l_orderkey >= 14500) d""",
 )
-def q_t1t2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 argmax (ties→lowest id, numpy argmax) + T2 top-k
-    (ties→highest id, numpy argsort-reversed) — both
-    TakeOrderedAndProject shapes, tagged and unioned."""
+def q_t1u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection + set-op family as ONE tagged union (round-5 registry
+    rebalance: three thin rows folded so the ANN/streaming splits get
+    first-class rows). Parts: 'argmax' = T1 (ties→lowest id), 'topk' =
+    T2 (ties→highest id) — both TakeOrderedAndProject shapes; 'dedup'
+    = T4 seeded shuffle + T5 dedup (oracle DISTINCT proves the shuffle
+    is multiset-preserving); 'append' = U1 train-pool append."""
     li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
+    nulls = lambda *cs: [F.lit(None).cast(t).alias(c) for c, t in cs]  # noqa: E731
     a = argmax(li, "l_extendedprice", id_col="lid").select(
-        F.lit("argmax").alias("sel"), "lid", "l_extendedprice"
+        F.lit("argmax").alias("part"), "lid", "l_extendedprice",
+        *nulls(("l_returnflag", "string"), ("l_linestatus", "string"),
+               ("l_quantity", "double")),
     )
     b = top_k(li, "l_extendedprice", 20, id_col="lid").select(
-        F.lit("topk").alias("sel"), "lid", "l_extendedprice"
+        F.lit("topk").alias("part"), "lid", "l_extendedprice",
+        *nulls(("l_returnflag", "string"), ("l_linestatus", "string"),
+               ("l_quantity", "double")),
     )
-    return a.unionByName(b)
+    raw = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+    c = dedup(shuffle_rows(raw, seed=42)).select(
+        F.lit("dedup").alias("part"),
+        *nulls(("lid", "bigint"), ("l_extendedprice", "double")),
+        "l_returnflag", "l_linestatus", "l_quantity",
+    )
+    train = li.filter(F.col("l_orderkey") < 500).select("lid", "l_quantity")
+    sel = li.filter(F.col("l_orderkey") >= 14500).select("lid", "l_quantity")
+    d = train_append(train, sel).select(
+        F.lit("append").alias("part"), "lid",
+        *nulls(("l_extendedprice", "double"), ("l_returnflag", "string"),
+               ("l_linestatus", "string")),
+        "l_quantity",
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 @_register("t3_weighted_sample")  # stochastic → rows-only (count contract: exactly k draws)
@@ -889,33 +934,6 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_with_replacement(w, "w", 100, seed=42, id_col="lid").select(
         "draw_id", "lid", "l_quantity"
     )
-
-
-@_register(
-    "t4_t5_shuffle_dedup",
-    "SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
-)
-def q_t4t5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4 shuffle + T5 dedup composed: dedup of a seeded random
-    permutation. The oracle (plain DISTINCT) proves both that the
-    shuffle is multiset-preserving and that dedup matches SQL DISTINCT
-    (shuffle is semantically a no-op under Spark's unordered relations
-    — exactly the point of T4, SDE_forecast_ActiveSampling.py:146-149)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
-    return dedup(shuffle_rows(li, seed=42))
-
-
-@_register(
-    "u1_train_append",
-    f"""SELECT {LID_SQL} AS lid, l_quantity FROM lineitem WHERE l_orderkey < 500
-        UNION ALL
-        SELECT {LID_SQL} AS lid, l_quantity FROM lineitem WHERE l_orderkey >= 14500""",
-)
-def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
-    train = li.filter(F.col("l_orderkey") < 500).select("lid", "l_quantity")
-    sel = li.filter(F.col("l_orderkey") >= 14500).select("lid", "l_quantity")
-    return train_append(train, sel)
 
 
 # --------------------- windows W1, A4, U2 ----------------------------
@@ -1447,23 +1465,33 @@ def q_xcospairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@_register("x_ann_knn")  # hyperplane/k-means state not SQL-expressible → rows-only
+@_register("x_ann_knn")  # hyperplane projection state not SQL-expressible → rows-only
 def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BOTH ANN scale paths in one tagged union: hyperplane-LSH
-    bucketed top-k and IVF coarse-quantized top-k. Recall vs the
-    brute-force oracle (x_knn_cosine) is pytest-checked per method in
-    tests/test_similarity.py."""
+    """ANN scale path #1: hyperplane-LSH bucketed top-k (candidates
+    come from multi-table sign-bucket joins — the cross product never
+    materializes). Recall vs the brute-force oracle (x_knn_cosine) is
+    pytest-checked in tests/test_similarity.py. First-class row since
+    the round-5 registry rebalance (was a tagged union with IVF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann_hyperplane_knn(emb, q, dim=64, k=5, n_planes=8, n_tables=4).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@_register("x_ann_ivf_knn")  # k-means quantizer state not SQL-expressible → rows-only
+def q_xann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF top-k — a driver-side bounded-sample
+    k-means coarse quantizer, pure-projection cell assignment, one
+    equi-join on the probed cells. Recall vs brute force is
+    pytest-checked in tests/test_similarity.py."""
     from bigdata_quality_assessment_spark.operators.similarity import ivf_knn
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    lsh = ann_hyperplane_knn(emb, q, dim=64, k=5, n_planes=8, n_tables=4).select(
-        F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine", "rank"
+    return ivf_knn(emb, q, dim=64, k=5, n_centroids=16, n_probe=4, seed=42).select(
+        "query_id", "vec_id", "cosine", "rank"
     )
-    ivf = ivf_knn(emb, q, dim=64, k=5, n_centroids=16, n_probe=4, seed=42).select(
-        F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank"
-    )
-    return lsh.unionByName(ivf)
 
 
 @_register("x_embedding_near_dedup")  # rows-only
@@ -1743,55 +1771,59 @@ def q_st_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "st_running_stats",
-    """SELECT 'welford' AS part, event_type, COUNT(*) AS n,
+    """SELECT event_type, COUNT(*) AS n,
               round(AVG(value), 6) AS mean_value,
-              round(VAR_POP(value), 3) AS var_value,
-              CAST(NULL AS DOUBLE) AS sum_value
-       FROM events GROUP BY event_type
-       UNION ALL
-       SELECT 'dedup', event_type, COUNT(*), NULL, NULL,
-              round(SUM(value), 4)
+              round(VAR_POP(value), 3) AS var_value
        FROM events GROUP BY event_type""",
 )
 def q_st_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two custom streaming operators in one tagged frame.
-
-    ``welford``: stateful running stats (applyInPandasWithState,
+    """Custom stateful streaming operator (applyInPandasWithState,
     chunk-vectorized Welford): the FINAL emitted row per key equals
     the exact global stats regardless of micro-batch split — selected
-    via a max-n window so the check is batching-invariant.
-
-    ``dedup``: streaming exact dedup
-    (``dropDuplicatesWithinWatermark`` on a content digest): every
-    event is injected TWICE via an in-row explode (copies share a
-    micro-batch, so the test is batching-invariant), and the
-    per-type count/sum after the streaming dedup must equal the
-    original table's — i.e. the state store dropped exactly the
-    injected copies."""
+    via a max-n window so the check is batching-invariant. First-class
+    row again since the round-5 rebalance (the dedup half moved to
+    st_streaming_dedup)."""
     from pyspark.sql import Window
 
     from bigdata_quality_assessment_spark.streaming.aggregates import (
         run_available_now,
         running_stats_stateful,
         streaming_events,
-        streaming_exact_dedup,
     )
 
     stream = streaming_events(spark, sf_dir)
     out = run_available_now(running_stats_stateful(stream), "q_st_rs")
     w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
-    welford = (
+    return (
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
-            F.lit("welford").alias("part"),
             "event_type",
             "n",
             F.round("mean", 6).alias("mean_value"),
             F.round("var_pop", 3).alias("var_value"),
-            F.lit(None).cast("double").alias("sum_value"),
         )
     )
+
+
+@_register(
+    "st_streaming_dedup",
+    """SELECT event_type, COUNT(*) AS n, round(SUM(value), 4) AS sum_value
+       FROM events GROUP BY event_type""",
+)
+def q_st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark`` on a
+    content digest, state keyed by digest not body): every event is
+    injected TWICE via an in-row explode (copies share a micro-batch,
+    so the check is batching-invariant), and the per-type count/sum
+    after the streaming dedup must equal the original table's — i.e.
+    the state store dropped exactly the injected copies."""
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        run_available_now,
+        streaming_events,
+        streaming_exact_dedup,
+    )
+
     doubled = (
         streaming_events(spark, sf_dir)
         .withColumn("__copy", F.explode(F.array(F.lit(0), F.lit(1))))
@@ -1801,17 +1833,9 @@ def q_st_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ded = run_available_now(
         streaming_exact_dedup(doubled, text_col="__k"), "q_st_dedup"
     )
-    dedup = ded.groupBy("event_type").agg(
+    return ded.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
-    ).select(
-        F.lit("dedup").alias("part"),
-        "event_type",
-        "n",
-        F.lit(None).cast("double").alias("mean_value"),
-        F.lit(None).cast("double").alias("var_value"),
-        "sum_value",
     )
-    return welford.unionByName(dedup)
 
 
 @_register(
@@ -1891,6 +1915,88 @@ def q_st_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
         "n",
         F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+@_register(
+    "st_asof_join",
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+                   FROM events),
+        clicks AS (SELECT event_id, user_id, ts_us, value FROM ev
+                   WHERE event_type = 'click'),
+        b0 AS (SELECT user_id, ts_us, value AS pv,
+                      row_number() OVER (PARTITION BY user_id, ts_us
+                                         ORDER BY event_id DESC) AS rn
+               FROM ev WHERE event_type = 'purchase'),
+        buys AS (SELECT user_id, ts_us, pv FROM b0 WHERE rn = 1),
+        cut AS (SELECT least((SELECT max(ts_us) FROM clicks),
+                             (SELECT max(ts_us) FROM buys))
+                       - CAST(180000 AS BIGINT) * 1000000 AS c),
+        cand AS (SELECT c.event_id, c.user_id, c.ts_us, c.value, b.pv,
+                        b.ts_us AS matched_ts_us,
+                        row_number() OVER (PARTITION BY c.event_id
+                                           ORDER BY b.ts_us DESC, b.pv DESC) AS rn
+                 FROM clicks c LEFT JOIN buys b
+                   ON c.user_id = b.user_id AND b.ts_us <= c.ts_us
+                      AND b.ts_us >= c.ts_us - CAST(172800 AS BIGINT) * 1000000
+                 WHERE c.ts_us <= (SELECT c FROM cut))
+        SELECT event_id, user_id, ts_us, round(value, 6) AS value,
+               COALESCE(round(pv, 6), -1.0) AS pv,
+               COALESCE(matched_ts_us, -1) AS matched_ts_us
+        FROM cand WHERE rn = 1""",
+)
+def q_st_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream backward as-of join (streaming/joins.py, round-5):
+    every click stream row is enriched with the latest purchase-stream
+    row of the same user within a 2-day lookback — the native
+    two-stateful-operator plan (watermarked LEFT OUTER time-interval
+    join → windowed max_by reduction, append mode).
+
+    Grading cut: events inside the emission horizon
+    (lookback + watermark behind the slower stream's max event time)
+    are withheld in state when the available-now drain ends, so BOTH
+    engines filter to ts <= least(max click ts, max purchase ts)
+    - lookback(2 d) - watermark(1 h) - slack(1 h); the boundary sits
+    a full hour away from any internal watermark rounding. Right-side
+    ties at equal (user, ts) are broken inside the streaming reduction
+    (tiebreak_cols) and by ORDER BY ts DESC, pv DESC in the oracle."""
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        run_available_now,
+        streaming_events,
+    )
+    from bigdata_quality_assessment_spark.streaming.joins import streaming_asof_join
+
+    stream = streaming_events(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    out = streaming_asof_join(
+        clicks, buys, on=["user_id"], ts_col="ts",
+        lookback="2 days", watermark="1 hour", tiebreak_cols=["pv"],
+    )
+    drained = run_available_now(out, "q_st_asof", output_mode="append")
+    ev_b = _t(spark, sf_dir, "events")
+    cut = (
+        ev_b.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.expr("ts DIV 1000")).alias("m"))
+        .agg((F.min("m") - F.lit(180_000_000_000)).alias("c"))
+        .first()["c"]
+    )
+    return (
+        drained.withColumn("ts_us", F.unix_micros("ts"))
+        .filter(F.col("ts_us") <= F.lit(cut))
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.round("value", 6).alias("value"),
+            F.coalesce(F.round("pv", 6), F.lit(-1.0)).alias("pv"),
+            F.coalesce(F.unix_micros("ts_right"), F.lit(-1)).alias("matched_ts_us"),
+        )
     )
 
 

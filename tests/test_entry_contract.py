@@ -44,5 +44,5 @@ def test_entry_returns_rows(entry_mod, spark):
 
 def test_sample_queries_run_at_sf0001(entry_mod, spark):
     qs = entry_mod.queries()
-    for name in ("t1_t2_selection", "a7_histogram", "x_text_stats"):
+    for name in ("t1_u1_selection_set_ops", "a7_histogram", "x_text_stats"):
         assert qs[name](spark, "/root/testdata/sf0.001").count() > 0

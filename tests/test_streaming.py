@@ -171,3 +171,125 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len(got) == 3
     assert 2 in got and 4 in got
     assert len(got & {0, 1, 3}) == 1
+
+
+def test_streaming_asof_join_matches_batch(spark, batch_events):
+    """Stream-stream backward as-of (round-5): drained streaming result
+    must equal the batch asof_join with tolerance=lookback on the
+    emitted region (events older than max_ts - lookback - watermark
+    stay in state per the emission contract and are excluded on BOTH
+    sides)."""
+    import pandas as pd
+
+    from bigdata_quality_assessment_spark.operators.asof import asof_join
+    from bigdata_quality_assessment_spark.streaming.joins import streaming_asof_join
+
+    lookback_s = 2 * 86400
+
+    # batch oracle on epoch-seconds BIGINT ts
+    ev_b = batch_events.withColumn("ts_s", F.unix_timestamp("ts"))
+    clicks_b = ev_b.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts_s").alias("ts"), "value"
+    )
+    buys_all = ev_b.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_s").alias("ts"), F.col("value").alias("pv")
+    )
+    # deterministic right side: one row per (user, ts)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    buys_b = (
+        buys_all.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "pv")
+    )
+    # streaming: same frames as streams over the staged landing dir
+    stream = streaming_events(spark, SF)
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    buys_s = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    out = streaming_asof_join(
+        clicks_s, buys_s, on=["user_id"], ts_col="ts",
+        lookback="2 days", watermark="1 hour",
+    )
+    drained = run_available_now(out, "st_asof", output_mode="append").cache()
+    # the emission region boundary is Spark's internal output-watermark
+    # arithmetic (>= lookback+watermark behind max event time); the
+    # CONTRACT under test is correctness ON the emitted region, so the
+    # comparison cutoff is the drained result's own max timestamp.
+    cutoff = drained.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    max_ts = batch_events.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    assert cutoff <= max_ts - lookback_s - 3600, "tail inside the horizon must be withheld"
+    got = (
+        drained.select("event_id", "pv", F.unix_timestamp("ts_right").alias("mts"))
+        .toPandas()
+    )
+    expect = (
+        asof_join(clicks_b, buys_b, on=["user_id"], ts_col="ts",
+                  tolerance=lookback_s)
+        .filter(F.col("ts") <= F.lit(cutoff))
+        .select("event_id", "pv", F.col("ts_right").alias("mts"))
+        .toPandas()
+    )
+    assert len(got) > 50, "too few emitted events to be meaningful"
+    g = got.sort_values("event_id").reset_index(drop=True)
+    e = expect.sort_values("event_id").reset_index(drop=True)
+    assert list(g["event_id"]) == list(e["event_id"])
+    pd.testing.assert_series_equal(g["pv"], e["pv"], check_exact=False)
+    assert g["mts"].fillna(-1).astype("int64").tolist() == e["mts"].fillna(-1).astype("int64").tolist()
+    # both match classes are exercised
+    assert g["pv"].notna().sum() > 0 and g["pv"].isna().sum() > 0
+
+
+def test_multi_microbatch_drain_exact_counts(spark, batch_events, tmp_path):
+    """Round-5 regression pin: drain the events stream in SEVERAL
+    micro-batches (re-staged as 4 files, maxFilesPerTrigger=1) and
+    assert exact totals — a future testdata/staging regeneration that
+    silently collapses batching or drops rows (like the r3 ts-storage
+    incident) fails here, not in bench timings. Files arrive in
+    arbitrary event-time order, so this also pins that complete-mode
+    aggregation state survives out-of-order batch arrival."""
+    from bigdata_quality_assessment_spark.sources.tables import EVENTS_SCHEMA, load_table
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        windowed_metrics,
+        with_event_time,
+    )
+
+    staged = str(tmp_path / "events4")
+    load_table(spark, "events", SF).repartition(4).write.parquet(staged)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    agg = windowed_metrics(with_event_time(raw), window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mb_pin")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2, "expected multiple micro-batches"
+    assert sum(p["numInputRows"] for p in data_batches) == 1000
+
+    got = spark.sql("select * from mb_pin")
+    assert got.agg(F.sum("n")).first()[0] == 1000
+    expect = (
+        batch_events.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.col("window.start"))
+        .select("w", "n")
+    )
+    diff = (
+        got.withColumn("w", F.col("window.start"))
+        .select("w", "n")
+        .exceptAll(expect)
+        .count()
+    )
+    assert diff == 0

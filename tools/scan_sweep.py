@@ -10,11 +10,13 @@ Known-legitimate >=1 scan counts (two genuinely different derivations
 of the same table, where a barrier would materialize a data-sized
 frame):
 
-  p1_p12 / p11_p13      one-row agg + broadcast join-back over the data
-  j2 / u1 / x_asof      union/anti-join of two different filters
-  j3 / j4_j5 / t1_t2    two projections feeding a join/union of top-ks
+  p1_p13 (4)            one-row aggs + broadcast join-backs, 2 tables
+  j2 / x_asof           union/anti-join of two different filters
+  j3 / j4_j5            two projections feeding a join/union of top-ks
+  t1_u1 (6)             four tagged parts over lineitem (argmax/topk/
+                        dedup each 1; append unions two filters)
   x_knn / x_cosine_pairs corpus + query-subset (or self-join) scans
-  x_ann_knn (4)         tagged union of two independent ANN variants
+  x_ann_knn / x_ann_ivf_knn  bucketed candidates + query scans
   x_blob_stats          stats + chunking (blobs must not materialize)
 
 Round-4 catches fixed by this sweep: exact_dedup (3 -> 1, digest pass
@@ -43,14 +45,13 @@ sys.path.insert(0, str(REPO))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 EXPECTED_MAX = {
-    "x_ann_knn": 4,
-    "p1_p12_pointwise_fields": 2,
-    "p11_p13_event_fields": 2,
+    "x_ann_knn": 2,
+    "x_ann_ivf_knn": 2,
+    "p1_p13_pointwise_fields": 4,
     "j2_pool_remove": 2,
     "j3_interp": 2,
     "j4_j5_index_aligned": 2,
-    "t1_t2_selection": 2,
-    "u1_train_append": 2,
+    "t1_u1_selection_set_ops": 6,
     "x_knn_cosine": 2,
     "x_cosine_pairs": 2,
     "x_blob_stats": 2,
