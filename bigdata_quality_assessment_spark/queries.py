@@ -1368,8 +1368,31 @@ def q_xjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("x_minhash_near_dedup")  # xxhash64 not in DuckDB → rows-only
+@_register("x_minhash_near_dedup")  # rows-only; see docstring for why no oracle
 def q_xminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup with cluster closure. Rows-only by
+    necessity (round-5 investigated upgrading, verdict item #6):
+
+    The signature lanes are ``xxhash64(lane_i, xxhash64(shingle))``.
+    Spark's XxHash64 is XXH64 *seed-chained across columns* over
+    Spark's internal encodings — UTF-8 bytes in 32-byte stripes with
+    four rotating accumulators for strings, per-element chaining with
+    the running hash as seed for arrays. DuckDB macros are loop-free
+    expressions; they cannot walk variable-length byte stripes, so a
+    bit-exact SQL reimplementation is not expressible (DuckDB's own
+    ``hash()`` is a different function entirely). And a
+    threshold-level oracle (exact-Jaccard edges ≥ θ in SQL) would
+    only match if banded-LSH recall were exactly 1.0 on the corpus —
+    a data-dependent accident, not a contract, and the testdata
+    regenerates between rounds.
+
+    What IS oracle-graded instead: the exact shingle-Jaccard pair
+    operator that VERIFIES every LSH candidate (``x_jaccard_pairs``,
+    hash-matched in SQL) and the cluster-closure operator
+    (``x_exact_dedup`` grades connected components on a deterministic
+    graph). Pytest covers the probabilistic layer: seeded signature
+    goldens, band-collision recall bounds, and closure property tests
+    (tests/test_text.py, tests/test_graph.py)."""
     docs = _t(spark, sf_dir, "documents")
     return near_dedup_minhash(docs, k=3, n_hashes=128, bands=16, min_jaccard=0.8).select(
         "doc_id", "lang", "source"
