@@ -37,31 +37,43 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: int | float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    ``ts_col`` <= the left row's ``ts_col``, per ``on`` key group —
-    pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics (backward
-    direction, inclusive).
+    """For every left row, attach the matching right row per ``on``
+    key group — pandas ``merge_asof`` semantics, all three directions:
+
+    * ``backward`` (default): greatest right ``ts_col`` <= left's
+      (DuckDB ``ASOF JOIN``);
+    * ``forward``: smallest right ``ts_col`` >= left's;
+    * ``nearest``: whichever of the two is closer in time, backward
+      winning exact-distance ties (pandas' rule).
+
+    All directions stay the union+window formulation — ONE hash
+    exchange on the keys regardless (``nearest`` adds a second
+    within-partition sort over the same exchange, not a new shuffle).
 
     ``right_cols`` are the right-side payload columns to carry (default:
     everything except keys and ts). The matched right timestamp is
     exposed as ``{ts_col}{suffix}``. With ``tolerance`` set, matches
-    older than ``tolerance`` (in ``ts_col`` units) are nulled out —
-    pandas merge_asof's ``tolerance``.
+    farther than ``tolerance`` (in ``ts_col`` units, direction-aware)
+    are nulled out — pandas merge_asof's ``tolerance``.
 
-    Ties: right rows sort BEFORE left rows at equal ts (inclusive <=),
-    and among right rows at identical (keys, ts) the LAST one in
-    ``right``'s deterministic column order wins only if distinct — for
-    a deterministic pick, pre-dedup the right side (see the x_asof_join
-    registry query, which keeps max event_id per (user, ts)).
+    Ties: right rows sort inside the match frame at equal ts
+    (inclusive match in every direction), and among right rows at
+    identical (keys, ts) the pick is deterministic only if the rows
+    are — pre-dedup the right side (see the x_asof_join registry
+    query, which keeps max event_id per (user, ts)).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*on, ts_col)]
     payload = [*right_cols, ts_col]
 
     # Tagged union: left carries its full row + null payload slots;
-    # right carries keys/ts + payload. __side orders right (0) before
-    # left (1) at equal ts => inclusive match.
+    # right carries keys/ts + payload. __side places right rows inside
+    # the window frame at equal ts (before left for backward frames,
+    # after left for forward frames) => inclusive match.
     lhs = left.select(
         *left.columns,
         F.lit(1).alias("__side"),
@@ -74,20 +86,55 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in payload],
     ).select(*lhs.columns)
+    union = lhs.unionByName(rhs)
 
-    w = (
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lhs.unionByName(rhs).select(
-        *[F.col(c) for c in left.columns],
-        F.col("__side"),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in payload],
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    out = filled.filter(F.col("__side") == 1).drop("__side")
+
+    def matches(w, fill, prefix: str) -> list:
+        return [
+            fill(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in payload
+        ]
+
+    if direction == "backward":
+        picked = [(c, F.col(f"__{c}")) for c in payload]
+        filled = union.select(*left.columns, "__side", *matches(w_back, F.last, "__"))
+    elif direction == "forward":
+        picked = [(c, F.col(f"__{c}")) for c in payload]
+        filled = union.select(*left.columns, "__side", *matches(w_fwd, F.first, "__"))
+    else:  # nearest: evaluate both frames, pick the closer match
+        filled = union.select(
+            *left.columns,
+            "__side",
+            *matches(w_back, F.last, "__b_"),
+            *matches(w_fwd, F.first, "__f_"),
+        )
+        back_ts = F.col(f"__b_{ts_col}")
+        fwd_ts = F.col(f"__f_{ts_col}")
+        use_back = F.when(back_ts.isNull(), F.lit(False)).otherwise(
+            fwd_ts.isNull()
+            | ((F.col(ts_col) - back_ts) <= (fwd_ts - F.col(ts_col)))
+        )
+        picked = [
+            (c, F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")))
+            for c in payload
+        ]
+
+    out = filled.filter(F.col("__side") == 1)
+    sel = [F.col(c) for c in left.columns] + [m.alias(f"__m_{c}") for c, m in picked]
+    out = out.select(*sel)
     if tolerance is not None:
-        stale = F.col(ts_col) - F.col(f"__m_{ts_col}") > F.lit(tolerance)
+        dist = F.abs(F.col(ts_col) - F.col(f"__m_{ts_col}"))
+        stale = dist > F.lit(tolerance)
         out = out.select(
             *left.columns,
             *[F.when(stale, F.lit(None)).otherwise(F.col(f"__m_{c}")).alias(f"__m_{c}") for c in payload],

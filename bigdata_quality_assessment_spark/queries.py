@@ -1640,23 +1640,47 @@ def q_xvalidity(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events WHERE event_type = 'purchase'),
         r AS (SELECT user_id, ts, value AS purchase_value,
                      event_id AS purchase_event_id
-              FROM r0 WHERE rn = 1)
-        SELECT l.event_id, l.user_id, l.ts, round(l.value, 6) AS value,
+              FROM r0 WHERE rn = 1),
+        near0 AS (SELECT l.event_id, l.user_id, l.ts, l.value,
+                         r.purchase_value, r.purchase_event_id, r.ts AS rts,
+                         row_number() OVER (
+                           PARTITION BY l.event_id
+                           ORDER BY abs(l.ts - r.ts) ASC,
+                                    CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END ASC
+                         ) AS rn
+                  FROM l LEFT JOIN r ON l.user_id = r.user_id)
+        SELECT 'b' AS part, l.event_id, l.user_id, l.ts, round(l.value, 6) AS value,
                COALESCE(round(r.purchase_value, 6), -1.0) AS purchase_value,
                COALESCE(r.purchase_event_id, -1) AS purchase_event_id,
                COALESCE(r.ts, -1) AS ts_purchase
-        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        UNION ALL
+        SELECT 'f', l.event_id, l.user_id, l.ts, round(l.value, 6),
+               COALESCE(round(r.purchase_value, 6), -1.0),
+               COALESCE(r.purchase_event_id, -1),
+               COALESCE(r.ts, -1)
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        UNION ALL
+        SELECT 'n', event_id, user_id, ts, round(value, 6),
+               COALESCE(round(purchase_value, 6), -1.0),
+               COALESCE(purchase_event_id, -1),
+               COALESCE(rts, -1)
+        FROM near0 WHERE rn = 1""",
 )
 def q_xasof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (point-in-time) join: attach to every click event the most
-    recent prior-or-equal purchase of the same user — the union+window
-    formulation (one key shuffle, no range-join row explosion; see
-    operators/asof.py). Timestamps compared at MICROsecond precision on
-    both engines (DuckDB truncates parquet nanos to µs; Spark DIV 1000
-    — integer division, because nanos exceed 2^53). Right side
-    pre-deduped per (user, ts) by max event_id so the tie pick is
-    deterministic cross-engine; oracle is DuckDB's native ASOF LEFT
-    JOIN."""
+    """As-of (point-in-time) join, ALL THREE directions tagged
+    (round-5): part='b' backward (most recent prior-or-equal purchase),
+    part='f' forward (earliest at-or-after), part='n' nearest
+    (closer of the two, backward wins ties — pandas' rule) — the
+    union+window formulation throughout (one key shuffle, no
+    range-join row explosion; see operators/asof.py). Timestamps
+    compared at MICROsecond precision on both engines (DuckDB
+    truncates parquet nanos to µs; Spark DIV 1000 — integer division,
+    because nanos exceed 2^53). Right side pre-deduped per (user, ts)
+    by max event_id so the tie pick is deterministic cross-engine;
+    oracle: DuckDB native ASOF LEFT JOIN for b/f (the comparison
+    operator picks the direction), row_number over abs-distance with
+    a backward-first tiebreak for n."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts DIV 1000"))
@@ -1677,16 +1701,26 @@ def q_xasof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("purchase_event_id"),
         )
     )
-    out = asof_join(left, right, on=["user_id"], ts_col="ts", suffix="_purchase")
-    return out.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.round("value", 6).alias("value"),
-        F.coalesce(F.round("purchase_value", 6), F.lit(-1.0)).alias("purchase_value"),
-        F.coalesce("purchase_event_id", F.lit(-1)).alias("purchase_event_id"),
-        F.coalesce("ts_purchase", F.lit(-1)).alias("ts_purchase"),
-    )
+    parts = []
+    for tag, direction in (("b", "backward"), ("f", "forward"), ("n", "nearest")):
+        out = asof_join(
+            left, right, on=["user_id"], ts_col="ts", suffix="_purchase",
+            direction=direction,
+        )
+        parts.append(
+            out.select(
+                F.lit(tag).alias("part"),
+                "event_id",
+                "user_id",
+                "ts",
+                F.round("value", 6).alias("value"),
+                F.coalesce(F.round("purchase_value", 6), F.lit(-1.0)).alias("purchase_value"),
+                F.coalesce("purchase_event_id", F.lit(-1)).alias("purchase_event_id"),
+                F.coalesce("ts_purchase", F.lit(-1)).alias("ts_purchase"),
+            )
+        )
+    b, f_, n = parts
+    return b.unionByName(f_).unionByName(n)
 
 
 @_register(

@@ -118,3 +118,91 @@ def test_time_rollup_levels_consistent(spark):
         assert days[days.bucket_86400s == d].n.iloc[0] == cnt
     # hour buckets nest inside their day bucket
     assert ((finest.bucket_3600s // 86400) * 86400 == finest.bucket_86400s).all()
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_join_directions_match_pandas(spark, frames, direction):
+    """Round-5: forward and nearest directions must reproduce pandas
+    merge_asof exactly (backward covered above), including pandas'
+    backward-wins-ties rule for nearest."""
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            ts_col="ts",
+            direction=direction,
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction=direction,
+            suffixes=("", "_right"),
+        )
+        .sort_values(["k", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(left)
+    assert np.allclose(
+        got["rval"].fillna(-999), expect["rval"].fillna(-999), atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_direction_tolerance_matches_pandas(spark, frames, direction):
+    left, right = frames
+    tol = 500
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            ts_col="ts",
+            direction=direction,
+            tolerance=tol,
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance=tol,
+            suffixes=("", "_right"),
+        )
+        .sort_values(["k", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(
+        got["rval"].fillna(-999), expect["rval"].fillna(-999), atol=1e-12
+    )
+
+
+def test_asof_join_directions_single_exchange_plan(spark, frames):
+    """nearest evaluates two window frames but must still shuffle the
+    union exactly once (two sorts over one exchange, no second
+    hashpartitioning of the data)."""
+    left, right = frames
+    for direction in ("forward", "nearest"):
+        out = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            ts_col="ts",
+            direction=direction,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, (direction, plan)
