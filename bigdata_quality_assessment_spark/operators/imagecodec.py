@@ -41,6 +41,7 @@ _ZIGZAG = np.array(
     ],
     dtype=np.int64,
 )
+_ZZ_LIST = [int(v) for v in _ZIGZAG]  # plain-int copy for the hot loop
 
 # orthonormal 8-point DCT-II basis; forward X = C @ x @ C.T, inverse
 # x = C.T @ X @ C (exact float IDCT, vectorized over blocks by einsum)
@@ -57,54 +58,93 @@ _DCT_C = np.array(
 
 
 class _BitReader:
-    """MSB-first bit reader over an un-stuffed entropy segment."""
+    """MSB-first bit reader over an un-stuffed entropy segment.
 
-    __slots__ = ("data", "pos", "bit")
+    Buffered-integer design: bits accumulate in a small Python int so
+    a Huffman symbol costs ~5 integer ops (one 16-bit peek + one
+    consume) instead of up to 16 per-bit method calls — the entropy
+    loop is the decoder's hot path on a real corpus. Peeks past the
+    end of data are zero-padded (a peek window may overhang the last
+    byte), but CONSUMING past the real bit count raises — that is a
+    truncated stream."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "consumed", "total")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
+        self.consumed = 0
+        self.total = len(data) * 8
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # zero-pad: peek-only territory
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.consumed += n
+        if self.consumed > self.total:
             raise ValueError("bit stream exhausted")
-        v = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return v
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if self.nbits < n:
+            self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.consume(n)
         return v
 
 
-def _build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
-    """Canonical JPEG Huffman table → {(code_length, code): symbol}."""
-    table: dict[tuple[int, int], int] = {}
+# (counts||symbols) -> 65536-entry peek LUT; JPEG files overwhelmingly
+# reuse the spec's example tables, so across an Arrow batch of images
+# each distinct table builds once.
+_LUT_CACHE: dict[bytes, list] = {}
+_LUT_CACHE_MAX = 64
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> list:
+    """Canonical JPEG Huffman table → 16-bit peek LUT: entry i holds
+    ``(symbol, code_length)`` for the code that prefixes the 16-bit
+    window i, or None for invalid prefixes."""
+    key = bytes(counts) + symbols
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut: list = [None] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
+        span = 1 << (16 - length)
         for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            start = code << (16 - length)
+            lut[start : start + span] = [(symbols[k], length)] * span
             code += 1
             k += 1
         code <<= 1
-    return table
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
 
 
-def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _huff_decode(r: _BitReader, table: list) -> int:
+    hit = table[r.peek16()]
+    if hit is None:
+        raise ValueError("invalid Huffman code")
+    r.consume(hit[1])
+    return hit[0]
 
 
 def _receive_extend(r: _BitReader, s: int) -> int:
@@ -264,10 +304,13 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
                     nby = 1 if single else cv
                     for by in range(nby):
                         for bx in range(nbx):
-                            coef = np.zeros(64, dtype=np.float64)
+                            # plain-list coefficient buffer: scalar
+                            # stores into a Python list beat numpy
+                            # item assignment in this per-symbol loop
+                            coef = [0.0] * 64
                             t = _huff_decode(r, dc_tbl)
                             pred[cid] += _receive_extend(r, t)
-                            coef[0] = pred[cid]
+                            coef[0] = float(pred[cid])
                             k = 1
                             while k < 64:
                                 rs = _huff_decode(r, ac_tbl)
@@ -280,9 +323,9 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
                                 k += rr
                                 if k > 63:
                                     raise ValueError("AC index overflow")
-                                coef[_ZIGZAG[k]] = _receive_extend(r, s)
+                                coef[_ZZ_LIST[k]] = float(_receive_extend(r, s))
                                 k += 1
-                            block = coef.reshape(8, 8) * qt[tq]
+                            block = np.array(coef).reshape(8, 8) * qt[tq]
                             planes[cid][my * nby + by, mx * nbx + bx] = block
                 mcu += 1
         if mcu < total_mcus:
