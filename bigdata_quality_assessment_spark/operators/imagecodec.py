@@ -174,6 +174,11 @@ def _split_entropy_segments(b: bytes, pos: int) -> list[bytes]:
         if nxt == 0x00:
             cur.append(0xFF)
             pos += 2
+        elif nxt == 0xFF:
+            # spec B.1.1.2: 0xFF fill bytes may pad any marker —
+            # a literal 0xFF data byte is always stuffed as FF 00,
+            # so FF FF can only be fill + marker start
+            pos += 1
         elif 0xD0 <= nxt <= 0xD7:
             segments.append(bytes(cur))
             cur = bytearray()
@@ -439,12 +444,18 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def decode_gif(b: bytes) -> np.ndarray | None:
-    """Decode the FIRST image frame of a GIF into (h, w, 3) uint8 RGB.
+    """Decode the first image frame of a GIF, composed onto the
+    LOGICAL SCREEN, into (h, w, 3) uint8 RGB — so the reported
+    geometry matches the header (and the header-only fallback path)
+    even when the first frame is an offset patch, as in optimized
+    animations. Off-screen pixels take the background color.
     Returns ``None`` outside scope / on corruption."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     try:
+        sw, sh = struct.unpack("<HH", b[6:10])
         flags = b[10]
+        bg_idx = b[11]
         pos = 13
         global_pal = None
         if flags & 0x80:
@@ -453,6 +464,8 @@ def decode_gif(b: bytes) -> np.ndarray | None:
                 b[pos : pos + gsize * 3], dtype=np.uint8
             ).reshape(-1, 3)
             pos += gsize * 3
+        if sw < 1 or sh < 1:
+            return None
         while pos < len(b):
             block = b[pos]
             if block == 0x21:  # extension: skip sub-blocks
@@ -461,7 +474,7 @@ def decode_gif(b: bytes) -> np.ndarray | None:
                     pos += 1 + b[pos]
                 pos += 1
             elif block == 0x2C:  # image descriptor
-                _left, _top, iw, ih = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+                left, top, iw, ih = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
                 iflags = b[pos + 9]
                 pos += 10
                 pal = global_pal
@@ -496,7 +509,19 @@ def decode_gif(b: bytes) -> np.ndarray | None:
                             src += 1
                     arr = de
                 arr = np.minimum(arr, len(pal) - 1)
-                return pal[arr]
+                frame = pal[arr]
+                if (left, top, iw, ih) == (0, 0, sw, sh):
+                    return frame
+                # compose the patch onto the logical screen at its
+                # declared offset; background color fills the rest
+                bg = global_pal[min(bg_idx, len(global_pal) - 1)] if (
+                    global_pal is not None and len(global_pal)
+                ) else np.zeros(3, dtype=np.uint8)
+                canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+                y0, x0 = min(top, sh), min(left, sw)
+                y1, x1 = min(top + ih, sh), min(left + iw, sw)
+                canvas[y0:y1, x0:x1] = frame[: y1 - y0, : x1 - x0]
+                return canvas
             elif block == 0x3B:  # trailer
                 return None
             else:

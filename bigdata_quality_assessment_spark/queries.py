@@ -1983,7 +1983,7 @@ def q_st_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHERE event_type = 'click'),
         b0 AS (SELECT user_id, ts_us, value AS pv,
                       row_number() OVER (PARTITION BY user_id, ts_us
-                                         ORDER BY event_id DESC) AS rn
+                                         ORDER BY value DESC) AS rn
                FROM ev WHERE event_type = 'purchase'),
         buys AS (SELECT user_id, ts_us, pv FROM b0 WHERE rn = 1),
         cut AS (SELECT least((SELECT max(ts_us) FROM clicks),
@@ -2015,8 +2015,10 @@ def q_st_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines filter to ts <= least(max click ts, max purchase ts)
     - lookback(2 d) - watermark(1 h) - slack(1 h); the boundary sits
     a full hour away from any internal watermark rounding. Right-side
-    ties at equal (user, ts) are broken inside the streaming reduction
-    (tiebreak_cols) and by ORDER BY ts DESC, pv DESC in the oracle."""
+    ties at equal (user, ts) resolve to the MAX VALUE row on both
+    engines: tiebreak_cols=["pv"] inside the streaming max_by, and the
+    oracle's b0 dedup keeps the max-value row (ORDER BY value DESC) —
+    the same rule, because the streaming side cannot window-dedup."""
     from bigdata_quality_assessment_spark.streaming.aggregates import (
         run_available_now,
         streaming_events,

@@ -63,6 +63,13 @@ def streaming_asof_join(
     non-ts right columns), and the matched right timestamp as
     ``{ts_col}{suffix}``.
 
+    PRECONDITION: left rows must be unique across their full column
+    set (carry an event id). The reduction groups by every left
+    column, so fully-identical left rows would collapse into one
+    output row — unlike the batch ``asof_join``, which preserves left
+    multiplicity, a stream offers no deterministic way to mint a
+    distinguishing id.
+
     Ties among right rows at identical (key, ts) are broken
     arbitrarily by ``max_by`` unless ``tiebreak_cols`` names right
     columns to order by (descending, after ts) — streams cannot be

@@ -210,21 +210,31 @@ def _encode_jpeg(
 # ------------------------ test-side GIF encoder -----------------------
 
 
-def _encode_gif(indices: np.ndarray, palette: np.ndarray, interlace: bool = False) -> bytes:
+def _encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    screen: tuple[int, int] | None = None,
+    offset: tuple[int, int] = (0, 0),
+    bg: int = 0,
+) -> bytes:
     """Minimal GIF89a encoder: literal LZW codes with CLEAR emitted
     before the dictionary forces a width the literal stream doesn't
-    track. Valid, uncompressed-style output every decoder must accept."""
+    track. Valid, uncompressed-style output every decoder must accept.
+    ``screen``/``offset`` place the frame as a patch on a larger
+    logical screen (optimized-animation shape)."""
     h, w = indices.shape
+    sw, sh = screen or (w, h)
     ncol = len(palette)
     bits = max(2, int(np.ceil(np.log2(max(ncol, 2)))))
     psize = 1 << bits
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HH", w, h)
-    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (bits - 1), bg, 0])
     pal = np.zeros((psize, 3), dtype=np.uint8)
     pal[:ncol] = palette
     out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += b"\x2c" + struct.pack("<HHHH", offset[0], offset[1], w, h)
     out += bytes([0x40 if interlace else 0x00])
     min_code = bits
     clear = 1 << min_code
@@ -379,3 +389,43 @@ def test_gif_garbage_rejected():
     assert decode_gif(b"GIF89a" + b"\x00" * 6) is None
     assert decode_gif(b"NOTGIF") is None
     assert decode_gif(b"") is None
+
+
+def test_jpeg_fill_bytes_before_restart_marker():
+    """Spec B.1.1.2: 0xFF fill bytes may pad RST markers inside the
+    entropy stream (review finding: the scan previously truncated
+    there and fell back to the stub)."""
+    rng = np.random.RandomState(37)
+    img = rng.randint(0, 256, size=(24, 24), dtype=np.uint8)
+    blob = _encode_jpeg(img, quant=1, restart=2)
+    base = decode_jpeg(blob)
+    padded = bytearray(blob)
+    idx = padded.index(b"\xff\xd0")
+    padded[idx:idx] = b"\xff\xff"  # two fill bytes before RST0
+    got = decode_jpeg(bytes(padded))
+    assert got is not None
+    assert np.array_equal(got, base)
+
+
+def test_gif_offset_frame_composes_onto_logical_screen():
+    """An optimized-animation first frame (patch smaller than the
+    logical screen) must report SCREEN geometry with the patch pasted
+    at its offset and background color elsewhere (review finding:
+    previously reported patch geometry, diverging from the header
+    fallback path on the same blob)."""
+    palette = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]], dtype=np.uint8)
+    idx = np.array([[1, 2, 1, 2], [2, 1, 2, 1], [1, 1, 2, 2]], dtype=np.uint8)  # 4x3 patch
+    blob = _encode_gif(idx, palette, screen=(8, 6), offset=(2, 1), bg=3)
+    px = decode_gif(blob)
+    assert px is not None and px.shape == (6, 8, 3)
+    expect = np.broadcast_to(palette[3], (6, 8, 3)).copy()
+    expect[1:4, 2:6] = palette[idx]
+    assert np.array_equal(px, expect)
+
+
+def test_gif_full_frame_still_exact():
+    rng = np.random.RandomState(43)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(7, 5), dtype=np.uint8)
+    px = decode_gif(_encode_gif(idx, palette))
+    assert np.array_equal(px, palette[idx])

@@ -194,10 +194,12 @@ def test_streaming_asof_join_matches_batch(spark, batch_events):
     buys_all = ev_b.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts_s").alias("ts"), F.col("value").alias("pv")
     )
-    # deterministic right side: one row per (user, ts)
+    # deterministic right side: one row per (user, ts), max-value
+    # survivor — the SAME rule the streaming side applies through
+    # tiebreak_cols (it cannot window-dedup a stream)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("pv").desc())
     buys_b = (
         buys_all.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -213,7 +215,7 @@ def test_streaming_asof_join_matches_batch(spark, batch_events):
     )
     out = streaming_asof_join(
         clicks_s, buys_s, on=["user_id"], ts_col="ts",
-        lookback="2 days", watermark="1 hour",
+        lookback="2 days", watermark="1 hour", tiebreak_cols=["pv"],
     )
     drained = run_available_now(out, "st_asof", output_mode="append").cache()
     # the emission region boundary is Spark's internal output-watermark

@@ -57,9 +57,12 @@ def audit(name: str, df, allow: tuple[str, ...] = ()) -> list[str]:
                 child = ""
                 for nxt in lines[i + 1 : i + 6]:
                     stripped = re.sub(r"^[\s:+\-*()0-9]*", "", nxt)
+                    # NB: ReusedExchange is deliberately NOT skipped —
+                    # it is a leaf reference, not a wrapper; skipping
+                    # it would land the check on an unrelated sibling
                     if not stripped or stripped.startswith(
                         ("WholeStageCodegen", "InputAdapter", "AQEShuffleRead",
-                         "ShuffleQueryStage", "ReusedExchange")
+                         "ShuffleQueryStage")
                     ):
                         continue
                     child = nxt
