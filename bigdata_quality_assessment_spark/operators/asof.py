@@ -46,10 +46,15 @@ def asof_join(
       (DuckDB ``ASOF JOIN``);
     * ``forward``: smallest right ``ts_col`` >= left's;
     * ``nearest``: whichever of the two is closer in time, backward
-      winning exact-distance ties (pandas' rule).
+      winning exact-distance ties (pandas' rule);
+    * ``all``: every direction at once — output carries each payload
+      column three times with ``_b`` / ``_f`` / ``_n`` suffixes
+      (before the ts rename), from a single shuffle. Use this when a
+      consumer wants several directions: three separate calls would
+      shuffle the union three times.
 
     All directions stay the union+window formulation — ONE hash
-    exchange on the keys regardless (``nearest`` adds a second
+    exchange on the keys regardless (``nearest``/``all`` add a second
     within-partition sort over the same exchange, not a new shuffle).
 
     ``right_cols`` are the right-side payload columns to carry (default:
@@ -64,7 +69,7 @@ def asof_join(
     are — pre-dedup the right side (see the x_asof_join registry
     query, which keeps max event_id per (user, ts)).
     """
-    if direction not in ("backward", "forward", "nearest"):
+    if direction not in ("backward", "forward", "nearest", "all"):
         raise ValueError(f"unknown direction {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*on, ts_col)]
@@ -106,12 +111,12 @@ def asof_join(
         ]
 
     if direction == "backward":
-        picked = [(c, F.col(f"__{c}")) for c in payload]
+        picked = {"": [(c, F.col(f"__{c}")) for c in payload]}
         filled = union.select(*left.columns, "__side", *matches(w_back, F.last, "__"))
     elif direction == "forward":
-        picked = [(c, F.col(f"__{c}")) for c in payload]
+        picked = {"": [(c, F.col(f"__{c}")) for c in payload]}
         filled = union.select(*left.columns, "__side", *matches(w_fwd, F.first, "__"))
-    else:  # nearest: evaluate both frames, pick the closer match
+    else:  # nearest / all: evaluate both frames over the ONE exchange
         filled = union.select(
             *left.columns,
             "__side",
@@ -124,22 +129,38 @@ def asof_join(
             fwd_ts.isNull()
             | ((F.col(ts_col) - back_ts) <= (fwd_ts - F.col(ts_col)))
         )
-        picked = [
+        nearest = [
             (c, F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")))
             for c in payload
         ]
+        if direction == "nearest":
+            picked = {"": nearest}
+        else:
+            picked = {
+                "_b": [(c, F.col(f"__b_{c}")) for c in payload],
+                "_f": [(c, F.col(f"__f_{c}")) for c in payload],
+                "_n": nearest,
+            }
 
     out = filled.filter(F.col("__side") == 1)
-    sel = [F.col(c) for c in left.columns] + [m.alias(f"__m_{c}") for c, m in picked]
+    sel = [F.col(c) for c in left.columns] + [
+        m.alias(f"__m_{c}{d}") for d, cols in picked.items() for c, m in cols
+    ]
     out = out.select(*sel)
     if tolerance is not None:
-        dist = F.abs(F.col(ts_col) - F.col(f"__m_{ts_col}"))
-        stale = dist > F.lit(tolerance)
-        out = out.select(
-            *left.columns,
-            *[F.when(stale, F.lit(None)).otherwise(F.col(f"__m_{c}")).alias(f"__m_{c}") for c in payload],
-        )
-    renames = {f"__m_{c}": (f"{ts_col}{suffix}" if c == ts_col else c) for c in payload}
+        kept = [F.col(c) for c in left.columns]
+        for d in picked:
+            stale = F.abs(F.col(ts_col) - F.col(f"__m_{ts_col}{d}")) > F.lit(tolerance)
+            kept += [
+                F.when(stale, F.lit(None)).otherwise(F.col(f"__m_{c}{d}")).alias(f"__m_{c}{d}")
+                for c in payload
+            ]
+        out = out.select(*kept)
+    renames = {
+        f"__m_{c}{d}": (f"{ts_col}{suffix}{d}" if c == ts_col else f"{c}{d}")
+        for d in picked
+        for c in payload
+    }
     return out.withColumnsRenamed(renames)
 
 

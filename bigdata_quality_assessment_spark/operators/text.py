@@ -140,6 +140,110 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Repetition + PII signals (Gopher/C4-style training-data filters)
+# --------------------------------------------------------------------
+
+# simple patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB),
+# so the registry oracle can reproduce the counts bit-for-bit
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^ ]+",
+    "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "n_phones": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII indicator counts (emails / URLs / IPv4 /
+    phone-shaped strings) — the redaction-triage signal a training-data
+    pipeline runs before release. Pure ``regexp_extract_all``
+    projection: JVM-side, whole-stage codegen, no shuffle; at 100 TB
+    this is a narrow scan like the other text signals."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint").alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select(id_col, *counts)
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(name) > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)
+
+
+def ngram_repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    * ``n_words``          — whitespace token count;
+    * ``dup_word_frac``    — 1 − distinct/total words (word reuse);
+    * ``top_bigram_frac``  — occurrences of the single most frequent
+      bigram over all bigram occurrences;
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram appears more than once.
+
+    High values mark the boilerplate/template/spam band that
+    repetition filters (Rae et al., Gopher §A1.2; C4) drop.
+
+    Shape: ONE scan — the 1/2/3-gram streams ride a single tagged
+    explode — then two map-side-combined aggregations ((doc, n, gram)
+    counts, then per-doc conditional rollup). Shuffle rows are gram
+    COUNTS, never documents; integer ratios, exact cross-engine.
+    """
+    words = F.split(F.col(text_col), " ")
+
+    def grams(n: int) -> Column:
+        if n == 1:
+            return words
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tagged(n: int) -> Column:
+        return F.transform(
+            grams(n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        )
+
+    exploded = docs.select(
+        id_col, F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("t")
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    counts = exploded.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    n_, c = F.col("n"), F.col("c")
+    agg = counts.groupBy(id_col).agg(
+        F.sum(F.when(n_ == 1, c)).alias("__w_total"),
+        F.sum(F.when(n_ == 1, 1)).alias("__w_distinct"),
+        F.sum(F.when(n_ == 2, c)).alias("__g2_total"),
+        F.max(F.when(n_ == 2, c)).alias("__g2_top"),
+        F.sum(F.when(n_ == 3, c)).alias("__g3_total"),
+        F.sum(F.when((n_ == 3) & (c > 1), c)).alias("__g3_dup"),
+    )
+    # ANSI mode: guard every ratio against empty/short docs
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    return agg.select(
+        id_col,
+        F.coalesce("__w_total", F.lit(0)).alias("n_words"),
+        ratio(
+            F.coalesce("__w_total", F.lit(0)) - F.coalesce("__w_distinct", F.lit(0)),
+            F.coalesce("__w_total", F.lit(0)),
+        ).alias("dup_word_frac"),
+        ratio(F.coalesce("__g2_top", F.lit(0)), F.coalesce("__g2_total", F.lit(0))).alias(
+            "top_bigram_frac"
+        ),
+        ratio(F.coalesce("__g3_dup", F.lit(0)), F.coalesce("__g3_total", F.lit(0))).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
 # Fingerprinting
 # --------------------------------------------------------------------
 

@@ -1148,7 +1148,36 @@ _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 @_register(
     "x_text_stats",
-    f"""SELECT doc_id,
+    f"""WITH pii_aug AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' visit https://ex.org/p' || doc_id ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.0.' || (doc_id % 256) || ' up' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+          FROM documents),
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, 1 AS n, ws[CAST(i + 1 AS INT)] AS gram
+              FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w)
+              UNION ALL
+              SELECT doc_id, 2, ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
+              FROM (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 1, 0))) AS i FROM w)
+              UNION ALL
+              SELECT doc_id, 3, ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
+                               || ' ' || ws[CAST(i + 3 AS INT)]
+              FROM (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM w)),
+        c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),
+        pn AS (SELECT doc_id, n, sum(c) AS tot, count(*) AS nd, max(c) AS top,
+                      coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup
+               FROM c GROUP BY doc_id, n),
+        rep AS (SELECT doc_id,
+                  max(CASE WHEN n = 1 THEN tot END) AS w_total,
+                  max(CASE WHEN n = 1 THEN nd END) AS w_distinct,
+                  max(CASE WHEN n = 2 THEN tot END) AS g2_total,
+                  max(CASE WHEN n = 2 THEN top END) AS g2_top,
+                  max(CASE WHEN n = 3 THEN tot END) AS g3_total,
+                  max(CASE WHEN n = 3 THEN dup END) AS g3_dup
+                FROM pn GROUP BY doc_id)
+        SELECT 'stats' AS part, doc_id,
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         CAST(len(regexp_extract_all(text, '{_TOKRE}')) AS BIGINT) AS n_regex_tokens,
@@ -1161,13 +1190,53 @@ _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
                    / length(text) ELSE 0.0 END, 6) AS punct_ratio,
         round(CASE WHEN length(text) > 0
               THEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0
-                   / length(text) ELSE 0.0 END, 6) AS upper_ratio
-        FROM documents""",
+                   / length(text) ELSE 0.0 END, 6) AS upper_ratio,
+        CAST(NULL AS BIGINT) AS n_words, CAST(NULL AS DOUBLE) AS dup_word_frac,
+        CAST(NULL AS DOUBLE) AS top_bigram_frac, CAST(NULL AS DOUBLE) AS dup_trigram_frac,
+        CAST(NULL AS BIGINT) AS n_emails, CAST(NULL AS BIGINT) AS n_urls,
+        CAST(NULL AS BIGINT) AS n_ipv4, CAST(NULL AS BIGINT) AS n_phones
+        FROM documents
+        UNION ALL
+        SELECT 'rep', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
+        coalesce(w_total, 0),
+        round(CASE WHEN coalesce(w_total, 0) > 0
+              THEN (w_total - w_distinct) * 1.0 / w_total ELSE 0.0 END, 9),
+        round(CASE WHEN coalesce(g2_total, 0) > 0
+              THEN g2_top * 1.0 / g2_total ELSE 0.0 END, 9),
+        round(CASE WHEN coalesce(g3_total, 0) > 0
+              THEN g3_dup * 1.0 / g3_total ELSE 0.0 END, 9),
+        NULL, NULL, NULL, NULL
+        FROM rep
+        UNION ALL
+        SELECT 'pii', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
+        NULL, NULL, NULL, NULL,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT),
+        CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT),
+        CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT),
+        CAST(len(regexp_extract_all(text, '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS BIGINT)
+        FROM pii_aug""",
 )
 def q_xtext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-signal family as one tagged union (round-5 additions):
+    part='stats' per-doc char/token/ratio stats (text.py text_stats);
+    part='rep' Gopher-style repetition signals (ngram_repetition_stats
+    — dup-word / top-bigram / dup-trigram fractions, integer-exact
+    cross-engine); part='pii' regex PII indicator counts (pii_scan)
+    over text with deterministic synthetic PII injected identically on
+    both engines — the injection makes the counts non-zero so the
+    Java-vs-RE2 regex parity is genuinely exercised."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        ngram_repetition_stats,
+        pii_scan,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    s = text_stats(docs)
-    return s.select(
+    nb = lambda c: F.lit(None).cast("bigint").alias(c)  # noqa: E731
+    nd = lambda c: F.lit(None).cast("double").alias(c)  # noqa: E731
+    rep_nulls = [nb("n_words"), nd("dup_word_frac"), nd("top_bigram_frac"), nd("dup_trigram_frac")]
+    pii_nulls = [nb("n_emails"), nb("n_urls"), nb("n_ipv4"), nb("n_phones")]
+    stats = text_stats(docs).select(
+        F.lit("stats").alias("part"),
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -1175,7 +1244,44 @@ def q_xtext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_token_len", 6).alias("mean_token_len"),
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("upper_ratio", 6).alias("upper_ratio"),
+        *rep_nulls,
+        *pii_nulls,
     )
+    stat_nulls = [
+        nb("n_chars"), nb("n_tokens"), nb("n_regex_tokens"),
+        nd("mean_token_len"), nd("punct_ratio"), nd("upper_ratio"),
+    ]
+    rep = ngram_repetition_stats(docs).select(
+        F.lit("rep").alias("part"),
+        "doc_id",
+        *stat_nulls,
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round("dup_word_frac", 9).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 9).alias("dup_trigram_frac"),
+        *pii_nulls,
+    )
+    inj = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" visit https://ex.org/p"),
+                        F.col("doc_id").cast("string"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit(" host 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+                        F.lit(" up"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+    )
+    pii = pii_scan(docs.select("doc_id", inj.alias("text"))).select(
+        F.lit("pii").alias("part"),
+        "doc_id",
+        *stat_nulls,
+        *rep_nulls,
+        "n_emails", "n_urls", "n_ipv4", "n_phones",
+    )
+    return stats.unionByName(rep).unionByName(pii)
 
 
 def _lang_sql() -> str:
@@ -1701,26 +1807,39 @@ def q_xasof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("purchase_event_id"),
         )
     )
-    parts = []
-    for tag, direction in (("b", "backward"), ("f", "forward"), ("n", "nearest")):
-        out = asof_join(
-            left, right, on=["user_id"], ts_col="ts", suffix="_purchase",
-            direction=direction,
-        )
-        parts.append(
-            out.select(
-                F.lit(tag).alias("part"),
-                "event_id",
-                "user_id",
-                "ts",
-                F.round("value", 6).alias("value"),
-                F.coalesce(F.round("purchase_value", 6), F.lit(-1.0)).alias("purchase_value"),
-                F.coalesce("purchase_event_id", F.lit(-1)).alias("purchase_event_id"),
-                F.coalesce("ts_purchase", F.lit(-1)).alias("ts_purchase"),
-            )
-        )
-    b, f_, n = parts
-    return b.unionByName(f_).unionByName(n)
+    # ONE call, direction="all": three separate asof_join calls would
+    # shuffle the tagged union three times; this plan has a single
+    # exchange (reused) with two within-partition sorts.
+    alld = asof_join(
+        left, right, on=["user_id"], ts_col="ts", suffix="_purchase",
+        direction="all",
+    )
+    # unpivot with stack(): a 3-way union of projections of the same
+    # frame re-executes the window subtree (and its scans) per branch;
+    # stack emits the three tagged rows in the SAME single pass.
+    stacked = alld.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.expr(
+            "stack(3,"
+            " 'b', purchase_value_b, purchase_event_id_b, ts_purchase_b,"
+            " 'f', purchase_value_f, purchase_event_id_f, ts_purchase_f,"
+            " 'n', purchase_value_n, purchase_event_id_n, ts_purchase_n"
+            ") AS (part, pv, pid, tsp)"
+        ),
+    )
+    return stacked.select(
+        "part",
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.coalesce(F.round("pv", 6), F.lit(-1.0)).alias("purchase_value"),
+        F.coalesce("pid", F.lit(-1)).alias("purchase_event_id"),
+        F.coalesce("tsp", F.lit(-1)).alias("ts_purchase"),
+    )
 
 
 @_register(

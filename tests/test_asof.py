@@ -206,3 +206,28 @@ def test_asof_join_directions_single_exchange_plan(spark, frames):
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1, (direction, plan)
+
+
+def test_asof_join_all_directions_consistent_and_one_exchange(spark, frames):
+    """direction='all' must equal the three single-direction results
+    column-for-column while planning a single exchange subtree
+    (reused) instead of three."""
+    left, right = frames
+    l_df, r_df = spark.createDataFrame(left), spark.createDataFrame(right)
+    alld = asof_join(l_df, r_df, on=["k"], ts_col="ts", direction="all").toPandas()
+    for tag, direction in (("_b", "backward"), ("_f", "forward"), ("_n", "nearest")):
+        single = (
+            asof_join(l_df, r_df, on=["k"], ts_col="ts", direction=direction)
+            .toPandas()
+            .sort_values(["k", "ts", "lval"])
+            .reset_index(drop=True)
+        )
+        a = alld.sort_values(["k", "ts", "lval"]).reset_index(drop=True)
+        assert np.allclose(
+            a[f"rval{tag}"].fillna(-999), single["rval"].fillna(-999), atol=1e-12
+        )
+    plan = (
+        asof_join(l_df, r_df, on=["k"], ts_col="ts", direction="all")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

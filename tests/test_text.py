@@ -146,3 +146,57 @@ def test_simhash_near_dedup(docs):
 
     with _pytest.raises(ValueError):
         simhash_near_dedup(docs, max_hamming=7)
+
+
+def test_ngram_repetition_stats_hand_computed(spark):
+    from bigdata_quality_assessment_spark.operators.text import ngram_repetition_stats
+
+    rows = [
+        # "a b a b a": words 5, distinct 2 -> dup_word 3/5
+        # bigrams: "a b","b a","a b","b a" -> top 2/4
+        # trigrams: "a b a","b a b","a b a" -> dup occurrences 2/3
+        (0, "a b a b a"),
+        # all-unique doc: every frac 0
+        (1, "w x y z"),
+        # single word: no bigrams/trigrams -> 0 by guard
+        (2, "solo"),
+        # empty text -> split gives [''] -> one "word", zero fracs
+        (3, ""),
+        # pathological full repetition: "t t t t t t"
+        (4, "t t t t t t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in ngram_repetition_stats(docs).collect()}
+    assert got[0]["n_words"] == 5
+    assert got[0]["dup_word_frac"] == pytest.approx(3 / 5)
+    assert got[0]["top_bigram_frac"] == pytest.approx(2 / 4)
+    assert got[0]["dup_trigram_frac"] == pytest.approx(2 / 3)
+    assert got[1]["dup_word_frac"] == 0.0
+    assert got[1]["top_bigram_frac"] == pytest.approx(1 / 3)  # all count 1
+    assert got[1]["dup_trigram_frac"] == 0.0
+    assert got[2] == got[2]  # row exists
+    assert (got[2]["top_bigram_frac"], got[2]["dup_trigram_frac"]) == (0.0, 0.0)
+    assert got[3]["n_words"] == 1  # split('') -> ['']
+    assert got[4]["dup_word_frac"] == pytest.approx(5 / 6)
+    assert got[4]["top_bigram_frac"] == pytest.approx(1.0)
+    assert got[4]["dup_trigram_frac"] == pytest.approx(1.0)
+
+
+def test_pii_scan_counts(spark):
+    from bigdata_quality_assessment_spark.operators.text import pii_scan
+
+    rows = [
+        (0, "reach me at alice@example.com or bob.smith+x@mail.co.uk thanks"),
+        (1, "see https://example.org/a and http://x.io b"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "call +1 555-123-4567 or 555-987-6543 now"),
+        (4, "no sensitive content here at all"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert got[0]["n_emails"] == 2 and got[0]["has_pii"]
+    assert got[1]["n_urls"] == 2
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["n_phones"] == 2
+    assert not got[4]["has_pii"] and not got[5]["has_pii"]

@@ -45,6 +45,7 @@ sys.path.insert(0, str(REPO))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 EXPECTED_MAX = {
+    "x_text_stats": 3,  # stats/repetition/pii tagged parts, one scan each
     "x_ann_knn": 2,
     "x_ann_ivf_knn": 2,
     "p1_p13_pointwise_fields": 4,
