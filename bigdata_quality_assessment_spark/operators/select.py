@@ -252,3 +252,32 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salts - 1).cast("int")))
     )
     return big2.join(small2, [*keys, "__salt"], how).drop("__salt")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: bucket = xxhash64(id, seed)
+    mod 10_000 mapped onto cumulative weight ranges. Properties a
+    training pipeline needs and a random() split lacks: stable under
+    repartitioning/re-runs (pure function of the id), disjoint and
+    exhaustive, and new data lands in splits at the same proportions.
+    Pure projection — no shuffle, no UDF."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total * 10_000
+        cond = bucket < F.lit(int(round(acc)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -243,6 +243,45 @@ def ngram_repetition_stats(
     )
 
 
+def chunk_text(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-tokenization sharding for LLM training data (context
+    packing happens downstream). Chunk starts advance by
+    ``max_tokens - overlap``; a start is emitted while it still
+    contributes tokens not covered by the previous chunk, so tails
+    shorter than ``overlap`` never produce a fully-subsumed chunk.
+
+    Output: ``(id, chunk_id, n_chunk_tokens, chunk)`` — one row per
+    chunk via ``posexplode`` over a computed start sequence; pure
+    Catalyst (split/slice/concat_ws), no UDF, no shuffle. At 100 TB
+    this is a narrow 1→N flatMap whose output feeds a tokenizer."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.size(words) - max_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    exploded = docs.select(
+        id_col,
+        words.alias("__w"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "__s"),
+    )
+    piece = F.slice(F.col("__w"), F.col("__s") * stride + 1, max_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk"),
+    )
+
+
 # --------------------------------------------------------------------
 # Fingerprinting
 # --------------------------------------------------------------------

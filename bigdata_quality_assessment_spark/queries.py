@@ -1332,16 +1332,49 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
                       t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], lower(t)))) * 1.0
                   / len(string_split(text,' ')) ELSE 0.0 END AS swr
          FROM documents)
-       SELECT doc_id,
+       SELECT 'q' AS part, doc_id,
          round(((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
           + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
           + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-          + (CASE WHEN swr >= 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
-       FROM s""",
+          + (CASE WHEN swr >= 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality,
+         CAST(NULL AS INT) AS chunk_id, CAST(NULL AS BIGINT) AS n_chunk_tokens,
+         CAST(NULL AS VARCHAR) AS chunk
+       FROM s
+       UNION ALL
+       SELECT 'chunk', doc_id, CAST(NULL AS DOUBLE), CAST(cid AS INT),
+         CAST(len(list_slice(ws, CAST(cid*24+1 AS INT), CAST(cid*24+32 AS INT))) AS BIGINT),
+         array_to_string(list_slice(ws, CAST(cid*24+1 AS INT), CAST(cid*24+32 AS INT)), ' ')
+       FROM (SELECT doc_id, ws, unnest(range(nc)) AS cid
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                          1 + CAST(ceil(greatest(len(string_split(text, ' ')) - 32, 0) / 24.0) AS INT) AS nc
+                   FROM documents))""",
 )
 def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality composite + token-window chunking as one tagged union
+    (round-5): part='q' is the C4/Gopher-style quality score;
+    part='chunk' is chunk_text(max_tokens=32, overlap=8) — one row per
+    overlapping token window, the pre-tokenization sharding an LLM
+    training pipeline feeds to its tokenizer."""
+    from bigdata_quality_assessment_spark.operators.text import chunk_text
+
     docs = _t(spark, sf_dir, "documents")
-    return quality_score(docs).select("doc_id", F.round("quality", 6).alias("quality"))
+    q = quality_score(docs).select(
+        F.lit("q").alias("part"),
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+        F.lit(None).cast("int").alias("chunk_id"),
+        F.lit(None).cast("bigint").alias("n_chunk_tokens"),
+        F.lit(None).cast("string").alias("chunk"),
+    )
+    ch = chunk_text(docs, max_tokens=32, overlap=8).select(
+        F.lit("chunk").alias("part"),
+        "doc_id",
+        F.lit(None).cast("double").alias("quality"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+        "chunk",
+    )
+    return q.unionByName(ch)
 
 
 @_register(

@@ -145,3 +145,27 @@ def test_salted_join_matches_plain_join(spark):
     # the join key carries the salt (hot key split across reducers)
     plan = got._jdf.queryExecution().optimizedPlan().toString()
     assert "__salt" in plan
+
+
+def test_hash_split_deterministic_disjoint_proportional(spark):
+    from bigdata_quality_assessment_spark.operators.select import hash_split
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df, w).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20_000  # exhaustive + disjoint
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # deterministic: same ids land in the same split after repartition
+    b = hash_split(df.repartition(7), w)
+    joined = hash_split(df, w).alias("a").join(
+        b.alias("b"), "doc_id"
+    ).filter(F.col("a.split") != F.col("b.split"))
+    assert joined.count() == 0
+    # different seed produces a different assignment
+    c = hash_split(df, w, seed=99).alias("c").join(
+        hash_split(df, w).alias("a2"), "doc_id"
+    ).filter(F.col("c.split") != F.col("a2.split"))
+    assert c.count() > 0

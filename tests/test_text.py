@@ -200,3 +200,52 @@ def test_pii_scan_counts(spark):
     assert got[2]["n_ipv4"] == 2
     assert got[3]["n_phones"] == 2
     assert not got[4]["has_pii"] and not got[5]["has_pii"]
+
+
+def test_chunk_text_overlap_windows(spark):
+    from bigdata_quality_assessment_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))), (1, "a b"), (2, "solo")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = chunk_text(docs, max_tokens=8, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 10 tokens, window 8, stride 4 -> starts 0 and 4 (tail covered)
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c0] == [8, 6]
+    assert c0[0]["chunk"].split() == [f"w{i}" for i in range(8)]
+    assert c0[1]["chunk"].split() == [f"w{i}" for i in range(4, 10)]
+    # short docs: exactly one chunk, intact
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk"] == "a b"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == "solo"
+    # every token of every doc appears in at least one chunk
+    assert set(" ".join(r["chunk"] for r in c0).split()) == {f"w{i}" for i in range(10)}
+
+
+def test_chunk_text_reconstruction_property(spark):
+    """Dropping each chunk's overlap prefix (except the first) and
+    concatenating reconstructs the document exactly."""
+    from bigdata_quality_assessment_spark.operators.text import chunk_text
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(1, 200))))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = chunk_text(docs, max_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        rebuilt = chunks[0]["chunk"].split()
+        for c in chunks[1:]:
+            toks = c["chunk"].split()
+            rebuilt += toks[8:] if c["chunk_id"] > 0 else toks
+        assert rebuilt == text.split(), doc_id

@@ -46,6 +46,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 EXPECTED_MAX = {
     "x_text_stats": 3,  # stats/repetition/pii tagged parts, one scan each
+    "x_quality_score": 2,  # quality + chunking tagged parts
     "x_ann_knn": 2,
     "x_ann_ivf_knn": 2,
     "p1_p13_pointwise_fields": 4,
