@@ -6,7 +6,8 @@ ingest pipeline also needs the boring-but-critical column profile:
 null rates, cardinalities, numeric ranges, and quantiles. Two tiers:
 
   * ``profile_table`` — EXACT stats (count distinct, min/max/avg,
-    null counts) in one aggregation pass per table; oracle-checkable.
+    exact p50/p95 quantiles, null counts) in one aggregation pass per
+    table; oracle-checkable.
   * ``approx_profile`` — sketch-based (``approx_count_distinct`` HLL,
     ``approx_percentile`` KLL/GK) for the scale path where exact
     distinct counts would shuffle the world. Not oracle-comparable
@@ -47,6 +48,10 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             aggs.append(F.min(c).cast("double").alias(f"{c}::min"))
             aggs.append(F.max(c).cast("double").alias(f"{c}::max"))
             aggs.append(F.avg(c).cast("double").alias(f"{c}::avg"))
+            # EXACT linear-interpolated quantiles (sort-based — this is
+            # the exact tier; at 100 TB use approx_profile's KLL/GK)
+            aggs.append(F.percentile(F.col(c), F.lit(0.5)).cast("double").alias(f"{c}::p50"))
+            aggs.append(F.percentile(F.col(c), F.lit(0.95)).cast("double").alias(f"{c}::p95"))
     wide = df.agg(*aggs)
     pairs = []
     for field in wide.schema.fields:

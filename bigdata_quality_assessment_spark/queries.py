@@ -1683,6 +1683,8 @@ def _profile_sql() -> str:
             parts.append(f"SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM customer")
             parts.append(f"SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE) FROM customer")
             parts.append(f"SELECT '{c}', 'avg', round(CAST(avg({c}) AS DOUBLE), 6) FROM customer")
+            parts.append(f"SELECT '{c}', 'p50', round(CAST(quantile_cont({c}, 0.5) AS DOUBLE), 6) FROM customer")
+            parts.append(f"SELECT '{c}', 'p95', round(CAST(quantile_cont({c}, 0.95) AS DOUBLE), 6) FROM customer")
     return " UNION ALL ".join(parts)
 
 
@@ -1693,9 +1695,9 @@ def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "column",
         "metric",
-        F.when(F.col("metric") == "avg", F.round("value", 6)).otherwise(F.col("value")).alias(
-            "value"
-        ),
+        F.when(
+            F.col("metric").isin("avg", "p50", "p95"), F.round("value", 6)
+        ).otherwise(F.col("value")).alias("value"),
     )
 
 

@@ -103,3 +103,17 @@ def test_operators_survive_empty_frames(spark):
     assert SEL.weighted_sample_without_replacement(
         empty_pool.withColumn("w", F.lit(1.0)), "w", 3
     ).count() == 0
+
+
+def test_profile_table_exact_percentiles(spark):
+    """Round-5: exact p50/p95 (linear interpolation, matching SQL
+    quantile_cont) ride the single profiling pass."""
+    from bigdata_quality_assessment_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x DOUBLE")
+    got = {
+        (r["column"], r["metric"]): r["value"] for r in profile_table(df).collect()
+    }
+    assert got[("x", "p50")] == pytest.approx(50.5)   # interpolated median
+    assert got[("x", "p95")] == pytest.approx(95.05)  # 1 + 0.95*99
+    assert got[("x", "min")] == 1.0 and got[("x", "max")] == 100.0
