@@ -281,3 +281,53 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling: keep a row of
+    source s iff xxhash64(id, seed) mod 1e6 < rates[s]*1e6. Sources
+    absent from ``rates`` are dropped; a rate >= 1.0 keeps everything.
+    Same stability properties as hash_split (pure function of the id —
+    reproducible across runs/partitionings); one narrow filter, no
+    shuffle."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    rate = None
+    for s, r in rates.items():
+        cond = F.col(source_col) == s
+        thr = F.lit(int(round(min(max(r, 0.0), 1.0) * 1_000_000)))
+        rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
+    rate = F.lit(0) if rate is None else rate.otherwise(F.lit(0))
+    return df.filter(bucket < rate)
+
+
+def mixture_rates_for_target(
+    df: DataFrame,
+    target: dict[str, float],
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Compute per-source sampling rates so ``mixture_sample`` yields
+    the ``target`` source proportions while keeping as much data as
+    possible: the binding source (highest target/current ratio) keeps
+    rate 1.0 and every other source downsamples proportionally. One
+    tiny groupBy count (source-cardinality rows) on the driver."""
+    counts = {r[source_col]: r["n"] for r in
+              df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()}
+    total_target = sum(target.values())
+    if total_target <= 0:
+        raise ValueError("target proportions must sum to a positive value")
+    # desired_k = scale * target_s; pick the largest scale with
+    # desired_k <= counts_k for all k
+    scale = min(
+        counts.get(s, 0) / (w / total_target)
+        for s, w in target.items() if w > 0
+    )
+    return {
+        s: (scale * (w / total_target) / counts[s]) if counts.get(s) else 0.0
+        for s, w in target.items()
+    }

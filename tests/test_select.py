@@ -169,3 +169,33 @@ def test_hash_split_deterministic_disjoint_proportional(spark):
         hash_split(df, w).alias("a2"), "doc_id"
     ).filter(F.col("c.split") != F.col("a2.split"))
     assert c.count() > 0
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from bigdata_quality_assessment_spark.operators.select import (
+        mixture_rates_for_target,
+        mixture_sample,
+    )
+
+    rows = [(i, "web" if i % 10 < 7 else ("books" if i % 10 < 9 else "code"))
+            for i in range(30_000)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING").cache()
+    # corpus is 70/20/10; retarget to 40/40/20
+    target = {"web": 0.4, "books": 0.4, "code": 0.2}
+    rates = mixture_rates_for_target(df, target)
+    # books is binding (20% of corpus must become 40% of output)
+    assert rates["books"] == pytest.approx(1.0)
+    out = mixture_sample(df, rates).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    n = sum(got.values())
+    for s, w in target.items():
+        assert abs(got[s] / n - w) < 0.02, (s, got)
+    # deterministic under repartitioning
+    again = mixture_sample(df.repartition(13), rates)
+    assert again.count() == n
+    ids_a = {r["doc_id"] for r in mixture_sample(df, rates).select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in again.select("doc_id").collect()}
+    assert ids_a == ids_b
+    # unknown sources are dropped
+    assert mixture_sample(df, {"nope": 1.0}).count() == 0
+    df.unpersist()
