@@ -93,11 +93,13 @@ def _block_split(plane: np.ndarray) -> np.ndarray:
 
 
 def _encode_jpeg(
-    img: np.ndarray, quant: int = 1, subsample_420: bool = False, restart: int = 0
+    img: np.ndarray, quant: int = 1, subsample_420: bool = False, restart: int = 0,
+    y_samp: tuple[int, int] | None = None,
 ) -> bytes:
     """Minimal baseline-JPEG encoder (test oracle). ``img`` is (h, w)
     grayscale or (h, w, 3) RGB uint8; ``quant`` a flat quantization
-    level; 4:4:4 or (``subsample_420``) 4:2:0."""
+    level; 4:4:4, (``subsample_420``) 4:2:0, or an explicit luma
+    sampling factor ``y_samp`` (e.g. (2, 1) = 4:2:2)."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -110,12 +112,15 @@ def _encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         if subsample_420:
-            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            y_samp = (2, 2)
+        if y_samp and y_samp != (1, 1):
+            fh, fv = y_samp
+            ph, pw = -(-h // fv) * fv, -(-w // fh) * fh
             def down(p):
                 p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-                return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                return p.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
             comps_px = [y, down(cb), down(cr)]
-            samp = [(2, 2), (1, 1), (1, 1)]
+            samp = [(fh, fv), (1, 1), (1, 1)]
         else:
             comps_px = [y, cb, cr]
             samp = [(1, 1), (1, 1), (1, 1)]
@@ -429,3 +434,26 @@ def test_gif_full_frame_still_exact():
     idx = rng.randint(0, 8, size=(7, 5), dtype=np.uint8)
     px = decode_gif(_encode_gif(idx, palette))
     assert np.array_equal(px, palette[idx])
+
+
+def test_jpeg_422_subsampling_decodes():
+    """4:2:2 (luma (2,1)) exercises the generic horizontal-only
+    upsampling path the other tests don't touch."""
+    rng = np.random.RandomState(47)
+    base = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+    img = np.stack([base, base, base], axis=-1)  # smooth chroma
+    px = decode_jpeg(_encode_jpeg(img, quant=1, y_samp=(2, 1)))
+    assert px is not None and px.shape == (16, 24, 3)
+    lum_in = img.mean(axis=2)
+    lum_out = px.astype(float).mean(axis=2)
+    assert np.abs(lum_in - lum_out).mean() < 2.5
+
+
+def test_jpeg_420_paths_still_agree_after_generalization():
+    rng = np.random.RandomState(53)
+    base = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    img = np.stack([base, base, base], axis=-1)
+    a = decode_jpeg(_encode_jpeg(img, quant=1, subsample_420=True))
+    b = decode_jpeg(_encode_jpeg(img, quant=1, y_samp=(2, 2)))
+    assert a is not None and b is not None
+    assert np.array_equal(a, b)
