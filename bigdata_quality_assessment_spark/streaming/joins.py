@@ -29,6 +29,15 @@ the trailing events inside that horizon stay in state and are NOT
 emitted. Consumers that need a deterministic cut (tests, the
 registry oracle) should filter both sides to
 ``ts <= max(ts) - lookback - watermark - slack``.
+
+Starvation caveat (pinned by a test): under Spark's DEFAULT
+``spark.sql.streaming.multipleWatermarkPolicy=min``, a right stream
+that produces NO data holds the global watermark at the epoch, so no
+left events emit at all — an idle dimension feed stalls enrichment.
+This is the engine's multi-watermark policy, not an operator choice;
+deployments that prefer left-side progress over right-side
+completeness set the policy to ``max`` (accepting that right rows
+arriving later than the left watermark may be treated as late).
 """
 
 from __future__ import annotations

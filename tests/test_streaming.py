@@ -295,3 +295,51 @@ def test_multi_microbatch_drain_exact_counts(spark, batch_events, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def test_streaming_asof_join_empty_right_stream_starves(spark):
+    """Pins a REAL Spark caveat documented in streaming/joins.py: with
+    the default multipleWatermarkPolicy=min, a right stream producing
+    no data holds the global watermark at the epoch and NO left events
+    emit (the drain returns empty, it does not error). Deployments
+    needing left progress over right completeness set the policy to
+    'max'."""
+    from bigdata_quality_assessment_spark.streaming.joins import streaming_asof_join
+
+    stream = streaming_events(spark, SF)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    none = stream.filter(F.col("event_type") == "no_such_type").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    out = streaming_asof_join(
+        clicks, none, on=["user_id"], ts_col="ts",
+        lookback="2 days", watermark="1 hour",
+    )
+    got = run_available_now(out, "st_asof_empty", output_mode="append").collect()
+    assert got == []
+
+
+def test_streaming_asof_join_unmatched_users_get_null_payload(spark):
+    """Left keys with no right-side rows (as opposed to an empty right
+    STREAM) must emit with NULL payload through the outer-join path."""
+    from bigdata_quality_assessment_spark.streaming.joins import streaming_asof_join
+
+    stream = streaming_events(spark, SF)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # shift right-side user ids out of range: stream is non-empty (so
+    # its watermark advances) but no key ever matches
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") + 10_000).alias("user_id"), "ts",
+        F.col("value").alias("pv"),
+    )
+    out = streaming_asof_join(
+        clicks, buys, on=["user_id"], ts_col="ts",
+        lookback="2 days", watermark="1 hour",
+    )
+    got = run_available_now(out, "st_asof_nomatch", output_mode="append").collect()
+    assert len(got) > 50
+    assert all(r["pv"] is None and r["ts_right"] is None for r in got)
