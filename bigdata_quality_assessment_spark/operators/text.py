@@ -703,3 +703,83 @@ def simhash_near_dedup(
     else:
         dup = verified.select(F.col("__idb").alias(id_col)).distinct()
     return docs.join(F.broadcast(dup), id_col, "left_anti")
+
+
+# --------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    mode: str = "word",
+    min_hits: int = 1,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, count the
+    distinct k-grams it shares with an evaluation/benchmark corpus and
+    flag documents at or above ``min_hits`` (the n-gram-collision
+    decontamination test used for LLM training sets; extends the
+    reference's T5 exact dedup, /root/reference/
+    SDE_forecast_ActiveSampling.py:134-135, from self-duplicates to
+    train/eval leakage).
+
+    Returns ``(id_col, n_hits BIGINT, contaminated BOOLEAN)`` — one row
+    per input document. Compose with a join-back to annotate, or use
+    :func:`drop_contaminated` for the filtered corpus.
+
+    100 TB shape: the benchmark side is aggregated to DISTINCT grams
+    and broadcast (eval suites are ~10^6-10^7 grams — megabytes as
+    64-bit hashes); the corpus side is a narrow shingle->explode
+    projection feeding a broadcast semi-join, so the corpus is NEVER
+    shuffled and document bodies never leave their input partitions.
+    The per-doc hit aggregation sees only MATCHED grams — a sparse
+    fraction of the exploded stream in any real (mostly-clean) corpus.
+    ``hash_grams=True`` (default) joins on ``xxhash64(gram)`` so the
+    broadcast table and wire rows carry 8-byte keys instead of k-word
+    strings; ``hash_grams=False`` joins on the literal gram string —
+    bit-identical to the ANSI-SQL formulation (the registry oracle uses
+    it), and the two paths are pinned equal in tests/test_text.py."""
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+    gram = F.explode(_shingle_expr(F.col(text_col), k, mode)).alias("gram")
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    bench_grams = (
+        benchmark.select(gram).select(key(F.col("gram")).alias("__g")).distinct()
+    )
+    doc_grams = docs.select(F.col(id_col), gram).select(
+        id_col, key(F.col("gram")).alias("__g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__g").alias("n_hits"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+    )
+
+
+def drop_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    mode: str = "word",
+    min_hits: int = 1,
+) -> DataFrame:
+    """The filtered corpus: ``docs`` minus documents sharing >=
+    ``min_hits`` distinct k-grams with ``benchmark``. The flagged-id
+    set is contamination-only (small by assumption), so it broadcasts
+    and the anti-join leaves the corpus unshuffled."""
+    flagged = decontaminate(
+        docs, benchmark, text_col, id_col, k, mode, min_hits
+    ).filter(F.col("contaminated")).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

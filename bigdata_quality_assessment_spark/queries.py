@@ -1574,12 +1574,55 @@ _FP_POWS = " + ".join(
         ),
         h AS (SELECT doc_id,
                      ({_FP_POWS} + ascii(substr(text, i + 7, 1))) % 1000000007 AS fp
-              FROM idx)
-        SELECT DISTINCT doc_id, fp FROM h WHERE fp % 16 = 0""",
+              FROM idx),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        gr AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+               FROM (SELECT doc_id, ts,
+                            unnest(CASE WHEN len(ts) >= 5 THEN generate_series(1, len(ts) - 4)
+                                        ELSE [] END) AS i
+                     FROM toks)),
+        bg AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 97 = 0),
+        hits AS (SELECT gr.doc_id, count(*) AS n_hits
+                 FROM gr JOIN bg USING (gram) GROUP BY gr.doc_id)
+        SELECT 'fp' AS part, doc_id, fp,
+               CAST(NULL AS BIGINT) AS n_hits, CAST(NULL AS BIGINT) AS contaminated
+        FROM (SELECT DISTINCT doc_id, fp FROM h WHERE fp % 16 = 0)
+        UNION ALL
+        SELECT 'decon', d.doc_id, CAST(NULL AS BIGINT),
+               coalesce(h.n_hits, 0),
+               CASE WHEN coalesce(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
 )
 def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint family as one tagged union (round-5 continuation):
+    part='fp' is winnowing-style rolling-hash fingerprints
+    (doc_fingerprints); part='decon' is benchmark decontamination
+    (text.py decontaminate) — the docs whose doc_id % 97 == 0 stand in
+    as the held-out eval set, and every document is scored by its
+    count of distinct word 5-grams shared with that set. The oracle
+    reproduces the gram join in ANSI SQL, so the flag and the hit
+    count are hash-matched cross-engine (the operator's default
+    hashed-key fast path is pinned row-identical to this string-join
+    path in tests/test_text.py)."""
+    from bigdata_quality_assessment_spark.operators.text import decontaminate
+
     docs = _t(spark, sf_dir, "documents")
-    return doc_fingerprints(docs, k=8, mod_p=16)
+    fp = doc_fingerprints(docs, k=8, mod_p=16).select(
+        F.lit("fp").alias("part"),
+        "doc_id",
+        "fp",
+        F.lit(None).cast("bigint").alias("n_hits"),
+        F.lit(None).cast("bigint").alias("contaminated"),
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    dec = decontaminate(docs, bench, k=5, hash_grams=False).select(
+        F.lit("decon").alias("part"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("fp"),
+        "n_hits",
+        F.col("contaminated").cast("bigint").alias("contaminated"),
+    )
+    return fp.unionByName(dec)
 
 
 @_register(

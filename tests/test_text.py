@@ -249,3 +249,72 @@ def test_chunk_text_reconstruction_property(spark):
             toks = c["chunk"].split()
             rebuilt += toks[8:] if c["chunk_id"] > 0 else toks
         assert rebuilt == text.split(), doc_id
+
+
+def test_decontaminate_flags_ngram_collisions(spark):
+    from bigdata_quality_assessment_spark.operators.text import (
+        decontaminate,
+        drop_contaminated,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "prefix words alpha beta gamma delta epsilon suffix tail"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "tiny doc"),  # shorter than k -> zero grams, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "pad alpha beta gamma delta epsilon pad2")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate(docs, bench, k=5).collect()
+    }
+    # python-set oracle: distinct shared word 5-grams per doc
+    def grams(t, k=5):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    bg = grams("pad alpha beta gamma delta epsilon pad2")
+    for did, text in [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (1, "prefix words alpha beta gamma delta epsilon suffix tail"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "tiny doc"),
+    ]:
+        n = len(grams(text) & bg)
+        assert out[did] == (n, n >= 1), (did, out[did], n)
+
+    # hashed-key fast path is row-identical to the string-join path
+    a = sorted(
+        map(tuple, decontaminate(docs, bench, k=5, hash_grams=True).collect())
+    )
+    b = sorted(
+        map(tuple, decontaminate(docs, bench, k=5, hash_grams=False).collect())
+    )
+    assert a == b
+
+    clean = drop_contaminated(docs, bench, k=5)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from bigdata_quality_assessment_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "a b c d e x y z")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g")], "doc_id long, text string"
+    )
+    # doc 0 shares 3 grams ("a b c d e","b c d e f","c d e f g"); doc 1 shares 1
+    out = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, bench, k=5, min_hits=2).collect()
+    }
+    assert out == {0: True, 1: False}
