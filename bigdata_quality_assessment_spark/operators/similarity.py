@@ -354,3 +354,114 @@ def embedding_near_dedup(
     else:
         dup = verified.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(dup, id_col, "left_anti")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    eps: float = 0.05,
+    n_centroids: int = 16,
+    n_train: int = 2048,
+    n_kmeans_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "low",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then
+    within each cluster mark every pair with cosine similarity
+    >= 1 - eps as semantic duplicates, close the pairs into groups,
+    and keep exactly ONE document per group — by default the member
+    with the LOWEST cosine to its cluster centroid (the paper's
+    keep-low rule: retain the least-prototypical example; ``keep`` may
+    also be 'high' or 'min_id'). Returns the surviving rows of
+    ``corpus``. Extends the reference's T5 exact dedup
+    (/root/reference/SDE_forecast_ActiveSampling.py:134-135) to
+    embedding space.
+
+    Spark shape (the paper's own scaling design): the coarse quantizer
+    is a driver-trained k-means on a bounded ``n_train`` sample (model
+    parameters only — the corpus never leaves the executors); cell
+    assignment is a pure Catalyst projection (argmin over a
+    centroid-literal distance array, zero UDF); the O(c^2) pairwise
+    similarity runs INSIDE each cluster via one ``applyInPandas`` pass
+    — numpy Gram matrix per cluster, never a corpus-level cross join.
+    Per-cluster cost is (corpus/n_centroids)^2·dim, so ``n_centroids``
+    scales linearly with the corpus to hold cluster sizes roughly
+    constant (the paper runs k=50k on 5B embeddings). The grouped
+    output is the DROP-id set only (duplicates are a small fraction of
+    a real corpus), so it broadcasts and the final anti-join leaves
+    the corpus unshuffled. Cross-cluster duplicates are missed by
+    design — that is SemDeDup's stated approximation; pair with
+    ``embedding_near_dedup`` (LSH) when cross-cluster recall matters.
+    """
+    if keep not in ("low", "high", "min_id"):
+        raise ValueError("keep must be 'low', 'high' or 'min_id'")
+    thresh = 1.0 - eps
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    train = [r["__v"] for r in c.select("__v").limit(n_train).collect()]
+    cents = _kmeans_centroids(train, n_centroids, n_iter=n_kmeans_iter, seed=seed)
+    cd = _centroid_dists(F.col("__v"), cents)
+    assigned = c.select(
+        id_col,
+        "__v",
+        (F.array_position(cd, F.array_min(cd)) - 1).cast("int").alias("__cell"),
+    )
+
+    keep_rule = keep
+
+    def drop_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"drop_id": pd.Series([], dtype=pdf[id_col].dtype)})
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        G = U @ U.T
+        adj = G >= thresh
+        np.fill_diagonal(adj, False)
+        # union-find over the thresholded pairs (cluster-sized)
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i, j in zip(*np.nonzero(np.triu(adj))):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[rj] = ri
+        roots = np.fromiter((find(i) for i in range(n)), dtype="int64", count=n)
+        # keep rule ranks by cosine to the cluster's own empirical
+        # centroid (exact, magnitude-independent)
+        ccos = U @ U.mean(0)
+        drops = []
+        for r in np.unique(roots):
+            members = np.nonzero(roots == r)[0]
+            if len(members) < 2:
+                continue
+            if keep_rule == "min_id":
+                order = np.lexsort((ids[members],))
+            elif keep_rule == "low":  # least prototypical: lowest cos-to-centroid
+                order = np.lexsort((ids[members], ccos[members]))
+            else:  # 'high': most prototypical: highest cos-to-centroid
+                order = np.lexsort((ids[members], -ccos[members]))
+            drops.extend(ids[members[order[1:]]])
+        return pd.DataFrame({"drop_id": np.asarray(drops, dtype=ids.dtype)})
+
+    id_type = dict(corpus.dtypes)[id_col]
+    drops = assigned.groupBy("__cell").applyInPandas(
+        drop_group, schema=f"drop_id {id_type}"
+    )
+    return corpus.join(
+        F.broadcast(drops.withColumnRenamed("drop_id", id_col)), id_col, "left_anti"
+    )

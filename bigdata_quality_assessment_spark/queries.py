@@ -1701,8 +1701,23 @@ def q_xann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("x_embedding_near_dedup")  # rows-only
 def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup family as one tagged union (round-5
+    continuation): part='lsh' is LSH-candidate near-dedup with exact
+    cosine verify + CC closure (embedding_near_dedup); part='semdedup'
+    is SemDeDup cluster-scoped dedup (semantic_dedup, keep='min_id'
+    for determinism under k-means assignment noise). Both rows-only
+    (hyperplane/quantizer state not SQL-expressible); survivor sets
+    and keep rules are pinned in tests/test_similarity.py."""
+    from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
+
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dedup(emb, threshold=0.95, dim=64).select("vec_id", "label")
+    lsh = embedding_near_dedup(emb, threshold=0.95, dim=64).select(
+        F.lit("lsh").alias("part"), "vec_id", "label"
+    )
+    sem = semantic_dedup(
+        emb, dim=64, eps=0.03, n_centroids=8, seed=42, keep="min_id"
+    ).select(F.lit("semdedup").alias("part"), "vec_id", "label")
+    return lsh.unionByName(sem)
 
 
 def _profile_sql() -> str:

@@ -110,3 +110,62 @@ def test_ivf_recall(corpus, vectors):
     # every query returns exactly k ranked rows
     counts = {qi: len(v) for qi, v in got.items()}
     assert all(c == 5 for c in counts.values())
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for g in range(3):
+        base = rng.randn(8)
+        base /= np.linalg.norm(base)
+        for m in range(3):
+            v = base + rng.randn(8) * 0.01
+            rows.append((g * 10 + m, [float(x) for x in v]))
+    for s in range(5):
+        rows.append((100 + s, [float(x) for x in rng.randn(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_dedup(df, dim=8, eps=0.05, n_centroids=4, seed=1)
+    ids = sorted(r.vec_id for r in out.collect())
+    for g in ([0, 1, 2], [10, 11, 12], [20, 21, 22]):
+        assert sum(1 for i in ids if i in g) == 1, (g, ids)
+    assert all(100 + s in ids for s in range(5))
+
+    # min_id keep-rule is deterministic: lowest id of each group survives
+    out2 = semantic_dedup(df, dim=8, eps=0.05, n_centroids=4, seed=1, keep="min_id")
+    ids2 = {r.vec_id for r in out2.collect()}
+    assert {0, 10, 20}.issubset(ids2) and not {1, 2, 11, 12, 21, 22} & ids2
+
+    # eps ~ 0 -> only exact duplicates dedup -> everything survives
+    out3 = semantic_dedup(df, dim=8, eps=1e-9, n_centroids=4, seed=1)
+    assert out3.count() == len(rows)
+
+
+def test_semantic_dedup_keep_low_vs_high(spark):
+    """In a 2-member group the keep-low survivor is the member with the
+    LOWER cosine to the cluster's empirical centroid."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6)
+    base /= np.linalg.norm(base)
+    near = base + 1e-4 * rng.randn(6)  # dup pair member
+    far_shift = rng.randn(6) * 0.02
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in (near + far_shift)]),  # slightly off-centroid
+        (2, [float(x) for x in rng.randn(6) * 2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    low = {r.vec_id for r in semantic_dedup(df, dim=6, eps=0.05, n_centroids=1, seed=1, keep="low").collect()}
+    high = {r.vec_id for r in semantic_dedup(df, dim=6, eps=0.05, n_centroids=1, seed=1, keep="high").collect()}
+    # exactly one of {0,1} survives under each rule, and they disagree
+    assert len(low & {0, 1}) == 1 and len(high & {0, 1}) == 1
+    assert low & {0, 1} != high & {0, 1}
+    assert 2 in low and 2 in high
