@@ -92,23 +92,45 @@ def quarantine(df: DataFrame, cache: bool = True) -> tuple[DataFrame, DataFrame]
     return clean, corrupt
 
 
+LAKE_FORMATS = ("parquet", "orc")
+
+
 def write_lake(
     df: DataFrame,
     path: str,
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
+    format: str = "parquet",
 ) -> None:
-    """Land a frame as the lake's parquet layout. ``partition_cols``
+    """Land a frame as the lake's columnar layout. ``partition_cols``
     become directory partitions (partition PRUNING for every
     downstream query filtering on them — the coarse analog of
     predicate pushdown); ``max_records_per_file`` caps file size so a
     skewed partition does not produce one giant unsplittable-rowgroup
     file. For co-located join keys use ``tables.write_bucketed``
-    instead (bucketing needs the catalog)."""
+    instead (bucketing needs the catalog).
+
+    ``format``: 'parquet' (default) or 'orc' — both are splittable
+    columnar formats with statistics-based predicate pushdown and
+    column pruning at the scan, both bundled with stock Spark (Avro
+    needs the external spark-avro package, so it is deliberately NOT
+    offered here). ORC exists for interop with Hive-era lakes; new
+    data should land as parquet."""
+    if format not in LAKE_FORMATS:
+        raise ValueError(f"format must be one of {LAKE_FORMATS}, got {format!r}")
     w = df.write.mode(mode)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(path)
+    w.format(format).save(path)
+
+
+def read_lake(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
+    """Read a ``write_lake`` layout back. Directory-partition columns
+    come back as real columns, and filters on them prune at planning
+    time (PartitionFilters), not at scan time."""
+    if format not in LAKE_FORMATS:
+        raise ValueError(f"format must be one of {LAKE_FORMATS}, got {format!r}")
+    return spark.read.format(format).load(path)

@@ -71,3 +71,38 @@ def test_csv_failfast_raises(spark, tmp_path):
     df = read_csv(spark, str(p), SCHEMA, mode="FAILFAST")
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_orc_lake_roundtrip_and_pruning(spark, tmp_path):
+    from bigdata_quality_assessment_spark.sources.io import read_lake
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], float(i)) for i in range(30)], SCHEMA
+    )
+    out = str(tmp_path / "orc_lake")
+    write_lake(df, out, partition_cols=["lang"], format="orc")
+    back = read_lake(spark, out, format="orc")
+    assert back.count() == 30
+    assert sorted(back.columns) == sorted(df.columns)
+    # values identical to the parquet path
+    a = sorted(map(tuple, back.select("id", "lang", "score").collect()))
+    b = sorted(map(tuple, df.select("id", "lang", "score").collect()))
+    assert a == b
+    q = back.filter(F.col("lang") == "de")
+    assert q.count() == 10
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "PartitionFilters: [(lang" in plan, plan
+    # statistics pushdown reaches the ORC scan for data columns too
+    p2 = (
+        back.filter(F.col("id") > 20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in p2 and "GreaterThan(id,20)" in p2, p2
+
+
+def test_write_lake_rejects_unknown_format(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([(1, "en", 0.5)], SCHEMA)
+    with pytest.raises(ValueError):
+        write_lake(df, str(tmp_path / "x"), format="avro")
