@@ -331,3 +331,63 @@ def mixture_rates_for_target(
         s: (scale * (w / total_target) / counts[s]) if counts.get(s) else 0.0
         for s, w in target.items()
     }
+
+
+def snapshot_upsert(
+    target: DataFrame, source: DataFrame, keys: str | list[str]
+) -> DataFrame:
+    """MERGE with whole-row semantics: rows of ``source`` replace the
+    matching ``target`` rows by key; unmatched source rows insert.
+    Column sets must align by name (the ``train_append`` contract).
+
+    Shape: one anti-join on the key columns + a union — the target is
+    the only big side shuffled, once; when the change set is small
+    (the CDC norm) its key frame broadcasts, making the whole merge a
+    broadcast anti-join plus an append — no target shuffle at all."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    kept = target.join(F.broadcast(source.select(*keys).distinct()), keys, "left_anti")
+    return kept.unionByName(source.select(*target.columns))
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: str | list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    barrier: bool = True,
+) -> DataFrame:
+    """Apply a CDC change stream to a snapshot: ``changes`` carries the
+    target's columns plus ``op`` ('I'nsert / 'U'psert / 'D'elete) and a
+    monotonically increasing ``seq`` (commit LSN / binlog offset —
+    must be unique per key; the last change wins). Returns the new
+    snapshot: per key, the latest I/U row's values, or no row if the
+    latest change is a delete; untouched target rows pass through.
+
+    Shape: last-change-per-key is ``max_by(struct(cols), seq)`` — a
+    map-side-combinable aggregation (a row_number window would shuffle
+    ALL change rows to rank them; max_by combines partials, so the
+    exchange carries one pre-reduced row per key per map partition).
+    The touched-key set is change-sized, so it broadcasts into the
+    anti-join and the target is never shuffled — the whole apply is
+    O(changes) wire for any target size."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    payload = [c for c in changes.columns if c not in (seq_col, op_col)]
+    latest = changes.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload if c not in keys], F.col(op_col)),
+            F.col(seq_col),
+        ).alias("__last")
+    )
+    latest = latest.select(
+        *keys,
+        *[F.col(f"__last.{c}") for c in payload if c not in keys],
+        F.col(f"__last.{op_col}").alias(op_col),
+    )
+    if barrier:
+        # consumed twice (anti-join keys + upsert rows); the lazy
+        # barrier runs the change aggregation once, not once per side
+        latest = latest.localCheckpoint(eager=False)
+    kept = target.join(F.broadcast(latest.select(*keys)), keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*target.columns)
+    return kept.unionByName(upserts)

@@ -872,7 +872,20 @@ def q_a14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "t1_u1_selection_set_ops",
-    f"""SELECT 'argmax' AS part, lid, l_extendedprice,
+    f"""WITH cdc_t AS (SELECT o_orderkey AS k, o_totalprice AS x, o_orderstatus AS v FROM orders),
+        cdc_ch AS (
+          SELECT k, x + 1 AS x, v, k*10 + 1 AS seq, 'U' AS op FROM cdc_t WHERE k % 7 = 0
+          UNION ALL SELECT k, x + 2, v, k*10 + 2, 'U' FROM cdc_t WHERE k % 7 = 0
+          UNION ALL SELECT k, x, v, k*10 + 3, 'D' FROM cdc_t WHERE k % 11 = 0
+          UNION ALL SELECT k + 10000000, x / 2, 'NEW', k*10 + 4, 'I' FROM cdc_t WHERE k % 13 = 0),
+        cdc_last AS (SELECT k, arg_max(x, seq) AS x, arg_max(v, seq) AS v,
+                            arg_max(op, seq) AS op
+                     FROM cdc_ch GROUP BY k),
+        cdc_res AS (
+          SELECT t.k, t.x, t.v FROM cdc_t t WHERE t.k NOT IN (SELECT k FROM cdc_last)
+          UNION ALL
+          SELECT k, x, v FROM cdc_last WHERE op <> 'D')
+        SELECT 'argmax' AS part, lid, l_extendedprice,
                CAST(NULL AS VARCHAR) AS l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
                CAST(NULL AS DOUBLE) AS l_quantity FROM
           (SELECT {LID_SQL} AS lid, l_extendedprice FROM lineitem
@@ -889,7 +902,9 @@ def q_a14(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'append', lid, CAST(NULL AS DOUBLE), NULL, NULL, l_quantity FROM
           (SELECT {LID_SQL} AS lid, l_quantity FROM lineitem WHERE l_orderkey < 500
            UNION ALL
-           SELECT {LID_SQL} AS lid, l_quantity FROM lineitem WHERE l_orderkey >= 14500) d""",
+           SELECT {LID_SQL} AS lid, l_quantity FROM lineitem WHERE l_orderkey >= 14500) d
+        UNION ALL
+        SELECT 'cdc', k, x, v, NULL, NULL FROM cdc_res""",
 )
 def q_t1u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selection + set-op family as ONE tagged union (round-5 registry
@@ -897,7 +912,13 @@ def q_t1u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-class rows). Parts: 'argmax' = T1 (ties→lowest id), 'topk' =
     T2 (ties→highest id) — both TakeOrderedAndProject shapes; 'dedup'
     = T4 seeded shuffle + T5 dedup (oracle DISTINCT proves the shuffle
-    is multiset-preserving); 'append' = U1 train-pool append."""
+    is multiset-preserving); 'append' = U1 train-pool append; 'cdc' =
+    apply_cdc (round-5 continuation) — a synthetic I/U/D change stream
+    over orders (double-update, update-then-delete, delete-then-
+    reinsert and fresh-insert keys all present) applied with
+    last-change-wins max_by semantics, vs an arg_max SQL oracle."""
+    from bigdata_quality_assessment_spark.operators.select import apply_cdc
+
     li = _lineitem_id(_t(spark, sf_dir, "lineitem"))
     nulls = lambda *cs: [F.lit(None).cast(t).alias(c) for c, t in cs]  # noqa: E731
     a = argmax(li, "l_extendedprice", id_col="lid").select(
@@ -924,7 +945,29 @@ def q_t1u1(spark: SparkSession, sf_dir: str) -> DataFrame:
                ("l_linestatus", "string")),
         "l_quantity",
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderstatus").alias("v"),
+    )
+    k, x, v = F.col("k"), F.col("x"), F.col("v")
+    seq = lambda n: (k * 10 + n).alias("seq")  # noqa: E731
+    ch = (
+        t.filter(k % 7 == 0).select(k, (x + 1).alias("x"), v, seq(1), F.lit("U").alias("op"))
+        .unionByName(t.filter(k % 7 == 0).select(k, (x + 2).alias("x"), v, seq(2), F.lit("U").alias("op")))
+        .unionByName(t.filter(k % 11 == 0).select(k, x, v, seq(3), F.lit("D").alias("op")))
+        .unionByName(t.filter(k % 13 == 0).select(
+            (k + 10_000_000).alias("k"), (x / 2).alias("x"),
+            F.lit("NEW").alias("v"), seq(4), F.lit("I").alias("op")))
+    )
+    e = apply_cdc(t, ch, "k").select(
+        F.lit("cdc").alias("part"),
+        F.col("k").alias("lid"),
+        F.col("x").alias("l_extendedprice"),
+        F.col("v").alias("l_returnflag"),
+        *nulls(("l_linestatus", "string"), ("l_quantity", "double")),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 @_register("t3_weighted_sample")  # stochastic → rows-only (count contract: exactly k draws)

@@ -199,3 +199,57 @@ def test_mixture_sample_hits_target_proportions(spark):
     # unknown sources are dropped
     assert mixture_sample(df, {"nope": 1.0}).count() == 0
     df.unpersist()
+
+
+def test_snapshot_upsert(spark):
+    from bigdata_quality_assessment_spark.operators.select import snapshot_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 22.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    out = {r.k: (r.v, r.x) for r in snapshot_upsert(target, source, "k").collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_apply_cdc_last_change_wins(spark):
+    from bigdata_quality_assessment_spark.operators.select import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 2: update then delete -> gone
+            (2, "B1", 21.0, 100, "U"),
+            (2, "B2", 22.0, 200, "D"),
+            # key 3: delete then re-insert -> latest wins
+            (3, "c", 30.0, 110, "D"),
+            (3, "C2", 33.0, 210, "I"),
+            # key 4: two upserts -> max seq wins
+            (4, "d1", 40.0, 120, "I"),
+            (4, "d2", 44.0, 220, "U"),
+        ],
+        "k long, v string, x double, seq long, op string",
+    )
+    out = {r.k: (r.v, r.x) for r in apply_cdc(target, changes, "k").collect()}
+    assert out == {1: ("a", 10.0), 3: ("C2", 33.0), 4: ("d2", 44.0)}
+
+
+def test_apply_cdc_aggregation_is_map_side(spark):
+    """The last-change reduction must be max_by (partial-aggregable),
+    not a ranking window over all change rows."""
+    from bigdata_quality_assessment_spark.operators.select import apply_cdc
+
+    target = spark.createDataFrame([(1, 1.0)], "k long, x double")
+    changes = spark.createDataFrame(
+        [(1, 2.0, 10, "U")], "k long, x double, seq long, op string"
+    )
+    plan = (
+        apply_cdc(target, changes, "k", barrier=False)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "max_by" in plan
+    assert "row_number" not in plan
