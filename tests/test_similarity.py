@@ -169,3 +169,47 @@ def test_semantic_dedup_keep_low_vs_high(spark):
     assert len(low & {0, 1}) == 1 and len(high & {0, 1}) == 1
     assert low & {0, 1} != high & {0, 1}
     assert 2 in low and 2 in high
+
+
+def test_quantize_dequantize_error_bound(spark):
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(16) * (10 ** (i % 3))]) for i in range(20)]
+    rows.append((99, [0.0] * 16))  # zero vector edge
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df, keep_vec=True)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    back = {r.vec_id: r.embedding for r in
+            dequantize_embeddings(q.drop("embedding")).collect()}
+    scales = {r.vec_id: r.qscale for r in q.select("vec_id", "qscale").collect()}
+    for vid, vec in rows:
+        got = np.asarray(back[vid])
+        err = np.abs(got - np.asarray(vec)).max()
+        assert err <= scales[vid] / 2 + 1e-12, (vid, err, scales[vid])
+    assert back[99] == [0.0] * 16
+
+
+def test_knn_quantized_recall(corpus, vectors):
+    from bigdata_quality_assessment_spark.operators.similarity import knn_quantized
+
+    q = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_quantized(corpus, q, k=5, rescore_factor=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qi in range(10):
+        expect, _ = _np_topk(vectors, qi, 5)
+        hits += len(got.get(qi, set()) & {int(e) for e in expect})
+        total += 5
+    # int8 coarse pass + exact rescore of 4k candidates: near-exact
+    assert hits / total > 0.9, hits / total
+    assert all(len(v) == 5 for v in got.values())
