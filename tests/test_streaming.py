@@ -343,3 +343,75 @@ def test_streaming_asof_join_unmatched_users_get_null_payload(spark):
     got = run_available_now(out, "st_asof_nomatch", output_mode="append").collect()
     assert len(got) > 50
     assert all(r["pv"] is None and r["ts_right"] is None for r in got)
+
+
+def test_streaming_cdc_materializer(spark, tmp_path):
+    """foreachBatch CDC fold: multiple micro-batches, out-of-order
+    seq across batches, tombstone retention, atomic version flip."""
+    import os
+    import time
+
+    from bigdata_quality_assessment_spark.operators.select import apply_cdc
+    from bigdata_quality_assessment_spark.streaming.cdc import (
+        init_snapshot,
+        read_snapshot,
+        streaming_apply_cdc,
+    )
+
+    root = str(tmp_path / "snap")
+    stage = tmp_path / "changes"
+    stage.mkdir()
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    init_snapshot(target, root)
+
+    schema = "k long, v string, x double, seq long, op string"
+    batches = [
+        # batch 0 carries the HIGHER seq for key 2 (out-of-order test)
+        [(2, "B_late", 22.0, 200, "U"), (4, "d", 40.0, 100, "I")],
+        # batch 1's seq-150 update for key 2 must LOSE to stored seq 200
+        [(2, "B_early", 21.0, 150, "U"), (3, "c", 30.0, 160, "D")],
+        [(5, "e", 50.0, 300, "I"), (4, "d2", 44.0, 310, "U")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage / f"b{i}"))
+        # distinct mtimes pin file-source pickup order
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    q = streaming_apply_cdc(
+        stream, root, "k", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    live = {r.k: (r.v, r.x) for r in read_snapshot(spark, root).collect()}
+    assert live == {
+        1: ("a", 10.0),
+        2: ("B_late", 22.0),  # seq 200 beat the later-arriving seq 150
+        4: ("d2", 44.0),
+        5: ("e", 50.0),
+    }
+    # tombstone for key 3 is retained in the meta view
+    meta = {r.k: r.op for r in read_snapshot(spark, root, with_meta=True).collect()}
+    assert meta[3] == "D"
+    # exactly one live version directory + pointer remain
+    dirs = [d for d in os.listdir(root) if d.startswith("v")]
+    assert len(dirs) == 1
+    assert open(os.path.join(root, "LATEST")).read().strip() == dirs[0]
+
+    # parity with the batch operator applied to the full change log
+    all_changes = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    expect = {
+        r.k: (r.v, r.x) for r in apply_cdc(target, all_changes, "k").collect()
+    }
+    assert live == expect
