@@ -87,3 +87,44 @@ def test_kde_integrates_to_one(spark, vals, bw):
     g = kde_1d(df, "v", bw=float(bw), ngrid=256, lo=float(lo), hi=float(hi))
     mass = trapz(g, "grid_x", "pdf").first()["integral"]
     assert abs(mass - 1.0) < 2e-3, mass
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),      # key
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=64),
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    n_target=st.integers(min_value=0, max_value=5),
+)
+@SET
+def test_apply_cdc_matches_dict_fold(spark, changes, n_target):
+    """apply_cdc == a sequential python-dict fold of the change log in
+    seq order, for any interleaving of I/U/D over overlapping keys."""
+    from bigdata_quality_assessment_spark.operators.select import apply_cdc
+
+    target_rows = [(k, float(k) * 100.0) for k in range(n_target)]
+    # unique monotone seqs: list position
+    change_rows = [
+        (k, x, i, op) for i, (k, x, op) in enumerate(changes)
+    ]
+    target = spark.createDataFrame(
+        target_rows, "k long, x double"
+    ) if target_rows else spark.createDataFrame([], "k long, x double")
+    log = spark.createDataFrame(
+        change_rows, "k long, x double, seq long, op string"
+    ) if change_rows else spark.createDataFrame([], "k long, x double, seq long, op string")
+
+    got = {r.k: r.x for r in apply_cdc(target, log, "k").collect()}
+
+    state = dict(target_rows)
+    for k, x, _seq, op in sorted(change_rows, key=lambda r: r[2]):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = x
+    assert got == state
