@@ -400,8 +400,18 @@ def semantic_dedup(
         raise ValueError("keep must be 'low', 'high' or 'min_id'")
     thresh = 1.0 - eps
 
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    # null / NaN / Inf vectors cannot be compared: they pass through as
+    # survivors (excluded from clustering AND from the drop set)
+    valid = F.col(vec_col).isNotNull() & ~F.exists(
+        _as_double(F.col(vec_col)),
+        lambda x: F.isnan(x) | x.isin(float("inf"), float("-inf")),
+    )
+    c = corpus.filter(valid).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
     train = [r["__v"] for r in c.select("__v").limit(n_train).collect()]
+    if not train:
+        return corpus
     cents = _kmeans_centroids(train, n_centroids, n_iter=n_kmeans_iter, seed=seed)
     cd = _centroid_dists(F.col("__v"), cents)
     assigned = c.select(

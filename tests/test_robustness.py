@@ -117,3 +117,46 @@ def test_profile_table_exact_percentiles(spark):
     assert got[("x", "p50")] == pytest.approx(50.5)   # interpolated median
     assert got[("x", "p95")] == pytest.approx(95.05)  # 1 + 0.95*99
     assert got[("x", "min")] == 1.0 and got[("x", "max")] == 100.0
+
+
+def test_round5_continuation_ops_survive_nasty_inputs(spark, nasty_docs, nasty_emb):
+    """decontaminate / semantic_dedup / quantize / bpe / cdc on
+    empty / null / degenerate inputs (ANSI mode throws on any
+    unguarded arithmetic)."""
+    from bigdata_quality_assessment_spark.operators.bpe import (
+        bpe_token_count,
+        train_bpe,
+    )
+    from bigdata_quality_assessment_spark.operators.select import apply_cdc
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        quantize_embeddings,
+        semantic_dedup,
+    )
+
+    # empty benchmark -> nothing contaminated, nothing dropped
+    empty_bench = nasty_docs.limit(0)
+    out = T.decontaminate(nasty_docs, empty_bench, k=3)
+    assert out.count() == nasty_docs.count()
+    assert out.filter("contaminated").count() == 0
+    # nasty docs as BOTH sides (nulls, unicode, empties)
+    both = T.decontaminate(nasty_docs, nasty_docs, k=3)
+    assert both.count() == nasty_docs.count()
+
+    # semantic dedup over degenerate vectors (zeros, singletons)
+    sd = semantic_dedup(nasty_emb, dim=4, eps=0.05, n_centroids=2, seed=0)
+    assert 0 < sd.count() <= nasty_emb.count()
+    q = quantize_embeddings(nasty_emb)
+    assert q.count() == nasty_emb.count()
+
+    # BPE over empty/null/unicode text
+    merges = train_bpe(nasty_docs, n_merges=5)
+    counts = {r.doc_id: r.n_bpe_tokens for r in bpe_token_count(nasty_docs, merges).collect()}
+    assert counts[1] == 0 and counts[7] == 0 and counts[5] > 0
+
+    # CDC with empty change log / empty target
+    t = spark.createDataFrame([(1, 1.0)], "k long, x double")
+    empty_log = spark.createDataFrame([], "k long, x double, seq long, op string")
+    assert {r.k for r in apply_cdc(t, empty_log, "k").collect()} == {1}
+    empty_t = spark.createDataFrame([], "k long, x double")
+    log = spark.createDataFrame([(2, 2.0, 1, "I")], "k long, x double, seq long, op string")
+    assert {r.k for r in apply_cdc(empty_t, log, "k").collect()} == {2}
