@@ -47,6 +47,16 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 EXPECTED_MAX = {
     "x_text_stats": 3,  # stats/repetition/pii tagged parts, one scan each
     "x_quality_score": 2,  # quality + chunking tagged parts
+    # fp part 1 scan; decon part 3: the eval-set filter (different
+    # predicate), the gram explode (id+text), and the id-universe
+    # join-back (id-only, column-pruned — cheaper than a barrier that
+    # would store per-doc gram ARRAYS, i.e. re-materialize the text)
+    "x_doc_fingerprints": 4,
+    # lsh part 1 scan (bucket frame barriered); semdedup part 2: the
+    # valid-vector clustering scan and the survivor anti-join re-scan
+    # of the corpus (both id+embedding; a barrier would store the
+    # embedding column verbatim — same bytes, extra write)
+    "x_embedding_near_dedup": 3,
     "x_ann_knn": 2,
     "x_ann_ivf_knn": 2,
     "p1_p13_pointwise_fields": 4,
