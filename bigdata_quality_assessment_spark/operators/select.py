@@ -391,3 +391,44 @@ def apply_cdc(
     kept = target.join(F.broadcast(latest.select(*keys)), keys, "left_anti")
     upserts = latest.filter(F.col(op_col) != "D").select(*target.columns)
     return kept.unionByName(upserts)
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    frac: float,
+    group_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Quality-curation filter: keep the best ``ceil(frac * n_group)``
+    rows of each group, ranked by ``order_col`` (descending by
+    default) with ``id_col`` as the deterministic tie-break. The
+    count-based contract (not a score threshold) makes the kept set
+    exact and engine-independent — no float-boundary ties.
+
+    The canonical use is corpus curation: keep the top 30% of
+    documents per source by quality score, preserving the source mix
+    (a global top-30% would let one high-scoring source crowd out the
+    rest).
+
+    Shape: ONE hash exchange on ``group_col`` feeding both window
+    functions (rank and group count share the partitioning). Group
+    skew is real at 100 TB (one domain can own half the corpus) — AQE
+    cannot split a window partition, so a pathologically dominant
+    group bounds the task; for that regime pre-aggregate per-group
+    APPROX thresholds (profiling.approx_profile percentiles) and
+    filter by score instead, accepting threshold-tie fuzz."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("frac must be in (0, 1]")
+    oc = F.col(order_col)
+    order = [oc.asc() if ascending else oc.desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col)
+    rn = F.row_number().over(w.orderBy(*order))
+    n = F.count(F.lit(1)).over(w)
+    return (
+        df.withColumn("__rn", rn)
+        .withColumn("__n", n)
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * frac))
+        .drop("__rn", "__n")
+    )

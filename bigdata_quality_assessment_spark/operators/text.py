@@ -50,6 +50,7 @@ def text_stats(
     docs: DataFrame,
     text_col: str = "text",
     extra: dict[str, Column] | None = None,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Per-document stats: char count, whitespace-token count,
     regex-token count, mean token length, punctuation ratio,
@@ -66,6 +67,7 @@ def text_stats(
     n_tok = F.size(toks)
     return docs.select(
         "doc_id",
+        *(keep or []),
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
         F.size(regex_tokens(t)).alias("n_regex_tokens"),
@@ -116,7 +118,9 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("lang_pred", pred)
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
     """Composite quality score in [0,1]: length in a sane band, low
     punctuation density, healthy mean token length, some stopwords —
     the C4/Gopher-style rule family as one Catalyst expression."""
@@ -128,13 +132,17 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs,
         text_col,
         extra={"sw_ratio": stopword_ratio(F.col(text_col), LANG_LEXICONS["en"])},
+        keep=keep,
     )
     len_ok = F.when(F.col("n_chars").between(100, 20000), 1.0).otherwise(0.0)
     punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
     tok_ok = F.when(F.col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.0)
     sw_ok = F.when(F.col("sw_ratio") >= 0.01, 1.0).otherwise(0.0)
+    # ``keep``: extra doc columns carried through the SAME projection
+    # (e.g. ``source`` for per-source curation) — no join-back scan
     return stats.select(
         "doc_id",
+        *(keep or []),
         ((len_ok + punct_ok + tok_ok + sw_ok) / 4.0).alias("quality"),
     )
 

@@ -1390,7 +1390,26 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM (SELECT doc_id, ws, unnest(range(nc)) AS cid
              FROM (SELECT doc_id, string_split(text, ' ') AS ws,
                           1 + CAST(ceil(greatest(len(string_split(text, ' ')) - 32, 0) / 24.0) AS INT) AS nc
-                   FROM documents))""",
+                   FROM documents))
+       UNION ALL
+       SELECT 'filter', doc_id,
+         round(((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN swr >= 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0, 6),
+         CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+       FROM (
+         SELECT d.doc_id, s2.n_chars, s2.pr, s2.mtl, s2.swr,
+                row_number() OVER (PARTITION BY d.source ORDER BY
+                  ((CASE WHEN s2.n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN s2.pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN s2.mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN s2.swr >= 0.01 THEN 1.0 ELSE 0.0 END)) DESC,
+                  d.doc_id ASC) AS rn,
+                count(*) OVER (PARTITION BY d.source) AS n
+         FROM documents d
+         JOIN (SELECT doc_id, n_chars, pr, mtl, swr FROM s) s2 ON s2.doc_id = d.doc_id
+       ) WHERE rn <= ceil(n * 0.3)""",
 )
 def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality composite + token-window chunking as one tagged union
@@ -1401,7 +1420,10 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_quality_assessment_spark.operators.text import chunk_text
 
     docs = _t(spark, sf_dir, "documents")
-    q = quality_score(docs).select(
+    # ONE quality pass feeds both the 'q' rows and the 'filter' rows —
+    # the barrier stores (doc_id, source, quality), ~20 B/row
+    qs = quality_score(docs, keep=["source"]).localCheckpoint(eager=False)
+    q = qs.select(
         F.lit("q").alias("part"),
         "doc_id",
         F.round("quality", 6).alias("quality"),
@@ -1417,7 +1439,23 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
         "chunk",
     )
-    return q.unionByName(ch)
+    # part='filter' (round-5 continuation): per-source curation — keep
+    # the top 30% of each source by quality (count-based, tie-break
+    # doc_id), via top_fraction_per_group; `keep=["source"]` carries
+    # the group column through quality_score's single projection
+    from bigdata_quality_assessment_spark.operators.select import (
+        top_fraction_per_group,
+    )
+
+    fl = top_fraction_per_group(qs, 0.3, "source", "quality").select(
+        F.lit("filter").alias("part"),
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+        F.lit(None).cast("int").alias("chunk_id"),
+        F.lit(None).cast("bigint").alias("n_chunk_tokens"),
+        F.lit(None).cast("string").alias("chunk"),
+    )
+    return q.unionByName(ch).unionByName(fl)
 
 
 @_register(

@@ -253,3 +253,35 @@ def test_apply_cdc_aggregation_is_map_side(spark):
     )
     assert "max_by" in plan
     assert "row_number" not in plan
+
+
+def test_top_fraction_per_group(spark):
+    from bigdata_quality_assessment_spark.operators.select import (
+        top_fraction_per_group,
+    )
+
+    rows = []
+    # group a: 10 rows scores 0..9 ; group b: 4 rows scores 100..103
+    for i in range(10):
+        rows.append((i, "a", float(i)))
+    for i in range(4):
+        rows.append((100 + i, "b", 100.0 + i))
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = top_fraction_per_group(df, 0.3, "source", "quality")
+    got = {r.source: sorted(r2.doc_id for r2 in out.filter(F.col("source") == r.source).collect())
+           for r in out.select("source").distinct().collect()}
+    # ceil(10*0.3)=3 best of a; ceil(4*0.3)=2 best of b
+    assert got["a"] == [7, 8, 9]
+    assert got["b"] == [102, 103]
+    # ties break to the LOWER doc_id
+    tie = spark.createDataFrame(
+        [(1, "c", 5.0), (2, "c", 5.0), (3, "c", 5.0)],
+        "doc_id long, source string, quality double",
+    )
+    kept = sorted(r.doc_id for r in top_fraction_per_group(tie, 0.5, "source", "quality").collect())
+    assert kept == [1, 2]
+    # frac=1.0 keeps everything; invalid frac raises
+    assert top_fraction_per_group(df, 1.0, "source", "quality").count() == 14
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        top_fraction_per_group(df, 0.0, "source", "quality")
