@@ -31,28 +31,41 @@ _NUMERIC = (
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Exact profile: per column — row count, null count, exact
-    distinct count, and for numeric columns min/max/avg. One wide
-    aggregation (single pass, map-side combined; the distinct counts
-    are the only expansion and Spark plans them as expand+partial).
+    distinct count, and for numeric columns min/max/avg and exact
+    p50/p95 quantiles.
 
-    Returns ``(column STRING, metric STRING, value DOUBLE)`` sorted
-    by (column, metric)."""
+    TWO aggregation jobs, deliberately: n-column ``countDistinct``
+    plans as an Expand that multiplies every input row ×(n+1); fused
+    into the same agg, those expanded copies ALSO stream through the
+    exact-percentile sort buffers, and the combination measured ~7×
+    slower than the two passes separately (sf0.1 lineitem: fused
+    15–39 s vs 2.3 s + 2.1 s split). So pass 1 computes everything
+    non-distinct (map-side combined; the percentile buffers see each
+    row once), pass 2 computes the distinct counts (Expand + partial),
+    and the two one-row frames cross-join — O(1) rows, no shuffle of
+    data. At 100 TB use ``approx_profile`` (one pass, sketches).
+
+    Returns ``(column STRING, metric STRING, value DOUBLE)``."""
     cols = columns or df.columns
     aggs = []
+    distinct_aggs = []
     for c in cols:
         dtype = df.schema[c].dataType
         aggs.append(F.count(F.lit(1)).alias(f"{c}::n_rows"))
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("double").alias(f"{c}::n_null"))
-        aggs.append(F.countDistinct(c).cast("double").alias(f"{c}::n_distinct"))
+        distinct_aggs.append(F.countDistinct(c).cast("double").alias(f"{c}::n_distinct"))
         if isinstance(dtype, _NUMERIC):
             aggs.append(F.min(c).cast("double").alias(f"{c}::min"))
             aggs.append(F.max(c).cast("double").alias(f"{c}::max"))
             aggs.append(F.avg(c).cast("double").alias(f"{c}::avg"))
             # EXACT linear-interpolated quantiles (sort-based — this is
-            # the exact tier; at 100 TB use approx_profile's KLL/GK)
-            aggs.append(F.percentile(F.col(c), F.lit(0.5)).cast("double").alias(f"{c}::p50"))
-            aggs.append(F.percentile(F.col(c), F.lit(0.95)).cast("double").alias(f"{c}::p95"))
-    wide = df.agg(*aggs)
+            # the exact tier; at 100 TB use approx_profile's KLL/GK).
+            # One array-percentile per column: p50 and p95 share a
+            # single value buffer instead of maintaining two.
+            pq = F.percentile(F.col(c), F.array(F.lit(0.5), F.lit(0.95)))
+            aggs.append(pq[0].cast("double").alias(f"{c}::p50"))
+            aggs.append(pq[1].cast("double").alias(f"{c}::p95"))
+    wide = df.agg(*aggs).crossJoin(df.agg(*distinct_aggs))
     pairs = []
     for field in wide.schema.fields:
         col_name, metric = field.name.split("::", 1)
