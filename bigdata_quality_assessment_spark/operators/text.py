@@ -791,3 +791,37 @@ def drop_contaminated(
         docs, benchmark, text_col, id_col, k, mode, min_hits
     ).filter(F.col("contaminated")).select(id_col)
     return docs.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+# --------------------------------------------------------------------
+# Normalization
+# --------------------------------------------------------------------
+
+
+def normalize_text(
+    text_col: Column | str,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    strip_punct: bool = False,
+) -> Column:
+    """Canonical text normalization as ONE Catalyst expression chain —
+    the pre-pass that makes exact/near dedup robust to trivial
+    variants (case, runs of whitespace, stray control characters).
+    Column-in/column-out so it composes into any operator's projection
+    (e.g. ``exact_dedup(docs.withColumn("text", normalize_text("text")))``
+    dedups case-insensitively) without an extra scan.
+
+    Deliberately NOT unicode-NFC: Spark has no built-in normalizer and
+    a per-row Python UDF would drop the whole text path out of
+    codegen; byte-identical unicode variants are near-dedup's job."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if strip_control:
+        c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    if strip_punct:
+        c = F.regexp_replace(c, "[^\\p{L}\\p{N}\\s]", "")
+    if lowercase:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return c

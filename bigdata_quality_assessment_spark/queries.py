@@ -1412,11 +1412,14 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
        ) WHERE rn <= ceil(n * 0.3)""",
 )
 def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality composite + token-window chunking as one tagged union
-    (round-5): part='q' is the C4/Gopher-style quality score;
-    part='chunk' is chunk_text(max_tokens=32, overlap=8) — one row per
-    overlapping token window, the pre-tokenization sharding an LLM
-    training pipeline feeds to its tokenizer."""
+    """Quality family as one tagged union (round-5): part='q' is the
+    C4/Gopher-style quality score; part='chunk' is
+    chunk_text(max_tokens=32, overlap=8) — one row per overlapping
+    token window, the pre-tokenization sharding an LLM training
+    pipeline feeds to its tokenizer; part='filter' (continuation) is
+    top_fraction_per_group — the top 30% of each source by quality,
+    count-based with doc_id tie-break, sharing the 'q' rows' single
+    quality pass via a lazy barrier."""
     from bigdata_quality_assessment_spark.operators.text import chunk_text
 
     docs = _t(spark, sf_dir, "documents")

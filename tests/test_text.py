@@ -318,3 +318,29 @@ def test_decontaminate_min_hits_threshold(spark):
         for r in decontaminate(docs, bench, k=5, min_hits=2).collect()
     }
     assert out == {0: True, 1: False}
+
+
+def test_normalize_text(spark):
+    from bigdata_quality_assessment_spark.operators.text import (
+        exact_dedup,
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello   World\t\n"),
+            (1, "hello world"),
+            (2, "Hello\x07 WORLD \x1f"),
+            (3, "other, doc!"),
+        ],
+        "doc_id long, text string",
+    )
+    n = {r.doc_id: r.n for r in docs.select(
+        "doc_id", normalize_text("text").alias("n")).collect()}
+    assert n[0] == n[1] == n[2] == "hello world"
+    assert n[3] == "other, doc!"
+    np = docs.select("doc_id", normalize_text("text", strip_punct=True).alias("n"))
+    assert {r.n for r in np.filter("doc_id = 3").collect()} == {"other doc"}
+    # normalized exact dedup collapses the case/whitespace variants
+    kept = exact_dedup(docs.withColumn("text", normalize_text("text")))
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 3]
