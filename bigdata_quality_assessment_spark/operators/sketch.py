@@ -34,22 +34,7 @@ def _mg_summarize(values, capacity: int) -> dict:
     """Misra-Gries over an iterable: at most ``capacity`` counters;
     when full, decrement all (implicitly, via the admission debt).
     Returns item -> lower-bound count."""
-    counters: dict = {}
-    for v in values:
-        if v in counters:
-            counters[v] += 1
-        elif len(counters) < capacity:
-            counters[v] = 1
-        else:
-            # decrement-all step, dropping zeros
-            dead = []
-            for k in counters:
-                counters[k] -= 1
-                if counters[k] == 0:
-                    dead.append(k)
-            for k in dead:
-                del counters[k]
-    return counters
+    return _mg_merge({}, values, capacity)
 
 
 def frequent_items(
@@ -119,3 +104,79 @@ def frequent_items(
         .orderBy(F.col("est_count").desc(), F.col("item").asc())
         .limit(k)
     )
+
+
+def streaming_frequent_items(
+    stream: DataFrame,
+    col: str,
+    capacity: int = 256,
+    n_shards: int = 8,
+):
+    """Streaming heavy-hitters: the Misra-Gries summary as a custom
+    stateful operator (``applyInPandasWithState``). Items hash into
+    ``n_shards`` state groups; each shard's state is one bounded
+    counter table (arrays of <= ``capacity`` items/counts + the shard's
+    row total), merged per micro-batch and emitted in full each batch.
+
+    Because sharding is BY ITEM HASH, an item lives in exactly one
+    shard — no cross-shard reconciliation; per-item bounds are
+    ``est <= true <= est + shard_rows/capacity`` with ``shard_rows``
+    emitted alongside. State is O(n_shards * capacity) regardless of
+    stream length or item cardinality — the knob a 100 TB/day stream
+    needs where ``groupBy(item).count()`` state would grow unboundedly.
+    Consumers take each shard's LATEST emission (max ``shard_rows``).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sharded = stream.select(
+        F.col(col).cast("string").alias("item"),
+        F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n_shards)).alias("__shard"),
+    ).filter(F.col("item").isNotNull())
+
+    out_schema = "shard BIGINT, item STRING, est_count BIGINT, shard_rows BIGINT"
+    state_schema = "items ARRAY<STRING>, counts ARRAY<BIGINT>, n BIGINT"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            items, counts, n = state.get
+            counters = dict(zip(list(items), list(counts)))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            vals = pdf["item"]
+            n += len(vals)
+            counters = _mg_merge(counters, vals, capacity)
+        state.update((list(counters.keys()), [int(c) for c in counters.values()], n))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "item": list(counters.keys()),
+                "est_count": [int(c) for c in counters.values()],
+                "shard_rows": [n] * len(counters),
+            }
+        )
+
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def _mg_merge(counters: dict, values, capacity: int) -> dict:
+    """Continue a Misra-Gries summary with more values (same admission
+    / decrement-all discipline as :func:`_mg_summarize`)."""
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            dead = []
+            for k in counters:
+                counters[k] -= 1
+                if counters[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del counters[k]
+    return counters

@@ -51,3 +51,58 @@ def test_frequent_items_k_validation(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with pytest.raises(ValueError):
         frequent_items(df, "item", k=10, capacity=5)
+
+
+def test_streaming_frequent_items(spark, tmp_path):
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from bigdata_quality_assessment_spark.operators.sketch import (
+        streaming_frequent_items,
+    )
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        run_available_now,
+    )
+
+    stage = tmp_path / "items"
+    stage.mkdir()
+    # two micro-batches; 'alpha' is hot across both
+    b0 = [("alpha",)] * 50 + [(f"x{j}",) for j in range(30)]
+    b1 = [("alpha",)] * 40 + [("beta",)] * 35 + [(f"y{j}",) for j in range(20)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, "item string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage / f"b{i}"))
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    out = run_available_now(
+        streaming_frequent_items(stream, "item", capacity=16, n_shards=4), "hh"
+    )
+    # latest emission per shard = rows with that shard's max shard_rows
+    rows_out = out.collect()
+    max_rows = {}
+    for r in rows_out:
+        max_rows[r.shard] = max(max_rows.get(r.shard, 0), r.shard_rows)
+    got = {
+        r.item: (r.est_count, r.shard_rows)
+        for r in rows_out
+        if r.shard_rows == max_rows[r.shard]
+    }
+    exact = {}
+    for rows in [b0, b1]:
+        for (it,) in rows:
+            exact[it] = exact.get(it, 0) + 1
+    # heavy hitters present with valid bounds across the whole stream
+    for item in ("alpha", "beta"):
+        assert item in got, got
+        est, shard_rows = got[item]
+        assert est <= exact[item] <= est + shard_rows / 16 + 1e-9, (item, est, shard_rows)
+    # items of one shard never appear in another
+    by_item = out.groupBy("item").agg(F2.count_distinct("shard").alias("ns")).collect()
+    assert all(r.ns == 1 for r in by_item)
