@@ -1845,8 +1845,26 @@ def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("x_approx_profile")  # sketch values engine-specific → rows-only
 def q_xapprox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family as one tagged union: part='sketch' is the
+    HLL/KLL approx profile; part='freq' (round-5 continuation) is the
+    Misra-Gries frequent-items summary over l_returnflag (operators/
+    sketch.py) — est_count rides the `value` column, max_error in
+    `metric`-suffix form. Both rows-only (sketch internals are
+    engine-specific); the MG heavy-hitter guarantee and count bounds
+    are pinned against exact groupBy counts in tests/test_sketch.py."""
+    from bigdata_quality_assessment_spark.operators.sketch import frequent_items
+
     li = _t(spark, sf_dir, "lineitem")
-    return approx_profile(li, ["l_quantity", "l_extendedprice", "l_returnflag"])
+    ap = approx_profile(li, ["l_quantity", "l_extendedprice", "l_returnflag"]).select(
+        F.lit("sketch").alias("part"), "column", "metric", "value"
+    )
+    fi = frequent_items(li, "l_returnflag", k=3, capacity=64).select(
+        F.lit("freq").alias("part"),
+        F.lit("l_returnflag").alias("column"),
+        F.concat(F.lit("freq_"), F.col("item")).alias("metric"),
+        F.col("est_count").cast("double").alias("value"),
+    )
+    return ap.unionByName(fi)
 
 
 @_register(

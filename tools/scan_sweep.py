@@ -57,6 +57,11 @@ EXPECTED_MAX = {
     # of the corpus (both id+embedding; a barrier would store the
     # embedding column verbatim — same bytes, extra write)
     "x_embedding_near_dedup": 3,
+    # DELIBERATE two agg passes (profiling.py): fusing the n-column
+    # countDistinct Expand with the exact-percentile buffers in one
+    # agg measured ~7x slower (the expanded copies stream through the
+    # sort buffers); split = one scan per pass, each map-side combined
+    "x_profile_table": 2,
     "x_ann_knn": 2,
     "x_ann_ivf_knn": 2,
     "p1_p13_pointwise_fields": 4,
