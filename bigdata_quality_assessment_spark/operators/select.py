@@ -432,3 +432,28 @@ def top_fraction_per_group(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * frac))
         .drop("__rn", "__n")
     )
+
+
+def hash_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic uniform k-sample without replacement: the k rows
+    with the smallest ``xxhash64(id, seed)`` — the hash-order variant
+    of reservoir sampling. Properties a pipeline needs that
+    ``df.sample`` lacks: EXACTLY k rows, reproducible across runs /
+    repartitionings (pure function of the id), and monotone under
+    growth (a new row displaces at most one old pick — stable sample
+    identity as the corpus grows, the bottom-k minwise-sampling
+    property).
+
+    Plan shape: ``TakeOrderedAndProject`` — per-partition top-k then a
+    k-row merge; never a global sort."""
+    return (
+        df.withColumn("__hk", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__hk", id_col)
+        .limit(k)
+        .drop("__hk")
+    )

@@ -285,3 +285,25 @@ def test_top_fraction_per_group(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         top_fraction_per_group(df, 0.0, "source", "quality")
+
+
+def test_hash_sample_k(spark):
+    from bigdata_quality_assessment_spark.operators.select import hash_sample_k
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    s1 = sorted(r.doc_id for r in hash_sample_k(df, 50).collect())
+    # exact size, deterministic across runs and repartitionings
+    assert len(s1) == 50
+    s2 = sorted(r.doc_id for r in hash_sample_k(df.repartition(7), 50).collect())
+    assert s1 == s2
+    # different seed -> (almost surely) different sample
+    s3 = sorted(r.doc_id for r in hash_sample_k(df, 50, seed=7).collect())
+    assert s1 != s3
+    # bottom-k stability under growth: adding rows changes at most
+    # as many picks as new rows entering the bottom-k
+    grown = spark.createDataFrame([(i,) for i in range(520)], "doc_id long")
+    s4 = set(r.doc_id for r in hash_sample_k(grown, 50).collect())
+    assert len(set(s1) - s4) <= 20
+    # plan is TakeOrderedAndProject, not a global sort
+    plan = hash_sample_k(df, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
