@@ -825,3 +825,96 @@ def normalize_text(
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, "\\s+", " "))
     return c
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 128,
+    bands: int = 16,
+    min_jaccard: float = 0.8,
+    mode: str = "word",
+) -> DataFrame:
+    """Cross-corpus near-duplicate decontamination: flag training
+    documents whose shingle-set Jaccard with ANY benchmark/eval
+    document reaches ``min_jaccard`` — the fuzzy tier above
+    :func:`decontaminate` (exact n-gram collisions): it catches
+    lightly-paraphrased or truncated eval leakage that shares few
+    exact k-grams but most of its shingle set.
+
+    Returns ``(id_col, matched_bench_id, jaccard)`` — one row per
+    flagged training doc with its best-matching benchmark doc (ties →
+    lowest bench id). Compose with an anti-join to drop.
+
+    Shape: both sides get MinHash signatures (the benchmark once —
+    eval suites are tiny); candidates come from an equi-join of the
+    TRAIN band buckets against the BENCH band buckets (never
+    train×bench); exact Jaccard verifies only the candidates. Unlike
+    the self-join dedup, the bench bucket side broadcasts, so the
+    training corpus's banded keys never shuffle."""
+    sig_d = minhash_signatures(docs, text_col, k, n_hashes, mode, id_col)
+    sig_b = minhash_signatures(benchmark, text_col, k, n_hashes, mode, id_col)
+
+    def band_keys(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size(F.col("sig")) / bands).cast("int") + 1,
+                                (F.size(F.col("sig")) / bands).cast("int"),
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cand = (
+        band_keys(sig_d, "__did")
+        .join(F.broadcast(band_keys(sig_b, "__bid")), ["band", "bucket"])
+        .select("__did", "__bid")
+        .distinct()
+    )
+    sh_d = shingle_sets(docs, text_col, k, mode, id_col).select(
+        F.col(id_col).alias("__did"), "shingle"
+    )
+    sh_b = shingle_sets(benchmark, text_col, k, mode, id_col).select(
+        F.col(id_col).alias("__bid"), "shingle"
+    )
+    sizes_d = sh_d.groupBy("__did").agg(F.count(F.lit(1)).alias("__nd"))
+    sizes_b = sh_b.groupBy("__bid").agg(F.count(F.lit(1)).alias("__nb"))
+    inter = (
+        sh_d.join(cand, "__did")
+        .join(sh_b, ["__bid", "shingle"])
+        .groupBy("__did", "__bid")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    scored = (
+        inter.join(sizes_d, "__did")
+        .join(F.broadcast(sizes_b), "__bid")
+        .withColumn(
+            "jaccard",
+            F.col("__common") / (F.col("__nd") + F.col("__nb") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    best = scored.groupBy("__did").agg(
+        F.max_by(
+            F.struct(F.col("jaccard"), (-F.col("__bid")).alias("neg")),
+            F.struct(F.col("jaccard"), (-F.col("__bid")).alias("neg")),
+        ).alias("__w"),
+    )
+    return best.select(
+        F.col("__did").alias(id_col),
+        (-F.col("__w.neg")).cast("long").alias("matched_bench_id"),
+        F.col("__w.jaccard").alias("jaccard"),
+    )

@@ -344,3 +344,35 @@ def test_normalize_text(spark):
     # normalized exact dedup collapses the case/whitespace variants
     kept = exact_dedup(docs.withColumn("text", normalize_text("text")))
     assert sorted(r.doc_id for r in kept.collect()) == [0, 3]
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    from bigdata_quality_assessment_spark.operators.text import (
+        decontaminate,
+        fuzzy_decontaminate,
+    )
+
+    eval_doc = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps in the warm sun and the birds sing in the trees"
+    )
+    # light truncation+edit: high shingle overlap, few exact 13-grams
+    leaked = (
+        "the quick brown fox jumps over the sleepy dog while the cat "
+        "sleeps in the warm sun and the birds sing in the trees"
+    )
+    clean = "completely unrelated content about spark catalyst plans and parquet row groups and arrow batches here"
+    docs = spark.createDataFrame(
+        [(0, leaked), (1, clean), (2, eval_doc)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, eval_doc)], "doc_id long, text string")
+
+    out = {r.doc_id: (r.matched_bench_id, r.jaccard) for r in
+           fuzzy_decontaminate(docs, bench, k=3, bands=32, min_jaccard=0.5).collect()}
+    assert 0 in out and 2 in out and 1 not in out
+    assert out[2][1] == 1.0 and out[2][0] == 100  # exact copy: jaccard 1
+    assert 0.5 <= out[0][1] < 1.0
+    # the exact-13-gram tier misses the paraphrase, the fuzzy tier doesn't
+    exact = {r.doc_id: r.contaminated for r in
+             decontaminate(docs, bench, k=13).collect()}
+    assert exact[2] and not exact[1]
