@@ -1,0 +1,135 @@
+"""End-to-end corpus curation: the canonical LLM training-data
+pipeline composed from this engine's operators, in the order the
+large-scale pipelines run them (C4/Gopher/RefinedWeb-style):
+
+    normalize -> exact dedup -> near dedup (MinHash-LSH + closure)
+    -> benchmark decontamination (exact n-gram, optional fuzzy tier)
+    -> quality filter (per-source top fraction)
+    -> source re-weighting (deterministic mixture sampling)
+
+Each stage is the already-tested operator; this module contributes the
+COMPOSITION: one lazy plan per stage boundary, explicit barriers where
+a stage's output feeds both the next stage and the audit report, and a
+per-stage row-count report for the curation ledger every real pipeline
+has to produce.
+
+Scale notes: stages communicate by doc_id frames (anti-joins), never
+by re-materialized text; the report's counts are the only extra
+actions and each runs on the already-computed stage output. The whole
+pipeline is restartable per stage by landing each stage's survivor ids
+with ``sources.io.write_lake``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.select import (
+    mixture_sample,
+    top_fraction_per_group,
+)
+from bigdata_quality_assessment_spark.operators.text import (
+    decontaminate,
+    exact_dedup,
+    near_dedup_minhash,
+    normalize_text,
+    quality_score,
+)
+
+
+@dataclass
+class CurationConfig:
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    source_col: str = "source"
+    normalize: bool = True
+    near_dedup: bool = True
+    minhash_k: int = 3
+    minhash_bands: int = 16
+    min_jaccard: float = 0.8
+    decon_k: int = 13
+    decon_min_hits: int = 1
+    quality_frac: float = 1.0  # 1.0 = keep all (skip the filter)
+    mixture_rates: dict[str, float] = field(default_factory=dict)
+    seed: int = 42
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CurationConfig | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the curation pipeline. Returns ``(clean_docs, report)``:
+    ``clean_docs`` is the surviving subset of ``docs`` (original
+    columns; text normalized when configured), ``report`` is a tiny
+    ``(stage, rows)`` frame — one row per executed stage, in order.
+
+    ``benchmark`` enables the decontamination stage. Stages that are
+    switched off in the config are skipped entirely (no pass, no
+    report row beyond 'input')."""
+    cfg = config or CurationConfig()
+    stages: list[tuple[str, DataFrame]] = []
+
+    def stage(name: str, df_: DataFrame) -> DataFrame:
+        # lazy barrier per stage boundary: the report count
+        # materializes the stage ONCE and every downstream stage
+        # consumes the materialized rows instead of re-running the
+        # whole prefix chain (the multi-reference pathology, PLANS.md)
+        df_ = df_.localCheckpoint(eager=False)
+        stages.append((name, df_))
+        return df_
+
+    cur = stage("input", docs)
+    if cfg.normalize:
+        cur = cur.withColumn(cfg.text_col, normalize_text(cfg.text_col))
+
+    cur = stage("exact_dedup", exact_dedup(cur, cfg.text_col, cfg.id_col))
+
+    if cfg.near_dedup:
+        cur = stage(
+            "near_dedup",
+            near_dedup_minhash(
+                cur,
+                cfg.text_col,
+                k=cfg.minhash_k,
+                bands=cfg.minhash_bands,
+                min_jaccard=cfg.min_jaccard,
+                id_col=cfg.id_col,
+            ),
+        )
+
+    if benchmark is not None:
+        flagged = decontaminate(
+            cur,
+            benchmark,
+            cfg.text_col,
+            cfg.id_col,
+            k=cfg.decon_k,
+            min_hits=cfg.decon_min_hits,
+        ).filter(F.col("contaminated")).select(cfg.id_col)
+        cur = stage(
+            "decontaminate", cur.join(F.broadcast(flagged), cfg.id_col, "left_anti")
+        )
+
+    if cfg.quality_frac < 1.0:
+        qs = quality_score(cur, cfg.text_col, keep=[cfg.source_col])
+        kept = top_fraction_per_group(
+            qs, cfg.quality_frac, cfg.source_col, "quality", id_col=cfg.id_col
+        ).select(cfg.id_col)
+        cur = stage(
+            "quality_filter", cur.join(F.broadcast(kept), cfg.id_col, "left_semi")
+        )
+
+    if cfg.mixture_rates:
+        cur = stage(
+            "mixture_sample",
+            mixture_sample(cur, cfg.mixture_rates, cfg.source_col, cfg.id_col, cfg.seed),
+        )
+
+    spark = docs.sparkSession
+    report_rows = [(name, df_.count()) for name, df_ in stages]
+    report = spark.createDataFrame(report_rows, "stage string, rows long")
+    return cur, report

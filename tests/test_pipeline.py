@@ -1,0 +1,62 @@
+"""End-to-end curation pipeline: stage composition, ledger counts,
+and parity with the operators applied individually."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.pipeline import CurationConfig, curate
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun and the birds sing in the trees all day long here"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE, "web"),
+        (1, BASE.upper(), "web"),            # exact dup after normalize
+        (2, BASE.replace("lazy", "sleepy"), "web"),  # near dup
+        (3, "an eval question about the meaning of catalyst plans and shuffles " * 3, "web"),
+        (4, "good long content " + "solid words of adequate quality here " * 8, "books"),
+        (5, "short", "books"),
+        (6, "more perfectly adequate content with the and of tokens " * 6, "books"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_curate_full_ledger(spark, corpus):
+    bench = spark.createDataFrame(
+        [(100, "an eval question about the meaning of catalyst plans and shuffles")],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(quality_frac=0.5, min_jaccard=0.6, decon_k=5)
+    clean, report = curate(corpus, benchmark=bench, config=cfg)
+    ledger = {r.stage: r.rows for r in report.collect()}
+    assert ledger["input"] == 7
+    assert ledger["exact_dedup"] == 6          # doc 1 collapses into 0
+    assert ledger["near_dedup"] == 5           # doc 2 collapses too
+    assert ledger["decontaminate"] == 4        # doc 3 flagged (13-gram hit)
+    assert ledger["quality_filter"] <= 4
+    ids = {r.doc_id for r in clean.collect()}
+    assert 1 not in ids and 2 not in ids and 3 not in ids
+    # report order is pipeline order
+    order = [r.stage for r in report.collect()]
+    assert order == ["input", "exact_dedup", "near_dedup", "decontaminate", "quality_filter"]
+
+
+def test_curate_minimal_config(spark, corpus):
+    cfg = CurationConfig(normalize=False, near_dedup=False)
+    clean, report = curate(corpus, config=cfg)
+    stages = [r.stage for r in report.collect()]
+    assert stages == ["input", "exact_dedup"]
+    assert clean.count() == 7  # no exact dups without normalization
+
+
+def test_curate_mixture(spark, corpus):
+    cfg = CurationConfig(near_dedup=False, mixture_rates={"books": 1.0})
+    clean, report = curate(corpus, config=cfg)
+    assert {r.source for r in clean.select("source").distinct().collect()} == {"books"}
