@@ -1492,13 +1492,70 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 count(*) OVER (PARTITION BY lang, grp) AS sz
          FROM isl
        )
+       ,norm AS (
+         SELECT doc_id, lang, source,
+                trim(lower(regexp_replace(regexp_replace(text,
+                     '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                     '\\s+', ' ', 'g'))) AS ntext
+         FROM documents
+       ),
+       ded AS (
+         SELECT * FROM norm
+         QUALIFY row_number() OVER (PARTITION BY ntext ORDER BY doc_id) = 1
+       ),
+       bgr AS (
+         SELECT DISTINCT array_to_string(ts[i:i+4], ' ') AS gram FROM (
+           SELECT string_split(text, ' ') AS ts,
+                  unnest(CASE WHEN len(string_split(text, ' ')) >= 5
+                              THEN generate_series(1, len(string_split(text, ' ')) - 4)
+                              ELSE [] END) AS i
+           FROM documents WHERE doc_id % 97 = 0)
+       ),
+       dgr AS (
+         SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS gram FROM (
+           SELECT doc_id, string_split(ntext, ' ') AS ts,
+                  unnest(CASE WHEN len(string_split(ntext, ' ')) >= 5
+                              THEN generate_series(1, len(string_split(ntext, ' ')) - 4)
+                              ELSE [] END) AS i
+           FROM ded)
+       ),
+       dec AS (
+         SELECT * FROM ded WHERE doc_id NOT IN
+           (SELECT DISTINCT doc_id FROM dgr JOIN bgr USING (gram))
+       ),
+       pq AS (
+         SELECT doc_id, source,
+           ((CASE WHEN length(ntext) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN length(ntext) > 0
+                 THEN (length(ntext) - length(regexp_replace(ntext, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(ntext)
+                 ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN len(string_split(ntext,' ')) > 0
+                 THEN list_sum(list_transform(string_split(ntext,' '), t -> length(t))) * 1.0
+                      / len(string_split(ntext,' ')) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN len(string_split(ntext,' ')) > 0
+                 THEN len(list_filter(string_split(ntext,' '),
+                      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], lower(t)))) * 1.0
+                      / len(string_split(ntext,' ')) ELSE 0.0 END) >= 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+         FROM dec
+       ),
+       pkept AS (
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM pq)
+         WHERE rn <= ceil(n * 0.3)
+       )
        SELECT * FROM surv
        UNION ALL
        SELECT 'closure', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), component
        FROM comp WHERE sz > 1
        UNION ALL
        SELECT 'closure_iter', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), component
-       FROM comp WHERE sz > 1""",
+       FROM comp WHERE sz > 1
+       UNION ALL
+       SELECT 'pipeline', doc_id, CAST(NULL AS VARCHAR), source, CAST(NULL AS BIGINT)
+       FROM pkept""",
 )
 def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style exact dedup PLUS the connected-components duplicate
@@ -1548,12 +1605,40 @@ def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component",
         )
 
+    # part='pipeline' (round-5 continuation): the COMPOSED curation
+    # pipeline (pipeline.py curate — normalize → exact dedup → exact
+    # n-gram decontamination vs the doc_id%97 eval set → per-source
+    # top-30% quality filter; near-dedup off, its hash constants are
+    # not SQL-portable) hash-matched end-to-end against a single SQL
+    # formulation of all four stages. Grades the STAGE COMPOSITION —
+    # barrier placement, anti-join chaining, normalize-once semantics —
+    # not just each operator alone.
+    from bigdata_quality_assessment_spark.pipeline import CurationConfig, curate
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    clean, _report = curate(
+        docs,
+        benchmark=bench,
+        config=CurationConfig(
+            near_dedup=False, decon_k=5, quality_frac=0.3
+        ),
+    )
+    pipe = clean.select(
+        F.lit("pipeline").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.lit(None).cast("bigint").alias("component"),
+    )
+
     # BOTH closure tiers graded against the same oracle rows: the
     # single-task vectorized tier (the sub-threshold common case) and
     # the distributed min-label + pointer-jumping tier (the 100 TB
     # adversarial-graph path) must agree with the gaps-and-islands SQL.
-    return surv.unionByName(_closure_part("closure", "single")).unionByName(
-        _closure_part("closure_iter", "iterative")
+    return (
+        surv.unionByName(_closure_part("closure", "single"))
+        .unionByName(_closure_part("closure_iter", "iterative"))
+        .unionByName(pipe)
     )
 
 
