@@ -13,6 +13,12 @@ heavily, so the cache collapses most of the per-row work to a dict
 hit. No shuffle anywhere: train reads a ``limit`` sample, encode is a
 narrow map over the corpus.
 
+Known limitation: a corpus whose TEXT contains the literal marker
+string ``</w>`` can merge character runs into a symbol equal to the
+marker, making token streams ambiguous (the standard weakness of
+string-level BPE; byte-level BPE is the production answer). Rebind
+``EOW`` to a string absent from the corpus when this matters.
+
 The 100 TB posture mirrors every model-bearing operator in this repo
 (ensemble train → broadcast infer): fit small on the driver, apply
 wide on the cluster.

@@ -426,10 +426,14 @@ def top_fraction_per_group(
     w = Window.partitionBy(group_col)
     rn = F.row_number().over(w.orderBy(*order))
     n = F.count(F.lit(1)).over(w)
+    # round the product to 9 decimals before ceil: IEEE double gives
+    # e.g. 100*0.07 = 7.000000000000001, whose raw ceil would keep 8
+    # rows where the exact product (7) says 7 — off by one vs the
+    # count-based contract
     return (
         df.withColumn("__rn", rn)
         .withColumn("__n", n)
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * frac))
+        .filter(F.col("__rn") <= F.ceil(F.round(F.col("__n") * frac, 9)))
         .drop("__rn", "__n")
     )
 
@@ -449,8 +453,12 @@ def hash_sample_k(
     identity as the corpus grows, the bottom-k minwise-sampling
     property).
 
-    Plan shape: ``TakeOrderedAndProject`` — per-partition top-k then a
-    k-row merge; never a global sort."""
+    Plan shape: ``TakeOrderedAndProject`` — per-partition top-k then
+    a k-row merge — for k below Spark's
+    ``spark.sql.execution.topKSortFallbackThreshold`` (default 10000);
+    beyond it Catalyst falls back to a global sort+limit, so for
+    corpus-sized samples use rate-based ``mixture_sample`` /
+    ``hash_split`` (hash-threshold filters, no ranking) instead."""
     return (
         df.withColumn("__hk", F.xxhash64(F.col(id_col), F.lit(seed)))
         .orderBy("__hk", id_col)

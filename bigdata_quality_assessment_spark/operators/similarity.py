@@ -400,11 +400,17 @@ def semantic_dedup(
         raise ValueError("keep must be 'low', 'high' or 'min_id'")
     thresh = 1.0 - eps
 
-    # null / NaN / Inf vectors cannot be compared: they pass through as
-    # survivors (excluded from clustering AND from the drop set)
-    valid = F.col(vec_col).isNotNull() & ~F.exists(
-        _as_double(F.col(vec_col)),
-        lambda x: F.isnan(x) | x.isin(float("inf"), float("-inf")),
+    # null / wrong-dimension / NaN / Inf vectors cannot be compared:
+    # they pass through as survivors (excluded from clustering AND
+    # from the drop set). The dim check also guards the per-cluster
+    # np.stack against ragged arrays.
+    valid = (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & ~F.exists(
+            _as_double(F.col(vec_col)),
+            lambda x: F.isnan(x) | x.isin(float("inf"), float("-inf")),
+        )
     )
     c = corpus.filter(valid).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
@@ -495,16 +501,25 @@ def quantize_embeddings(
     COSINE is scale-invariant, so ranking by cosine over the int8
     codes equals ranking over the dequantized vectors exactly —
     :func:`knn_quantized` exploits this and never materializes the
-    dequantized doubles."""
+    dequantized doubles.
+
+    Non-finite elements (NaN/Inf — real corpora have them) quantize
+    to 0 and are EXCLUDED from the scale computation: under Spark 4
+    ANSI mode an unguarded ``NaN/scale`` would throw CAST_OVERFLOW on
+    the tinyint cast and kill the job (pinned in
+    tests/test_robustness.py). Null vectors pass through as null."""
     v = _as_double(F.col(vec_col))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    finite = lambda x: ~(F.isnan(x) | x.isin(float("inf"), float("-inf")))  # noqa: E731
+    amax = F.array_max(
+        F.transform(F.filter(v, finite), lambda x: F.abs(x))
+    )
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
     out = df.withColumn(scale_col, scale).withColumn(
         qvec_col,
         F.transform(
             v,
             lambda x: F.when(
-                F.col(scale_col) > 0, F.round(x / F.col(scale_col))
+                finite(x) & (F.col(scale_col) > 0), F.round(x / F.col(scale_col))
             ).otherwise(F.lit(0.0)).cast("tinyint"),
         ),
     )

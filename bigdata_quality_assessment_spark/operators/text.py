@@ -51,6 +51,7 @@ def text_stats(
     text_col: str = "text",
     extra: dict[str, Column] | None = None,
     keep: list[str] | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document stats: char count, whitespace-token count,
     regex-token count, mean token length, punctuation ratio,
@@ -66,7 +67,7 @@ def text_stats(
     # x/0 THROWS (not NULL) — empty documents must not kill the job.
     n_tok = F.size(toks)
     return docs.select(
-        "doc_id",
+        id_col,
         *(keep or []),
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -119,7 +120,10 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(
-    docs: DataFrame, text_col: str = "text", keep: list[str] | None = None
+    docs: DataFrame,
+    text_col: str = "text",
+    keep: list[str] | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Composite quality score in [0,1]: length in a sane band, low
     punctuation density, healthy mean token length, some stopwords —
@@ -133,6 +137,7 @@ def quality_score(
         text_col,
         extra={"sw_ratio": stopword_ratio(F.col(text_col), LANG_LEXICONS["en"])},
         keep=keep,
+        id_col=id_col,
     )
     len_ok = F.when(F.col("n_chars").between(100, 20000), 1.0).otherwise(0.0)
     punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
@@ -141,7 +146,7 @@ def quality_score(
     # ``keep``: extra doc columns carried through the SAME projection
     # (e.g. ``source`` for per-source curation) — no join-back scan
     return stats.select(
-        "doc_id",
+        id_col,
         *(keep or []),
         ((len_ok + punct_ok + tok_ok + sw_ok) / 4.0).alias("quality"),
     )
@@ -907,14 +912,17 @@ def fuzzy_decontaminate(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    # best match = min over (-jaccard, bench_id): highest jaccard,
+    # ties to the LOWEST bench id — type-agnostic in the id column
+    # (struct ordering compares fields lexicographically)
     best = scored.groupBy("__did").agg(
-        F.max_by(
-            F.struct(F.col("jaccard"), (-F.col("__bid")).alias("neg")),
-            F.struct(F.col("jaccard"), (-F.col("__bid")).alias("neg")),
+        F.min_by(
+            F.struct(F.col("__bid"), F.col("jaccard")),
+            F.struct((-F.col("jaccard")).alias("nj"), F.col("__bid")),
         ).alias("__w"),
     )
     return best.select(
         F.col("__did").alias(id_col),
-        (-F.col("__w.neg")).cast("long").alias("matched_bench_id"),
+        F.col("__w.__bid").alias("matched_bench_id"),
         F.col("__w.jaccard").alias("jaccard"),
     )

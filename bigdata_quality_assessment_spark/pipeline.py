@@ -115,13 +115,16 @@ def curate(
         )
 
     if cfg.quality_frac < 1.0:
-        qs = quality_score(cur, cfg.text_col, keep=[cfg.source_col])
+        qs = quality_score(
+            cur, cfg.text_col, keep=[cfg.source_col], id_col=cfg.id_col
+        )
         kept = top_fraction_per_group(
             qs, cfg.quality_frac, cfg.source_col, "quality", id_col=cfg.id_col
         ).select(cfg.id_col)
-        cur = stage(
-            "quality_filter", cur.join(F.broadcast(kept), cfg.id_col, "left_semi")
-        )
+        # NO broadcast hint: unlike the drop/flag sets (small by
+        # assumption), the kept set is the surviving MAJORITY of the
+        # corpus — AQE picks the join strategy from its actual size
+        cur = stage("quality_filter", cur.join(kept, cfg.id_col, "left_semi"))
 
     if cfg.mixture_rates:
         cur = stage(

@@ -1409,7 +1409,7 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
                 count(*) OVER (PARTITION BY d.source) AS n
          FROM documents d
          JOIN (SELECT doc_id, n_chars, pr, mtl, swr FROM s) s2 ON s2.doc_id = d.doc_id
-       ) WHERE rn <= ceil(n * 0.3)""",
+       ) WHERE rn <= ceil(round(n * 0.3, 9))""",
 )
 def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality family as one tagged union (round-5): part='q' is the
@@ -1544,7 +1544,7 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
                   row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn,
                   count(*) OVER (PARTITION BY source) AS n
            FROM pq)
-         WHERE rn <= ceil(n * 0.3)
+         WHERE rn <= ceil(round(n * 0.3, 9))
        )
        SELECT * FROM surv
        UNION ALL

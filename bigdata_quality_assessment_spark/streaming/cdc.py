@@ -60,29 +60,48 @@ def compact_cdc_log(
 
 
 def read_snapshot(
-    spark: SparkSession, root: str, op_col: str = "op", with_meta: bool = False
+    spark: SparkSession,
+    root: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    with_meta: bool = False,
 ) -> DataFrame:
     """Read the LATEST committed snapshot version. ``with_meta=False``
     (default) hides tombstones and the seq/op bookkeeping — the live
-    table a consumer queries."""
+    table a consumer queries. Pass the same ``seq_col``/``op_col`` the
+    store was built with."""
     ptr = os.path.join(root, LATEST)
     with open(ptr) as fh:
         version = fh.read().strip()
     df = spark.read.parquet(os.path.join(root, version))
     if with_meta:
         return df
-    return df.filter(F.col(op_col) != "D").drop(op_col, "seq")
+    return df.filter(F.col(op_col) != "D").drop(op_col, seq_col)
 
 
-def _commit(df: DataFrame, root: str, version: str) -> None:
+def _commit(df: DataFrame, root: str, version: str, keep_versions: int = 2) -> None:
+    """Write a new version directory, atomically flip the LATEST
+    pointer, then prune versions beyond the ``keep_versions`` newest.
+    Retaining the previous version (default) gives in-flight readers
+    that already resolved the old pointer a grace window — deleting it
+    at flip time would fail their lazy scans mid-job. Real lakehouse
+    protocols make this a time-based retention; version-count
+    retention is the minimal equivalent at this store's scale."""
     path = os.path.join(root, version)
     df.write.mode("overwrite").parquet(path)
     tmp = os.path.join(root, f".{LATEST}.tmp")
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, os.path.join(root, LATEST))  # atomic pointer flip
-    for d in os.listdir(root):
-        if d.startswith("v") and d != version and os.path.isdir(os.path.join(root, d)):
+    versions = [
+        d
+        for d in os.listdir(root)
+        if d.startswith("v") and os.path.isdir(os.path.join(root, d))
+    ]
+    versions.sort(key=lambda d: os.path.getmtime(os.path.join(root, d)), reverse=True)
+    survivors = {version, *versions[:keep_versions]}
+    for d in versions:
+        if d not in survivors:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
@@ -120,7 +139,9 @@ def streaming_apply_cdc(
         if not batch.take(1):
             return
         spark = batch.sparkSession
-        current = read_snapshot(spark, root, op_col=op_col, with_meta=True)
+        current = read_snapshot(
+            spark, root, op_col=op_col, seq_col=seq_col, with_meta=True
+        )
         merged = compact_cdc_log(
             current.unionByName(batch.select(*current.columns)),
             keys,

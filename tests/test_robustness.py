@@ -145,8 +145,13 @@ def test_round5_continuation_ops_survive_nasty_inputs(spark, nasty_docs, nasty_e
     # semantic dedup over degenerate vectors (zeros, singletons)
     sd = semantic_dedup(nasty_emb, dim=4, eps=0.05, n_centroids=2, seed=0)
     assert 0 < sd.count() <= nasty_emb.count()
-    q = quantize_embeddings(nasty_emb)
-    assert q.count() == nasty_emb.count()
+    # collect (not count) so the tinyint cast actually evaluates on
+    # the NaN / zero / null fixture rows — ANSI would throw here
+    q = {r.vec_id: r.qvec for r in quantize_embeddings(nasty_emb).collect()}
+    assert len(q) == nasty_emb.count()
+    assert q[102] == [0] * 8  # all-NaN vector quantizes to zeros
+    assert q[100] == [0] * 8  # zero vector
+    assert q[101] is None     # null vector passes through as null
 
     # BPE over empty/null/unicode text
     merges = train_bpe(nasty_docs, n_merges=5)

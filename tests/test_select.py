@@ -282,6 +282,12 @@ def test_top_fraction_per_group(spark):
     assert kept == [1, 2]
     # frac=1.0 keeps everything; invalid frac raises
     assert top_fraction_per_group(df, 1.0, "source", "quality").count() == 14
+    # IEEE rounding: 100*0.07 = 7.000000000000001 must keep 7, not 8
+    big = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(100)],
+        "doc_id long, source string, quality double",
+    )
+    assert top_fraction_per_group(big, 0.07, "source", "quality").count() == 7
     import pytest as _pt
     with _pt.raises(ValueError):
         top_fraction_per_group(df, 0.0, "source", "quality")

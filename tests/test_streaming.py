@@ -402,10 +402,11 @@ def test_streaming_cdc_materializer(spark, tmp_path):
     # tombstone for key 3 is retained in the meta view
     meta = {r.k: r.op for r in read_snapshot(spark, root, with_meta=True).collect()}
     assert meta[3] == "D"
-    # exactly one live version directory + pointer remain
+    # retention: the live version plus at most keep_versions(=2)
+    # older ones remain, and the pointer names an existing directory
     dirs = [d for d in os.listdir(root) if d.startswith("v")]
-    assert len(dirs) == 1
-    assert open(os.path.join(root, "LATEST")).read().strip() == dirs[0]
+    assert 1 <= len(dirs) <= 3
+    assert open(os.path.join(root, "LATEST")).read().strip() in dirs
 
     # parity with the batch operator applied to the full change log
     all_changes = spark.createDataFrame(
