@@ -926,3 +926,85 @@ def fuzzy_decontaminate(
         F.col("__w.__bid").alias("matched_bench_id"),
         F.col("__w.jaccard").alias("jaccard"),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    max_tokens: int,
+    token_count_col: str = "n_chunk_tokens",
+    id_cols: tuple[str, str] = ("doc_id", "chunk_id"),
+) -> DataFrame:
+    """Sequence packing: assign token-counted chunks (the output of
+    :func:`chunk_text`) to fixed-budget training sequences — the step
+    that turns a curated corpus into the dense, padding-minimal
+    batches an LLM trainer consumes.
+
+    Greedy first-fit per partition: chunks are packed in (partition,
+    input-order); a chunk that would overflow the current sequence
+    opens a new one. Sequence ids are globally unique
+    (``spark_partition_id * 2^40 + local_seq``) but assignment is
+    partition-local BY DESIGN — cross-partition packing would impose a
+    global sequential dependency (no parallelism at any scale), and
+    the cost is bounded: at most one under-filled sequence per
+    partition, negligible against millions of sequences per task at
+    100 TB. Chunks larger than ``max_tokens`` get a sequence of their
+    own (flagged ``oversize`` — the trainer's truncation decision, not
+    ours).
+
+    Returns the input columns plus ``seq_id BIGINT, seq_tokens BIGINT,
+    oversize BOOLEAN`` where ``seq_tokens`` is the filled total of the
+    chunk's sequence. One ``mapInPandas`` pass, zero shuffle."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(chunks.schema.fields)
+        + [
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("seq_tokens", T.LongType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
+    )
+
+    def pack(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        base = pid << 40
+        seq_local = 0
+        filled = 0
+        open_seq = False
+        totals: dict[int, int] = {}
+        frames = []
+        for pdf in batches:
+            counts = pdf[token_count_col].fillna(0).astype("int64")
+            seq_ids = []
+            for c in counts:
+                c = int(c)
+                if c > max_tokens:
+                    # oversize chunk: its own (flagged) sequence
+                    seq_local += 1
+                    totals[seq_local] = c
+                    seq_ids.append(seq_local)
+                    open_seq = False
+                    continue
+                if not open_seq or filled + c > max_tokens:
+                    seq_local += 1
+                    totals[seq_local] = 0
+                    filled = 0
+                    open_seq = True
+                totals[seq_local] += c
+                filled += c
+                seq_ids.append(seq_local)
+            out = pdf.copy()
+            out["__seq_local"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
+            frames.append(out)
+        for out in frames:
+            out["seq_id"] = out["__seq_local"] + base
+            out["seq_tokens"] = out["__seq_local"].map(totals).astype("int64")
+            out["oversize"] = (
+                out[token_count_col].fillna(0).astype("int64") > max_tokens
+            )
+            yield out.drop(columns=["__seq_local"])
+
+    return chunks.mapInPandas(pack, schema=schema)

@@ -59,20 +59,36 @@ def compact_cdc_log(
     return latest.select(*keys, *[F.col(f"__w.{c}") for c in others])
 
 
+def list_versions(root: str) -> list[str]:
+    """Committed snapshot versions still on disk, newest first (the
+    retention window of :func:`_commit`)."""
+    versions = [
+        d
+        for d in os.listdir(root)
+        if d.startswith("v") and os.path.isdir(os.path.join(root, d))
+    ]
+    versions.sort(key=lambda d: os.path.getmtime(os.path.join(root, d)), reverse=True)
+    return versions
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
     op_col: str = "op",
     seq_col: str = "seq",
     with_meta: bool = False,
+    version: str | None = None,
 ) -> DataFrame:
-    """Read the LATEST committed snapshot version. ``with_meta=False``
-    (default) hides tombstones and the seq/op bookkeeping — the live
-    table a consumer queries. Pass the same ``seq_col``/``op_col`` the
-    store was built with."""
-    ptr = os.path.join(root, LATEST)
-    with open(ptr) as fh:
-        version = fh.read().strip()
+    """Read the LATEST committed snapshot version — or, for time
+    travel within the retention window, an explicit ``version`` from
+    :func:`list_versions`. ``with_meta=False`` (default) hides
+    tombstones and the seq/op bookkeeping — the live table a consumer
+    queries. Pass the same ``seq_col``/``op_col`` the store was built
+    with."""
+    if version is None:
+        ptr = os.path.join(root, LATEST)
+        with open(ptr) as fh:
+            version = fh.read().strip()
     df = spark.read.parquet(os.path.join(root, version))
     if with_meta:
         return df

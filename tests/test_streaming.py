@@ -416,3 +416,25 @@ def test_streaming_cdc_materializer(spark, tmp_path):
         r.k: (r.v, r.x) for r in apply_cdc(target, all_changes, "k").collect()
     }
     assert live == expect
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    from bigdata_quality_assessment_spark.streaming.cdc import (
+        _commit,
+        init_snapshot,
+        list_versions,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tt")
+    t0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    init_snapshot(t0, root)
+    import pyspark.sql.functions as F2
+
+    v2 = t0.withColumn("v", F2.lit("b")).withColumn("seq", F2.lit(5).cast("long")).withColumn("op", F2.lit("U"))
+    _commit(v2, root, "v1")
+    vs = list_versions(root)
+    assert vs[0] == "v1" and "v_init" in vs
+    # latest sees the update; time travel sees the original
+    assert read_snapshot(spark, root).first().v == "b"
+    assert read_snapshot(spark, root, version="v_init").first().v == "a"

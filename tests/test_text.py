@@ -376,3 +376,53 @@ def test_fuzzy_decontaminate_catches_paraphrase(spark):
     exact = {r.doc_id: r.contaminated for r in
              decontaminate(docs, bench, k=13).collect()}
     assert exact[2] and not exact[1]
+
+
+def test_pack_sequences(spark):
+    from bigdata_quality_assessment_spark.operators.text import (
+        chunk_text,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(100))),
+         (1, " ".join(f"v{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    chunks = chunk_text(docs, max_tokens=32, overlap=0).coalesce(1)
+    packed = pack_sequences(chunks, max_tokens=70).collect()
+    # every chunk appears exactly once
+    assert len(packed) == chunks.count()
+    # no packed (non-oversize) sequence exceeds the budget
+    seqs = {}
+    for r in packed:
+        seqs.setdefault(r.seq_id, []).append(r)
+    for sid, rows in seqs.items():
+        tot = sum(r.n_chunk_tokens for r in rows)
+        assert tot == rows[0].seq_tokens
+        if not rows[0].oversize:
+            assert tot <= 70, (sid, tot)
+    # at least one sequence holds more than one chunk (packing happened)
+    assert any(len(rows) > 1 for rows in seqs.values())
+
+    # oversize chunks get their own flagged singleton sequence
+    big = spark.createDataFrame(
+        [(0, 5, 100), (1, 0, 10), (2, 1, 10)],
+        "doc_id long, chunk_id long, n_chunk_tokens long",
+    ).coalesce(1)
+    rows = pack_sequences(big, max_tokens=64).collect()
+    over = [r for r in rows if r.oversize]
+    assert len(over) == 1 and over[0].n_chunk_tokens == 100
+    assert len({r.seq_id for r in rows if not r.oversize}) == 1
+    assert over[0].seq_id not in {r.seq_id for r in rows if not r.oversize}
+
+    # partition-local ids never collide across partitions
+    multi = pack_sequences(
+        spark.createDataFrame(
+            [(i, 0, 10) for i in range(100)],
+            "doc_id long, chunk_id long, n_chunk_tokens long",
+        ).repartition(8),
+        max_tokens=25,
+    )
+    pairs = multi.select("seq_id").distinct().count()
+    assert pairs >= 8  # at least one sequence per non-empty partition
