@@ -1008,3 +1008,47 @@ def pack_sequences(
             yield out.drop(columns=["__seq_local"])
 
     return chunks.mapInPandas(pack, schema=schema)
+
+
+def tf_idf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """TF-IDF term weights: ``tf = count of term in doc``, ``idf =
+    ln((N + 1) / (df + 1)) + 1`` (the smoothed scikit-learn
+    convention — never zero or divide-by-zero), long format
+    ``(id, term, tf, df, tfidf)``. ``top_k`` keeps each document's k
+    highest-weighted terms (ties → lexicographically first term) —
+    the keyword-extraction contract.
+
+    Shape: one explode + two map-side-combined aggregations. The term
+    shuffle is VOCABULARY-shaped (distinct terms × partitions), not
+    corpus-shaped, and the df side aggregates to one row per distinct
+    term, which broadcasts. The top-k window partitions by document —
+    bounded by the longest single document, never the corpus."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # both consumers (df counts + N) derive from tf, which is itself
+    # the product of the corpus scan — barrier it so the scan and the
+    # explode run once
+    tf = tf.localCheckpoint(eager=False)
+    n_docs = tf.select(id_col).distinct().count()
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        id_col, "term", "tf", "df", (F.col("tf") * idf).alias("tfidf")
+    )
+    if top_k is None:
+        return scored
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .drop("__rn")
+    )

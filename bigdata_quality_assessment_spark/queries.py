@@ -1342,22 +1342,65 @@ def _lang_sql() -> str:
         f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
     ) + " END"
     return f"""
-    WITH s AS (SELECT doc_id, {', '.join(scores)} FROM documents)
-    SELECT doc_id, {', '.join(f'round(score_{lang}, 6) AS score_{lang}' for lang in langs)},
-           CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_pred
-    FROM s"""
+    WITH s AS (SELECT doc_id, {', '.join(scores)} FROM documents),
+    tfq AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> '' GROUP BY doc_id, term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM tfq),
+    dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+    ti AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                  t.tf * (ln((n + 1.0) / (d.df + 1)) + 1) AS tfidf,
+                  row_number() OVER (PARTITION BY t.doc_id
+                    ORDER BY t.tf * (ln((n + 1.0) / (d.df + 1)) + 1) DESC,
+                             t.term ASC) AS rn
+           FROM tfq t JOIN dfq d USING (term) CROSS JOIN nd)
+    SELECT 'lang' AS part, doc_id,
+           {', '.join(f'round(score_{lang}, 6) AS score_{lang}' for lang in langs)},
+           CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_pred,
+           CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS tf,
+           CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS tfidf
+    FROM s
+    UNION ALL
+    SELECT 'tfidf', doc_id,
+           {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
+           CAST(NULL AS VARCHAR), term, tf, df, round(tfidf, 6)
+    FROM ti WHERE rn <= 3"""
 
 
 @_register("x_language_id", _lang_sql())
 def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + TF-IDF keyword extraction as one tagged union
+    (round-5 continuation): part='lang' is the stopword-lexicon
+    heuristic; part='tfidf' is each document's top-3 terms by smoothed
+    TF-IDF (text.py tf_idf — sklearn's idf convention), hash-matched
+    against the SQL formulation."""
+    from bigdata_quality_assessment_spark.operators.text import tf_idf
+
     docs = _t(spark, sf_dir, "documents")
     out = language_id(docs)
     langs = sorted(LANG_LEXICONS)
-    return out.select(
+    lang_part = out.select(
+        F.lit("lang").alias("part"),
         "doc_id",
         *[F.round(f"score_{lang}", 6).alias(f"score_{lang}") for lang in langs],
         "lang_pred",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("bigint").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.lit(None).cast("double").alias("tfidf"),
     )
+    ti = tf_idf(docs, top_k=3).select(
+        F.lit("tfidf").alias("part"),
+        "doc_id",
+        *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],
+        F.lit(None).cast("string").alias("lang_pred"),
+        "term",
+        "tf",
+        "df",
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+    return lang_part.unionByName(ti)
 
 
 @_register(

@@ -426,3 +426,27 @@ def test_pack_sequences(spark):
     )
     pairs = multi.select("seq_id").distinct().count()
     assert pairs >= 8  # at least one sequence per non-empty partition
+
+
+def test_tf_idf_matches_python(spark):
+    import math
+
+    from bigdata_quality_assessment_spark.operators.text import tf_idf
+
+    corpus = {0: "a b a c", 1: "a d d", 2: "e e e"}
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    out = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf) for r in tf_idf(docs).collect()}
+    N = len(corpus)
+    dfc = {}
+    for t in corpus.values():
+        for w in set(t.split()):
+            dfc[w] = dfc.get(w, 0) + 1
+    for did, t in corpus.items():
+        for w in set(t.split()):
+            tf = t.split().count(w)
+            expect = tf * (math.log((N + 1) / (dfc[w] + 1)) + 1)
+            got = out[(did, w)]
+            assert got[0] == tf and got[1] == dfc[w]
+            assert abs(got[2] - expect) < 1e-12
+    top = {r.doc_id: r.term for r in tf_idf(docs, top_k=1).collect()}
+    assert top[2] == "e" and top[1] == "d"
