@@ -134,3 +134,60 @@ def read_lake(spark: SparkSession, path: str, format: str = "parquet") -> DataFr
     if format not in LAKE_FORMATS:
         raise ValueError(f"format must be one of {LAKE_FORMATS}, got {format!r}")
     return spark.read.format(format).load(path)
+
+
+def zorder_key(cols: list, bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of the low ``bits`` of each integer
+    column — the multi-column clustering key lakehouses sort by so
+    that parquet min/max statistics prune on EVERY participating
+    column, not just the leading sort column. Callers bucket
+    continuous values first (e.g. ``(col / width).cast('long')``).
+
+    Pure bit arithmetic (shiftright / AND / shiftleft / OR folds) —
+    one Catalyst expression, codegen-friendly, no UDF. With
+    ``n = len(cols)`` the key has ``bits * n`` significant bits; keep
+    it <= 63 (the default 16 bits supports 3 columns)."""
+    n = len(cols)
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * n > 63:
+        raise ValueError(f"bits*len(cols) must be <= 63, got {bits * n}")
+    ins = [
+        (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+        for c in cols
+    ]
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, v in enumerate(ins):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    zorder_bits: int = 16,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Land a frame range-clustered on the Z-order key of
+    ``cluster_cols``: ``repartitionByRange`` over the interleaved key
+    assigns each output file a contiguous Morton range, and the
+    within-file sort tightens row-group min/max stats — so a filter on
+    ANY clustered column skips most files/row-groups at scan time
+    (the poor man's OPTIMIZE ZORDER BY). Pays one range shuffle at
+    write time; every downstream selective query reads fewer bytes."""
+    keyed = df.withColumn("__z", zorder_key(cluster_cols, zorder_bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .format(format)
+        .save(path)
+    )

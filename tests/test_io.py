@@ -106,3 +106,63 @@ def test_write_lake_rejects_unknown_format(spark, tmp_path):
     df = spark.createDataFrame([(1, "en", 0.5)], SCHEMA)
     with pytest.raises(ValueError):
         write_lake(df, str(tmp_path / "x"), format="avro")
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from bigdata_quality_assessment_spark.sources.io import zorder_key
+
+    import pytest as _pt
+
+    def morton(vals, bits):
+        out = 0
+        n = len(vals)
+        for b in range(bits):
+            for i, v in enumerate(vals):
+                out |= ((v >> b) & 1) << (b * n + i)
+        return out
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.z for r in
+           df.withColumn("z", zorder_key(["x", "y"], bits=4)).collect()}
+    for x, y in rows:
+        assert got[(x, y)] == morton([x, y], 4), (x, y)
+    # aligned 2x2 blocks are contiguous in morton rank (the locality
+    # property data-skipping relies on)
+    ranked = sorted(rows, key=lambda p: got[p])
+    pos = {p: i for i, p in enumerate(ranked)}
+    for bx in range(0, 8, 2):
+        for by in range(0, 8, 2):
+            block = [pos[(bx + dx, by + dy)] for dx in (0, 1) for dy in (0, 1)]
+            assert max(block) - min(block) == 3, (bx, by, block)
+    with _pt.raises(ValueError):
+        zorder_key(["x", "y"], bits=32)
+
+
+def test_write_clustered_tightens_file_ranges(spark, tmp_path):
+    import random
+
+    from bigdata_quality_assessment_spark.sources.io import write_clustered
+
+    random.seed(3)
+    rows = [(random.randrange(256), random.randrange(256)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_clustered(df.repartition(8), clustered, ["x", "y"], n_files=8, zorder_bits=8)
+    df.repartition(8).write.parquet(plain)
+
+    def mean_span(path, col):
+        back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        spans = back.groupBy("f").agg(
+            (F.max(col) - F.min(col)).alias("span")
+        ).collect()
+        return sum(r.span for r in spans) / len(spans)
+
+    # z-clustering shrinks BOTH columns' per-file value ranges vs the
+    # random layout (this is exactly what row-group pruning exploits)
+    for col in ("x", "y"):
+        assert mean_span(clustered, col) < 0.7 * mean_span(plain, col), col
+    # rows survive exactly
+    a = sorted(map(tuple, spark.read.parquet(clustered).collect()))
+    assert a == sorted(rows)
