@@ -191,3 +191,55 @@ def write_clustered(
         .format(format)
         .save(path)
     )
+
+
+def compact_lake(
+    spark: SparkSession,
+    path: str,
+    target_records_per_file: int = 1_000_000,
+    format: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a lake directory into
+    ``ceil(rows / target)`` files. Streaming ingest and per-batch CDC
+    commits accumulate thousands of small files; each costs a task,
+    an open, and a footer read at EVERY downstream scan — compaction
+    pays one rewrite to fix all future reads. Returns the new file
+    count.
+
+    The rewrite lands in ``<path>.__compact__`` and swaps in only
+    after a successful write + row-count check, so a failed compaction
+    leaves the original layout untouched (same crash-safety stance as
+    the CDC version flip). Concurrent writers must be quiesced —
+    compaction is maintenance, not a concurrent transaction."""
+    import math
+    import os
+    import shutil
+
+    if format not in LAKE_FORMATS:
+        raise ValueError(f"format must be one of {LAKE_FORMATS}, got {format!r}")
+    df = spark.read.format(format).load(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_records_per_file))
+    tmp = path.rstrip("/") + ".__compact__"
+    df.repartition(n_files).write.mode("overwrite").format(format).save(tmp)
+    back = spark.read.format(format).load(tmp).count()
+    if back != n:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"compaction row mismatch: {n} -> {back}; original kept")
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Rows per physical partition — the skew diagnostic
+    (``spark_partition_id`` groupBy; output is n_partitions rows).
+    A max/median ratio far above 1 predicts straggler tasks; fix with
+    repartition, salting, or AQE skew handling."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy("partition_id")
+    )

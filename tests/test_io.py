@@ -166,3 +166,29 @@ def test_write_clustered_tightens_file_ranges(spark, tmp_path):
     # rows survive exactly
     a = sorted(map(tuple, spark.read.parquet(clustered).collect()))
     assert a == sorted(rows)
+
+
+def test_compact_lake_and_partition_stats(spark, tmp_path):
+    from bigdata_quality_assessment_spark.sources.io import (
+        compact_lake,
+        partition_stats,
+    )
+    import os
+
+    path = str(tmp_path / "many")
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "id long, v double")
+    df.repartition(20).write.parquet(path)  # 20 small files
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 20
+    n_files = compact_lake(spark, path, target_records_per_file=500)
+    assert n_files == 2
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert sorted(r.id for r in back.collect()) == list(range(1000))
+
+    ps = partition_stats(back)
+    rows = ps.collect()
+    assert sum(r.rows for r in rows) == 1000
+    assert all(r.rows > 0 for r in rows)
