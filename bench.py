@@ -269,6 +269,30 @@ def main() -> None:
     pts20.unpersist()
     loop20 = time.perf_counter() - t0
 
+    # round-5 continuation operators — recorded as extras (outside the
+    # headline sum, run once) so their scaling is tracked per-round
+    from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
+    from bigdata_quality_assessment_spark.operators.text import decontaminate
+    from bigdata_quality_assessment_spark.pipeline import CurationConfig, curate
+
+    extras: dict[str, float] = {}
+    docs = load_table(spark, "documents", SF_DIR)
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    t0 = time.perf_counter()
+    decontaminate(docs, bench_docs, k=5).filter("contaminated").count()
+    extras["decontaminate"] = round(time.perf_counter() - t0, 3)
+    emb = load_table(spark, "embeddings", SF_DIR)
+    t0 = time.perf_counter()
+    semantic_dedup(emb, dim=64, eps=0.03, n_centroids=16, keep="min_id").count()
+    extras["semantic_dedup"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _clean, report = curate(
+        docs, benchmark=bench_docs,
+        config=CurationConfig(near_dedup=False, decon_k=5, quality_frac=0.3),
+    )
+    report.collect()
+    extras["curate_pipeline"] = round(time.perf_counter() - t0, 3)
+
     spark.stop()
     print(
         json.dumps(
@@ -280,6 +304,7 @@ def main() -> None:
                 "extras": {
                     "active_loop_20iter": round(loop20, 3),
                     "active_loop_20iter_s_per_iter": round(loop20 / 20, 3),
+                    **extras,
                 },
                 "sf": _sf_label(SF_DIR),
             }
