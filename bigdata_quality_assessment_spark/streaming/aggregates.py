@@ -110,6 +110,35 @@ def windowed_metrics(
     )
 
 
+def windowed_quantiles(
+    stream: DataFrame,
+    value_col: str = "value",
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+    accuracy: int = 10_000,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming windowed approximate quantiles:
+    ``approx_percentile`` (GK sketch — mergeable, bounded memory, so
+    it is legal inside a streaming aggregation where an exact
+    percentile's full-value buffer would be unbounded state). Emits
+    one row per window with ``p<pct>`` columns; rank error <=
+    1/accuracy. The streaming face of profiling.approx_profile."""
+    keys = [F.window("ts", window)] + [F.col(c) for c in (group_cols or [])]
+    aggs = [
+        F.percentile_approx(value_col, p, accuracy).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in percentiles
+    ]
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"), *aggs)
+    )
+
+
 def windowed_histogram(
     stream: DataFrame,
     value_col: str = "value",

@@ -438,3 +438,34 @@ def test_snapshot_time_travel(spark, tmp_path):
     # latest sees the update; time travel sees the original
     assert read_snapshot(spark, root).first().v == "b"
     assert read_snapshot(spark, root, version="v_init").first().v == "a"
+
+
+def test_windowed_quantiles_parity(spark, batch_events):
+    from bigdata_quality_assessment_spark.streaming.aggregates import (
+        windowed_quantiles,
+    )
+
+    stream = streaming_events(spark, SF)
+    got = (
+        run_available_now(
+            windowed_quantiles(stream, window="1 hour", accuracy=10_000), "wq"
+        )
+        .withColumn("window", F.col("window.start"))
+        .toPandas()
+    )
+    expect = (
+        batch_events.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("value", 0.5, 10_000).alias("p5"),
+            F.percentile_approx("value", 0.95, 10_000).alias("p95"),
+        )
+        .withColumn("window", F.col("window.start"))
+        .toPandas()
+    )
+    g = got.sort_values("window").reset_index(drop=True)
+    e = expect.sort_values("window").reset_index(drop=True)
+    assert (g["window"] == e["window"]).all() and (g["n"] == e["n"]).all()
+    # same sketch, same data -> identical estimates batch vs stream
+    assert (g["p5"] == e["p5"]).all()
+    assert (g["p95"] == e["p95"]).all()
