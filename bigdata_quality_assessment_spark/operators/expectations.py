@@ -1,0 +1,159 @@
+"""Declarative data-quality expectations (engine extension — the
+rule-based face of the repo's data-quality mission, alongside the
+statistical profiling in operators/profiling.py and the regex
+validity_rates pass).
+
+``check_expectations`` evaluates a rule list against a table and
+returns one row per rule: ``(rule, kind, n_rows, n_violations,
+pass_rate)``. Rule kinds:
+
+  * ``not_null(col)``            — col IS NOT NULL
+  * ``in_range(col, lo, hi)``    — lo <= col <= hi (nulls violate)
+  * ``in_set(col, values)``      — col IN values (nulls violate)
+  * ``matches(col, regex)``      — col RLIKE regex (nulls violate)
+  * ``expr(sql)``                — arbitrary SQL boolean
+  * ``unique(cols)``             — no duplicate (cols) tuple; a
+    violation is every row beyond the first of its group
+  * ``ref(col, other, other_col)`` — referential integrity: every
+    non-null col value exists in other[other_col]
+
+Execution shape: all ROW-WISE kinds (not_null/in_range/in_set/
+matches/expr) fold into ONE aggregation pass — adding a rule adds a
+sum column, not a scan. ``unique`` adds one map-side-combined
+groupBy per distinct column-set; ``ref`` adds one broadcast-dim
+anti-join count per referenced table (dimension tables broadcast; for
+fact-to-fact integrity checks use a join strategy hint upstream).
+Violation COUNTS, not violating rows, cross the wire — the row-level
+drill-down is ``df.filter(NOT rule)`` when a rule fails.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    kind: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+
+def not_null(col: str, name: str | None = None) -> Expectation:
+    return Expectation(name or f"not_null({col})", "not_null", {"col": col})
+
+
+def in_range(col: str, lo, hi, name: str | None = None) -> Expectation:
+    return Expectation(
+        name or f"in_range({col},{lo},{hi})", "in_range", {"col": col, "lo": lo, "hi": hi}
+    )
+
+
+def in_set(col: str, values, name: str | None = None) -> Expectation:
+    return Expectation(
+        name or f"in_set({col})", "in_set", {"col": col, "values": tuple(values)}
+    )
+
+
+def matches(col: str, regex: str, name: str | None = None) -> Expectation:
+    return Expectation(name or f"matches({col})", "matches", {"col": col, "regex": regex})
+
+
+def sql_expr(sql: str, name: str | None = None) -> Expectation:
+    return Expectation(name or f"expr({sql})", "expr", {"sql": sql})
+
+
+def unique(cols: list[str] | str, name: str | None = None) -> Expectation:
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return Expectation(name or f"unique({','.join(cols)})", "unique", {"cols": tuple(cols)})
+
+
+def ref(col: str, other: DataFrame, other_col: str, name: str | None = None) -> Expectation:
+    return Expectation(
+        name or f"ref({col})", "ref", {"col": col, "other": other, "other_col": other_col}
+    )
+
+
+def _row_violation(e: Expectation):
+    p = e.params
+    if e.kind == "not_null":
+        ok = F.col(p["col"]).isNotNull()
+    elif e.kind == "in_range":
+        ok = F.col(p["col"]).between(p["lo"], p["hi"])
+    elif e.kind == "in_set":
+        ok = F.col(p["col"]).isin(*p["values"])
+    elif e.kind == "matches":
+        ok = F.col(p["col"]).rlike(p["regex"])
+    elif e.kind == "expr":
+        ok = F.expr(p["sql"])
+    else:
+        return None
+    # null predicate result = violation (ANSI three-valued logic would
+    # otherwise let nulls pass every check silently); coalesce makes
+    # the empty-frame sum 0, not null
+    return F.coalesce(
+        F.sum(F.when(ok.isNull() | ~ok, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+
+
+def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` → ``(rule, kind, n_rows,
+    n_violations, pass_rate)``, one row per rule in input order."""
+    spark = df.sparkSession
+    row_rules = [e for e in rules if _row_violation(e) is not None]
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        _row_violation(e).alias(f"__v{i}") for i, e in enumerate(row_rules)
+    ]
+    wide = df.agg(*aggs)
+
+    results = wide  # one-row frame, grown by cross-joined counts
+    extra_cols: list[tuple[Expectation, str]] = []
+    for j, e in enumerate(rules):
+        if e.kind == "unique":
+            cols = list(e.params["cols"])
+            dup = (
+                df.groupBy(*cols)
+                .agg((F.count(F.lit(1)) - 1).alias("__d"))
+                .agg(F.coalesce(F.sum("__d"), F.lit(0)).cast("long").alias(f"__u{j}"))
+            )
+            results = results.crossJoin(dup)
+            extra_cols.append((e, f"__u{j}"))
+        elif e.kind == "ref":
+            other = e.params["other"].select(
+                F.col(e.params["other_col"]).alias("__k")
+            ).distinct()
+            missing = (
+                df.select(F.col(e.params["col"]).alias("__k"))
+                .filter(F.col("__k").isNotNull())
+                .join(F.broadcast(other), "__k", "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias(f"__r{j}"))
+            )
+            results = results.crossJoin(missing)
+            extra_cols.append((e, f"__r{j}"))
+
+    extras = dict((e.name, c) for e, c in extra_cols)
+    row_idx = {e.name: i for i, e in enumerate(row_rules)}
+    pairs = []
+    for e in rules:
+        if e.name in row_idx:
+            v = F.col(f"__v{row_idx[e.name]}")
+        else:
+            v = F.col(extras[e.name])
+        pairs.append(
+            F.struct(
+                F.lit(e.name).alias("rule"),
+                F.lit(e.kind).alias("kind"),
+                F.col("__n").cast("long").alias("n_rows"),
+                v.alias("n_violations"),
+                F.when(
+                    F.col("__n") > 0, 1.0 - v / F.col("__n")
+                ).otherwise(F.lit(1.0)).alias("pass_rate"),
+            )
+        )
+    return results.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.rule", "p.kind", "p.n_rows", "p.n_violations", "p.pass_rate"
+    )

@@ -2044,19 +2044,82 @@ _RULES = {
 
 @_register(
     "x_validity_rates",
-    """SELECT 'l_quantity' AS "column", 'l_quantity BETWEEN 1 AND 50' AS rule,
-              round(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END), 9) AS pass_rate FROM lineitem
+    """SELECT 'validity' AS part, 'l_quantity' AS "column", 'l_quantity BETWEEN 1 AND 50' AS rule,
+              round(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END), 9) AS pass_rate,
+              CAST(NULL AS BIGINT) AS n_violations FROM lineitem
        UNION ALL
-       SELECT 'l_discount', 'l_discount <= 0.08',
-              round(avg(CASE WHEN l_discount <= 0.08 THEN 1.0 ELSE 0.0 END), 9) FROM lineitem
+       SELECT 'validity', 'l_discount', 'l_discount <= 0.08',
+              round(avg(CASE WHEN l_discount <= 0.08 THEN 1.0 ELSE 0.0 END), 9),
+              CAST(NULL AS BIGINT) FROM lineitem
        UNION ALL
-       SELECT 'l_returnflag', 'l_returnflag IN (''A'', ''N'', ''R'')',
-              round(avg(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1.0 ELSE 0.0 END), 9) FROM lineitem""",
+       SELECT 'validity', 'l_returnflag', 'l_returnflag IN (''A'', ''N'', ''R'')',
+              round(avg(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1.0 ELSE 0.0 END), 9),
+              CAST(NULL AS BIGINT) FROM lineitem
+       UNION ALL
+       SELECT 'expect', 'orders', 'not_null(o_orderdate)',
+              round(1.0 - sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 9),
+              CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+       UNION ALL
+       SELECT 'expect', 'orders', 'in_range(o_totalprice,0,1000000)',
+              round(1.0 - sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 0 ELSE 1 END) * 1.0 / count(*), 9),
+              CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+       UNION ALL
+       SELECT 'expect', 'orders', 'unique(o_orderkey)',
+              round(1.0 - (count(*) - count(DISTINCT o_orderkey)) * 1.0 / count(*), 9),
+              CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+       UNION ALL
+       SELECT 'expect', 'orders', 'ref(o_custkey)',
+              round(1.0 - (SELECT count(*) FROM orders o
+                           WHERE o.o_custkey IS NOT NULL
+                             AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) * 1.0
+                        / (SELECT count(*) FROM orders), 9),
+              CAST((SELECT count(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL
+                      AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)""",
 )
 def q_xvalidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation family as one tagged union: part=
+    'validity' is the regex/predicate pass-rate scan (validity_rates);
+    part='expect' (round-5 continuation) is the declarative
+    expectations engine (operators/expectations.py) — not_null /
+    in_range / unique / referential-integrity rules over orders with
+    exact violation counts, hash-matched against plain-SQL
+    formulations of each rule."""
+    from bigdata_quality_assessment_spark.operators.expectations import (
+        check_expectations,
+        in_range,
+        not_null,
+        ref,
+        unique,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     out = validity_rates(li, _RULES)
-    return out.select("column", "rule", F.round("pass_rate", 9).alias("pass_rate"))
+    val = out.select(
+        F.lit("validity").alias("part"),
+        "column",
+        "rule",
+        F.round("pass_rate", 9).alias("pass_rate"),
+        F.lit(None).cast("bigint").alias("n_violations"),
+    )
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    exp = check_expectations(
+        ords,
+        [
+            not_null("o_orderdate", name="not_null(o_orderdate)"),
+            in_range("o_totalprice", 0, 1_000_000, name="in_range(o_totalprice,0,1000000)"),
+            unique("o_orderkey", name="unique(o_orderkey)"),
+            ref("o_custkey", cust, "c_custkey", name="ref(o_custkey)"),
+        ],
+    ).select(
+        F.lit("expect").alias("part"),
+        F.lit("orders").alias("column"),
+        F.col("rule"),
+        F.round("pass_rate", 9).alias("pass_rate"),
+        "n_violations",
+    )
+    return val.unionByName(exp)
 
 
 @_register(

@@ -1,0 +1,74 @@
+"""Declarative DQ expectations: hand-computed violation counts across
+all rule kinds, null semantics, and the single-pass row-rule fold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.expectations import (
+    check_expectations,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    ref,
+    sql_expr,
+    unique,
+)
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = [
+        (1, "a", 10.0, "US"),
+        (2, "b", 200.0, "DE"),   # out of range
+        (3, None, 30.0, "FR"),   # null name
+        (3, "d", 40.0, "XX"),    # dup id, bad country
+        (5, "e", None, "US"),    # null value -> range violation
+    ]
+    return spark.createDataFrame(rows, "id long, name string, v double, country string")
+
+
+def test_check_expectations_counts(spark, table):
+    dim = spark.createDataFrame([("US",), ("DE",), ("FR",)], "code string")
+    rules = [
+        not_null("name"),
+        in_range("v", 0.0, 100.0),
+        in_set("country", ["US", "DE", "FR"]),
+        matches("name", "^[a-e]$"),
+        sql_expr("id < 100", name="small_id"),
+        unique("id"),
+        ref("country", dim, "code"),
+    ]
+    out = {r.rule: (r.n_rows, r.n_violations, r.pass_rate)
+           for r in check_expectations(table, rules).collect()}
+    assert out["not_null(name)"] == (5, 1, 0.8)
+    assert out["in_range(v,0.0,100.0)"] == (5, 2, 0.6)   # 200 + null
+    assert out["in_set(country)"] == (5, 1, 0.8)
+    assert out["matches(name)"] == (5, 1, 0.8)           # null violates
+    assert out["small_id"] == (5, 0, 1.0)
+    assert out["unique(id)"] == (5, 1, 0.8)              # one extra '3'
+    assert out["ref(country)"] == (5, 1, 0.8)            # XX missing
+    # rule order preserved
+    order = [r.rule for r in check_expectations(table, rules).collect()]
+    assert order == [e.name for e in rules]
+
+
+def test_row_rules_fold_into_one_aggregate(table):
+    rules = [not_null("name"), in_range("v", 0, 100), in_set("country", ["US"])]
+    plan = (
+        check_expectations(table, rules)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # no joins, no extra scans: all three rules ride one Aggregate
+    assert "Join" not in plan
+    assert plan.count("Aggregate") <= 2  # partial + final
+
+
+def test_empty_frame_pass_rates(spark):
+    empty = spark.createDataFrame([], "id long, name string")
+    out = {r.rule: (r.n_rows, r.n_violations, r.pass_rate)
+           for r in check_expectations(empty, [not_null("name"), unique("id")]).collect()}
+    assert out["not_null(name)"] == (0, 0, 1.0)
+    assert out["unique(id)"] == (0, 0, 1.0)

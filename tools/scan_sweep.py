@@ -62,6 +62,12 @@ EXPECTED_MAX = {
     # agg measured ~7x slower (the expanded copies stream through the
     # sort buffers); split = one scan per pass, each map-side combined
     "x_profile_table": 2,
+    # validity part 1 scan (lineitem); expectations part 4: the fused
+    # row-rule agg, the unique groupBy, and the ref anti-join each
+    # scan a DIFFERENT 1-2 column projection of orders (column-pruned
+    # — cheaper than one barrier storing all projected columns), plus
+    # the broadcast customer dim
+    "x_validity_rates": 5,
     "x_ann_knn": 2,
     "x_ann_ivf_knn": 2,
     "p1_p13_pointwise_fields": 4,
