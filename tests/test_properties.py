@@ -128,3 +128,56 @@ def test_apply_cdc_matches_dict_fold(spark, changes, n_target):
         else:
             state[k] = x
     assert got == state
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=40),
+    budget=st.integers(min_value=8, max_value=32),
+)
+@SET
+def test_pack_sequences_invariants(spark, counts, budget):
+    """Invariants for any chunk stream: every chunk assigned exactly
+    once; non-oversize sequences within budget; seq_tokens consistent."""
+    from bigdata_quality_assessment_spark.operators.text import pack_sequences
+
+    rows = [(i, 0, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_chunk_tokens long"
+    ).coalesce(1) if rows else spark.createDataFrame(
+        [], "doc_id long, chunk_id long, n_chunk_tokens long"
+    )
+    out = pack_sequences(df, max_tokens=budget).collect()
+    assert len(out) == len(rows)
+    assert sorted(r.doc_id for r in out) == sorted(r[0] for r in rows)
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r.seq_id, []).append(r)
+    for rows_ in seqs.values():
+        tot = sum(r.n_chunk_tokens for r in rows_)
+        assert all(r.seq_tokens == tot for r in rows_)
+        if not any(r.oversize for r in rows_):
+            assert tot <= budget
+        else:
+            assert len(rows_) == 1  # oversize chunks are singletons
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    capacity=st.integers(min_value=4, max_value=32),
+)
+@SET
+def test_misra_gries_bounds_property(spark, vals, capacity):
+    from collections import Counter
+
+    from bigdata_quality_assessment_spark.operators.sketch import frequent_items
+
+    df = spark.createDataFrame([(f"i{v}",) for v in vals], "item string").coalesce(1)
+    out = frequent_items(df, "item", k=capacity, capacity=capacity).collect()
+    exact = Counter(f"i{v}" for v in vals)
+    n = len(vals)
+    got = {r.item: (r.est_count, r.max_error) for r in out}
+    for item, cnt in exact.items():
+        if cnt > n / capacity:
+            assert item in got, (item, cnt, n, capacity)
+    for item, (est, err) in got.items():
+        assert est <= exact[item] <= est + err
