@@ -34,6 +34,7 @@ from bigdata_quality_assessment_spark.operators.select import (
 from bigdata_quality_assessment_spark.operators.text import (
     decontaminate,
     exact_dedup,
+    fuzzy_decontaminate,
     near_dedup_minhash,
     normalize_text,
     quality_score,
@@ -52,6 +53,8 @@ class CurationConfig:
     min_jaccard: float = 0.8
     decon_k: int = 13
     decon_min_hits: int = 1
+    fuzzy_decon: bool = False        # MinHash cross-corpus tier after exact
+    fuzzy_min_jaccard: float = 0.8
     quality_frac: float = 1.0  # 1.0 = keep all (skip the filter)
     mixture_rates: dict[str, float] = field(default_factory=dict)
     seed: int = 42
@@ -113,6 +116,18 @@ def curate(
         cur = stage(
             "decontaminate", cur.join(F.broadcast(flagged), cfg.id_col, "left_anti")
         )
+        if cfg.fuzzy_decon:
+            fz = fuzzy_decontaminate(
+                cur,
+                benchmark,
+                cfg.text_col,
+                cfg.id_col,
+                min_jaccard=cfg.fuzzy_min_jaccard,
+            ).select(cfg.id_col)
+            cur = stage(
+                "fuzzy_decontaminate",
+                cur.join(F.broadcast(fz), cfg.id_col, "left_anti"),
+            )
 
     if cfg.quality_frac < 1.0:
         qs = quality_score(

@@ -60,3 +60,25 @@ def test_curate_mixture(spark, corpus):
     cfg = CurationConfig(near_dedup=False, mixture_rates={"books": 1.0})
     clean, report = curate(corpus, config=cfg)
     assert {r.source for r in clean.select("source").distinct().collect()} == {"books"}
+
+
+def test_curate_fuzzy_tier(spark):
+    eval_doc = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps in the warm sun and the birds sing in the trees"
+    )
+    leaked = eval_doc.replace("lazy", "sleepy")  # paraphrase, no exact 13-gram k=13
+    rows = [
+        (0, leaked, "web"),
+        (1, "completely different material on catalyst and parquet and arrow " * 2, "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame([(100, eval_doc)], "doc_id long, text string")
+    cfg = CurationConfig(
+        near_dedup=False, decon_k=13, fuzzy_decon=True, fuzzy_min_jaccard=0.6
+    )
+    clean, report = curate(docs, benchmark=bench, config=cfg)
+    stages = {r.stage: r.rows for r in report.collect()}
+    assert stages["decontaminate"] == 2       # exact tier misses the paraphrase
+    assert stages["fuzzy_decontaminate"] == 1  # fuzzy tier catches it
+    assert {r.doc_id for r in clean.collect()} == {1}

@@ -165,3 +165,27 @@ def test_round5_continuation_ops_survive_nasty_inputs(spark, nasty_docs, nasty_e
     empty_t = spark.createDataFrame([], "k long, x double")
     log = spark.createDataFrame([(2, 2.0, 1, "I")], "k long, x double, seq long, op string")
     assert {r.k for r in apply_cdc(empty_t, log, "k").collect()} == {2}
+
+
+def test_expectations_survive_nasty_inputs(spark, nasty_docs):
+    from bigdata_quality_assessment_spark.operators.expectations import (
+        check_expectations,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    out = {r.rule: r.n_violations for r in check_expectations(
+        nasty_docs,
+        [
+            not_null("text"),
+            matches("text", "^[a-z ]+$"),
+            in_range("doc_id", 0, 5),
+            unique("doc_id"),
+        ],
+    ).collect()}
+    assert out["not_null(text)"] == 1          # the null row
+    assert out["unique(doc_id)"] == 0
+    assert out["in_range(doc_id,0,5)"] == 5    # ids 6..10
+    assert 0 < out["matches(text)"] <= 10
