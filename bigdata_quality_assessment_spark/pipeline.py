@@ -55,6 +55,10 @@ class CurationConfig:
     decon_min_hits: int = 1
     fuzzy_decon: bool = False        # MinHash cross-corpus tier after exact
     fuzzy_min_jaccard: float = 0.8
+    # r = 128/bands lanes per band; band-match prob = j^r. The default
+    # 32 (r=4) keeps candidate recall > 95% down to j ~ 0.5; use 16
+    # (r=8) only for thresholds >= 0.8
+    fuzzy_bands: int = 32
     quality_frac: float = 1.0  # 1.0 = keep all (skip the filter)
     mixture_rates: dict[str, float] = field(default_factory=dict)
     seed: int = 42
@@ -122,6 +126,7 @@ def curate(
                 benchmark,
                 cfg.text_col,
                 cfg.id_col,
+                bands=cfg.fuzzy_bands,
                 min_jaccard=cfg.fuzzy_min_jaccard,
             ).select(cfg.id_col)
             cur = stage(

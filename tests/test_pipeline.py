@@ -67,7 +67,8 @@ def test_curate_fuzzy_tier(spark):
         "the quick brown fox jumps over the lazy dog while the cat "
         "sleeps in the warm sun and the birds sing in the trees"
     )
-    leaked = eval_doc.replace("lazy", "sleepy")  # paraphrase, no exact 13-gram k=13
+    # paraphrase with edits < 13 words apart -> NO clean exact 13-gram
+    leaked = eval_doc.replace("lazy", "sleepy").replace("warm", "hot")
     rows = [
         (0, leaked, "web"),
         (1, "completely different material on catalyst and parquet and arrow " * 2, "web"),
@@ -75,7 +76,7 @@ def test_curate_fuzzy_tier(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     bench = spark.createDataFrame([(100, eval_doc)], "doc_id long, text string")
     cfg = CurationConfig(
-        near_dedup=False, decon_k=13, fuzzy_decon=True, fuzzy_min_jaccard=0.6
+        near_dedup=False, decon_k=13, fuzzy_decon=True, fuzzy_min_jaccard=0.5
     )
     clean, report = curate(docs, benchmark=bench, config=cfg)
     stages = {r.stage: r.rows for r in report.collect()}
