@@ -1,0 +1,162 @@
+"""Incremental ingest curation: a STREAM of new documents folded into
+a growing curated corpus, deduplicating each micro-batch against
+everything already accepted — the production shape of dedup (a 100 TB
+corpus is not re-deduplicated from scratch per delivery; each delta is
+checked against the accumulated state).
+
+Per micro-batch (``foreachBatch`` — the sink needs multi-pass batch
+semantics):
+
+1. normalize (optional) + WITHIN-batch exact dedup (first occurrence
+   by id wins);
+2. exact check against the accumulated DIGEST store: an anti-join on
+   ``md5(text)`` — the store holds 16-byte digests, never text;
+3. near-dup check against the accumulated SIGNATURE store: the batch's
+   MinHash band buckets equi-join the stored band buckets (never
+   all-pairs), exact-Jaccard verification happens implicitly at the
+   band level (banding completeness per near_dedup_minhash), and any
+   batch doc sharing a band bucket with an ACCEPTED doc is dropped,
+   as is any later within-batch doc bucket-colliding with an earlier
+   one;
+4. survivors append to the corpus store; their digests and band
+   buckets append to the state stores.
+
+First-arrival-wins semantics: unlike batch ``near_dedup_minhash``
+(min-id per cluster over a complete corpus), streaming keeps whichever
+duplicate ARRIVED first — the only causal choice online.
+
+Scale shape: state stores carry (digest) and (band, bucket, doc_id)
+rows — tens of bytes per accepted doc; each batch pays one scan of
+itself plus equi-joins against the stores (at 10^11 accepted docs the
+stores are themselves big tables, so the joins shuffle batch-side
+keys against bucketed store layouts — land the stores bucketed by
+digest/bucket via tables.write_bucketed to make those joins
+exchange-free). Appends are per-batch new files; compact with
+``sources.io.compact_lake`` on a maintenance schedule.
+
+NOTE on band-level drops: dropping on bucket collision alone (no
+exact-Jaccard re-verify against stored signatures) is the
+high-precision regime ONLY when bands are sized for the target
+threshold (collision probability j^r per band); the default
+128-lane / 16-band layout keeps false-collision probability ~1e-4
+per band pair at j=0.3. Callers needing exact verification keep the
+candidate's text reachable via the corpus store and re-verify
+downstream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.text import (
+    minhash_signatures,
+    normalize_text,
+)
+
+
+def _band_keys(sig: DataFrame, bands: int, id_col: str) -> DataFrame:
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("sig"),
+                            b * (F.size(F.col("sig")) / bands).cast("int") + 1,
+                            (F.size(F.col("sig")) / bands).cast("int"),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def init_ingest_store(spark: SparkSession, root: str) -> None:
+    """Create empty corpus / digest / bucket stores."""
+    os.makedirs(root, exist_ok=True)
+    spark.createDataFrame([], "digest string").write.mode("overwrite").parquet(
+        os.path.join(root, "digests")
+    )
+    spark.createDataFrame(
+        [], "band int, bucket long, doc_id long"
+    ).write.mode("overwrite").parquet(os.path.join(root, "buckets"))
+
+
+def read_corpus(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "corpus"))
+
+
+def streaming_ingest_curated(
+    docs_stream: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 16,
+    normalize: bool = True,
+    checkpoint: str | None = None,
+):
+    """Start the incremental-curation sink over ``docs_stream``.
+    Returns the StreamingQuery (drain with availableNow)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        cur = batch
+        if normalize:
+            cur = cur.withColumn(text_col, normalize_text(text_col))
+        # within-batch exact dedup, first (lowest-id) occurrence wins
+        w_digest = F.md5(F.col(text_col)).alias("digest")
+        slim = cur.select(F.col(id_col), w_digest).localCheckpoint(eager=False)
+        firsts = slim.groupBy("digest").agg(F.min(id_col).alias(id_col))
+        cur = cur.join(firsts, id_col, "left_semi")
+        # exact check vs accepted digests
+        digests = spark.read.parquet(os.path.join(root, "digests"))
+        cur = (
+            cur.withColumn("digest", F.md5(F.col(text_col)))
+            .join(digests, "digest", "left_anti")
+        )
+        # near-dup check vs accepted band buckets + earlier-in-batch
+        sigs = minhash_signatures(cur, text_col, k=k, id_col=id_col)
+        bb = _band_keys(sigs, bands, id_col).localCheckpoint(eager=False)
+        stored = spark.read.parquet(os.path.join(root, "buckets"))
+        hit_stored = (
+            bb.join(stored.select("band", "bucket").distinct(), ["band", "bucket"])
+            .select(id_col)
+            .distinct()
+        )
+        a = bb.select(F.col(id_col).alias("__ida"), "band", "bucket")
+        b = bb.select(F.col(id_col).alias("__idb"), "band", "bucket")
+        hit_earlier = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("__ida") < F.col("__idb"))
+            .select(F.col("__idb").alias(id_col))
+            .distinct()
+        )
+        drops = hit_stored.unionByName(hit_earlier).distinct()
+        survivors = cur.join(F.broadcast(drops), id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        # append survivors + their state rows
+        survivors.drop("digest").write.mode("append").parquet(
+            os.path.join(root, "corpus")
+        )
+        survivors.select("digest").write.mode("append").parquet(
+            os.path.join(root, "digests")
+        )
+        bb.join(survivors.select(id_col), id_col, "left_semi").select(
+            "band", "bucket", id_col
+        ).write.mode("append").parquet(os.path.join(root, "buckets"))
+
+    w = docs_stream.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

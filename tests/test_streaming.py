@@ -469,3 +469,70 @@ def test_windowed_quantiles_parity(spark, batch_events):
     # same sketch, same data -> identical estimates batch vs stream
     assert (g["p5"] == e["p5"]).all()
     assert (g["p95"] == e["p95"]).all()
+
+
+def test_streaming_ingest_curated(spark, tmp_path):
+    import time
+
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        init_ingest_store,
+        read_corpus,
+        streaming_ingest_curated,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "in the warm sun and the birds sing in the trees all day long here"
+    )
+    other = (
+        "completely different content about catalyst plans and parquet files "
+        "and arrow batches and shuffle exchanges and broadcast joins today"
+    )
+    third = (
+        "yet another body of text concerning streaming state stores and "
+        "watermarks and session windows and stateful aggregation semantics"
+    )
+    fourth = (
+        "a fourth distinct passage mentioning z order clustering and row "
+        "group statistics and predicate pushdown and column pruning tricks"
+    )
+    root = str(tmp_path / "store")
+    init_ingest_store(spark, root)
+    stage = tmp_path / "arrivals"
+    stage.mkdir()
+    batches = [
+        [(0, base), (1, other)],
+        # exact dup of base; near dup of other; brand new third
+        [(10, base), (11, other.replace("today", "tonight")), (12, third)],
+        # near dup of third (cross-batch); within-batch exact + near dups
+        [
+            (20, third.replace("yet", "and")),
+            (21, fourth),
+            (22, fourth),
+            (23, fourth.replace("tricks", "moves")),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage / f"b{i}"))
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    q = streaming_ingest_curated(
+        stream, root, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    corpus = read_corpus(spark, root)
+    ids = sorted(r.doc_id for r in corpus.collect())
+    # first arrivals win; all later exact/near duplicates are dropped
+    assert ids == [0, 1, 12, 21], ids
+    # state stores carry one digest per accepted doc
+    digests = spark.read.parquet(root + "/digests")
+    assert digests.count() == 4
+    buckets = spark.read.parquet(root + "/buckets")
+    assert buckets.select("doc_id").distinct().count() == 4
