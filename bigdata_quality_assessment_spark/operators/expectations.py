@@ -13,7 +13,8 @@ pass_rate)``. Rule kinds:
   * ``matches(col, regex)``      — col RLIKE regex (nulls violate)
   * ``expr(sql)``                — arbitrary SQL boolean
   * ``unique(cols)``             — no duplicate (cols) tuple; a
-    violation is every row beyond the first of its group
+    violation is every row beyond the first of its group. Rows with
+    a NULL in any key column are EXEMPT (SQL-standard UNIQUE)
   * ``ref(col, other, other_col)`` — referential integrity: every
     non-null col value exists in other[other_col]
 
@@ -110,18 +111,27 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     ]
     wide = df.agg(*aggs)
 
+    # every result column is keyed by the rule's POSITION in the input
+    # list, never its (possibly auto-generated, possibly colliding)
+    # name — two matches() rules on one column must not share a count
     results = wide  # one-row frame, grown by cross-joined counts
-    extra_cols: list[tuple[Expectation, str]] = []
+    col_for: dict[int, str] = {}
+    row_i = 0
     for j, e in enumerate(rules):
         if e.kind == "unique":
             cols = list(e.params["cols"])
+            # SQL-standard UNIQUE semantics: rows with a NULL in any
+            # key column are exempt from the uniqueness check
+            nn = df
+            for c in cols:
+                nn = nn.filter(F.col(c).isNotNull())
             dup = (
-                df.groupBy(*cols)
+                nn.groupBy(*cols)
                 .agg((F.count(F.lit(1)) - 1).alias("__d"))
                 .agg(F.coalesce(F.sum("__d"), F.lit(0)).cast("long").alias(f"__u{j}"))
             )
             results = results.crossJoin(dup)
-            extra_cols.append((e, f"__u{j}"))
+            col_for[j] = f"__u{j}"
         elif e.kind == "ref":
             other = e.params["other"].select(
                 F.col(e.params["other_col"]).alias("__k")
@@ -133,16 +143,14 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
                 .agg(F.count(F.lit(1)).cast("long").alias(f"__r{j}"))
             )
             results = results.crossJoin(missing)
-            extra_cols.append((e, f"__r{j}"))
-
-    extras = dict((e.name, c) for e, c in extra_cols)
-    row_idx = {e.name: i for i, e in enumerate(row_rules)}
-    pairs = []
-    for e in rules:
-        if e.name in row_idx:
-            v = F.col(f"__v{row_idx[e.name]}")
+            col_for[j] = f"__r{j}"
         else:
-            v = F.col(extras[e.name])
+            col_for[j] = f"__v{row_i}"
+            row_i += 1
+
+    pairs = []
+    for j, e in enumerate(rules):
+        v = F.col(col_for[j])
         pairs.append(
             F.struct(
                 F.lit(e.name).alias("rule"),

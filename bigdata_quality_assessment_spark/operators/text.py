@@ -483,15 +483,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_keys(
     signatures: DataFrame, bands: int = 32, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Banded LSH: split each signature into ``bands`` bands of
-    ``r = n_hashes/bands`` rows, hash each band, and emit every pair
-    of docs sharing a (band, band_hash) bucket — the candidate set is
-    produced by an equi-join on the bucket key, NEVER an all-pairs
-    product. Returns distinct ``(doc_a, doc_b)`` with doc_a<doc_b."""
-    buckets = signatures.select(
+    """Long-format LSH band keys ``(id, band, bucket)`` for a MinHash
+    signature frame — the ONE banding/bucketing expression shared by
+    the self-join dedup, the cross-corpus fuzzy decontamination, and
+    the streaming ingest state store (a band-arithmetic fix lands in
+    all three)."""
+    return signatures.select(
         id_col,
         F.explode(
             F.transform(
@@ -509,6 +509,17 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` bands of
+    ``r = n_hashes/bands`` rows, hash each band, and emit every pair
+    of docs sharing a (band, band_hash) bucket — the candidate set is
+    produced by an equi-join on the bucket key, NEVER an all-pairs
+    product. Returns distinct ``(doc_a, doc_b)`` with doc_a<doc_b."""
+    buckets = minhash_band_keys(signatures, bands, id_col)
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -864,24 +875,7 @@ def fuzzy_decontaminate(
     sig_b = minhash_signatures(benchmark, text_col, k, n_hashes, mode, id_col)
 
     def band_keys(sig: DataFrame, out_id: str) -> DataFrame:
-        return sig.select(
-            F.col(id_col).alias(out_id),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.slice(
-                                F.col("sig"),
-                                b * (F.size(F.col("sig")) / bands).cast("int") + 1,
-                                (F.size(F.col("sig")) / bands).cast("int"),
-                            )
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        return minhash_band_keys(sig, bands, id_col).withColumnRenamed(id_col, out_id)
 
     cand = (
         band_keys(sig_d, "__did")
@@ -975,7 +969,22 @@ def pack_sequences(
         filled = 0
         open_seq = False
         totals: dict[int, int] = {}
-        frames = []
+
+        def finalize(fr):
+            fr["seq_id"] = fr["__seq_local"] + base
+            fr["seq_tokens"] = fr["__seq_local"].map(totals).astype("int64")
+            fr["oversize"] = (
+                fr[token_count_col].fillna(0).astype("int64") > max_tokens
+            )
+            for sid in fr["__seq_local"].unique():
+                totals.pop(int(sid), None)  # bound state to open seqs
+            return fr.drop(columns=["__seq_local"])
+
+        # frames FLUSH as soon as none of their sequences is still
+        # open (only the current open sequence's total is unknown), so
+        # memory holds at most the frames spanning ONE open sequence —
+        # never the whole partition
+        held: list = []
         for pdf in batches:
             counts = pdf[token_count_col].fillna(0).astype("int64")
             seq_ids = []
@@ -998,14 +1007,17 @@ def pack_sequences(
                 seq_ids.append(seq_local)
             out = pdf.copy()
             out["__seq_local"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
-            frames.append(out)
-        for out in frames:
-            out["seq_id"] = out["__seq_local"] + base
-            out["seq_tokens"] = out["__seq_local"].map(totals).astype("int64")
-            out["oversize"] = (
-                out[token_count_col].fillna(0).astype("int64") > max_tokens
-            )
-            yield out.drop(columns=["__seq_local"])
+            held.append(out)
+            open_id = seq_local if open_seq else None
+            still_held = []
+            for fr in held:
+                if open_id is not None and (fr["__seq_local"] == open_id).any():
+                    still_held.append(fr)
+                else:
+                    yield finalize(fr)
+            held = still_held
+        for fr in held:
+            yield finalize(fr)
 
     return chunks.mapInPandas(pack, schema=schema)
 

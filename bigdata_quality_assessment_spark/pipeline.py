@@ -109,6 +109,14 @@ def curate(
         )
 
     if benchmark is not None:
+        # the benchmark gets the SAME normalization as the corpus —
+        # otherwise a case/whitespace-differing verbatim leak shares
+        # ~zero k-grams with its normalized copy and both decon tiers
+        # silently pass it through
+        if cfg.normalize:
+            benchmark = benchmark.withColumn(
+                cfg.text_col, normalize_text(cfg.text_col)
+            )
         flagged = decontaminate(
             cur,
             benchmark,

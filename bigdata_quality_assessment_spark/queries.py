@@ -2065,8 +2065,8 @@ _RULES = {
               CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 0 ELSE 1 END) AS BIGINT) FROM orders
        UNION ALL
        SELECT 'expect', 'orders', 'unique(o_orderkey)',
-              round(1.0 - (count(*) - count(DISTINCT o_orderkey)) * 1.0 / count(*), 9),
-              CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+              round(1.0 - (count(o_orderkey) - count(DISTINCT o_orderkey)) * 1.0 / count(*), 9),
+              CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
        UNION ALL
        SELECT 'expect', 'orders', 'ref(o_custkey)',
               round(1.0 - (SELECT count(*) FROM orders o

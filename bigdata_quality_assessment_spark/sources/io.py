@@ -21,6 +21,9 @@ Scale posture per format:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -207,16 +210,28 @@ def compact_lake(
     count.
 
     The rewrite lands in ``<path>.__compact__`` and swaps in only
-    after a successful write + row-count check, so a failed compaction
-    leaves the original layout untouched (same crash-safety stance as
-    the CDC version flip). Concurrent writers must be quiesced —
-    compaction is maintenance, not a concurrent transaction."""
+    after a successful write + row-count check: a FAILED compaction
+    (write error, count mismatch) leaves the original layout
+    untouched. The swap itself is two renames, so a hard crash in the
+    window between them can leave the data under ``<path>.__old__``
+    instead of ``path`` — recoverable, never lost, and stale
+    ``.__old__`` / ``.__compact__`` leftovers are cleaned up at the
+    START of the next run (a POSIX directory swap cannot be made
+    atomic without the CDC store's pointer-file indirection; use that
+    store when readers must never observe the window). Concurrent
+    writers/readers must be quiesced — compaction is maintenance, not
+    a concurrent transaction."""
     import math
-    import os
-    import shutil
 
     if format not in LAKE_FORMATS:
         raise ValueError(f"format must be one of {LAKE_FORMATS}, got {format!r}")
+    tmp_stale = path.rstrip("/") + ".__compact__"
+    old_stale = path.rstrip("/") + ".__old__"
+    if not os.path.exists(path) and os.path.exists(old_stale):
+        # prior run crashed mid-swap: the data lives under .__old__
+        os.rename(old_stale, path)
+    shutil.rmtree(tmp_stale, ignore_errors=True)
+    shutil.rmtree(old_stale, ignore_errors=True)
     df = spark.read.format(format).load(path)
     n = df.count()
     n_files = max(1, math.ceil(n / target_records_per_file))

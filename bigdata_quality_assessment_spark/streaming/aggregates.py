@@ -126,9 +126,11 @@ def windowed_quantiles(
     one row per window with ``p<pct>`` columns; rank error <=
     1/accuracy. The streaming face of profiling.approx_profile."""
     keys = [F.window("ts", window)] + [F.col(c) for c in (group_cols or [])]
+    # fixed-width names: 0.5 -> p50, 0.95 -> p95, 1.0 -> p100 (a raw
+    # str(p) scheme produced dotted/ambiguous names like 'p1.0'/'p5')
     aggs = [
         F.percentile_approx(value_col, p, accuracy).alias(
-            f"p{str(p).replace('0.', '')}"
+            f"p{int(round(p * 100)):02d}"
         )
         for p in percentiles
     ]

@@ -109,12 +109,7 @@ def _commit(df: DataFrame, root: str, version: str, keep_versions: int = 2) -> N
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, os.path.join(root, LATEST))  # atomic pointer flip
-    versions = [
-        d
-        for d in os.listdir(root)
-        if d.startswith("v") and os.path.isdir(os.path.join(root, d))
-    ]
-    versions.sort(key=lambda d: os.path.getmtime(os.path.join(root, d)), reverse=True)
+    versions = list_versions(root)
     survivors = {version, *versions[:keep_versions]}
     for d in versions:
         if d not in survivors:

@@ -52,34 +52,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_quality_assessment_spark.operators.text import (
+    minhash_band_keys,
     minhash_signatures,
     normalize_text,
 )
 
 
-def _band_keys(sig: DataFrame, bands: int, id_col: str) -> DataFrame:
-    return sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(
-                            F.col("sig"),
-                            b * (F.size(F.col("sig")) / bands).cast("int") + 1,
-                            (F.size(F.col("sig")) / bands).cast("int"),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-
-def init_ingest_store(spark: SparkSession, root: str) -> None:
-    """Create empty corpus / digest / bucket stores."""
+def init_ingest_store(
+    spark: SparkSession, root: str, corpus_schema: str | None = None
+) -> None:
+    """Create empty digest / bucket stores, plus an empty corpus store
+    when ``corpus_schema`` (a DDL string matching the incoming stream,
+    e.g. ``"doc_id long, text string"``) is given — so ``read_corpus``
+    works before the first surviving batch lands."""
     os.makedirs(root, exist_ok=True)
     spark.createDataFrame([], "digest string").write.mode("overwrite").parquet(
         os.path.join(root, "digests")
@@ -87,10 +72,20 @@ def init_ingest_store(spark: SparkSession, root: str) -> None:
     spark.createDataFrame(
         [], "band int, bucket long, doc_id long"
     ).write.mode("overwrite").parquet(os.path.join(root, "buckets"))
+    if corpus_schema is not None:
+        spark.createDataFrame([], corpus_schema).write.mode("overwrite").parquet(
+            os.path.join(root, "corpus")
+        )
 
 
 def read_corpus(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "corpus"))
+    path = os.path.join(root, "corpus")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} does not exist yet — either no surviving batch has "
+            "landed, or init_ingest_store was called without corpus_schema"
+        )
+    return spark.read.parquet(path)
 
 
 def streaming_ingest_curated(
@@ -110,7 +105,12 @@ def streaming_ingest_curated(
         if not batch.take(1):
             return
         spark = batch.sparkSession
-        cur = batch
+        # null/empty text cannot be deduplicated (md5(NULL) is NULL and
+        # a NULL key never matches the digest anti-join, so such rows
+        # would re-append every batch) — route them out up front
+        cur = batch.filter(
+            F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+        )
         if normalize:
             cur = cur.withColumn(text_col, normalize_text(text_col))
         # within-batch exact dedup, first (lowest-id) occurrence wins
@@ -126,7 +126,7 @@ def streaming_ingest_curated(
         )
         # near-dup check vs accepted band buckets + earlier-in-batch
         sigs = minhash_signatures(cur, text_col, k=k, id_col=id_col)
-        bb = _band_keys(sigs, bands, id_col).localCheckpoint(eager=False)
+        bb = minhash_band_keys(sigs, bands, id_col).localCheckpoint(eager=False)
         stored = spark.read.parquet(os.path.join(root, "buckets"))
         hit_stored = (
             bb.join(stored.select("band", "bucket").distinct(), ["band", "bucket"])

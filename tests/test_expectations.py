@@ -72,3 +72,24 @@ def test_empty_frame_pass_rates(spark):
            for r in check_expectations(empty, [not_null("name"), unique("id")]).collect()}
     assert out["not_null(name)"] == (0, 0, 1.0)
     assert out["unique(id)"] == (0, 0, 1.0)
+
+
+def test_unique_nulls_exempt_and_name_collisions(spark):
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (1, "ab"), (1, "cd"), (2, "ef")],
+        "k long, t string",
+    )
+    out = check_expectations(
+        df,
+        [
+            unique("k"),
+            # two auto-named matches rules on the SAME column: counts
+            # must stay distinct per rule position
+            matches("t", "^[a-z]{2}$"),
+            matches("t", "^x$"),
+        ],
+    ).collect()
+    by_pos = [(r.rule, r.n_violations) for r in out]
+    assert by_pos[0] == ("unique(k)", 1)        # nulls exempt; dup '1' once
+    assert by_pos[1] == ("matches(t)", 2)       # 'x','y' fail 2-letter rule
+    assert by_pos[2] == ("matches(t)", 4)       # only 'x' passes ^x$

@@ -83,3 +83,17 @@ def test_curate_fuzzy_tier(spark):
     assert stages["decontaminate"] == 2       # exact tier misses the paraphrase
     assert stages["fuzzy_decontaminate"] == 1  # fuzzy tier catches it
     assert {r.doc_id for r in clean.collect()} == {1}
+
+
+def test_curate_decon_normalizes_benchmark(spark):
+    eval_doc = "An Eval Question About The Meaning Of Catalyst Plans And Shuffles Here"
+    leaked = eval_doc.lower() + ""  # verbatim leak, case-differing
+    docs = spark.createDataFrame(
+        [(0, leaked, "web"), (1, "unrelated clean words entirely different topic matter", "web")],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame([(100, eval_doc)], "doc_id long, text string")
+    clean, report = curate(
+        docs, benchmark=bench, config=CurationConfig(near_dedup=False, decon_k=5)
+    )
+    assert {r.doc_id for r in clean.collect()} == {1}

@@ -457,7 +457,7 @@ def test_windowed_quantiles_parity(spark, batch_events):
         batch_events.groupBy(F.window("ts", "1 hour"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.percentile_approx("value", 0.5, 10_000).alias("p5"),
+            F.percentile_approx("value", 0.5, 10_000).alias("p50"),
             F.percentile_approx("value", 0.95, 10_000).alias("p95"),
         )
         .withColumn("window", F.col("window.start"))
@@ -467,7 +467,7 @@ def test_windowed_quantiles_parity(spark, batch_events):
     e = expect.sort_values("window").reset_index(drop=True)
     assert (g["window"] == e["window"]).all() and (g["n"] == e["n"]).all()
     # same sketch, same data -> identical estimates batch vs stream
-    assert (g["p5"] == e["p5"]).all()
+    assert (g["p50"] == e["p50"]).all()
     assert (g["p95"] == e["p95"]).all()
 
 
