@@ -165,3 +165,51 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     return results.select(F.explode(F.array(*pairs)).alias("p")).select(
         "p.rule", "p.kind", "p.n_rows", "p.n_violations", "p.pass_rate"
     )
+
+
+def _row_predicate(e: Expectation):
+    """The row-level PASS predicate for row-wise kinds (None for
+    unique/ref, which are not row-decidable)."""
+    p = e.params
+    if e.kind == "not_null":
+        ok = F.col(p["col"]).isNotNull()
+    elif e.kind == "in_range":
+        ok = F.col(p["col"]).between(p["lo"], p["hi"])
+    elif e.kind == "in_set":
+        ok = F.col(p["col"]).isin(*p["values"])
+    elif e.kind == "matches":
+        ok = F.col(p["col"]).rlike(p["regex"])
+    elif e.kind == "expr":
+        ok = F.expr(p["sql"])
+    else:
+        return None
+    return F.coalesce(ok, F.lit(False))  # null predicate = fail
+
+
+def enforce_expectations(
+    df: DataFrame, rules: list[Expectation], reason_col: str = "_failed_rules"
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level enforcement of the ROW-WISE rules: returns
+    ``(passing, quarantined)`` — the quarantine side carries
+    ``reason_col: array<string>`` naming every failed rule, so the
+    quarantine sink is self-describing (the same stance as
+    sources/io.quarantine for parse failures). One narrow projection,
+    no shuffle; ``unique``/``ref`` rules are ignored here (they are
+    set-level properties — audit them with ``check_expectations`` and
+    resolve winners with dedup/joins)."""
+    preds = [(e, _row_predicate(e)) for e in rules]
+    preds = [(e, p) for e, p in preds if p is not None]
+    if not preds:
+        return df, df.limit(0).withColumn(
+            reason_col, F.lit(None).cast("array<string>")
+        )
+    failed = F.filter(
+        F.array(
+            *[F.when(~p, F.lit(e.name)).otherwise(F.lit(None)) for e, p in preds]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn(reason_col, failed)
+    passing = tagged.filter(F.size(reason_col) == 0).drop(reason_col)
+    quarantined = tagged.filter(F.size(reason_col) > 0)
+    return passing, quarantined

@@ -93,3 +93,21 @@ def test_unique_nulls_exempt_and_name_collisions(spark):
     assert by_pos[0] == ("unique(k)", 1)        # nulls exempt; dup '1' once
     assert by_pos[1] == ("matches(t)", 2)       # 'x','y' fail 2-letter rule
     assert by_pos[2] == ("matches(t)", 4)       # only 'x' passes ^x$
+
+
+def test_enforce_expectations_split(spark, table):
+    from bigdata_quality_assessment_spark.operators.expectations import (
+        enforce_expectations,
+    )
+
+    rules = [not_null("name"), in_range("v", 0.0, 100.0), unique("id")]
+    passing, quarantined = enforce_expectations(table, rules)
+    # ids 2 (range), 3-null-name, 5 (null v) fail; unique is ignored
+    assert sorted(r.id for r in passing.collect()) == [1, 3]
+    q = {r.id: set(r._failed_rules) for r in quarantined.collect()}
+    assert q[2] == {"in_range(v,0.0,100.0)"}
+    assert q[5] == {"in_range(v,0.0,100.0)"}
+    assert {"not_null(name)"} in q.values()
+    # no-row-rules edge: everything passes, empty quarantine
+    p2, q2 = enforce_expectations(table, [unique("id")])
+    assert p2.count() == 5 and q2.count() == 0
