@@ -976,8 +976,6 @@ def pack_sequences(
             fr["oversize"] = (
                 fr[token_count_col].fillna(0).astype("int64") > max_tokens
             )
-            for sid in fr["__seq_local"].unique():
-                totals.pop(int(sid), None)  # bound state to open seqs
             return fr.drop(columns=["__seq_local"])
 
         # frames FLUSH as soon as none of their sequences is still
@@ -1016,6 +1014,14 @@ def pack_sequences(
                 else:
                     yield finalize(fr)
             held = still_held
+            # prune totals AFTER the flush round: a sequence can span
+            # several flushed frames, so ids stay until no held frame
+            # (and not the open sequence) references them
+            keep = {int(i) for fr in held for i in fr["__seq_local"].unique()}
+            if open_id is not None:
+                keep.add(open_id)
+            for sid in [k for k in totals if k not in keep]:
+                del totals[sid]
         for fr in held:
             yield finalize(fr)
 

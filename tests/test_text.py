@@ -450,3 +450,31 @@ def test_tf_idf_matches_python(spark):
             assert abs(got[2] - expect) < 1e-12
     top = {r.doc_id: r.term for r in tf_idf(docs, top_k=1).collect()}
     assert top[2] == "e" and top[1] == "d"
+
+
+def test_pack_sequences_multi_arrow_batch_flush(spark):
+    """The incremental flush path: with tiny Arrow batches a sequence
+    can span batch boundaries; totals must still be consistent and
+    every chunk assigned once."""
+    from bigdata_quality_assessment_spark.operators.text import pack_sequences
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [(i, 0, 10 + (i % 3)) for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, chunk_id long, n_chunk_tokens long"
+        ).coalesce(1)
+        out = pack_sequences(df, max_tokens=47).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(out) == 100
+    assert sorted(r.doc_id for r in out) == list(range(100))
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r.seq_id, []).append(r)
+    assert len(seqs) > 10  # many sequences -> several spanned batch edges
+    for rows_ in seqs.values():
+        tot = sum(r.n_chunk_tokens for r in rows_)
+        assert all(r.seq_tokens == tot for r in rows_)
+        assert tot <= 47
