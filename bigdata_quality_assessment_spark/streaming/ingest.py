@@ -104,6 +104,16 @@ def streaming_ingest_curated(
     def fold(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
+        # replay idempotence: foreachBatch REDELIVERS the in-flight
+        # batch after a restart; a committed marker makes the re-run a
+        # no-op instead of appending duplicates. (A crash inside the
+        # append window can still duplicate — full exactly-once needs
+        # a transactional table format; the marker closes the common
+        # restart case, and the dedup semantics make later exact dups
+        # of other docs harmless anyway.)
+        marker = os.path.join(root, "_batches", str(batch_id))
+        if os.path.exists(marker):
+            return
         spark = batch.sparkSession
         # null/empty text cannot be deduplicated (md5(NULL) is NULL and
         # a NULL key never matches the digest anti-join, so such rows
@@ -155,6 +165,9 @@ def streaming_ingest_curated(
         bb.join(survivors.select(id_col), id_col, "left_semi").select(
             "band", "bucket", id_col
         ).write.mode("append").parquet(os.path.join(root, "buckets"))
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("done")
 
     w = docs_stream.writeStream.foreachBatch(fold).trigger(availableNow=True)
     if checkpoint:

@@ -536,3 +536,34 @@ def test_streaming_ingest_curated(spark, tmp_path):
     assert digests.count() == 4
     buckets = spark.read.parquet(root + "/buckets")
     assert buckets.select("doc_id").distinct().count() == 4
+
+
+def test_streaming_ingest_replay_idempotent(spark, tmp_path):
+    """Re-delivering an already-committed batch id must be a no-op."""
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        init_ingest_store,
+        read_corpus,
+        streaming_ingest_curated,
+    )
+
+    root = str(tmp_path / "store")
+    init_ingest_store(spark, root, corpus_schema="doc_id long, text string")
+    stage = tmp_path / "arrivals"
+    stage.mkdir()
+    rows = [(0, "some unique document body with plenty of distinct words inside")]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(stage / "b0")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    # first drain commits batch 0; second drain with a FRESH checkpoint
+    # re-delivers the same file as batch 0 again -> marker short-circuits
+    q = streaming_ingest_curated(stream, root, checkpoint=str(tmp_path / "c1"))
+    q.awaitTermination()
+    assert read_corpus(spark, root).count() == 1
+    q2 = streaming_ingest_curated(stream, root, checkpoint=str(tmp_path / "c2"))
+    q2.awaitTermination()
+    assert read_corpus(spark, root).count() == 1
