@@ -79,19 +79,28 @@ def ref(col: str, other: DataFrame, other_col: str, name: str | None = None) -> 
     )
 
 
-def _row_violation(e: Expectation):
+def _row_ok(e: Expectation):
+    """Row-level PASS expression for row-wise kinds, or None for the
+    set-level kinds (unique/ref). THE single dispatch — the audit
+    (check_expectations) and the enforcement (enforce_expectations)
+    must agree on what violates."""
     p = e.params
     if e.kind == "not_null":
-        ok = F.col(p["col"]).isNotNull()
-    elif e.kind == "in_range":
-        ok = F.col(p["col"]).between(p["lo"], p["hi"])
-    elif e.kind == "in_set":
-        ok = F.col(p["col"]).isin(*p["values"])
-    elif e.kind == "matches":
-        ok = F.col(p["col"]).rlike(p["regex"])
-    elif e.kind == "expr":
-        ok = F.expr(p["sql"])
-    else:
+        return F.col(p["col"]).isNotNull()
+    if e.kind == "in_range":
+        return F.col(p["col"]).between(p["lo"], p["hi"])
+    if e.kind == "in_set":
+        return F.col(p["col"]).isin(*p["values"])
+    if e.kind == "matches":
+        return F.col(p["col"]).rlike(p["regex"])
+    if e.kind == "expr":
+        return F.expr(p["sql"])
+    return None
+
+
+def _row_violation(e: Expectation):
+    ok = _row_ok(e)
+    if ok is None:
         return None
     # null predicate result = violation (ANSI three-valued logic would
     # otherwise let nulls pass every check silently); coalesce makes
@@ -168,26 +177,18 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
 
 
 def _row_predicate(e: Expectation):
-    """The row-level PASS predicate for row-wise kinds (None for
-    unique/ref, which are not row-decidable)."""
-    p = e.params
-    if e.kind == "not_null":
-        ok = F.col(p["col"]).isNotNull()
-    elif e.kind == "in_range":
-        ok = F.col(p["col"]).between(p["lo"], p["hi"])
-    elif e.kind == "in_set":
-        ok = F.col(p["col"]).isin(*p["values"])
-    elif e.kind == "matches":
-        ok = F.col(p["col"]).rlike(p["regex"])
-    elif e.kind == "expr":
-        ok = F.expr(p["sql"])
-    else:
+    """Null-safe row-level PASS predicate (None for unique/ref)."""
+    ok = _row_ok(e)
+    if ok is None:
         return None
     return F.coalesce(ok, F.lit(False))  # null predicate = fail
 
 
 def enforce_expectations(
-    df: DataFrame, rules: list[Expectation], reason_col: str = "_failed_rules"
+    df: DataFrame,
+    rules: list[Expectation],
+    reason_col: str = "_failed_rules",
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Row-level enforcement of the ROW-WISE rules: returns
     ``(passing, quarantined)`` — the quarantine side carries
@@ -196,7 +197,15 @@ def enforce_expectations(
     sources/io.quarantine for parse failures). One narrow projection,
     no shuffle; ``unique``/``ref`` rules are ignored here (they are
     set-level properties — audit them with ``check_expectations`` and
-    resolve winners with dedup/joins)."""
+    resolve winners with dedup/joins). ``cache=True`` (default) caches
+    the tagged frame so materializing BOTH sides evaluates every rule
+    predicate once, not twice (the sources/io.quarantine contract —
+    same unpersist caveat)."""
+    if reason_col in df.columns:
+        raise ValueError(
+            f"input already has a {reason_col!r} column; pass a different "
+            "reason_col instead of silently overwriting it"
+        )
     preds = [(e, _row_predicate(e)) for e in rules]
     preds = [(e, p) for e, p in preds if p is not None]
     if not preds:
@@ -210,6 +219,8 @@ def enforce_expectations(
         lambda x: x.isNotNull(),
     )
     tagged = df.withColumn(reason_col, failed)
+    if cache:
+        tagged = tagged.cache()
     passing = tagged.filter(F.size(reason_col) == 0).drop(reason_col)
     quarantined = tagged.filter(F.size(reason_col) > 0)
     return passing, quarantined

@@ -99,20 +99,27 @@ def streaming_ingest_curated(
     checkpoint: str | None = None,
 ):
     """Start the incremental-curation sink over ``docs_stream``.
-    Returns the StreamingQuery (drain with availableNow)."""
+    Returns the StreamingQuery (drain with availableNow).
+
+    Replay idempotence: foreachBatch REDELIVERS the in-flight batch
+    after a restart; a per-batch commit marker makes the re-run a
+    no-op instead of appending duplicates. Batch ids are only
+    meaningful RELATIVE TO A CHECKPOINT (a fresh checkpoint restarts
+    at 0), so markers live UNDER the checkpoint directory and reset
+    with it — store-rooted markers would silently swallow the first
+    batches of any re-checkpointed run. Without a checkpoint there
+    are no replays and no markers. (A crash inside the append window
+    can still duplicate — full exactly-once needs a transactional
+    table format; the marker closes the common restart case.)"""
+    marker_dir = (
+        os.path.join(checkpoint, "_ingest_commits") if checkpoint else None
+    )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
+        marker = os.path.join(marker_dir, str(batch_id)) if marker_dir else None
+        if marker and os.path.exists(marker):
             return
-        # replay idempotence: foreachBatch REDELIVERS the in-flight
-        # batch after a restart; a committed marker makes the re-run a
-        # no-op instead of appending duplicates. (A crash inside the
-        # append window can still duplicate — full exactly-once needs
-        # a transactional table format; the marker closes the common
-        # restart case, and the dedup semantics make later exact dups
-        # of other docs harmless anyway.)
-        marker = os.path.join(root, "_batches", str(batch_id))
-        if os.path.exists(marker):
+        if not batch.take(1):
             return
         spark = batch.sparkSession
         # null/empty text cannot be deduplicated (md5(NULL) is NULL and
@@ -165,9 +172,10 @@ def streaming_ingest_curated(
         bb.join(survivors.select(id_col), id_col, "left_semi").select(
             "band", "bucket", id_col
         ).write.mode("append").parquet(os.path.join(root, "buckets"))
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("done")
+        if marker:
+            os.makedirs(marker_dir, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write("done")
 
     w = docs_stream.writeStream.foreachBatch(fold).trigger(availableNow=True)
     if checkpoint:

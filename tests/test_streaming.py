@@ -559,11 +559,21 @@ def test_streaming_ingest_replay_idempotent(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(stage / "*"))
     )
-    # first drain commits batch 0; second drain with a FRESH checkpoint
-    # re-delivers the same file as batch 0 again -> marker short-circuits
-    q = streaming_ingest_curated(stream, root, checkpoint=str(tmp_path / "c1"))
+    import os
+
+    # a pre-existing commit marker for batch 0 under THIS checkpoint
+    # must short-circuit the whole batch (proves the marker path: with
+    # the check deleted, the doc would land and the count would be 1)
+    ck = str(tmp_path / "c1")
+    os.makedirs(os.path.join(ck, "_ingest_commits"), exist_ok=True)
+    open(os.path.join(ck, "_ingest_commits", "0"), "w").write("done")
+    q = streaming_ingest_curated(stream, root, checkpoint=ck)
     q.awaitTermination()
-    assert read_corpus(spark, root).count() == 1
-    q2 = streaming_ingest_curated(stream, root, checkpoint=str(tmp_path / "c2"))
+    assert read_corpus(spark, root).count() == 0
+    # a fresh checkpoint has no markers -> the batch ingests normally,
+    # and its marker is recorded under the new checkpoint
+    ck2 = str(tmp_path / "c2")
+    q2 = streaming_ingest_curated(stream, root, checkpoint=ck2)
     q2.awaitTermination()
     assert read_corpus(spark, root).count() == 1
+    assert os.path.exists(os.path.join(ck2, "_ingest_commits", "0"))
