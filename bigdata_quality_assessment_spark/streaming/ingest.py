@@ -181,3 +181,57 @@ def streaming_ingest_curated(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def forget(
+    spark: SparkSession,
+    root: str,
+    doc_ids,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Deletion propagation (right-to-be-forgotten): remove the given
+    ids from the corpus AND from every derived state store, so the
+    documents are neither readable nor able to suppress future
+    arrivals as phantom duplicates. Returns the number of corpus rows
+    removed.
+
+    Each store is rewritten through a temp dir + swap (the compact_lake
+    recovery discipline: a crash leaves either the old or the new
+    layout, recoverable, never a half-deleted store). Digests are
+    recomputed from the SURVIVING corpus rows rather than diffed —
+    correctness over cleverness: the digest store then provably
+    contains exactly the surviving documents' digests."""
+    import shutil
+
+    ids = list(doc_ids)
+    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    corpus_path = os.path.join(root, "corpus")
+    corpus = spark.read.parquet(corpus_path)
+    n_before = corpus.count()
+    keep = corpus.join(F.broadcast(id_df), id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_after = keep.count()
+
+    def swap(df: DataFrame, path: str) -> None:
+        tmp = path + ".__forget__"
+        old = path + ".__old__"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    swap(keep, corpus_path)
+    swap(
+        keep.select(F.md5(F.col(text_col)).alias("digest")),
+        os.path.join(root, "digests"),
+    )
+    buckets = spark.read.parquet(os.path.join(root, "buckets"))
+    swap(
+        buckets.join(F.broadcast(id_df), id_col, "left_anti"),
+        os.path.join(root, "buckets"),
+    )
+    return n_before - n_after

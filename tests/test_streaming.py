@@ -577,3 +577,53 @@ def test_streaming_ingest_replay_idempotent(spark, tmp_path):
     q2.awaitTermination()
     assert read_corpus(spark, root).count() == 1
     assert os.path.exists(os.path.join(ck2, "_ingest_commits", "0"))
+
+
+def test_ingest_forget_propagates(spark, tmp_path):
+    """forget() removes docs from corpus AND state stores, so a
+    re-arrival of the forgotten text is accepted again."""
+    import time
+
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        forget,
+        init_ingest_store,
+        read_corpus,
+        streaming_ingest_curated,
+    )
+
+    root = str(tmp_path / "store")
+    init_ingest_store(spark, root, corpus_schema="doc_id long, text string")
+    stage = tmp_path / "arrivals"
+    stage.mkdir()
+    texts = {
+        0: "first unique document body with many distinct meaningful words",
+        1: "second document entirely different content about other topics",
+    }
+    spark.createDataFrame(list(texts.items()), "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(stage / "b0"))
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage / "*"))
+        )
+        q = streaming_ingest_curated(stream, root, checkpoint=str(tmp_path / ck))
+        q.awaitTermination()
+
+    drain("c1")
+    assert read_corpus(spark, root).count() == 2
+    removed = forget(spark, root, [0])
+    assert removed == 1
+    assert {r.doc_id for r in read_corpus(spark, root).collect()} == {1}
+    assert spark.read.parquet(root + "/digests").count() == 1
+    assert spark.read.parquet(root + "/buckets").select("doc_id").distinct().count() == 1
+    # the forgotten text re-arrives under a new id -> accepted (no
+    # phantom duplicate suppression from stale state)
+    time.sleep(0.05)
+    spark.createDataFrame([(50, texts[0])], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(stage / "b1"))
+    drain("c1")  # SAME checkpoint: only the new file is delivered
+    assert {r.doc_id for r in read_corpus(spark, root).collect()} == {1, 50}
