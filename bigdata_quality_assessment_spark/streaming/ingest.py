@@ -235,3 +235,38 @@ def forget(
         os.path.join(root, "buckets"),
     )
     return n_before - n_after
+
+
+def streaming_expectations_ledger(
+    stream: DataFrame,
+    rules,
+    ledger_path: str,
+    checkpoint: str | None = None,
+):
+    """Continuous data-quality monitoring: evaluate the declarative
+    expectation rules (operators/expectations.py) on EVERY micro-batch
+    and append one ledger row per rule per batch —
+    ``(batch_id, rule, kind, n_rows, n_violations, pass_rate)``. The
+    ledger is itself a queryable parquet table: alerting is a filter
+    (``pass_rate < threshold``), trend analysis a groupBy over
+    batch_id. Violation counts, never rows, are persisted — pair with
+    ``enforce_expectations`` inside an ingest sink when the violating
+    rows themselves must be quarantined."""
+    from bigdata_quality_assessment_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    def audit(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        report = check_expectations(batch, rules).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        report.select(
+            "batch_id", "rule", "kind", "n_rows", "n_violations", "pass_rate"
+        ).write.mode("append").parquet(ledger_path)
+
+    w = stream.writeStream.foreachBatch(audit).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

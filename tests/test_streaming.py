@@ -627,3 +627,49 @@ def test_ingest_forget_propagates(spark, tmp_path):
     ).write.parquet(str(stage / "b1"))
     drain("c1")  # SAME checkpoint: only the new file is delivered
     assert {r.doc_id for r in read_corpus(spark, root).collect()} == {1, 50}
+
+
+def test_streaming_expectations_ledger(spark, tmp_path):
+    import time
+
+    from bigdata_quality_assessment_spark.operators.expectations import (
+        in_range,
+        not_null,
+    )
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        streaming_expectations_ledger,
+    )
+
+    stage = tmp_path / "in"
+    stage.mkdir()
+    batches = [
+        [(1, 10.0), (2, None)],            # one null
+        [(3, 500.0), (4, 20.0), (5, 30.0)],  # one out of range
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "id long, v double").coalesce(1).write.parquet(
+            str(stage / f"b{i}")
+        )
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    ledger_path = str(tmp_path / "ledger")
+    q = streaming_expectations_ledger(
+        stream,
+        [not_null("v"), in_range("v", 0.0, 100.0)],
+        ledger_path,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    ledger = spark.read.parquet(ledger_path)
+    rows = {(r.batch_id, r.rule): (r.n_rows, r.n_violations) for r in ledger.collect()}
+    assert len(rows) == 4  # 2 batches x 2 rules
+    by_rule = {}
+    for (bid, rule), (n, v) in rows.items():
+        by_rule.setdefault(rule, []).append((n, v))
+    # one batch has the null violation, the other the range violation
+    assert sorted(by_rule["not_null(v)"]) == [(2, 1), (3, 0)]
+    assert sorted(by_rule["in_range(v,0.0,100.0)"]) == [(2, 1), (3, 1)]
