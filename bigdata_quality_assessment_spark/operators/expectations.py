@@ -224,3 +224,40 @@ def enforce_expectations(
     passing = tagged.filter(F.size(reason_col) == 0).drop(reason_col)
     quarantined = tagged.filter(F.size(reason_col) > 0)
     return passing, quarantined
+
+
+def check_expectations_by(
+    df: DataFrame, rules: list[Expectation], group_col: str
+) -> DataFrame:
+    """Per-group audit of the ROW-WISE rules: one output row per
+    (group, rule) — the per-source quality dashboard (which ingest
+    feed is violating which contract). Still ONE aggregation pass
+    (groupBy + the same violation sums); unique/ref rules are
+    table-level and raise here."""
+    bad = [e.kind for e in rules if _row_ok(e) is None]
+    if bad:
+        raise ValueError(
+            f"set-level rule kinds {bad} are not per-group decidable; "
+            "audit them table-wide with check_expectations"
+        )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        _row_violation(e).alias(f"__v{i}") for i, e in enumerate(rules)
+    ]
+    wide = df.groupBy(group_col).agg(*aggs)
+    pairs = []
+    for i, e in enumerate(rules):
+        v = F.col(f"__v{i}")
+        pairs.append(
+            F.struct(
+                F.lit(e.name).alias("rule"),
+                F.lit(e.kind).alias("kind"),
+                F.col("__n").cast("long").alias("n_rows"),
+                v.alias("n_violations"),
+                F.when(F.col("__n") > 0, 1.0 - v / F.col("__n"))
+                .otherwise(F.lit(1.0))
+                .alias("pass_rate"),
+            )
+        )
+    return wide.select(
+        group_col, F.explode(F.array(*pairs)).alias("p")
+    ).select(group_col, "p.rule", "p.kind", "p.n_rows", "p.n_violations", "p.pass_rate")

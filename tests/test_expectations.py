@@ -111,3 +111,27 @@ def test_enforce_expectations_split(spark, table):
     # no-row-rules edge: everything passes, empty quarantine
     p2, q2 = enforce_expectations(table, [unique("id")])
     assert p2.count() == 5 and q2.count() == 0
+
+
+def test_check_expectations_by_group(spark):
+    from bigdata_quality_assessment_spark.operators.expectations import (
+        check_expectations_by,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 10.0), ("a", None), ("a", 20.0),
+            ("b", 500.0), ("b", 30.0),
+        ],
+        "src string, v double",
+    )
+    out = {(r.src, r.rule): (r.n_rows, r.n_violations)
+           for r in check_expectations_by(
+               df, [not_null("v"), in_range("v", 0.0, 100.0)], "src"
+           ).collect()}
+    assert out[("a", "not_null(v)")] == (3, 1)
+    assert out[("a", "in_range(v,0.0,100.0)")] == (3, 1)   # null violates
+    assert out[("b", "not_null(v)")] == (2, 0)
+    assert out[("b", "in_range(v,0.0,100.0)")] == (2, 1)   # 500
+    with pytest.raises(ValueError):
+        check_expectations_by(df, [unique("src")], "src")
