@@ -68,7 +68,8 @@ def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     config: CurationConfig | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    with_report: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Run the curation pipeline. Returns ``(clean_docs, report)``:
     ``clean_docs`` is the surviving subset of ``docs`` (original
     columns; text normalized when configured), ``report`` is a tiny
@@ -76,7 +77,10 @@ def curate(
 
     ``benchmark`` enables the decontamination stage. Stages that are
     switched off in the config are skipped entirely (no pass, no
-    report row beyond 'input')."""
+    report row beyond 'input'). ``with_report=False`` skips the
+    per-stage counts (one ACTION each — they materialize the stage
+    barriers eagerly); the returned report is then None and the whole
+    pipeline stays one lazy plan until the caller's first action."""
     cfg = config or CurationConfig()
     stages: list[tuple[str, DataFrame]] = []
 
@@ -160,6 +164,8 @@ def curate(
             mixture_sample(cur, cfg.mixture_rates, cfg.source_col, cfg.id_col, cfg.seed),
         )
 
+    if not with_report:
+        return cur, None
     spark = docs.sparkSession
     report_rows = [(name, df_.count()) for name, df_ in stages]
     report = spark.createDataFrame(report_rows, "stage string, rows long")
