@@ -189,3 +189,20 @@ def test_expectations_survive_nasty_inputs(spark, nasty_docs):
     assert out["unique(doc_id)"] == 0
     assert out["in_range(doc_id,0,5)"] == 5    # ids 6..10
     assert 0 < out["matches(text)"] <= 10
+
+
+def test_fuzzy_tfidf_survive_nasty_docs(spark, nasty_docs):
+    from bigdata_quality_assessment_spark.operators.text import (
+        fuzzy_decontaminate,
+        tf_idf,
+    )
+
+    # nasty docs on BOTH sides: nulls, unicode, empties, shorts
+    out = fuzzy_decontaminate(nasty_docs, nasty_docs, k=3, min_jaccard=0.9)
+    flagged = {r.doc_id for r in out.collect()}
+    # every doc is its own exact near-duplicate... but self-pairs are
+    # excluded only across ids — docs too short to shingle never flag
+    assert flagged.issubset({r.doc_id for r in nasty_docs.collect()})
+    ti = tf_idf(nasty_docs, top_k=2)
+    assert ti.count() >= 1  # unicode/long docs produce terms, no crash
+    assert ti.filter(F.col("term") == "").count() == 0
