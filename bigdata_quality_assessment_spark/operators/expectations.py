@@ -110,10 +110,43 @@ def _row_violation(e: Expectation):
     ).cast("long")
 
 
+RESERVED_COLS = ("rule", "kind", "n_rows", "n_violations", "pass_rate")
+
+
+def _report_pairs(rules: list[Expectation], col_for) -> list:
+    """The shared (rule, kind, n_rows, n_violations, pass_rate) struct
+    array — ONE definition of the report shape for the table-wide and
+    per-group audits."""
+    pairs = []
+    for j, e in enumerate(rules):
+        v = F.col(col_for(j))
+        pairs.append(
+            F.struct(
+                F.lit(e.name).alias("rule"),
+                F.lit(e.kind).alias("kind"),
+                F.col("__n").cast("long").alias("n_rows"),
+                v.alias("n_violations"),
+                F.when(F.col("__n") > 0, 1.0 - v / F.col("__n"))
+                .otherwise(F.lit(1.0))
+                .alias("pass_rate"),
+            )
+        )
+    return pairs
+
+
+def _empty_report(spark, lead: str = "") -> DataFrame:
+    schema = ("" if not lead else f"{lead}, ") + (
+        "rule string, kind string, n_rows long, n_violations long, pass_rate double"
+    )
+    return spark.createDataFrame([], schema)
+
+
 def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     """Evaluate ``rules`` against ``df`` → ``(rule, kind, n_rows,
     n_violations, pass_rate)``, one row per rule in input order."""
     spark = df.sparkSession
+    if not rules:
+        return _empty_report(spark)
     row_rules = [e for e in rules if _row_violation(e) is not None]
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         _row_violation(e).alias(f"__v{i}") for i, e in enumerate(row_rules)
@@ -157,20 +190,7 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             col_for[j] = f"__v{row_i}"
             row_i += 1
 
-    pairs = []
-    for j, e in enumerate(rules):
-        v = F.col(col_for[j])
-        pairs.append(
-            F.struct(
-                F.lit(e.name).alias("rule"),
-                F.lit(e.kind).alias("kind"),
-                F.col("__n").cast("long").alias("n_rows"),
-                v.alias("n_violations"),
-                F.when(
-                    F.col("__n") > 0, 1.0 - v / F.col("__n")
-                ).otherwise(F.lit(1.0)).alias("pass_rate"),
-            )
-        )
+    pairs = _report_pairs(rules, lambda j: col_for[j])
     return results.select(F.explode(F.array(*pairs)).alias("p")).select(
         "p.rule", "p.kind", "p.n_rows", "p.n_violations", "p.pass_rate"
     )
@@ -234,30 +254,24 @@ def check_expectations_by(
     feed is violating which contract). Still ONE aggregation pass
     (groupBy + the same violation sums); unique/ref rules are
     table-level and raise here."""
+    if group_col in RESERVED_COLS or group_col.startswith("__"):
+        raise ValueError(
+            f"group_col {group_col!r} collides with a report column; "
+            "rename it before auditing"
+        )
     bad = [e.kind for e in rules if _row_ok(e) is None]
     if bad:
         raise ValueError(
             f"set-level rule kinds {bad} are not per-group decidable; "
             "audit them table-wide with check_expectations"
         )
+    if not rules:
+        return _empty_report(df.sparkSession, lead=f"{group_col} string")
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         _row_violation(e).alias(f"__v{i}") for i, e in enumerate(rules)
     ]
     wide = df.groupBy(group_col).agg(*aggs)
-    pairs = []
-    for i, e in enumerate(rules):
-        v = F.col(f"__v{i}")
-        pairs.append(
-            F.struct(
-                F.lit(e.name).alias("rule"),
-                F.lit(e.kind).alias("kind"),
-                F.col("__n").cast("long").alias("n_rows"),
-                v.alias("n_violations"),
-                F.when(F.col("__n") > 0, 1.0 - v / F.col("__n"))
-                .otherwise(F.lit(1.0))
-                .alias("pass_rate"),
-            )
-        )
+    pairs = _report_pairs(rules, lambda j: f"__v{j}")
     return wide.select(
         group_col, F.explode(F.array(*pairs)).alias("p")
     ).select(group_col, "p.rule", "p.kind", "p.n_rows", "p.n_violations", "p.pass_rate")

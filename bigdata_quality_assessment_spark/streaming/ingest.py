@@ -196,43 +196,59 @@ def forget(
     arrivals as phantom duplicates. Returns the number of corpus rows
     removed.
 
-    Each store is rewritten through a temp dir + swap (the compact_lake
-    recovery discipline: a crash leaves either the old or the new
-    layout, recoverable, never a half-deleted store). Digests are
-    recomputed from the SURVIVING corpus rows rather than diffed —
-    correctness over cleverness: the digest store then provably
-    contains exactly the surviving documents' digests."""
+    Each store is rewritten LAZILY into a temp dir, then swapped in
+    with start-of-call crash recovery (the compact_lake discipline):
+    the survivor frame is never materialized driver/executor-side —
+    the tmp write streams from the old files, and the digest store is
+    recomputed by reading the NEW corpus path after its swap, so no
+    lineage ever spans a deleted directory. Digests are recomputed
+    from the surviving corpus rather than diffed — the digest store
+    then provably contains exactly the surviving documents' digests.
+
+    Ordering + resumability: the corpus swaps FIRST (the privacy
+    deletion lands even if the process dies mid-way); a crash before
+    the state-store swaps leaves stale digests/buckets that would
+    suppress re-arrivals — RE-RUNNING forget() with any (even empty)
+    id list completes the cleanup, because state is always rebuilt
+    from the surviving corpus, not diffed. forget() is idempotent."""
     import shutil
 
-    ids = list(doc_ids)
-    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
-    corpus_path = os.path.join(root, "corpus")
-    corpus = spark.read.parquet(corpus_path)
-    n_before = corpus.count()
-    keep = corpus.join(F.broadcast(id_df), id_col, "left_anti").localCheckpoint(
-        eager=True
-    )
-    n_after = keep.count()
+    def recover_and_clean(path: str) -> None:
+        tmp, old = path + ".__forget__", path + ".__old__"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)  # prior run crashed mid-swap
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     def swap(df: DataFrame, path: str) -> None:
-        tmp = path + ".__forget__"
-        old = path + ".__old__"
+        tmp, old = path + ".__forget__", path + ".__old__"
         df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
 
-    swap(keep, corpus_path)
+    ids = list(doc_ids)
+    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    corpus_path = os.path.join(root, "corpus")
+    digests_path = os.path.join(root, "digests")
+    buckets_path = os.path.join(root, "buckets")
+    for pth in (corpus_path, digests_path, buckets_path):
+        recover_and_clean(pth)
+
+    corpus = spark.read.parquet(corpus_path)
+    n_before = corpus.count()
+    swap(corpus.join(F.broadcast(id_df), id_col, "left_anti"), corpus_path)
+    survivors = spark.read.parquet(corpus_path)  # the NEW files
+    n_after = survivors.count()
     swap(
-        keep.select(F.md5(F.col(text_col)).alias("digest")),
-        os.path.join(root, "digests"),
+        survivors.select(F.md5(F.col(text_col)).alias("digest")), digests_path
     )
-    buckets = spark.read.parquet(os.path.join(root, "buckets"))
+    buckets = spark.read.parquet(buckets_path)
     swap(
-        buckets.join(F.broadcast(id_df), id_col, "left_anti"),
-        os.path.join(root, "buckets"),
+        buckets.join(
+            F.broadcast(survivors.select(id_col)), id_col, "left_semi"
+        ),
+        buckets_path,
     )
     return n_before - n_after
 
@@ -256,8 +272,17 @@ def streaming_expectations_ledger(
         check_expectations,
     )
 
+    marker_dir = (
+        os.path.join(checkpoint, "_ledger_commits") if checkpoint else None
+    )
+
     def audit(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
+        # same replay-idempotence discipline as streaming_ingest_curated:
+        # checkpoint-scoped markers stop a redelivered batch from
+        # appending duplicate ledger rows. No take(1) pre-scan — an
+        # empty batch legitimately ledgers n_rows=0 rows, as promised.
+        marker = os.path.join(marker_dir, str(batch_id)) if marker_dir else None
+        if marker and os.path.exists(marker):
             return
         report = check_expectations(batch, rules).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
@@ -265,6 +290,10 @@ def streaming_expectations_ledger(
         report.select(
             "batch_id", "rule", "kind", "n_rows", "n_violations", "pass_rate"
         ).write.mode("append").parquet(ledger_path)
+        if marker:
+            os.makedirs(marker_dir, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write("done")
 
     w = stream.writeStream.foreachBatch(audit).trigger(availableNow=True)
     if checkpoint:
