@@ -292,6 +292,22 @@ def main() -> None:
     )
     report.collect()
     extras["curate_pipeline"] = round(time.perf_counter() - t0, 3)
+    from bigdata_quality_assessment_spark.operators.bpe import (
+        bpe_token_count,
+        train_bpe,
+    )
+    from bigdata_quality_assessment_spark.operators.similarity import knn_quantized
+
+    t0 = time.perf_counter()
+    merges = train_bpe(docs, n_merges=200, sample_n=2000)
+    bpe_token_count(docs, merges).agg(F.sum("n_bpe_tokens")).collect()
+    extras["bpe_train_encode"] = round(time.perf_counter() - t0, 3)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.perf_counter()
+    knn_quantized(emb, q, k=5).collect()
+    extras["knn_quantized"] = round(time.perf_counter() - t0, 3)
 
     spark.stop()
     print(
