@@ -870,7 +870,13 @@ def fuzzy_decontaminate(
     TRAIN band buckets against the BENCH band buckets (never
     train×bench); exact Jaccard verifies only the candidates. Unlike
     the self-join dedup, the bench bucket side broadcasts, so the
-    training corpus's banded keys never shuffle."""
+    training corpus's banded keys never shuffle.
+
+    Size ``bands`` to the threshold: candidate recall for a pair at
+    jaccard j is 1-(1-j^r)^bands with r = 128/bands. The default 16
+    bands (r=8) holds recall > 99% only for j >= 0.8; for thresholds
+    near 0.5 use bands=32 (r=4, recall ~97% at j=0.57) — the
+    curation pipeline's fuzzy tier defaults there."""
     sig_d = minhash_signatures(docs, text_col, k, n_hashes, mode, id_col)
     sig_b = minhash_signatures(benchmark, text_col, k, n_hashes, mode, id_col)
 
