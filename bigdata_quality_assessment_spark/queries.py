@@ -1354,32 +1354,68 @@ def _lang_sql() -> str:
                   row_number() OVER (PARTITION BY t.doc_id
                     ORDER BY t.tf * (ln((n + 1.0) / (d.df + 1)) + 1) DESC,
                              t.term ASC) AS rn
-           FROM tfq t JOIN dfq d USING (term) CROSS JOIN nd)
+           FROM tfq t JOIN dfq d USING (term) CROSS JOIN nd),
+    toksq AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+              FROM documents),
+    prq AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE ts[i-1] END AS prev, ts[i] AS w
+            FROM (SELECT doc_id, ts,
+                         unnest(CASE WHEN len(ts) >= 1 THEN generate_series(1, len(ts))
+                                     ELSE [] END) AS i
+                  FROM toksq)),
+    biq AS (SELECT prev, w, count(*) AS c FROM prq GROUP BY prev, w),
+    ctxq AS (SELECT prev, sum(c) AS cc FROM biq GROUP BY prev),
+    vvq AS (SELECT count(DISTINCT w) AS v FROM prq),
+    scq AS (SELECT p.doc_id AS doc_id,
+                   ln((coalesce(b.c, 0) + 0.5) / (coalesce(x.cc, 0) + 0.5 * vvq.v)) AS lp
+            FROM prq p LEFT JOIN biq b USING (prev, w)
+                       LEFT JOIN ctxq x USING (prev) CROSS JOIN vvq),
+    agq AS (SELECT doc_id, count(*) AS n, sum(lp) AS s FROM scq GROUP BY doc_id)
     SELECT 'lang' AS part, doc_id,
            {', '.join(f'round(score_{lang}, 6) AS score_{lang}' for lang in langs)},
            CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_pred,
            CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS tf,
-           CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS tfidf
+           CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS tfidf,
+           CAST(NULL AS BIGINT) AS n_lm_tokens, CAST(NULL AS DOUBLE) AS avg_logp,
+           CAST(NULL AS DOUBLE) AS ppl
     FROM s
     UNION ALL
     SELECT 'tfidf', doc_id,
            {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
-           CAST(NULL AS VARCHAR), term, tf, df, round(tfidf, 6)
-    FROM ti WHERE rn <= 3"""
+           CAST(NULL AS VARCHAR), term, tf, df, round(tfidf, 6),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ti WHERE rn <= 3
+    UNION ALL
+    SELECT 'lm', d.doc_id,
+           {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           coalesce(a.n, 0), round(a.s / a.n, 6), round(exp(-a.s / a.n), 6)
+    FROM documents d LEFT JOIN agq a ON d.doc_id = a.doc_id"""
 
 
 @_register("x_language_id", _lang_sql())
 def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID + TF-IDF keyword extraction as one tagged union
-    (round-5 continuation): part='lang' is the stopword-lexicon
+    """Language-model family as one tagged union (round-5
+    continuation): part='lang' is the stopword-lexicon language-ID
     heuristic; part='tfidf' is each document's top-3 terms by smoothed
-    TF-IDF (text.py tf_idf — sklearn's idf convention), hash-matched
-    against the SQL formulation."""
-    from bigdata_quality_assessment_spark.operators.text import tf_idf
+    TF-IDF (text.py tf_idf — sklearn's idf convention); part='lm' is
+    bigram-LM perplexity scoring (text.py ngram_lm_score — the
+    CCNet-style quality signal: add-k-smoothed bigram model trained on
+    the corpus, per-document avg log-prob and perplexity). All three
+    hash-matched against the SQL formulation."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        ngram_lm_score,
+        tf_idf,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     out = language_id(docs)
     langs = sorted(LANG_LEXICONS)
+    _lm_nulls = [
+        F.lit(None).cast("bigint").alias("n_lm_tokens"),
+        F.lit(None).cast("double").alias("avg_logp"),
+        F.lit(None).cast("double").alias("ppl"),
+    ]
     lang_part = out.select(
         F.lit("lang").alias("part"),
         "doc_id",
@@ -1389,6 +1425,7 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("tf"),
         F.lit(None).cast("bigint").alias("df"),
         F.lit(None).cast("double").alias("tfidf"),
+        *_lm_nulls,
     )
     ti = tf_idf(docs, top_k=3).select(
         F.lit("tfidf").alias("part"),
@@ -1399,8 +1436,22 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf",
         "df",
         F.round("tfidf", 6).alias("tfidf"),
+        *_lm_nulls,
     )
-    return lang_part.unionByName(ti)
+    lm = ngram_lm_score(docs).select(
+        F.lit("lm").alias("part"),
+        "doc_id",
+        *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],
+        F.lit(None).cast("string").alias("lang_pred"),
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("bigint").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.lit(None).cast("double").alias("tfidf"),
+        "n_lm_tokens",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+    return lang_part.unionByName(ti).unionByName(lm)
 
 
 @_register(

@@ -478,3 +478,74 @@ def test_pack_sequences_multi_arrow_batch_flush(spark):
         tot = sum(r.n_chunk_tokens for r in rows_)
         assert all(r.seq_tokens == tot for r in rows_)
         assert tot <= 47
+
+
+def test_ngram_lm_score_matches_python(spark):
+    """Self-trained bigram perplexity equals a python reimplementation
+    (add-k smoothing, BOS sentinel), and empty docs get NULLs."""
+    from collections import Counter
+
+    from bigdata_quality_assessment_spark.operators.text import ngram_lm_score
+
+    rows = [
+        (0, "a b a b c"),
+        (1, "a b a b a b"),
+        (2, "c c c"),
+        (3, ""),  # no tokens -> NULL ppl
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in ngram_lm_score(docs, add_k=0.5).collect()
+    }
+
+    # python oracle
+    def pairs(t):
+        ws = [w for w in t.split(" ") if w]
+        return list(zip(["<s>"] + ws[:-1], ws))
+
+    bi = Counter(p for _, t in rows for p in pairs(t))
+    ctx = Counter()
+    for (p, _), c in bi.items():
+        ctx[p] += c
+    vocab = {w for _, t in rows for w in t.split(" ") if w}
+    v = len(vocab)
+    for doc_id, t in rows:
+        ps = pairs(t)
+        r = out[doc_id]
+        assert r["n_lm_tokens"] == len(ps)
+        if not ps:
+            assert r["avg_logp"] is None and r["ppl"] is None
+            continue
+        lp = sum(
+            np.log((bi[p] + 0.5) / (ctx[p[0]] + 0.5 * v)) for p in ps
+        ) / len(ps)
+        assert r["avg_logp"] == pytest.approx(lp, rel=1e-12)
+        assert r["ppl"] == pytest.approx(np.exp(-lp), rel=1e-12)
+
+
+def test_ngram_lm_cross_train_and_unk(spark):
+    """Cross-corpus training: fluent text (seen bigrams) scores lower
+    perplexity than unseen text; max_vocab folds rare tokens to <unk>
+    on both sides so OOV scoring is finite and vocabulary-bounded."""
+    from bigdata_quality_assessment_spark.operators.text import ngram_lm_score
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "zyx wvu tsr qpo nml kji")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_lm_score(score, train).collect()}
+    assert out[0]["ppl"] < out[1]["ppl"]
+    assert np.isfinite(out[1]["ppl"])
+
+    # max_vocab=2 keeps only the two most frequent train tokens ("the"
+    # + lexicographic tie-break); everything else scores as <unk>, so
+    # any two all-OOV docs of equal length get the IDENTICAL score
+    score2 = spark.createDataFrame(
+        [(0, "zebra yak xerus wombat"), (1, "aa bb cc dd")], ["doc_id", "text"]
+    )
+    out2 = {r["doc_id"]: r for r in ngram_lm_score(score2, train, max_vocab=2).collect()}
+    assert out2[0]["ppl"] == pytest.approx(out2[1]["ppl"], rel=1e-12)
