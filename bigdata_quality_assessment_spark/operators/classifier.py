@@ -1,0 +1,185 @@
+"""Hashing-trick logistic-regression quality classifier — the
+fastText-style model-based document filter (Joulin et al. 2017 "Bag of
+Tricks"; the quality-filtering deployment shape of GPT-3/LLaMA/DataComp:
+train a tiny linear classifier on labeled positives vs corpus
+negatives, keep documents the model scores as reference-like).
+
+Extends the engine's model family (reference trains numpy model
+ensembles driver-side and serves them wide,
+/root/reference/BigDataQualityAssessment_ActiveSampling.py:116-152 —
+same train-small/apply-wide contract) to TEXT classification.
+
+Design for 100 TB:
+
+* **Features are a hashed bag of words** — each token is folded to one
+  of ``dim`` buckets by a polynomial character hash that is a pure
+  Catalyst expression (aggregate over ``split(token, '')``), so
+  featurization needs no vocabulary table, no fitting pass, and no
+  join.
+* **Training is driver-side by contract** on a bounded labeled sample
+  (labels are human/LLM annotations or a heuristic to distill —
+  thousands-to-100k rows), full-batch logistic GD in numpy: seeded,
+  deterministic, a few MB of state.
+* **Scoring is one narrow projection**: the trained weight vector is
+  frozen into the plan as an ``array<double>`` literal and each
+  document's logit is ``bias + Σ w[h(token)] / n_tokens`` via
+  ``aggregate`` + ``element_at`` — ZERO shuffle, zero Python, scales
+  linearly with executors exactly like the text-stats family. (At
+  ``dim`` beyond a few thousand, swap the literal for a broadcast join
+  on the bucket id — same wire cost, one extra exchange on the
+  vocabulary-shaped side only.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.text import tokens
+
+# Polynomial char-hash modulus — prime, small enough that
+# acc*31 + ord(c) never overflows int64 between reductions.
+TOKEN_HASH_MOD = 1_000_003
+
+
+def token_bucket(tok: Column, dim: int) -> Column:
+    """Hash bucket of a token: left-fold ``acc*31 + ascii(char)`` mod
+    ``TOKEN_HASH_MOD`` over the characters, then mod ``dim``. A pure
+    Catalyst expression (``aggregate`` over ``split(tok, '')``) with an
+    exact python twin (`_py_token_bucket`), so driver-side training and
+    cluster-side scoring featurize identically."""
+    chars = F.filter(F.split(tok, ""), lambda c: c != "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % TOKEN_HASH_MOD,
+    )
+    return h % dim
+
+
+def _py_token_bucket(tok: str, dim: int) -> int:
+    h = 0
+    for c in tok:
+        h = (h * 31 + ord(c)) % TOKEN_HASH_MOD
+    return h % dim
+
+
+def _featurize(texts: list[str], dim: int) -> np.ndarray:
+    """Dense hashed bag-of-words, L1-normalized per doc (mean token
+    weight — the fastText convention). Driver-side only, bounded by
+    the training-sample contract."""
+    X = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        if not ws:
+            continue
+        for w in ws:
+            X[i, _py_token_bucket(w, dim)] += 1.0
+        X[i] /= len(ws)
+    return X
+
+
+@dataclass(frozen=True)
+class QualityClassifier:
+    weights: tuple[float, ...]  # len == dim
+    bias: float
+    dim: int
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    *,
+    dim: int = 512,
+    n_train: int = 5000,
+    lr: float = 2.0,
+    n_iter: int = 300,
+    l2: float = 1e-4,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> QualityClassifier:
+    """Train the logistic model on a deterministic bounded sample of
+    ``labeled`` (``label`` ∈ {0,1}): bottom-k by ``xxhash64(id)`` (the
+    stable minwise sample — reproducible, corpus-order independent),
+    collected to the driver, full-batch gradient descent. Everything
+    that scales with the corpus stays on the cluster; the collect is
+    ``n_train`` rows of text by contract."""
+    from bigdata_quality_assessment_spark.operators.select import hash_sample_k
+
+    sample = hash_sample_k(labeled.select(id_col, text_col, label_col), n_train, id_col)
+    rows = sample.collect()
+    X = _featurize([r[text_col] for r in rows], dim)
+    y = np.array([float(r[label_col]) for r in rows])
+    w = np.zeros(dim)
+    b = 0.0
+    n = max(len(rows), 1)
+    for _ in range(n_iter):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / n + l2 * w)
+        b -= lr * float(g.mean())
+    return QualityClassifier(weights=tuple(float(v) for v in w), bias=float(b), dim=dim)
+
+
+def classify_quality(
+    docs: DataFrame,
+    model: QualityClassifier,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with the frozen model: ``(id, logit,
+    p_good)``. One narrow Catalyst projection — the weight vector rides
+    the plan as an array literal, the logit is an ``aggregate`` over
+    the token array (mean bucket weight + bias), and the sigmoid is
+    codegen arithmetic. No shuffle, no Python, no join; token-less
+    documents score at the bias (an empty doc carries no evidence)."""
+    w_lit = F.array(*[F.lit(v) for v in model.weights])
+    ts = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    n_tok = F.size(ts)
+    tok_sum = F.aggregate(
+        ts,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(w_lit, (token_bucket(t, model.dim) + 1).cast("int")),
+    )
+    logit = F.lit(model.bias) + F.when(n_tok > 0, tok_sum / n_tok).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("p_good"),
+    )
+
+
+def distill_quality_classifier(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    dim: int = 512,
+    n_train: int = 5000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> QualityClassifier:
+    """Distill the heuristic ``quality_score`` into the linear model:
+    label = (quality >= threshold), train on the bounded sample. The
+    model then scores at a fraction of the heuristic's per-token
+    expression cost and — unlike the heuristic — generalizes its
+    decision boundary to token co-occurrence evidence. This mirrors
+    the standard corpus bootstrap (label with rules / a reference
+    corpus, train the cheap model, filter at scale)."""
+    from bigdata_quality_assessment_spark.operators.text import quality_score
+
+    labeled = quality_score(
+        docs, text_col=text_col, keep=[text_col], id_col=id_col
+    ).select(
+        id_col,
+        text_col,
+        (F.col("quality") >= threshold).cast("double").alias("label"),
+    )
+    return train_quality_classifier(
+        labeled, dim=dim, n_train=n_train, text_col=text_col, id_col=id_col
+    )
