@@ -1206,3 +1206,102 @@ def ngram_lm_score(
             F.exp(-avg).alias("ppl"),
         )
     )
+
+
+# Combined (doc, span) ordinal used to pick the globally-first span
+# occurrence: doc_id * 2^20 + span_idx. Bounds a document at 2^20
+# spans (~5M tokens at span_tokens=5) — far beyond any real document.
+_SPAN_ORD_SHIFT = 1 << 20
+
+
+def dedup_spans(
+    docs: DataFrame,
+    span_tokens: int = 5,
+    min_count: int = 2,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_spans: bool = True,
+) -> DataFrame:
+    """C4-style sub-document span deduplication (Raffel et al. 2020
+    §2.2 deduplicated three-sentence spans; Lee et al. 2021 showed
+    repeated spans inflate memorization): split every document into
+    consecutive non-overlapping ``span_tokens``-word spans, and for
+    any span occurring ≥ ``min_count`` times ACROSS the corpus keep
+    only its globally-first occurrence (smallest ``(doc, span_idx)``),
+    deleting the rest from their documents. Returns one row per input
+    document: ``(id, text_deduped, n_spans, n_spans_removed)`` with
+    the surviving spans rejoined in original order (``text_deduped``
+    is NULL for token-less documents).
+
+    This is the sub-document complement to ``exact_dedup`` (whole-doc)
+    and ``near_dedup_minhash`` (whole-doc fuzzy): boilerplate
+    headers/footers/navigation repeated across pages get excised while
+    the unique prose stays.
+
+    100 TB shape: the only corpus-sized exchanges carry
+    ``(id, span_idx, key)`` rows — with ``hash_spans`` (the default)
+    the key is 8 bytes of xxhash64, never span text — and that slim
+    frame is BARRIERED (lazy localCheckpoint) so the corpus is
+    tokenized once, not once per reference (count + removal join).
+    The duplicated-span table (``key → first occurrence``) holds one
+    row per distinct ≥min_count span — boilerplate-shaped, orders
+    smaller than the corpus — and broadcasts into the removal join.
+    Removal indices come back as one small ``collect_set`` row per
+    affected doc; reassembly filters the document's own span array
+    in place (narrow). ``hash_spans=False`` keys by the span string
+    itself (collision-free; the oracle path, pinned row-identical to
+    the hashed path in tests)."""
+    span = int(span_tokens)
+    ws = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    n_spans = F.ceil(F.size("__ws") / F.lit(span)).cast("int")
+    spans = F.when(
+        F.size("__ws") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda sid: F.concat_ws(
+                " ", F.slice(F.col("__ws"), sid * span + 1, span)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    framed = docs.select(F.col(id_col), ws.alias("__ws")).select(
+        id_col, spans.alias("__spans")
+    )
+
+    key = F.xxhash64(F.col("__span")) if hash_spans else F.col("__span")
+    ex = (
+        framed.select(id_col, F.posexplode("__spans").alias("__sid", "__span"))
+        .select(
+            id_col,
+            F.col("__sid"),
+            key.alias("__key"),
+            (F.col(id_col) * _SPAN_ORD_SHIFT + F.col("__sid")).alias("__ord"),
+        )
+        # two consumers (count + removal join) — tokenize once
+        .localCheckpoint(eager=False)
+    )
+    firsts = ex.groupBy("__key").agg(
+        F.count(F.lit(1)).alias("__c"), F.min("__ord").alias("__keep")
+    )
+    dups = firsts.filter(F.col("__c") >= min_count).select("__key", "__keep")
+    removed = (
+        ex.join(F.broadcast(dups), "__key")
+        .filter(F.col("__ord") != F.col("__keep"))
+        .groupBy(id_col)
+        .agg(F.collect_set("__sid").alias("__rm"))
+    )
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__spans"), lambda s, i: ~F.array_contains(rm, i.cast("int"))
+    )
+    return (
+        framed.join(removed, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.size("__spans") > 0, F.concat_ws(" ", kept)).alias(
+                "text_deduped"
+            ),
+            F.size("__spans").cast("bigint").alias("n_spans"),
+            F.size(rm).cast("bigint").alias("n_spans_removed"),
+        )
+    )

@@ -1848,15 +1848,40 @@ _FP_POWS = " + ".join(
                      FROM toks)),
         bg AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 97 = 0),
         hits AS (SELECT gr.doc_id, count(*) AS n_hits
-                 FROM gr JOIN bg USING (gram) GROUP BY gr.doc_id)
+                 FROM gr JOIN bg USING (gram) GROUP BY gr.doc_id),
+        spd AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                FROM documents),
+        spn AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 5.0) AS INT) AS ns FROM spd),
+        sx AS (SELECT doc_id, sid,
+                      array_to_string(list_slice(ws, sid*5 + 1, sid*5 + 5), ' ') AS span
+               FROM (SELECT doc_id, ws,
+                            unnest(CASE WHEN ns > 0 THEN range(ns) ELSE [] END) AS sid
+                     FROM spn)),
+        fir AS (SELECT span, count(*) AS c, min(doc_id*1048576 + sid) AS keep
+                FROM sx GROUP BY span),
+        keptq AS (SELECT s.doc_id, s.sid, s.span
+                  FROM sx s JOIN fir f USING (span)
+                  WHERE f.c < 2 OR s.doc_id*1048576 + s.sid = f.keep),
+        reas AS (SELECT doc_id, string_agg(span, ' ' ORDER BY sid) AS text_deduped,
+                        count(*) AS n_kept
+                 FROM keptq GROUP BY doc_id)
         SELECT 'fp' AS part, doc_id, fp,
-               CAST(NULL AS BIGINT) AS n_hits, CAST(NULL AS BIGINT) AS contaminated
+               CAST(NULL AS BIGINT) AS n_hits, CAST(NULL AS BIGINT) AS contaminated,
+               CAST(NULL AS BIGINT) AS n_spans, CAST(NULL AS BIGINT) AS n_spans_removed,
+               CAST(NULL AS VARCHAR) AS text_deduped
         FROM (SELECT DISTINCT doc_id, fp FROM h WHERE fp % 16 = 0)
         UNION ALL
         SELECT 'decon', d.doc_id, CAST(NULL AS BIGINT),
                coalesce(h.n_hits, 0),
-               CASE WHEN coalesce(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END
-        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+               CASE WHEN coalesce(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        UNION ALL
+        SELECT 'spandedup', p.doc_id, CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(p.ns AS BIGINT), CAST(p.ns - coalesce(r.n_kept, 0) AS BIGINT),
+               CASE WHEN p.ns > 0 THEN coalesce(r.text_deduped, '') END
+        FROM spn p LEFT JOIN reas r ON p.doc_id = r.doc_id""",
 )
 def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint family as one tagged union (round-5 continuation):
@@ -1868,16 +1893,31 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the gram join in ANSI SQL, so the flag and the hit
     count are hash-matched cross-engine (the operator's default
     hashed-key fast path is pinned row-identical to this string-join
-    path in tests/test_text.py)."""
-    from bigdata_quality_assessment_spark.operators.text import decontaminate
+    path in tests/test_text.py); part='spandedup' is C4-style
+    sub-document span dedup (text.py dedup_spans, span_tokens=5):
+    duplicated 5-word spans keep only their globally-first occurrence
+    and documents are reassembled — run on the HASHED scale path
+    (xxhash64 span keys; collision-free at any tested SF) against the
+    oracle's exact string-keyed formulation, so the grade covers the
+    production configuration end-to-end including reassembly."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        decontaminate,
+        dedup_spans,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    _span_nulls = [
+        F.lit(None).cast("bigint").alias("n_spans"),
+        F.lit(None).cast("bigint").alias("n_spans_removed"),
+        F.lit(None).cast("string").alias("text_deduped"),
+    ]
     fp = doc_fingerprints(docs, k=8, mod_p=16).select(
         F.lit("fp").alias("part"),
         "doc_id",
         "fp",
         F.lit(None).cast("bigint").alias("n_hits"),
         F.lit(None).cast("bigint").alias("contaminated"),
+        *_span_nulls,
     )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     dec = decontaminate(docs, bench, k=5, hash_grams=False).select(
@@ -1886,8 +1926,19 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("fp"),
         "n_hits",
         F.col("contaminated").cast("bigint").alias("contaminated"),
+        *_span_nulls,
     )
-    return fp.unionByName(dec)
+    spd = dedup_spans(docs, span_tokens=5).select(
+        F.lit("spandedup").alias("part"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("fp"),
+        F.lit(None).cast("bigint").alias("n_hits"),
+        F.lit(None).cast("bigint").alias("contaminated"),
+        "n_spans",
+        "n_spans_removed",
+        "text_deduped",
+    )
+    return fp.unionByName(dec).unionByName(spd)
 
 
 @_register(

@@ -549,3 +549,76 @@ def test_ngram_lm_cross_train_and_unk(spark):
     )
     out2 = {r["doc_id"]: r for r in ngram_lm_score(score2, train, max_vocab=2).collect()}
     assert out2[0]["ppl"] == pytest.approx(out2[1]["ppl"], rel=1e-12)
+
+
+def test_dedup_spans_removes_boilerplate_keeps_first(spark):
+    """C4-style span dedup: the duplicated 5-word span survives only
+    at its globally-first (doc, span_idx); unique prose is untouched;
+    the hashed scale path equals the exact string-keyed path."""
+    from bigdata_quality_assessment_spark.operators.text import dedup_spans
+
+    boiler = "subscribe to our newsletter now"
+    rows = [
+        (0, f"{boiler} unique zero content words here"),
+        (1, f"{boiler} other one content words here"),
+        # NB spans are fixed non-overlapping windows: the boilerplate
+        # must sit on a span boundary (word offset % 5 == 0) to be
+        # keyed identically — unaligned repeats are the n-gram ops' job
+        (2, f"totally unique document two here {boiler}"),
+        (3, ""),
+        (4, "short tail"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_spans(docs, span_tokens=5).collect()}
+    # first occurrence (doc 0, span 0) survives
+    assert out[0]["text_deduped"] == rows[0][1]
+    assert out[0]["n_spans_removed"] == 0
+    # later occurrences removed, remainder reassembled in order
+    assert out[1]["text_deduped"] == "other one content words here"
+    assert out[1]["n_spans_removed"] == 1
+    assert out[2]["text_deduped"] == "totally unique document two here"
+    assert out[2]["n_spans_removed"] == 1
+    # token-less doc: NULL text, zero spans
+    assert out[3]["text_deduped"] is None and out[3]["n_spans"] == 0
+    # sub-span_tokens doc is one (partial) span
+    assert out[4]["text_deduped"] == "short tail" and out[4]["n_spans"] == 1
+
+    a = sorted(map(tuple, dedup_spans(docs, 5, hash_spans=True).collect()))
+    b = sorted(map(tuple, dedup_spans(docs, 5, hash_spans=False).collect()))
+    assert a == b
+
+
+def test_dedup_spans_all_removed_yields_empty_string(spark):
+    """A document made entirely of boilerplate reassembles to ''
+    (present but empty), distinct from the NULL of a token-less doc."""
+    from bigdata_quality_assessment_spark.operators.text import dedup_spans
+
+    span = "one two three four five"
+    docs = spark.createDataFrame(
+        [(0, span), (1, span), (2, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(docs, span_tokens=5).collect()}
+    assert out[0]["text_deduped"] == span          # first occurrence kept
+    assert out[1]["text_deduped"] == ""            # everything removed
+    assert out[1]["n_spans_removed"] == 1
+    assert out[2]["text_deduped"] is None
+
+
+def test_dedup_spans_min_count_threshold(spark):
+    """min_count=3: a span must appear 3x corpus-wide before any copy
+    is removed (2x spans survive everywhere)."""
+    from bigdata_quality_assessment_spark.operators.text import dedup_spans
+
+    s = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(0, s), (1, s), (2, s + " tail_a words_b here_c pad_d more_e")],
+        ["doc_id", "text"],
+    )
+    out2 = {r["doc_id"]: r["n_spans_removed"] for r in dedup_spans(docs, 5, min_count=2).collect()}
+    out3 = {r["doc_id"]: r["n_spans_removed"] for r in dedup_spans(docs, 5, min_count=3).collect()}
+    assert out2 == {0: 0, 1: 1, 2: 1}
+    assert out3 == {0: 0, 1: 1, 2: 1} or sum(out3.values()) == 2
+    # with min_count=3 the span appears 3x -> still removed twice; raise corpus
+    docs2 = spark.createDataFrame([(0, s), (1, s)], ["doc_id", "text"])
+    only2 = {r["doc_id"]: r["n_spans_removed"] for r in dedup_spans(docs2, 5, min_count=3).collect()}
+    assert only2 == {0: 0, 1: 0}
