@@ -34,9 +34,11 @@ from bigdata_quality_assessment_spark.operators.select import (
 )
 from bigdata_quality_assessment_spark.operators.text import (
     decontaminate,
+    dedup_spans,
     exact_dedup,
     fuzzy_decontaminate,
     near_dedup_minhash,
+    ngram_lm_score,
     normalize_text,
     quality_score,
 )
@@ -61,6 +63,16 @@ class CurationConfig:
     # (r=8) only for thresholds >= 0.8
     fuzzy_bands: int = 32
     quality_frac: float = 1.0  # 1.0 = keep all (skip the filter)
+    # sub-document C4-style span dedup: rewrite each survivor with
+    # duplicated >=2x spans excised (first occurrence wins); documents
+    # whose text empties out are dropped
+    span_dedup: bool = False
+    span_tokens: int = 5
+    # CCNet-style perplexity filter: self-trained bigram LM; drop docs
+    # with ppl above the cap (token-less docs carry no LM evidence and
+    # pass through — the quality/length rules own that case)
+    max_ppl: float | None = None
+    lm_max_vocab: int | None = None
     mixture_rates: dict[str, float] = field(default_factory=dict)
     seed: int = 42
 
@@ -146,6 +158,40 @@ def curate(
                 "fuzzy_decontaminate",
                 cur.join(F.broadcast(fz), cfg.id_col, "left_anti"),
             )
+
+    if cfg.span_dedup:
+        # text REWRITE, not a row filter: join the reassembled text
+        # back by id (exchange-free on a bucketed lake layout) and
+        # drop docs that were pure boilerplate. The span-key frame
+        # inside dedup_spans is barriered, so this adds one corpus
+        # tokenize + one slim-key shuffle regardless of references.
+        spd = dedup_spans(
+            cur,
+            cfg.span_tokens,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).select(cfg.id_col, "text_deduped")
+        cur = stage(
+            "span_dedup",
+            cur.drop(cfg.text_col)
+            .join(spd, cfg.id_col)
+            .filter(F.col("text_deduped") != "")
+            .withColumnRenamed("text_deduped", cfg.text_col),
+        )
+
+    if cfg.max_ppl is not None:
+        lm = ngram_lm_score(
+            cur,
+            max_vocab=cfg.lm_max_vocab,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+        ok = lm.filter(
+            F.col("ppl").isNull() | (F.col("ppl") <= cfg.max_ppl)
+        ).select(cfg.id_col)
+        # like the quality filter: the kept set is the corpus majority
+        # by assumption — let AQE size the join
+        cur = stage("perplexity_filter", cur.join(ok, cfg.id_col, "left_semi"))
 
     if cfg.quality_frac < 1.0:
         qs = quality_score(

@@ -135,3 +135,47 @@ def test_prepare_training_data_end_to_end(spark):
     # all three splits present at this scale
     assert {r.split for r in rows_out} == {"train", "val", "test"}
     out.unpersist()
+
+
+def test_curate_span_dedup_stage(spark):
+    """span_dedup rewrites survivors in place: the repeated 5-word
+    boilerplate survives only at its first occurrence; a doc that was
+    pure boilerplate is dropped from the pipeline entirely."""
+    boiler = "click here to subscribe today"
+    rows = [
+        (0, f"{boiler} real content of doc zero", "web"),
+        (1, f"{boiler} other content of doc one", "web"),
+        (2, boiler, "web"),  # pure boilerplate -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, report = curate(
+        docs,
+        config=CurationConfig(normalize=False, near_dedup=False, span_dedup=True),
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {
+        0: f"{boiler} real content of doc zero",
+        1: "other content of doc one",
+    }
+    rep = dict(report.collect())
+    assert rep["span_dedup"] == 2
+
+
+def test_curate_perplexity_filter_stage(spark):
+    """max_ppl drops the statistical outlier (self-trained LM): 30
+    fluent repeats + 1 gibberish doc -> the gibberish doc has the
+    highest perplexity and is the one dropped."""
+    rows = [(i, "the cat sat on the mat and the dog sat too", "web") for i in range(30)]
+    rows.append((30, "zq xv jk wp mn bt lr dh fg sc", "web"))
+    # make each fluent doc unique so exact_dedup keeps them all
+    rows = [(i, t + f" tag{i}", s) for i, t, s in rows]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, report = curate(
+        docs,
+        config=CurationConfig(normalize=False, near_dedup=False, max_ppl=10.0),
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 30 not in kept
+    assert len(kept) == 30
+    rep = dict(report.collect())
+    assert rep["perplexity_filter"] == 30
