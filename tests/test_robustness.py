@@ -206,3 +206,36 @@ def test_fuzzy_tfidf_survive_nasty_docs(spark, nasty_docs):
     ti = tf_idf(nasty_docs, top_k=2)
     assert ti.count() >= 1  # unicode/long docs produce terms, no crash
     assert ti.filter(F.col("term") == "").count() == 0
+
+
+def test_new_text_ops_survive_null_text(spark):
+    """NULL text rows (real corpora have them): ngram_lm_score and
+    dedup_spans degrade to the token-less contract, classify_quality
+    scores at the bias — nothing throws under ANSI mode."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.classifier import (
+        QualityClassifier,
+        classify_quality,
+    )
+    from bigdata_quality_assessment_spark.operators.text import (
+        dedup_spans,
+        ngram_lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    lm = {r["doc_id"]: r for r in ngram_lm_score(docs).collect()}
+    assert lm[1]["n_lm_tokens"] == 0 and lm[1]["ppl"] is None
+    assert lm[2]["n_lm_tokens"] == 0
+
+    sp = {r["doc_id"]: r for r in dedup_spans(docs, 5).collect()}
+    assert sp[1]["n_spans"] == 0 and sp[1]["text_deduped"] is None
+    assert sp[0]["n_spans"] == 2
+
+    model = QualityClassifier(weights=tuple(np.ones(8)), bias=0.25, dim=8)
+    cl = {r["doc_id"]: r for r in classify_quality(docs, model).collect()}
+    assert cl[1]["logit"] == pytest.approx(0.25)
+    assert cl[2]["logit"] == pytest.approx(0.25)
