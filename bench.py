@@ -309,6 +309,30 @@ def main() -> None:
     knn_quantized(emb, q, k=5).collect()
     extras["knn_quantized"] = round(time.perf_counter() - t0, 3)
 
+    from bigdata_quality_assessment_spark.operators.classifier import (
+        classify_quality,
+        distill_quality_classifier,
+    )
+    from bigdata_quality_assessment_spark.operators.similarity import knn_pq
+    from bigdata_quality_assessment_spark.operators.text import (
+        dedup_spans,
+        ngram_lm_score,
+    )
+
+    t0 = time.perf_counter()
+    ngram_lm_score(docs).agg(F.sum("n_lm_tokens")).collect()
+    extras["ngram_lm_score"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup_spans(docs, 5).agg(F.sum("n_spans_removed")).collect()
+    extras["dedup_spans"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _model = distill_quality_classifier(docs, dim=256, n_train=2000)
+    classify_quality(docs, _model).agg(F.sum("p_good")).collect()
+    extras["quality_classifier"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    knn_pq(emb, q, dim=64, k=5, m=8, rescore_factor=8).collect()
+    extras["knn_pq"] = round(time.perf_counter() - t0, 3)
+
     spark.stop()
     print(
         json.dumps(

@@ -465,3 +465,43 @@ def hash_sample_k(
         .limit(k)
         .drop("__hk")
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    quotas: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT per-group quota sampling: for each group g keep exactly
+    ``min(quotas[g], |g|)`` rows — the ones with the smallest
+    ``xxhash64(id, seed)`` — dropping groups absent from ``quotas``.
+    The quota-based complement to rate-based :func:`mixture_sample`
+    (rates give proportions in expectation; a training-mixture spec
+    that says "exactly 2M books documents" needs quotas), with the
+    same determinism contract: a pure function of (id, seed), stable
+    across runs and repartitionings, and monotone under corpus growth
+    (bottom-k minwise property per group).
+
+    Shape: one ranking window partitioned BY GROUP over the
+    quota-relevant projection — parallel across groups, and each
+    group's sort is distributed by the shuffle (no corpus-sized single
+    partition unless one group IS the corpus; for that case rank the
+    group via TakeOrderedAndProject with :func:`hash_sample_k` on the
+    filtered group instead). The window ranks (hash, id) so ties are
+    impossible beyond hash collisions, which the id tiebreak settles
+    deterministically."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()
+    )
+    quota = None
+    for g, n in quotas.items():
+        cond = F.col(group_col) == g
+        quota = F.when(cond, int(n)) if quota is None else quota.when(cond, int(n))
+    quota = F.lit(0) if quota is None else quota.otherwise(F.lit(0))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

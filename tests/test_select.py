@@ -313,3 +313,40 @@ def test_hash_sample_k(spark):
     # plan is TakeOrderedAndProject, not a global sort
     plan = hash_sample_k(df, 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_exact_quotas(spark):
+    """Exact per-group counts, deterministic identity across
+    repartitionings, monotone under growth, absent groups dropped."""
+    from bigdata_quality_assessment_spark.operators.select import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "web" if i % 3 else "books") for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample_exact(df, {"web": 10, "books": 7}, "source")
+    got = out.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"web": 10, "books": 7}
+
+    # quota above group size -> whole group
+    out2 = stratified_sample_exact(df, {"books": 1000}, "source")
+    assert out2.count() == 30  # books rows only; web absent -> dropped
+
+    # deterministic across partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample_exact(
+            df.repartition(7), {"web": 10, "books": 7}, "source"
+        ).collect()
+    }
+    assert a == b
+
+    # monotone: growing the corpus displaces at most (new quota wins)
+    df2 = spark.createDataFrame(rows + [(1000 + i, "web") for i in range(5)], ["doc_id", "source"])
+    c = {
+        r["doc_id"]
+        for r in stratified_sample_exact(df2, {"web": 10, "books": 7}, "source").collect()
+    }
+    # books picks identical; web picks differ by at most the added rows
+    assert len(a - c) <= 5
