@@ -64,3 +64,29 @@ def test_exact_dedup_final_action_scans_docs_once(spark):
     # the (md5, id) digest projection is barriered, so the final action
     # reads documents exactly once (drop-id subtree reads stored rows)
     assert _filescans(out) == 1
+
+
+def test_dedup_spans_scans_docs_once(spark):
+    """Span dedup: the barriered (id, sid, key) frame serves both the
+    count and the removal join — the reassembly action reads documents
+    exactly once (the span-key scan ran when the barrier
+    materialized)."""
+    from bigdata_quality_assessment_spark.operators.text import dedup_spans
+
+    docs = load_table(spark, "documents", SF)
+    out = dedup_spans(docs, 5)
+    assert out.count() > 0
+    assert _filescans(out) == 1
+
+
+def test_ngram_lm_scoring_scan_budget(spark):
+    """LM scoring: the barriered bigram table pins training to its one
+    (already-run) scan; the scoring action reads documents at most
+    twice — once for the pair explode, once for the token-less-doc id
+    frame — never once per LM-table reference."""
+    from bigdata_quality_assessment_spark.operators.text import ngram_lm_score
+
+    docs = load_table(spark, "documents", SF)
+    out = ngram_lm_score(docs)
+    assert out.count() > 0
+    assert _filescans(out) <= 2
