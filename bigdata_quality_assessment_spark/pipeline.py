@@ -73,7 +73,15 @@ class CurationConfig:
     # pass through — the quality/length rules own that case)
     max_ppl: float | None = None
     lm_max_vocab: int | None = None
+    # model-based filter: a trained QualityClassifier (see
+    # operators/classifier.py distill_quality_classifier) applied as
+    # one exchange-free projection; rows below min_p are dropped
+    classifier_model: object | None = None
+    classifier_min_p: float = 0.5
     mixture_rates: dict[str, float] = field(default_factory=dict)
+    # exact per-source quotas (stratified_sample_exact) — applied
+    # after/instead of the rate-based mixture when non-empty
+    mixture_quotas: dict[str, int] = field(default_factory=dict)
     seed: int = 42
 
 
@@ -193,6 +201,17 @@ def curate(
         # by assumption — let AQE size the join
         cur = stage("perplexity_filter", cur.join(ok, cfg.id_col, "left_semi"))
 
+    if cfg.classifier_model is not None:
+        from bigdata_quality_assessment_spark.operators.classifier import (
+            classify_quality,
+        )
+
+        scored = classify_quality(
+            cur, cfg.classifier_model, text_col=cfg.text_col, id_col=cfg.id_col
+        )
+        ok = scored.filter(F.col("p_good") >= cfg.classifier_min_p).select(cfg.id_col)
+        cur = stage("classifier_filter", cur.join(ok, cfg.id_col, "left_semi"))
+
     if cfg.quality_frac < 1.0:
         qs = quality_score(
             cur, cfg.text_col, keep=[cfg.source_col], id_col=cfg.id_col
@@ -209,6 +228,18 @@ def curate(
         cur = stage(
             "mixture_sample",
             mixture_sample(cur, cfg.mixture_rates, cfg.source_col, cfg.id_col, cfg.seed),
+        )
+
+    if cfg.mixture_quotas:
+        from bigdata_quality_assessment_spark.operators.select import (
+            stratified_sample_exact,
+        )
+
+        cur = stage(
+            "mixture_quota",
+            stratified_sample_exact(
+                cur, cfg.mixture_quotas, cfg.source_col, cfg.id_col, cfg.seed
+            ),
         )
 
     if not with_report:

@@ -179,3 +179,49 @@ def test_curate_perplexity_filter_stage(spark):
     assert len(kept) == 30
     rep = dict(report.collect())
     assert rep["perplexity_filter"] == 30
+
+
+def test_curate_classifier_filter_and_quota_stages(spark):
+    """A trained classifier drops the docs it scores bad; exact quotas
+    then cap each source — both recorded in the ledger."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    rng = np.random.default_rng(3)
+    good_w = "the quick brown fox jumps over lazy dog warm sun".split()
+    bad_w = "zz qq xx kk vv ww yy jj pp ff".split()
+    rows, labeled = [], []
+    for i in range(40):
+        t = " ".join(rng.choice(good_w, size=10))
+        rows.append((i, t, "web" if i % 2 else "books"))
+        labeled.append((i, t, 1.0))
+    for i in range(40, 60):
+        t = " ".join(rng.choice(bad_w, size=10))
+        rows.append((i, t, "web"))
+        labeled.append((i, t, 0.0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    lab = spark.createDataFrame(labeled, "doc_id long, text string, label double")
+    model = train_quality_classifier(lab, dim=128, n_train=60)
+
+    out, report = curate(
+        docs,
+        config=CurationConfig(
+            normalize=False,
+            near_dedup=False,
+            classifier_model=model,
+            mixture_quotas={"web": 5, "books": 5},
+        ),
+    )
+    rep = dict(report.collect())
+    kept = out.collect()
+    assert rep["classifier_filter"] >= 35          # the good docs survive
+    assert rep["classifier_filter"] <= 45          # the bad ones don't
+    assert rep["mixture_quota"] == 10
+    by_src = {}
+    for r in kept:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src == {"web": 5, "books": 5}
+    assert all(r["doc_id"] < 40 for r in kept)     # only good docs reach quota
