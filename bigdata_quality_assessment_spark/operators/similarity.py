@@ -127,6 +127,7 @@ def hyperplane_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_dots: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket ids: per table t, the sign bits of
     ``n_planes`` dot products pack into one BIGINT bucket key. The
@@ -134,7 +135,11 @@ def hyperplane_buckets(
     products are ``transform``+``zip_with``/``aggregate`` folds — a
     pure projection, no UDF, no shuffle, and O(n_tables) driver-side
     Column objects (an unrolled per-element expression would cost
-    n_tables x n_planes x dim py4j calls and seconds of plan build)."""
+    n_tables x n_planes x dim py4j calls and seconds of plan build).
+
+    ``keep_dots`` also emits the raw dot-product array per table
+    (``dots_{t}``) — the margin information multi-probe querying needs
+    (query side only; the corpus never pays for it)."""
     v = _as_double(F.col(vec_col))
     out = df.select(id_col, v.alias("__v"))
     bit_weights = [float(1 << p_i) for p_i in range(n_planes)]
@@ -148,9 +153,10 @@ def hyperplane_buckets(
                 lambda acc, x: acc + x,
             ),
         )
+        out = out.withColumn(f"dots_{t}", dots)
         key = F.aggregate(
             F.zip_with(
-                dots,
+                F.col(f"dots_{t}"),
                 F.lit(bit_weights),
                 lambda d, w: F.when(d > 0, w).otherwise(F.lit(0.0)),
             ),
@@ -158,6 +164,8 @@ def hyperplane_buckets(
             lambda acc, x: acc + x,
         ).cast("bigint")
         out = out.withColumn(f"bucket_{t}", key)
+        if not keep_dots:
+            out = out.drop(f"dots_{t}")
     return out
 
 
@@ -172,24 +180,79 @@ def ann_hyperplane_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: a candidate is any corpus vector sharing at
     least one table's bucket with the query; candidates are scored
     exactly and ranked. Recall grows with n_tables; per-probe cost
-    shrinks ~2^n_planes-fold vs brute force."""
+    shrinks ~2^n_planes-fold vs brute force.
+
+    ``n_probes`` > 0 enables margin-aware MULTI-PROBE (Lv et al. 2007):
+    each query additionally probes the ``n_probes`` neighboring buckets
+    obtained by flipping, one at a time, its lowest-|margin| sign bits
+    (the bits most likely misassigned for a true near neighbor). That
+    buys LSH-table-equivalent recall WITHOUT replicating the corpus
+    index: the cost is query-side only — the corpus stays bucketed
+    once per table, and the (table, bucket) join just sees
+    ``1 + n_probes`` keys per query per table. At 100 TB the corpus
+    index is the expensive artifact; multi-probe is the knob that
+    trades a few extra broadcast-side keys for fewer stored tables."""
     cb = hyperplane_buckets(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
-    qb = hyperplane_buckets(queries, dim, n_planes, n_tables, seed, query_id_col, vec_col)
+    qb = hyperplane_buckets(
+        queries, dim, n_planes, n_tables, seed, query_id_col, vec_col,
+        keep_dots=n_probes > 0,
+    )
     buckets = [F.col(f"bucket_{t}") for t in range(n_tables)]
     # posexplode the per-table keys → ONE corpus scan + ONE join on
     # (table, bucket), instead of n_tables scan+join+union branches.
     cbe = cb.select(
         id_col, "__v", F.posexplode(F.array(*buckets)).alias("__t", "__b")
     )
-    qbe = qb.select(
-        query_id_col,
-        F.col("__v").alias("__qv"),
-        F.posexplode(F.array(*buckets)).alias("__t", "__b"),
-    )
+    if n_probes > 0:
+        # per table: [base] ++ [base XOR 2^i for the n_probes bits
+        # with the smallest |dot| margin] — all Catalyst, no UDF
+        probe_arrays = []
+        for t in range(n_tables):
+            base = F.col(f"bucket_{t}")
+            margin_idx = F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                        lambda i: F.struct(
+                            F.abs(
+                                F.element_at(F.col(f"dots_{t}"), (i + 1).cast("int"))
+                            ).alias("m"),
+                            i.alias("i"),
+                        ),
+                    )
+                ),
+                lambda s: s.getField("i"),
+            )
+            # shiftleft() needs a literal bit count; 2^i via pow is
+            # exact in double up to 2^52 >> any n_planes
+            flips = F.transform(
+                F.slice(margin_idx, 1, n_probes),
+                lambda i: base.bitwiseXOR(
+                    F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
+                ),
+            )
+            probe_arrays.append(F.concat(F.array(base), flips))
+        qbe = (
+            qb.select(
+                query_id_col,
+                F.col("__v").alias("__qv"),
+                F.posexplode(F.array(*probe_arrays)).alias("__t", "__probes"),
+            )
+            .select(
+                query_id_col, "__qv", "__t", F.explode("__probes").alias("__b")
+            )
+        )
+    else:
+        qbe = qb.select(
+            query_id_col,
+            F.col("__v").alias("__qv"),
+            F.posexplode(F.array(*buckets)).alias("__t", "__b"),
+        )
     scored = (
         cbe.join(F.broadcast(qbe), ["__t", "__b"])
         .filter(F.col(id_col) != F.col(query_id_col))
