@@ -1214,6 +1214,57 @@ def ngram_lm_score(
 _SPAN_ORD_SHIFT = 1 << 20
 
 
+def span_frame(
+    docs: DataFrame,
+    span_tokens: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, __spans)``: each document's consecutive non-overlapping
+    ``span_tokens``-word spans as an array column (empty for token-less
+    docs). The shared framing of batch :func:`dedup_spans` and the
+    streaming ingest span state."""
+    span = int(span_tokens)
+    ws = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    n_spans = F.ceil(F.size("__ws") / F.lit(span)).cast("int")
+    spans = F.when(
+        F.size("__ws") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda sid: F.concat_ws(
+                " ", F.slice(F.col("__ws"), sid * span + 1, span)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col), ws.alias("__ws")).select(
+        id_col, spans.alias("__spans")
+    )
+
+
+def span_keys(
+    framed: DataFrame,
+    *,
+    hash_spans: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode a :func:`span_frame` into the slim
+    ``(id, __sid, __key, __ord)`` rows — 8-byte xxhash64 keys by
+    default (the only thing that ever crosses the wire), barriered so
+    downstream count/join consumers tokenize the corpus once."""
+    key = F.xxhash64(F.col("__span")) if hash_spans else F.col("__span")
+    return (
+        framed.select(id_col, F.posexplode("__spans").alias("__sid", "__span"))
+        .select(
+            id_col,
+            F.col("__sid"),
+            key.alias("__key"),
+            (F.col(id_col) * _SPAN_ORD_SHIFT + F.col("__sid")).alias("__ord"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def dedup_spans(
     docs: DataFrame,
     span_tokens: int = 5,
@@ -1252,34 +1303,8 @@ def dedup_spans(
     in place (narrow). ``hash_spans=False`` keys by the span string
     itself (collision-free; the oracle path, pinned row-identical to
     the hashed path in tests)."""
-    span = int(span_tokens)
-    ws = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    n_spans = F.ceil(F.size("__ws") / F.lit(span)).cast("int")
-    spans = F.when(
-        F.size("__ws") > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda sid: F.concat_ws(
-                " ", F.slice(F.col("__ws"), sid * span + 1, span)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    framed = docs.select(F.col(id_col), ws.alias("__ws")).select(
-        id_col, spans.alias("__spans")
-    )
-
-    key = F.xxhash64(F.col("__span")) if hash_spans else F.col("__span")
-    ex = (
-        framed.select(id_col, F.posexplode("__spans").alias("__sid", "__span"))
-        .select(
-            id_col,
-            F.col("__sid"),
-            key.alias("__key"),
-            (F.col(id_col) * _SPAN_ORD_SHIFT + F.col("__sid")).alias("__ord"),
-        )
-        # two consumers (count + removal join) — tokenize once
-        .localCheckpoint(eager=False)
-    )
+    framed = span_frame(docs, span_tokens, text_col=text_col, id_col=id_col)
+    ex = span_keys(framed, hash_spans=hash_spans, id_col=id_col)
     firsts = ex.groupBy("__key").agg(
         F.count(F.lit(1)).alias("__c"), F.min("__ord").alias("__keep")
     )

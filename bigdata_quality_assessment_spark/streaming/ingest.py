@@ -72,6 +72,9 @@ def init_ingest_store(
     spark.createDataFrame(
         [], "band int, bucket long, doc_id long"
     ).write.mode("overwrite").parquet(os.path.join(root, "buckets"))
+    spark.createDataFrame([], "__key long, doc_id long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "spans"))
     if corpus_schema is not None:
         spark.createDataFrame([], corpus_schema).write.mode("overwrite").parquet(
             os.path.join(root, "corpus")
@@ -97,6 +100,8 @@ def streaming_ingest_curated(
     bands: int = 16,
     normalize: bool = True,
     checkpoint: str | None = None,
+    span_dedup: bool = False,
+    span_tokens: int = 5,
 ):
     """Start the incremental-curation sink over ``docs_stream``.
     Returns the StreamingQuery (drain with availableNow).
@@ -110,7 +115,18 @@ def streaming_ingest_curated(
     batches of any re-checkpointed run. Without a checkpoint there
     are no replays and no markers. (A crash inside the append window
     can still duplicate — full exactly-once needs a transactional
-    table format; the marker closes the common restart case.)"""
+    table format; the marker closes the common restart case.)
+
+    ``span_dedup`` adds the sub-document tier: each accepted batch's
+    documents are rewritten with any 5-word span already present in
+    the ACCEPTED corpus (or earlier in the batch) excised — the
+    streaming counterpart of batch :func:`...operators.text.dedup_spans`
+    with first-ARRIVAL-wins instead of min-ord-wins. State is the
+    ``spans`` store of (xxhash64 key, doc_id) rows — 16 B per kept
+    span, never text; docs reduced to pure boilerplate are dropped.
+    The stored corpus text is the REWRITTEN text, so digests (and
+    therefore the exact-dedup tier) always describe what is actually
+    stored."""
     marker_dir = (
         os.path.join(checkpoint, "_ingest_commits") if checkpoint else None
     )
@@ -162,6 +178,61 @@ def streaming_ingest_curated(
         survivors = cur.join(F.broadcast(drops), id_col, "left_anti").localCheckpoint(
             eager=True
         )
+        new_spans = None
+        if span_dedup:
+            from bigdata_quality_assessment_spark.operators.text import (
+                span_frame,
+                span_keys,
+            )
+
+            framed = span_frame(
+                survivors, span_tokens, text_col=text_col, id_col=id_col
+            )
+            ex = span_keys(framed, id_col=id_col)
+            stored_spans = spark.read.parquet(os.path.join(root, "spans"))
+            hit_span_stored = ex.join(
+                stored_spans.select("__key").distinct(), "__key"
+            ).select(id_col, "__sid")
+            w_first = ex.groupBy("__key").agg(F.min("__ord").alias("__keep"))
+            hit_span_earlier = (
+                ex.join(w_first, "__key")
+                .filter(F.col("__ord") != F.col("__keep"))
+                .select(id_col, "__sid")
+            )
+            # two consumers (rm_sets + the kept-span anti-join) — one
+            # barrier so the store/self joins run once
+            removed_spans = hit_span_stored.unionByName(
+                hit_span_earlier
+            ).localCheckpoint(eager=False)
+            rm_sets = removed_spans.groupBy(id_col).agg(
+                F.collect_set("__sid").alias("__rm")
+            )
+            rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+            kept = F.filter(
+                F.col("__spans"), lambda s, i: ~F.array_contains(rm, i.cast("int"))
+            )
+            rewritten = (
+                framed.join(rm_sets, [id_col], "left")
+                .select(F.col(id_col), F.concat_ws(" ", kept).alias("__newtext"))
+            )
+            survivors = (
+                survivors.drop("digest")
+                .join(rewritten, id_col)
+                .filter(F.col("__newtext") != "")
+                .withColumn(text_col, F.col("__newtext"))
+                .drop("__newtext")
+                # digests must describe the STORED (rewritten) text
+                .withColumn("digest", F.md5(F.col(text_col)))
+                .localCheckpoint(eager=True)
+            )
+            # state: the KEPT spans of docs that made it to the corpus
+            # (excised spans are already present from their keeper)
+            new_spans = (
+                ex.join(removed_spans, [id_col, "__sid"], "left_anti")
+                .join(survivors.select(id_col), id_col, "left_semi")
+                .select("__key", id_col)
+                .distinct()
+            )
         # append survivors + their state rows
         survivors.drop("digest").write.mode("append").parquet(
             os.path.join(root, "corpus")
@@ -172,6 +243,8 @@ def streaming_ingest_curated(
         bb.join(survivors.select(id_col), id_col, "left_semi").select(
             "band", "bucket", id_col
         ).write.mode("append").parquet(os.path.join(root, "buckets"))
+        if new_spans is not None:
+            new_spans.write.mode("append").parquet(os.path.join(root, "spans"))
         if marker:
             os.makedirs(marker_dir, exist_ok=True)
             with open(marker, "w") as fh:
@@ -189,6 +262,7 @@ def forget(
     doc_ids,
     id_col: str = "doc_id",
     text_col: str = "text",
+    span_tokens: int = 5,
 ) -> int:
     """Deletion propagation (right-to-be-forgotten): remove the given
     ids from the corpus AND from every derived state store, so the
@@ -250,6 +324,27 @@ def forget(
         ),
         buckets_path,
     )
+    spans_path = os.path.join(root, "spans")
+    if os.path.exists(spans_path) or os.path.exists(spans_path + ".__old__"):
+        recover_and_clean(spans_path)
+        # like digests: rebuild from the surviving corpus (whose text
+        # is already the kept-spans rewrite), never diff the old store
+        from bigdata_quality_assessment_spark.operators.text import (
+            span_frame,
+            span_keys,
+        )
+
+        rebuilt = (
+            span_keys(
+                span_frame(
+                    survivors, span_tokens, text_col=text_col, id_col=id_col
+                ),
+                id_col=id_col,
+            )
+            .select("__key", id_col)
+            .distinct()
+        )
+        swap(rebuilt, spans_path)
     return n_before - n_after
 
 

@@ -673,3 +673,70 @@ def test_streaming_expectations_ledger(spark, tmp_path):
     # one batch has the null violation, the other the range violation
     assert sorted(by_rule["not_null(v)"]) == [(2, 1), (3, 0)]
     assert sorted(by_rule["in_range(v,0.0,100.0)"]) == [(2, 1), (3, 1)]
+
+
+def test_streaming_ingest_span_dedup_cross_batch(spark, tmp_path):
+    """span_dedup tier: a 5-word span accepted in wave 1 is excised
+    from wave-2 arrivals (first-ARRIVAL-wins), a wave-2 doc that is
+    pure already-seen boilerplate is dropped entirely, and the spans
+    store carries only kept-span keys. forget() rebuilds the span
+    state so a forgotten doc's spans stop suppressing re-arrivals."""
+    import time
+
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        forget,
+        init_ingest_store,
+        read_corpus,
+        streaming_ingest_curated,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    root = str(tmp_path / "store")
+    init_ingest_store(spark, root)
+    stage = tmp_path / "arrivals"
+    stage.mkdir()
+    batches = [
+        [(0, f"{boiler} first real content here now")],
+        [
+            (10, f"{boiler} second unrelated content body text"),  # span excised
+            (11, boiler),  # pure boilerplate -> dropped
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage / f"b{i}"))
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    q = streaming_ingest_curated(
+        stream, root, normalize=False, span_dedup=True,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id: r.text for r in read_corpus(spark, root).collect()}
+    assert got == {
+        0: f"{boiler} first real content here now",
+        10: "second unrelated content body text",
+    }, got
+    # digest store matches the REWRITTEN stored text
+    import hashlib
+
+    digests = {r.digest for r in spark.read.parquet(root + "/digests").collect()}
+    assert digests == {hashlib.md5(t.encode()).hexdigest() for t in got.values()}
+    # spans store: kept spans only (doc0: both spans; doc10: just the
+    # surviving second span — the excised boilerplate key is doc0's)
+    spans = spark.read.parquet(root + "/spans")
+    assert spans.count() == 3
+    assert {r.doc_id for r in spans.collect()} == {0, 10}
+
+    # forget doc 0: its spans leave the state, so the boilerplate span
+    # no longer suppresses a re-arrival
+    removed = forget(spark, root, [0])
+    assert removed == 1
+    spans2 = spark.read.parquet(root + "/spans")
+    assert {r.doc_id for r in spans2.collect()} == {10}
