@@ -1078,10 +1078,19 @@ def tf_idf(
     )
 
 
-def _bigram_pairs(frame: DataFrame, text_col: str, id_col: str, bos: str = "<s>") -> DataFrame:
+def _bigram_pairs(
+    frame: DataFrame,
+    text_col: str,
+    id_col: str,
+    bos: str = "<s>",
+    outer: bool = False,
+) -> DataFrame:
     """(id, prev, w) rows — one per token, ``prev`` of the first token
     is the BOS sentinel. Pure Catalyst (filter + transform-with-index +
-    explode); per-doc rows stay in their scan partition."""
+    explode); per-doc rows stay in their scan partition. ``outer``
+    keeps token-less documents as one (id, NULL, NULL) sentinel row —
+    the scoring side uses it so the per-doc aggregation covers every
+    document in ONE corpus scan (no id-universe join-back)."""
     ts = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     pairs = F.transform(
         F.col("__ts"),
@@ -1090,9 +1099,10 @@ def _bigram_pairs(frame: DataFrame, text_col: str, id_col: str, bos: str = "<s>"
             w.alias("w"),
         ),
     )
+    ex = F.explode_outer(pairs) if outer else F.explode(pairs)
     return (
         frame.select(F.col(id_col), ts.alias("__ts"))
-        .select(id_col, F.explode(pairs).alias("__p"))
+        .select(id_col, ex.alias("__p"))
         .select(id_col, F.col("__p.prev").alias("prev"), F.col("__p.w").alias("w"))
     )
 
@@ -1150,9 +1160,16 @@ def ngram_lm_score(
         )
 
         def fold_unk(p: DataFrame) -> DataFrame:
+            # NULL tokens (the outer-explode sentinel of a token-less
+            # doc) must stay NULL, not become <unk>
             out = (
                 p.join(F.broadcast(vocab), ["w"], "left")
-                .withColumn("w", F.when(F.col("__in_v").isNotNull(), F.col("w")).otherwise(F.lit(unk)))
+                .withColumn(
+                    "w",
+                    F.when(
+                        F.col("__in_v").isNotNull() | F.col("w").isNull(), F.col("w")
+                    ).otherwise(F.lit(unk)),
+                )
                 .drop("__in_v")
             )
             pv = vocab.withColumnRenamed("w", "prev")
@@ -1161,7 +1178,10 @@ def ngram_lm_score(
                 .withColumn(
                     "prev",
                     F.when(
-                        F.col("__in_v").isNotNull() | (F.col("prev") == bos), F.col("prev")
+                        F.col("__in_v").isNotNull()
+                        | (F.col("prev") == bos)
+                        | F.col("prev").isNull(),
+                        F.col("prev"),
                     ).otherwise(F.lit(unk)),
                 )
                 .drop("__in_v")
@@ -1180,7 +1200,10 @@ def ngram_lm_score(
     contexts = bigrams.groupBy("prev").agg(F.sum("__c").alias("__cc"))
     v_size = bigrams.select("w").distinct().count()
 
-    sc_pairs = _bigram_pairs(docs, text_col, id_col, bos)
+    # outer explode: token-less docs ride as one NULL-sentinel row, so
+    # the per-doc aggregation below covers EVERY document in this one
+    # scan — no second id-universe scan/join
+    sc_pairs = _bigram_pairs(docs, text_col, id_col, bos, outer=True)
     if max_vocab is not None:
         sc_pairs = fold_unk(sc_pairs)
     k = float(add_k)
@@ -1188,23 +1211,23 @@ def ngram_lm_score(
         (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(k))
         / (F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(k * float(v_size)))
     )
+    real = F.col("w").isNotNull()
     per_doc = (
         sc_pairs.join(F.broadcast(bigrams), ["prev", "w"], "left")
         .join(F.broadcast(contexts), ["prev"], "left")
-        .select(id_col, logp.alias("__lp"))
+        .select(id_col, F.col("w"), logp.alias("__lp"))
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_lm_tokens"), F.sum("__lp").alias("__s"))
-    )
-    avg = F.col("__s") / F.col("n_lm_tokens")
-    return (
-        docs.select(id_col)
-        .join(per_doc, [id_col], "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_lm_tokens"), F.lit(0)).alias("n_lm_tokens"),
-            avg.alias("avg_logp"),
-            F.exp(-avg).alias("ppl"),
+        .agg(
+            F.sum(F.when(real, 1).otherwise(0)).cast("bigint").alias("n_lm_tokens"),
+            F.sum(F.when(real, F.col("__lp"))).alias("__s"),
         )
+    )
+    avg = F.when(F.col("n_lm_tokens") > 0, F.col("__s") / F.col("n_lm_tokens"))
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_lm_tokens"),
+        avg.alias("avg_logp"),
+        F.exp(-avg).alias("ppl"),
     )
 
 

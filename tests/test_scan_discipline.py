@@ -81,12 +81,12 @@ def test_dedup_spans_scans_docs_once(spark):
 
 def test_ngram_lm_scoring_scan_budget(spark):
     """LM scoring: the barriered bigram table pins training to its one
-    (already-run) scan; the scoring action reads documents at most
-    twice — once for the pair explode, once for the token-less-doc id
-    frame — never once per LM-table reference."""
+    (already-run) scan; the scoring action reads documents exactly
+    ONCE — the outer-explode pair scan carries token-less docs as NULL
+    sentinels, so there is no id-universe join-back scan."""
     from bigdata_quality_assessment_spark.operators.text import ngram_lm_score
 
     docs = load_table(spark, "documents", SF)
     out = ngram_lm_score(docs)
     assert out.count() > 0
-    assert _filescans(out) <= 2
+    assert _filescans(out) == 1

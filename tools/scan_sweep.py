@@ -51,7 +51,13 @@ EXPECTED_MAX = {
     # predicate), the gram explode (id+text), and the id-universe
     # join-back (id-only, column-pruned — cheaper than a barrier that
     # would store per-doc gram ARRAYS, i.e. re-materialize the text)
-    "x_doc_fingerprints": 4,
+    # +1 round-5.2: spandedup part — the reassembly join scans docs
+    # once (the span-key frame is barriered; its scan ran at sizing)
+    "x_doc_fingerprints": 5,
+    # lang part 1 scan; lm part 1: outer-explode pair scan covers the
+    # whole id universe (token-less docs ride as NULL sentinels), LM
+    # tables barriered; tfidf consumes its barrier — no scan
+    "x_language_id": 2,
     # lsh part 1 scan (bucket frame barriered); semdedup part 2: the
     # valid-vector clustering scan and the survivor anti-join re-scan
     # of the corpus (both id+embedding; a barrier would store the
