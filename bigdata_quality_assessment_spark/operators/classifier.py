@@ -73,7 +73,7 @@ def _featurize(texts: list[str], dim: int) -> np.ndarray:
     the training-sample contract."""
     X = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
-        ws = [w for w in t.split(" ") if w]
+        ws = [w for w in t.split(" ") if w] if t else []
         if not ws:
             continue
         for w in ws:
@@ -109,6 +109,12 @@ def train_quality_classifier(
     ``n_train`` rows of text by contract."""
     from bigdata_quality_assessment_spark.operators.select import hash_sample_k
 
+    # NULL text or NULL label rows carry no training signal (and real
+    # corpora have them) — drop them BEFORE the sample so the k picks
+    # are all usable
+    labeled = labeled.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     sample = hash_sample_k(labeled.select(id_col, text_col, label_col), n_train, id_col)
     rows = sample.collect()
     X = _featurize([r[text_col] for r in rows], dim)

@@ -492,6 +492,13 @@ def stratified_sample_exact(
     filtered group instead). The window ranks (hash, id) so ties are
     impossible beyond hash collisions, which the id tiebreak settles
     deterministically."""
+    if not quotas:
+        return df.limit(0)
+    # absent groups are dropped BEFORE the exchange: their rows are
+    # known-dead statically, so they must not be hashed/shuffled/ranked
+    # just to fail a quota-0 filter (a 95%-dropped corpus would
+    # otherwise pay the full window for nothing)
+    df = df.filter(F.col(group_col).isin(list(quotas)))
     w = Window.partitionBy(group_col).orderBy(
         F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()
     )
@@ -499,7 +506,7 @@ def stratified_sample_exact(
     for g, n in quotas.items():
         cond = F.col(group_col) == g
         quota = F.when(cond, int(n)) if quota is None else quota.when(cond, int(n))
-    quota = F.lit(0) if quota is None else quota.otherwise(F.lit(0))
+    quota = quota.otherwise(F.lit(0))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= quota)

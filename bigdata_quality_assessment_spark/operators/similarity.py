@@ -700,12 +700,16 @@ def pq_encode(
     bytes per vector from ``8·dim`` to ``m`` (e.g. 128-d float64 →
     4-16 B, a 64-256× scan-volume reduction for the coarse pass)."""
     dsub = len(codebooks[0][0])
+    # tinyint holds 0..127; classic 8-bit PQ (256 centroids) needs
+    # smallint — an unconditional tinyint cast would WRAP codes
+    # 128..255 negative and silently read the wrong LUT entries
+    code_type = "tinyint" if max(len(b) for b in codebooks) <= 128 else "smallint"
     v = _as_double(F.col(vec_col))
     parts = []
     for j, book in enumerate(codebooks):
         sub = F.slice(v, j * dsub + 1, dsub)
         d = _centroid_dists(sub, book)
-        parts.append((F.array_position(d, F.array_min(d)) - 1).cast("tinyint"))
+        parts.append((F.array_position(d, F.array_min(d)) - 1).cast(code_type))
     return df.withColumn(code_col, F.array(*parts))
 
 

@@ -1198,7 +1198,10 @@ def ngram_lm_score(
         .localCheckpoint(eager=False)
     )
     contexts = bigrams.groupBy("prev").agg(F.sum("__c").alias("__cc"))
-    v_size = bigrams.select("w").distinct().count()
+    # V rides the plan as a one-row aggregate crossJoined in — NO eager
+    # action at construction time, so callers composing this operator
+    # into a lazy pipeline (curate with_report=False) stay lazy
+    v_frame = bigrams.agg(F.countDistinct("w").alias("__vsz"))
 
     # outer explode: token-less docs ride as one NULL-sentinel row, so
     # the per-doc aggregation below covers EVERY document in this one
@@ -1209,12 +1212,13 @@ def ngram_lm_score(
     k = float(add_k)
     logp = F.log(
         (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(k))
-        / (F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(k * float(v_size)))
+        / (F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(k) * F.col("__vsz"))
     )
     real = F.col("w").isNotNull()
     per_doc = (
         sc_pairs.join(F.broadcast(bigrams), ["prev", "w"], "left")
         .join(F.broadcast(contexts), ["prev"], "left")
+        .crossJoin(F.broadcast(v_frame))
         .select(id_col, F.col("w"), logp.alias("__lp"))
         .groupBy(id_col)
         .agg(

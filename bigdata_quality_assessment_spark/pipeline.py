@@ -100,8 +100,12 @@ def curate(
     switched off in the config are skipped entirely (no pass, no
     report row beyond 'input'). ``with_report=False`` skips the
     per-stage counts (one ACTION each — they materialize the stage
-    barriers eagerly); the returned report is then None and the whole
-    pipeline stays one lazy plan until the caller's first action."""
+    barriers eagerly); the returned report is then None and no stage
+    output materializes until the caller's first action. (Construction
+    is not job-FREE: under AQE each lazy stage barrier compiles its
+    plan and runs its shuffle-map stages at localCheckpoint call time —
+    bounded work per stage, but not zero; what is guaranteed is that
+    no stage's rows are stored and no count runs.)"""
     cfg = config or CurationConfig()
     stages: list[tuple[str, DataFrame]] = []
 
@@ -179,12 +183,21 @@ def curate(
             text_col=cfg.text_col,
             id_col=cfg.id_col,
         ).select(cfg.id_col, "text_deduped")
+        # token-less docs (text_deduped NULL) PASS THROUGH with their
+        # original text — the quality/length rules own that case, same
+        # convention as the perplexity filter; only docs whose every
+        # span was boilerplate ('' after rewrite) are dropped
         cur = stage(
             "span_dedup",
-            cur.drop(cfg.text_col)
-            .join(spd, cfg.id_col)
-            .filter(F.col("text_deduped") != "")
-            .withColumnRenamed("text_deduped", cfg.text_col),
+            cur.join(spd, cfg.id_col)
+            .filter(
+                F.col("text_deduped").isNull() | (F.col("text_deduped") != "")
+            )
+            .withColumn(
+                cfg.text_col,
+                F.coalesce(F.col("text_deduped"), F.col(cfg.text_col)),
+            )
+            .drop("text_deduped"),
         )
 
     if cfg.max_ppl is not None:

@@ -130,6 +130,13 @@ def streaming_ingest_curated(
     marker_dir = (
         os.path.join(checkpoint, "_ingest_commits") if checkpoint else None
     )
+    if span_dedup:
+        # self-describing span state: forget() must rebuild with the
+        # SAME window width or every stored key silently stops matching
+        import json
+
+        with open(os.path.join(root, "spans_meta.json"), "w") as fh:
+            json.dump({"span_tokens": int(span_tokens)}, fh)
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         marker = os.path.join(marker_dir, str(batch_id)) if marker_dir else None
@@ -213,13 +220,25 @@ def streaming_ingest_curated(
             )
             rewritten = (
                 framed.join(rm_sets, [id_col], "left")
-                .select(F.col(id_col), F.concat_ws(" ", kept).alias("__newtext"))
+                .select(
+                    F.col(id_col),
+                    # NULL for token-less (e.g. whitespace-only) docs so
+                    # they pass through with their original text — only
+                    # all-boilerplate docs ('' rewrite) are dropped
+                    F.when(
+                        F.size("__spans") > 0, F.concat_ws(" ", kept)
+                    ).alias("__newtext"),
+                )
             )
             survivors = (
                 survivors.drop("digest")
                 .join(rewritten, id_col)
-                .filter(F.col("__newtext") != "")
-                .withColumn(text_col, F.col("__newtext"))
+                .filter(
+                    F.col("__newtext").isNull() | (F.col("__newtext") != "")
+                )
+                .withColumn(
+                    text_col, F.coalesce(F.col("__newtext"), F.col(text_col))
+                )
                 .drop("__newtext")
                 # digests must describe the STORED (rewritten) text
                 .withColumn("digest", F.md5(F.col(text_col)))
@@ -262,7 +281,6 @@ def forget(
     doc_ids,
     id_col: str = "doc_id",
     text_col: str = "text",
-    span_tokens: int = 5,
 ) -> int:
     """Deletion propagation (right-to-be-forgotten): remove the given
     ids from the corpus AND from every derived state store, so the
@@ -325,7 +343,15 @@ def forget(
         buckets_path,
     )
     spans_path = os.path.join(root, "spans")
-    if os.path.exists(spans_path) or os.path.exists(spans_path + ".__old__"):
+    meta_path = os.path.join(root, "spans_meta.json")
+    # rebuild ONLY when the span tier was ever enabled (meta file) —
+    # otherwise the store is an empty stub and re-tokenizing the whole
+    # surviving corpus here is pure wasted work
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as fh:
+            span_tokens = int(json.load(fh)["span_tokens"])
         recover_and_clean(spans_path)
         # like digests: rebuild from the surviving corpus (whose text
         # is already the kept-spans rewrite), never diff the old store

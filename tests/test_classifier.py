@@ -109,3 +109,19 @@ def test_distillation_matches_heuristic(spark):
     pred = {r["doc_id"]: r["p_good"] >= 0.5 for r in classify_quality(docs, model).collect()}
     agree = np.mean([truth[i] == pred[i] for i in truth])
     assert agree >= 0.95
+
+
+def test_training_survives_null_text_and_label(spark):
+    """Corpora with NULL text / NULL label rows must train (rows are
+    dropped before the sample), and the model still separates."""
+    rows = [(i, "good solid the and of words here", 1.0) for i in range(50)]
+    rows += [(100 + i, "zz qq xx kk vv ww", 0.0) for i in range(50)]
+    rows += [(200, None, 1.0), (201, "orphan text", None)]
+    lab = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    model = train_quality_classifier(lab, dim=64, n_train=200)
+    docs = spark.createDataFrame(
+        [(0, "good solid the and of words here"), (1, "zz qq xx kk vv ww")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["p_good"] for r in classify_quality(docs, model).collect()}
+    assert out[0] > out[1]

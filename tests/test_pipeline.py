@@ -225,3 +225,39 @@ def test_curate_classifier_filter_and_quota_stages(spark):
         by_src[r["source"]] = by_src.get(r["source"], 0) + 1
     assert by_src == {"web": 5, "books": 5}
     assert all(r["doc_id"] < 40 for r in kept)     # only good docs reach quota
+
+
+def test_ngram_lm_construction_runs_no_eager_count(spark):
+    """Constructing ngram_lm_score must not run an eager
+    vocabulary-size count (V rides the plan as a one-row aggregate).
+    Budget: <= 1 job — the lazy barrier's AQE shuffle-map compile —
+    where the eager count added two more (materialize + distinct)."""
+    docs = spark.createDataFrame(
+        [(i, f"the cat sat tag{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    from bigdata_quality_assessment_spark.operators.text import ngram_lm_score
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().nextJobId()
+    lm = ngram_lm_score(docs)
+    after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert after - before <= 1, f"construction ran {after - before} jobs"
+    assert lm.count() == 20  # the deferred pipeline still works
+
+
+def test_curate_span_dedup_passes_tokenless_docs(spark):
+    """A whitespace-only doc must survive span_dedup with its original
+    text (token-less pass-through convention), while an all-boilerplate
+    doc is still dropped."""
+    b = "one two three four five"
+    docs = spark.createDataFrame(
+        [(0, b, "web"), (1, b, "web"), (2, "   ", "web")],
+        "doc_id long, text string, source string",
+    )
+    out, _ = curate(
+        docs,
+        config=CurationConfig(normalize=False, near_dedup=False, span_dedup=True),
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {0: b, 2: "   "}

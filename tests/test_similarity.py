@@ -327,3 +327,33 @@ def test_multi_probe_lsh_recall_beats_single_probe(corpus, vectors):
     assert multi > single
     assert multi >= 0.5, (single, multi)
     assert single <= 0.3
+
+
+def test_pq_256_centroids_codes_are_valid(corpus, vectors):
+    """Classic 8-bit PQ (256 centroids): codes must widen beyond
+    tinyint instead of wrapping negative (which would index the LUT
+    from the wrong end)."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        knn_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(corpus, dim=DIM, m=2, n_centroids=200, n_train=120, seed=3)
+    enc = pq_encode(corpus, books)
+    rows = enc.collect()
+    assert all(0 <= c < 200 for r in rows for c in r["pq_code"])
+    out = knn_pq(
+        corpus,
+        corpus.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        dim=DIM, k=5, m=2, n_centroids=200, rescore_factor=1000, seed=3,
+        codebooks=books,
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qi in range(2):
+        expect, _ = _np_topk(vectors, qi, 5)
+        assert [v for _, v in sorted(by_q[qi])] == [int(e) for e in expect]
