@@ -248,6 +248,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        # inter-query hygiene: drop any cross-query cached frames and
+        # force a JVM GC so the ContextCleaner releases the PREVIOUS
+        # query's localCheckpoint blocks — without this, a heavy
+        # query's barrier blocks linger in the block manager and the
+        # NEXT query pays its GC pressure (measured at sf1: knn_cosine
+        # 29 s in-bench directly after the 46 s near-dedup vs 2-4 s
+        # isolated; both best-of-2 runs were polluted)
+        spark.catalog.clearCache()
+        jvm.System.gc()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
