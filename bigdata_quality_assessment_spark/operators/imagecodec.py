@@ -10,10 +10,11 @@ column design.
 Decoder scope (anything outside returns ``None`` and the caller falls
 back to header metadata + stub features, never a task failure):
 
-* JPEG — baseline sequential DCT (SOF0/SOF1), 8-bit, 1 or 3
-  components, integer subsampling ratios, restart intervals, a single
-  interleaved scan (or single-component scan). Progressive (SOF2),
-  arithmetic coding, CMYK and multi-scan files are out of scope.
+* JPEG — baseline sequential DCT (SOF0/SOF1) AND progressive (SOF2:
+  spectral selection + successive approximation, EOB runs, DC/AC
+  refinement scans), 8-bit, 1 or 3 components, integer subsampling
+  ratios, restart intervals. Arithmetic coding, CMYK and
+  hierarchical files are out of scope.
 * GIF — 87a/89a, first image frame, global/local palettes, interlace,
   LZW decompression.
 
@@ -189,6 +190,348 @@ def _split_entropy_segments(b: bytes, pos: int) -> list[bytes]:
     return segments
 
 
+def _split_entropy_end(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Like :func:`_split_entropy_segments` but also returns the offset
+    of the first non-RST marker after the entropy data — progressive
+    streams continue with more scan headers there."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    n = len(b)
+    while pos < n:
+        c = b[pos]
+        if c != 0xFF:
+            cur.append(c)
+            pos += 1
+            continue
+        nxt = b[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif nxt == 0xFF:
+            pos += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segments.append(bytes(cur))
+    return segments, pos
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Shared IDCT + reassembly + upsample + color-convert tail:
+    ``planes`` maps component id to DEQUANTIZED (bh, bw, 8, 8) float
+    blocks."""
+    out_planes = []
+    for cid, ch_, cv, _tq in comps:
+        blocks = planes[cid]
+        bh, bw = blocks.shape[:2]
+        px = np.einsum("ui,yxuv,vj->yxij", _DCT_C, blocks, _DCT_C) + 128.0
+        px = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        comp_w = -(-w * ch_ // hmax)
+        comp_h = -(-h * cv // vmax)
+        px = px[:comp_h, :comp_w]
+        if ch_ != hmax or cv != vmax:
+            px = np.repeat(np.repeat(px, vmax // cv, axis=0), hmax // ch_, axis=1)
+        out_planes.append(px[:h, :w])
+    if len(out_planes) == 1:
+        img = out_planes[0][..., None]
+    else:
+        y, cb, cr = out_planes
+        cb = cb - 128.0
+        cr = cr - 128.0
+        img = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive(b: bytes) -> np.ndarray | None:
+    """Progressive JPEG (SOF2): multi-scan spectral selection +
+    successive approximation (ITU-T T.81 G.2). Coefficients accumulate
+    across scans in per-component block arrays; the shared
+    dequantize/IDCT/upsample tail runs once at EOI.
+
+    Per scan (Ss, Se, Ah, Al):
+      * DC first (Ss=0, Ah=0): diff-coded ``DC >> Al``; interleaved MCU
+        geometry when the scan lists several components.
+      * DC refine (Ah>0): one appended bit per block sets bit Al.
+      * AC first (Ss>0, Ah=0, single component): (run, size) symbols
+        place ``value << Al``; EOBn codes carry a 2^r-block
+        end-of-band run.
+      * AC refine (Ah>0): G.1.2.3 correction bits — every
+        history-nonzero coefficient traversed (in runs, in EOB runs,
+        and after a newly-significant placement) reads one bit.
+    Restart intervals reset both the DC predictors and the EOB run."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], list] = {}
+    frame = None
+    restart_interval = 0
+    coef: dict[int, list] = {}  # cid -> [bh][bw] of 64-length lists (natural order)
+    geom = None
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None
+        while pos + 1 < n and b[pos + 1] == 0xFF:
+            pos += 1
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    return None
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                huff[(tc, th)] = _build_huffman(counts, seg[i + 17 : i + 17 + nsym])
+                i += 17 + nsym
+        elif marker == 0xC2:
+            if seg[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid = seg[6 + ci * 3]
+                hv = seg[7 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + ci * 3]))
+            if h < 1 or w < 1 or ncomp not in (1, 3):
+                return None
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, ch_, cv, _tq in comps:
+                if ch_ < 1 or cv < 1 or hmax % ch_ or vmax % cv:
+                    return None
+            single = ncomp == 1
+            mcus_x = -(-w // 8) if single else -(-w // (8 * hmax))
+            mcus_y = -(-h // 8) if single else -(-h // (8 * vmax))
+            for cid, ch_, cv, _tq in comps:
+                bw_ = mcus_x * (1 if single else ch_)
+                bh_ = mcus_y * (1 if single else cv)
+                coef[cid] = [
+                    [[0] * 64 for _ in range(bw_)] for _ in range(bh_)
+                ]
+            frame = (h, w, comps)
+            geom = (hmax, vmax, mcus_x, mcus_y, single)
+        elif marker in (0xC0, 0xC1) or (
+            0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+        ):
+            return None  # wrong entry point / arithmetic / hierarchical
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                return None
+            ns = seg[0]
+            scomps = []
+            for si in range(ns):
+                cs = seg[1 + si * 2]
+                tds = seg[2 + si * 2]
+                scomps.append((cs, tds >> 4, tds & 15))
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            a = seg[3 + ns * 2]
+            ah, al = a >> 4, a & 15
+            segments, endpos = _split_entropy_end(b, pos + 2 + seg_len)
+            ok = _decode_prog_scan(
+                coef, frame, geom, scomps, ss, se, ah, al, huff,
+                segments, restart_interval,
+            )
+            if not ok:
+                return None
+            pos = endpos
+            continue
+        pos += 2 + seg_len
+    if frame is None:
+        return None
+    h, w, comps = frame
+    hmax, vmax, _, _, _ = geom
+    planes = {}
+    for cid, _ch, _cv, tq in comps:
+        arr = np.array(coef[cid], dtype=np.float64)  # (bh, bw, 64) natural
+        planes[cid] = arr.reshape(arr.shape[0], arr.shape[1], 8, 8) * qt[tq]
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+def _decode_prog_scan(
+    coef, frame, geom, scomps, ss, se, ah, al, huff, segments, restart_interval
+) -> bool:
+    """Decode one progressive scan into the coefficient store. Returns
+    False on any structural violation (caller maps it to a None
+    decode)."""
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y, single = geom
+    comp_by_id = {c[0]: c for c in comps}
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        return False
+    if not is_dc and len(scomps) != 1:
+        return False  # AC scans are single-component by spec
+
+    if len(scomps) > 1 or (is_dc and not single and len(scomps) == len(comps)):
+        interleaved = True
+        total_units = mcus_x * mcus_y
+    else:
+        interleaved = len(scomps) > 1
+        cid = scomps[0][0]
+        _, ch_, cv, _tq = comp_by_id[cid]
+        if single:
+            bw_blocks, bh_blocks = mcus_x, mcus_y
+        else:
+            comp_w = -(-w * ch_ // hmax)
+            comp_h = -(-h * cv // vmax)
+            bw_blocks = -(-comp_w // 8)
+            bh_blocks = -(-comp_h // 8)
+        total_units = bw_blocks * bh_blocks
+
+    per_seg = restart_interval if restart_interval else total_units
+    unit = 0
+    state = {"eobrun": 0}
+
+    def dc_first(r, block, pred_ref, td):
+        t = _huff_decode(r, huff[(0, td)])
+        pred_ref[0] += _receive_extend(r, t)
+        block[0] = pred_ref[0] << al
+
+    def dc_refine(r, block):
+        if r.read_bits(1):
+            block[0] |= 1 << al
+
+    def ac_first(r, block, ta):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        tbl = huff[(1, ta)]
+        while k <= se:
+            rs = _huff_decode(r, tbl)
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr < 15:
+                    state["eobrun"] = (1 << rr) - 1
+                    if rr:
+                        state["eobrun"] += r.read_bits(rr)
+                    return
+                k += 16
+                continue
+            k += rr
+            if k > se:
+                raise ValueError("AC band overflow")
+            block[_ZZ_LIST[k]] = _receive_extend(r, s) << al
+            k += 1
+
+    p1 = 1 << al
+
+    def refine_nonzero(r, block, k, kend):
+        """Read correction bits for every nonzero coefficient in
+        positions k..kend; returns the position AFTER the first
+        zero-history slot NOT consumed (used by the run walker)."""
+        while k <= kend:
+            z = _ZZ_LIST[k]
+            if block[z] != 0:
+                # raw two's-complement bit test (libjpeg semantics;
+                # python ints behave as infinite two's complement)
+                if r.read_bits(1) and (block[z] & p1) == 0:
+                    block[z] += p1 if block[z] > 0 else -p1
+            k += 1
+
+    def ac_refine(r, block, ta):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            refine_nonzero(r, block, ss, se)
+            return
+        k = ss
+        tbl = huff[(1, ta)]
+        while k <= se:
+            rs = _huff_decode(r, tbl)
+            run, s = rs >> 4, rs & 15
+            if s == 0:
+                if run < 15:
+                    state["eobrun"] = (1 << run) - 1
+                    if run:
+                        state["eobrun"] += r.read_bits(run)
+                    refine_nonzero(r, block, k, se)
+                    return
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("AC refine size != 1")
+                newval = p1 if r.read_bits(1) else -p1
+            # advance over `run` zero-history positions, correcting
+            # every nonzero-history coefficient on the way
+            while k <= se:
+                z = _ZZ_LIST[k]
+                if block[z] != 0:
+                    if r.read_bits(1) and (block[z] & p1) == 0:
+                        block[z] += p1 if block[z] > 0 else -p1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                block[_ZZ_LIST[k]] = newval
+            k += 1
+
+    for seg_bytes in segments:
+        if unit >= total_units:
+            break
+        r = _BitReader(seg_bytes)
+        preds = {c[0]: [0] for c in scomps}
+        state["eobrun"] = 0
+        for _ in range(min(per_seg, total_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for cs, td, _ta in scomps:
+                    _, ch_, cv, _tq = comp_by_id[cs]
+                    nbx = 1 if single else ch_
+                    nby = 1 if single else cv
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            block = coef[cs][my * nby + by][mx * nbx + bx]
+                            if ah == 0:
+                                dc_first(r, block, preds[cs], td)
+                            else:
+                                dc_refine(r, block)
+            else:
+                cs, td, ta = scomps[0]
+                by, bx = divmod(unit, bw_blocks)
+                block = coef[cs][by][bx]
+                if is_dc:
+                    if ah == 0:
+                        dc_first(r, block, preds[cs], td)
+                    else:
+                        dc_refine(r, block)
+                elif ah == 0:
+                    ac_first(r, block, ta)
+                else:
+                    ac_refine(r, block, ta)
+            unit += 1
+    return unit >= total_units
+
+
 def decode_jpeg(b: bytes) -> np.ndarray | None:
     """Decode a baseline JPEG into an (h, w, ch) uint8 array (ch 1 or
     3, RGB). Returns ``None`` for anything outside baseline scope or on
@@ -246,8 +589,10 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
                     hv = seg[7 + ci * 3]
                     comps.append((cid, hv >> 4, hv & 15, seg[8 + ci * 3]))
                 frame = (h, w, comps)
-            elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                return None  # progressive/arithmetic/hierarchical
+            elif marker == 0xC2:  # progressive: dedicated multi-scan path
+                return _decode_progressive(b)
+            elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return None  # arithmetic/hierarchical/lossless
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS

@@ -9,11 +9,13 @@ is ``mapInPandas`` with Arrow batches.
 
 The codec itself is REAL for the four formats decodable without
 third-party libraries: PNG (zlib IDAT inflate + full filter
-reconstruction), WAV (PCM 8/16-bit sample decode), baseline JPEG
-(Huffman + dequant + vectorized IDCT + chroma upsampling + YCbCr,
-operators/imagecodec.py) and GIF (LZW first-frame + palette).
+reconstruction), WAV (PCM 8/16-bit sample decode), JPEG — both
+baseline sequential AND progressive SOF2 (Huffman + spectral
+selection + successive approximation + dequant + vectorized IDCT +
+chroma upsampling + YCbCr, operators/imagecodec.py) — and GIF (LZW
+first-frame + palette).
 This container ships no PIL/librosa/ffmpeg, so the remaining formats
-(progressive JPEG, MP3, WebM) fall back to header metadata (where
+(MP3, WebM, arithmetic/hierarchical JPEG) fall back to header metadata (where
 parseable) plus a deterministic content-hash-seeded feature vector;
 the ``decoder`` output column says which path ran
 ('png' | 'wav' | 'jpeg' | 'gif' | 'stub'). Swap ``_fake_pixels`` for
@@ -280,10 +282,11 @@ def _image_features(px) -> list[float]:
 
 
 def _decode_jpeg(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
-    """Real baseline-JPEG pixel decode (operators/imagecodec.py:
-    Huffman + dequant + vectorized IDCT + chroma upsampling + YCbCr).
-    Returns None outside baseline scope (progressive/CMYK/...) so the
-    caller falls back to the SOF header walk + stub features."""
+    """Real JPEG pixel decode (operators/imagecodec.py): baseline
+    sequential AND progressive (SOF2 multi-scan) — Huffman + dequant +
+    vectorized IDCT + chroma upsampling + YCbCr. Returns None outside
+    scope (arithmetic/hierarchical/CMYK/corrupt) so the caller falls
+    back to the SOF header walk + stub features."""
     from .imagecodec import decode_jpeg
 
     px = decode_jpeg(b)

@@ -346,7 +346,12 @@ def test_jpeg_coarse_quant_still_decodes():
     assert abs(float(px.mean()) - float(img.mean())) < 8.0
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_fake_progressive_marker_on_baseline_scan_rejected():
+    """A baseline stream with its SOF marker rewritten to SOF2 is NOT a
+    valid progressive file (the scan header claims Ss=0..Se=63 in one
+    scan, which progressive forbids for multi-coefficient bands with
+    interleaved DC semantics) — the decoder must return None, not
+    garbage."""
     img = np.full((8, 8), 90, dtype=np.uint8)
     blob = bytearray(_encode_jpeg(img, quant=1))
     idx = blob.find(b"\xff\xc0")
@@ -457,3 +462,278 @@ def test_jpeg_420_paths_still_agree_after_generalization():
     b = decode_jpeg(_encode_jpeg(img, quant=1, y_samp=(2, 2)))
     assert a is not None and b is not None
     assert np.array_equal(a, b)
+
+
+# ------------------ test-side progressive JPEG encoder ------------------
+
+
+def _jpeg_coefs(img, quant=1, subsample_420=False):
+    """Shared coefficient prep (same math as _encode_jpeg): returns
+    (blocks_per_comp, samp, q, h, w, mcus_x, mcus_y)."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        comps_px = [img]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample_420:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+
+            def down(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+            comps_px = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comps_px = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    q = np.full((8, 8), quant, dtype=np.float64)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    single = len(comps_px) == 1
+    mcus_x = -(-w // 8) if single else -(-w // (8 * hmax))
+    mcus_y = -(-h // 8) if single else -(-h // (8 * vmax))
+    blocks = []
+    for px, (sh, sv) in zip(comps_px, samp):
+        bs = _block_split(px)
+        need_y = mcus_y * (1 if single else sv)
+        need_x = mcus_x * (1 if single else sh)
+        by, bx = bs.shape[:2]
+        if by < need_y or bx < need_x:
+            bs = np.pad(
+                bs, ((0, need_y - by), (0, need_x - bx), (0, 0), (0, 0)), mode="edge"
+            )
+        coefs = np.einsum("ui,yxij,vj->yxuv", _DCT_C, bs - 128.0, _DCT_C)
+        blocks.append(np.round(coefs / q).astype(np.int64))
+    return blocks, samp, q, h, w, mcus_x, mcus_y
+
+
+def _encode_jpeg_progressive(
+    img, quant=1, subsample_420=False, dc_al=0, ac_bands=((1, 63),), ac_al=0
+):
+    """Progressive JPEG encoder (test oracle): scan script = DC first
+    (interleaved, Al=dc_al) + DC refinements down to 0, then per
+    component per band an AC first scan at Al=ac_al + AC refinement
+    scans down to 0. EOB runs are emitted per block (EOB0) — valid,
+    just never coalesced across blocks."""
+    from bigdata_quality_assessment_spark.operators.imagecodec import _ZZ_LIST
+
+    blocks, samp, q, h, w, mcus_x, mcus_y = _jpeg_coefs(img, quant, subsample_420)
+    ncomp = len(blocks)
+    single = ncomp == 1
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = bytearray(b"\xff\xd8")
+    zzq = q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) + zzq
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tc, counts, syms in ((0, _DC_COUNTS, _DC_SYMBOLS), (1, _AC_COUNTS, _AC_SYMBOLS)):
+        body = bytes([tc << 4]) + bytes(counts) + syms
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        sos = bytes([len(comp_specs)])
+        for cs, td, ta in comp_specs:
+            sos += bytes([cs, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # ---- DC first scan (interleaved, Al=dc_al) ----
+    out += sos_header([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 0, dc_al)
+    bw_ = _BitWriter()
+    pred = [0] * ncomp
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(samp):
+            nbx = 1 if single else sh
+            nby = 1 if single else sv
+            for by in range(nby):
+                for bx in range(nbx):
+                    dc = int(blocks[ci][my * nby + by, mx * nbx + bx, 0, 0]) >> dc_al
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    s, bits = _magnitude(diff)
+                    c, ln = _DC_ENC[s]
+                    bw_.write(c, ln)
+                    if s:
+                        bw_.write(bits, s)
+    bw_.flush()
+    out += bw_.buf
+
+    # ---- DC refinement scans ----
+    for al in range(dc_al - 1, -1, -1):
+        out += sos_header([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, al + 1, al)
+        bw_ = _BitWriter()
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (sh, sv) in enumerate(samp):
+                nbx = 1 if single else sh
+                nby = 1 if single else sv
+                for by in range(nby):
+                    for bx in range(nbx):
+                        dc = int(blocks[ci][my * nby + by, mx * nbx + bx, 0, 0])
+                        bw_.write((dc >> al) & 1, 1)
+        bw_.flush()
+        out += bw_.buf
+
+    # ---- AC scans: per component, per band ----
+    for ci, (sh, sv) in enumerate(samp):
+        if single:
+            nby_t, nbx_t = mcus_y, mcus_x
+        else:
+            comp_w = -(-w * sh // hmax)
+            comp_h = -(-h * sv // vmax)
+            nbx_t = -(-comp_w // 8)
+            nby_t = -(-comp_h // 8)
+
+        def block_zz(bi):
+            by, bx = divmod(bi, nbx_t)
+            blk = blocks[ci][by, bx].reshape(-1)
+            return [int(blk[z]) for z in _ZZ_LIST]
+
+        for ss, se in ac_bands:
+            # first AC scan at Al=ac_al
+            out += sos_header([(ci + 1, 0, 0)], ss, se, 0, ac_al)
+            bw_ = _BitWriter()
+            for bi in range(nby_t * nbx_t):
+                zz = block_zz(bi)
+                run = 0
+                for k in range(ss, se + 1):
+                    v = zz[k]
+                    mag = abs(v) >> ac_al
+                    if mag == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = _AC_ENC[0xF0]
+                        bw_.write(c, ln)
+                        run -= 16
+                    sgn = mag if v > 0 else -mag
+                    s, bits = _magnitude(sgn)
+                    c, ln = _AC_ENC[(run << 4) | s]
+                    bw_.write(c, ln)
+                    bw_.write(bits, s)
+                    run = 0
+                if run:
+                    c, ln = _AC_ENC[0x00]  # per-block EOB0
+                    bw_.write(c, ln)
+            bw_.flush()
+            out += bw_.buf
+            # refinement scans down to 0
+            for al in range(ac_al - 1, -1, -1):
+                out += sos_header([(ci + 1, 0, 0)], ss, se, al + 1, al)
+                bw_ = _BitWriter()
+                for bi in range(nby_t * nbx_t):
+                    zz = block_zz(bi)
+                    hist = [abs(zz[k]) >> (al + 1) != 0 for k in range(64)]
+                    newsig = [
+                        not hist[k] and (abs(zz[k]) >> al) != 0 for k in range(64)
+                    ]
+                    news = [k for k in range(ss, se + 1) if newsig[k]]
+                    i = ss
+                    for j in news:
+                        nzeros = sum(
+                            1 for k in range(i, j) if not hist[k] and not newsig[k]
+                        )
+                        # NB newsig positions between i and j cannot
+                        # exist (j is the next one), so zero-history
+                        # slots are exactly the non-hist positions
+                        while nzeros > 15:
+                            c, ln = _AC_ENC[0xF0]
+                            bw_.write(c, ln)
+                            consumed = 0
+                            while consumed < 16:
+                                if hist[i]:
+                                    bw_.write((abs(zz[i]) >> al) & 1, 1)
+                                else:
+                                    consumed += 1
+                                i += 1
+                            nzeros -= 16
+                        c, ln = _AC_ENC[(nzeros << 4) | 1]
+                        bw_.write(c, ln)
+                        bw_.write(1 if zz[j] > 0 else 0, 1)
+                        while i < j:
+                            if hist[i]:
+                                bw_.write((abs(zz[i]) >> al) & 1, 1)
+                            i += 1
+                        i = j + 1
+                    if i <= se:
+                        c, ln = _AC_ENC[0x00]  # EOB0
+                        bw_.write(c, ln)
+                        for k in range(i, se + 1):
+                            if hist[k]:
+                                bw_.write((abs(zz[k]) >> al) & 1, 1)
+                bw_.flush()
+                out += bw_.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_spectral_selection_matches_baseline():
+    """Spectral selection only (no successive approximation): the same
+    quantized coefficients split across DC + two AC band scans must
+    decode to EXACTLY the pixels of their baseline encoding — the
+    baseline path is the independently PIL-validated ground truth."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(21, 34), dtype=np.uint8)
+    base = decode_jpeg(_encode_jpeg(img, quant=2))
+    prog = decode_jpeg(
+        _encode_jpeg_progressive(img, quant=2, ac_bands=((1, 5), (6, 63)))
+    )
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_successive_approximation_matches_baseline():
+    """DC and AC successive approximation (Al=2 first scans + two
+    refinement passes each): final coefficients are bit-identical to
+    the full-precision ones, so pixels must equal the baseline path."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+    base = decode_jpeg(_encode_jpeg(img, quant=1))
+    prog = decode_jpeg(
+        _encode_jpeg_progressive(img, quant=1, dc_al=2, ac_bands=((1, 63),), ac_al=2)
+    )
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_rgb_420_matches_baseline():
+    """3-component progressive with 4:2:0 subsampling: per-component
+    AC scans walk each component's OWN block grid; the result must
+    match the baseline encoding of the same subsampled coefficients."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(19, 27, 3), dtype=np.uint8)
+    base = decode_jpeg(_encode_jpeg(img, quant=2, subsample_420=True))
+    prog = decode_jpeg(
+        _encode_jpeg_progressive(
+            img, quant=2, subsample_420=True, dc_al=1,
+            ac_bands=((1, 2), (3, 20), (21, 63)), ac_al=1,
+        )
+    )
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_smooth_image_eob_paths():
+    """A smooth gradient quantized hard produces long zero runs and
+    EOB-heavy scans — exercises EOBRUN bookkeeping and the ZRL-free
+    fast path; must still match baseline exactly."""
+    x = np.linspace(0, 255, 40)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    base = decode_jpeg(_encode_jpeg(img, quant=16))
+    prog = decode_jpeg(
+        _encode_jpeg_progressive(img, quant=16, dc_al=1, ac_bands=((1, 63),), ac_al=1)
+    )
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog)
