@@ -1357,3 +1357,75 @@ def dedup_spans(
             F.size(rm).cast("bigint").alias("n_spans_removed"),
         )
     )
+
+
+# HTML entities every real extraction pipeline must unescape; applied
+# AFTER tag removal so '&lt;b&gt;' cannot re-introduce angle brackets
+# that the tag regex would then eat
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: '&amp;lt;' must yield '&lt;', not '<'
+)
+
+
+def strip_html(text_col: Column | str) -> Column:
+    """Plain text from HTML markup — the first stage of every web-crawl
+    curation pipeline (the trafilatura/jusText extraction contract,
+    reduced to its deterministic core): drop ``<script>``/``<style>``
+    payloads and comments entirely, replace every remaining tag with a
+    space (so ``a<br>b`` stays two words), unescape the common
+    entities, and collapse whitespace.
+
+    Pure Catalyst ``regexp_replace``/``replace`` chain — whole-stage
+    codegen, zero shuffle, linear in bytes. The regexes are written in
+    the RE2-compatible subset (no backreferences, explicit whitespace
+    classes) so the ANSI-SQL oracle evaluates the IDENTICAL patterns
+    (graded as part='html' of ``x_text_stats``)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # script/style payloads: separate patterns (a backreference form
+    # would not be RE2/oracle-portable)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\n\r\f]+", " ")
+    return F.trim(c)
+
+
+def fix_mojibake(text_col: Column | str) -> Column:
+    """Repair the classic double-encoding corruption (UTF-8 bytes
+    mis-decoded as Latin-1: '\u00c3\u00a9' for '\u00e9' — endemic in
+    web crawls; the ftfy use case reduced to its dominant fix):
+    re-encode the text as Latin-1 to recover the original bytes and
+    re-decode them as UTF-8.
+
+    Scope: pure Latin-1 mojibake (the accented-letter corruption that
+    dominates real crawls). CP1252 variants whose continuation bytes
+    were remapped to punctuation above U+00FF are NOT repaired —
+    Spark's ``encode`` supports ISO-8859-1 but not windows-1252, so
+    those cannot round-trip; the signature+lossless guards leave them
+    untouched rather than half-fixed.
+
+    Applied ONLY when (a) the text matches the mojibake signature — a
+    UTF-8 lead byte seen as Latin-1 (U+00C2/C3, U+00E2, U+00CA)
+    followed by a continuation byte seen as Latin-1 (U+0080-00BF)
+    — and (b) the Latin-1 re-encode is lossless (every char < U+0100)
+    and (c) the round trip yields valid UTF-8 (no U+FFFD): any failure
+    leaves the text untouched, so clean text that legitimately
+    contains U+00C3 survives. Pure Catalyst (encode/decode/when),
+    zero shuffle; charset transcoding is not expressible in the DuckDB
+    oracle dialect, so this is pytest-pinned (round-trip goldens)
+    rather than registry-graded."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    sig = c.rlike("[\u00c2\u00c3\u00e2\u00ca][\u0080-\u00bf]")
+    lossless = ~c.rlike("[\u0100-\uffff]")
+    repaired = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+    ok = ~repaired.contains("\ufffd")
+    return F.when(sig & lossless & ok, repaired).otherwise(c)

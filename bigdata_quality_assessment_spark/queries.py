@@ -1220,6 +1220,29 @@ _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
                   max(CASE WHEN n = 3 THEN tot END) AS g3_total,
                   max(CASE WHEN n = 3 THEN dup END) AS g3_dup
                 FROM pn GROUP BY doc_id)
+        , html_aug AS (
+          SELECT doc_id,
+            '<html><body><h1>T' || doc_id || '</h1><p>' || text || '</p>'
+            || CASE WHEN doc_id % 3 = 0 THEN '<script>var x = 1 < 2;</script>' ELSE '' END
+            || CASE WHEN doc_id % 4 = 0 THEN '<style>p {{ color: red }}</style>' ELSE '' END
+            || CASE WHEN doc_id % 6 = 0 THEN '<!-- hidden --><b>&amp; &lt;tag&gt; &#39;q&#39;</b>' ELSE '' END
+            || '</body></html>' AS h
+          FROM documents),
+        cleaned AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
+                  '<[^>]+>', ' ', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+            '[ \t\n\r\f]+', ' ', 'g')) AS clean_text
+          FROM html_aug)
         SELECT 'stats' AS part, doc_id,
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1237,7 +1260,8 @@ _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
         CAST(NULL AS BIGINT) AS n_words, CAST(NULL AS DOUBLE) AS dup_word_frac,
         CAST(NULL AS DOUBLE) AS top_bigram_frac, CAST(NULL AS DOUBLE) AS dup_trigram_frac,
         CAST(NULL AS BIGINT) AS n_emails, CAST(NULL AS BIGINT) AS n_urls,
-        CAST(NULL AS BIGINT) AS n_ipv4, CAST(NULL AS BIGINT) AS n_phones
+        CAST(NULL AS BIGINT) AS n_ipv4, CAST(NULL AS BIGINT) AS n_phones,
+        CAST(NULL AS VARCHAR) AS clean_text
         FROM documents
         UNION ALL
         SELECT 'rep', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -1248,7 +1272,7 @@ _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
               THEN g2_top * 1.0 / g2_total ELSE 0.0 END, 9),
         round(CASE WHEN coalesce(g3_total, 0) > 0
               THEN g3_dup * 1.0 / g3_total ELSE 0.0 END, 9),
-        NULL, NULL, NULL, NULL
+        NULL, NULL, NULL, NULL, CAST(NULL AS VARCHAR)
         FROM rep
         UNION ALL
         SELECT 'pii', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -1256,8 +1280,14 @@ _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT),
         CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT),
         CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT),
-        CAST(len(regexp_extract_all(text, '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS BIGINT)
-        FROM pii_aug""",
+        CAST(len(regexp_extract_all(text, '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS BIGINT),
+        CAST(NULL AS VARCHAR)
+        FROM pii_aug
+        UNION ALL
+        SELECT 'html', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
+        NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        clean_text
+        FROM cleaned""",
 )
 def q_xtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-signal family as one tagged union (round-5 additions):
@@ -1267,7 +1297,9 @@ def q_xtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine); part='pii' regex PII indicator counts (pii_scan)
     over text with deterministic synthetic PII injected identically on
     both engines — the injection makes the counts non-zero so the
-    Java-vs-RE2 regex parity is genuinely exercised."""
+    Java-vs-RE2 regex parity is genuinely exercised; part='html'
+    (round-5.2) strip_html over deterministically HTML-wrapped text —
+    the extracted plain text itself is hash-matched cross-engine."""
     from bigdata_quality_assessment_spark.operators.text import (
         ngram_repetition_stats,
         pii_scan,
@@ -1323,8 +1355,36 @@ def q_xtext(spark: SparkSession, sf_dir: str) -> DataFrame:
         *stat_nulls,
         *rep_nulls,
         "n_emails", "n_urls", "n_ipv4", "n_phones",
+        F.lit(None).cast("string").alias("clean_text"),
     )
-    return stats.unionByName(rep).unionByName(pii)
+    # part='html' (round-5.2): strip_html over text wrapped in
+    # deterministic synthetic markup (same construction in the oracle
+    # SQL) — tags, script/style payloads, comments and entities all
+    # exercised, reassembled text hash-matched cross-engine
+    from bigdata_quality_assessment_spark.operators.text import strip_html
+
+    wrapped = F.concat(
+        F.lit("<html><body><h1>T"), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("<script>var x = 1 < 2;</script>")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("<style>p { color: red }</style>")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("<!-- hidden --><b>&amp; &lt;tag&gt; &#39;q&#39;</b>")).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    html = docs.select(
+        F.lit("html").alias("part"),
+        "doc_id",
+        *stat_nulls,
+        *rep_nulls,
+        *[F.lit(None).cast("bigint").alias(c) for c in ("n_emails", "n_urls", "n_ipv4", "n_phones")],
+        strip_html(wrapped).alias("clean_text"),
+    )
+    stats = stats.withColumn("clean_text", F.lit(None).cast("string"))
+    rep = rep.withColumn("clean_text", F.lit(None).cast("string"))
+    return stats.unionByName(rep).unionByName(pii).unionByName(html)
 
 
 def _lang_sql() -> str:

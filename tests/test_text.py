@@ -622,3 +622,46 @@ def test_dedup_spans_min_count_threshold(spark):
     docs2 = spark.createDataFrame([(0, s), (1, s)], ["doc_id", "text"])
     only2 = {r["doc_id"]: r["n_spans_removed"] for r in dedup_spans(docs2, 5, min_count=3).collect()}
     assert only2 == {0: 0, 1: 0}
+
+
+def test_strip_html(spark):
+    """Tag removal, script/style payload deletion, entity unescape,
+    whitespace collapse — and double-escaped entities survive as their
+    single-escaped form."""
+    from bigdata_quality_assessment_spark.operators.text import strip_html
+
+    rows = [
+        (0, "<html><head><style>b{color:red}</style></head><body>"
+            "<p>Hello &amp; <b>world</b></p><!-- c --><script>x<y</script>"
+            "bye</body></html>"),
+        (1, "a<br>b &lt;tag&gt; &#39;q&#39; &amp;lt;"),
+        (2, None),
+        (3, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r["i"]: r["s"] for r in df.select("i", strip_html("t").alias("s")).collect()}
+    assert got[0] == "Hello & world bye"
+    assert got[1] == "a b <tag> 'q' &lt;"
+    assert got[2] is None
+    assert got[3] == "no markup at all"
+
+
+def test_fix_mojibake_roundtrip_and_guards(spark):
+    """Latin-1 mojibake is repaired to the original text; clean
+    accented text (which the corruption process never produced) is
+    left byte-identical."""
+    from bigdata_quality_assessment_spark.operators.text import fix_mojibake
+
+    def corrupt(s):
+        return s.encode("utf-8").decode("latin-1")
+
+    goods = ["Café crème", "Über", "naïve résumé"]
+    cleans = ["clean français text", "Straße", "plain ascii"]
+    rows = [(i, corrupt(g)) for i, g in enumerate(goods)]
+    rows += [(100 + i, c) for i, c in enumerate(cleans)]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r["i"]: r["s"] for r in df.select("i", fix_mojibake("t").alias("s")).collect()}
+    for i, g in enumerate(goods):
+        assert got[i] == g, (i, ascii(got[i]))
+    for i, c in enumerate(cleans):
+        assert got[100 + i] == c, (i, ascii(got[100 + i]))

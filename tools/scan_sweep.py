@@ -45,7 +45,7 @@ sys.path.insert(0, str(REPO))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 EXPECTED_MAX = {
-    "x_text_stats": 3,  # stats/repetition/pii tagged parts, one scan each
+    "x_text_stats": 4,  # stats/repetition/pii/html tagged parts, one scan each
     "x_quality_score": 2,  # quality + chunking tagged parts
     # fp part 1 scan; decon part 3: the eval-set filter (different
     # predicate), the gram explode (id+text), and the id-universe
