@@ -49,6 +49,10 @@ class CurationConfig:
     text_col: str = "text"
     id_col: str = "doc_id"
     source_col: str = "source"
+    # pre-normalize text repairs: strip HTML markup to plain text
+    # and/or repair Latin-1 mojibake — both pure codegen projections
+    strip_markup: bool = False
+    fix_encoding: bool = False
     normalize: bool = True
     near_dedup: bool = True
     minhash_k: int = 3
@@ -119,6 +123,14 @@ def curate(
         return df_
 
     cur = stage("input", docs)
+    if cfg.strip_markup:
+        from bigdata_quality_assessment_spark.operators.text import strip_html
+
+        cur = cur.withColumn(cfg.text_col, strip_html(cfg.text_col))
+    if cfg.fix_encoding:
+        from bigdata_quality_assessment_spark.operators.text import fix_mojibake
+
+        cur = cur.withColumn(cfg.text_col, fix_mojibake(cfg.text_col))
     if cfg.normalize:
         cur = cur.withColumn(cfg.text_col, normalize_text(cfg.text_col))
 

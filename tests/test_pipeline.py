@@ -261,3 +261,29 @@ def test_curate_span_dedup_passes_tokenless_docs(spark):
     )
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert got == {0: b, 2: "   "}
+
+
+def test_curate_markup_and_encoding_repairs(spark):
+    """strip_markup + fix_encoding run before normalization, so an
+    HTML-wrapped mojibake doc dedups against its clean plain twin."""
+    def corrupt(s):
+        return s.encode("utf-8").decode("latin-1")
+
+    clean = "café content words here now"
+    rows = [
+        (0, clean, "web"),
+        (1, "<p>" + corrupt(clean) + "</p>", "web"),  # same doc, wrapped+broken
+        (2, "<b>other</b> doc entirely", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, report = curate(
+        docs,
+        config=CurationConfig(
+            strip_markup=True, fix_encoding=True, near_dedup=False
+        ),
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {0, 2}          # doc 1 collapsed into doc 0
+    assert got[2] == "other doc entirely"
+    rep = dict(report.collect())
+    assert rep["exact_dedup"] == 2
