@@ -44,6 +44,13 @@ _ZIGZAG = np.array(
 )
 _ZZ_LIST = [int(v) for v in _ZIGZAG]  # plain-int copy for the hot loop
 
+# Decoder dimension guard: SOF headers are UNTRUSTED (a 16-byte
+# corrupt/crafted blob can declare 65535x65535 and the coefficient
+# store would OOM-kill the executor before any entropy byte is
+# validated). 64 MP covers any real photograph; larger declared dims
+# return None (the caller's stub fallback) like any other corruption.
+MAX_PIXELS = 64_000_000
+
 # orthonormal 8-point DCT-II basis; forward X = C @ x @ C.T, inverse
 # x = C.T @ X @ C (exact float IDCT, vectorized over blocks by einsum)
 _DCT_C = np.array(
@@ -162,32 +169,32 @@ def _split_entropy_segments(b: bytes, pos: int) -> list[bytes]:
     """Slice the entropy-coded data starting at ``pos`` into restart
     segments, removing 0xFF00 byte stuffing. Stops at any non-RST
     marker (EOI or a following scan header)."""
-    segments: list[bytes] = []
-    cur = bytearray()
-    n = len(b)
-    while pos < n:
-        c = b[pos]
-        if c != 0xFF:
-            cur.append(c)
-            pos += 1
-            continue
-        nxt = b[pos + 1] if pos + 1 < n else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            pos += 2
-        elif nxt == 0xFF:
-            # spec B.1.1.2: 0xFF fill bytes may pad any marker —
-            # a literal 0xFF data byte is always stuffed as FF 00,
-            # so FF FF can only be fill + marker start
-            pos += 1
-        elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            pos += 2
-        else:
-            break
-    segments.append(bytes(cur))
-    return segments
+    return _split_entropy_end(b, pos)[0]
+
+
+def _parse_dqt(seg: bytes, qt: dict) -> bool:
+    """Load 8-bit quantization tables from a DQT segment; False on the
+    16-bit form (outside scope for both decode paths)."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 15
+        if pq != 0:
+            return False
+        tbl = np.zeros(64, dtype=np.int32)
+        tbl[_ZIGZAG] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+        qt[tq] = tbl.reshape(8, 8)
+        i += 65
+    return True
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    i = 0
+    while i + 17 <= len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 15
+        counts = list(seg[i + 1 : i + 17])
+        nsym = sum(counts)
+        huff[(tc, th)] = _build_huffman(counts, seg[i + 17 : i + 17 + nsym])
+        i += 17 + nsym
 
 
 def _split_entropy_end(b: bytes, pos: int) -> tuple[list[bytes], int]:
@@ -208,6 +215,9 @@ def _split_entropy_end(b: bytes, pos: int) -> tuple[list[bytes], int]:
             cur.append(0xFF)
             pos += 2
         elif nxt == 0xFF:
+            # spec B.1.1.2: 0xFF fill bytes may pad any marker —
+            # a literal 0xFF data byte is always stuffed as FF 00,
+            # so FF FF can only be fill + marker start
             pos += 1
         elif 0xD0 <= nxt <= 0xD7:
             segments.append(bytes(cur))
@@ -291,23 +301,10 @@ def _decode_progressive(b: bytes) -> np.ndarray | None:
         (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         seg = b[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 15
-                if pq != 0:
-                    return None
-                tbl = np.zeros(64, dtype=np.int32)
-                tbl[_ZIGZAG] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
-                qt[tq] = tbl.reshape(8, 8)
-                i += 65
+            if not _parse_dqt(seg, qt):
+                return None
         elif marker == 0xC4:
-            i = 0
-            while i + 17 <= len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 15
-                counts = list(seg[i + 1 : i + 17])
-                nsym = sum(counts)
-                huff[(tc, th)] = _build_huffman(counts, seg[i + 17 : i + 17 + nsym])
-                i += 17 + nsym
+            _parse_dht(seg, huff)
         elif marker == 0xC2:
             if seg[0] != 8:
                 return None
@@ -318,7 +315,7 @@ def _decode_progressive(b: bytes) -> np.ndarray | None:
                 cid = seg[6 + ci * 3]
                 hv = seg[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + ci * 3]))
-            if h < 1 or w < 1 or ncomp not in (1, 3):
+            if h < 1 or w < 1 or ncomp not in (1, 3) or h * w > MAX_PIXELS:
                 return None
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
@@ -331,9 +328,9 @@ def _decode_progressive(b: bytes) -> np.ndarray | None:
             for cid, ch_, cv, _tq in comps:
                 bw_ = mcus_x * (1 if single else ch_)
                 bh_ = mcus_y * (1 if single else cv)
-                coef[cid] = [
-                    [[0] * 64 for _ in range(bw_)] for _ in range(bh_)
-                ]
+                # int32 array (pixels x 4 B), not nested Python lists
+                # (~60x the footprint on a 12 MP photo)
+                coef[cid] = np.zeros((bh_, bw_, 64), dtype=np.int32)
             frame = (h, w, comps)
             geom = (hmax, vmax, mcus_x, mcus_y, single)
         elif marker in (0xC0, 0xC1) or (
@@ -370,7 +367,7 @@ def _decode_progressive(b: bytes) -> np.ndarray | None:
     hmax, vmax, _, _, _ = geom
     planes = {}
     for cid, _ch, _cv, tq in comps:
-        arr = np.array(coef[cid], dtype=np.float64)  # (bh, bw, 64) natural
+        arr = coef[cid].astype(np.float64)  # (bh, bw, 64) natural order
         planes[cid] = arr.reshape(arr.shape[0], arr.shape[1], 8, 8) * qt[tq]
     return _planes_to_image(planes, comps, h, w, hmax, vmax)
 
@@ -390,11 +387,10 @@ def _decode_prog_scan(
     if not is_dc and len(scomps) != 1:
         return False  # AC scans are single-component by spec
 
-    if len(scomps) > 1 or (is_dc and not single and len(scomps) == len(comps)):
-        interleaved = True
+    interleaved = len(scomps) > 1
+    if interleaved:
         total_units = mcus_x * mcus_y
     else:
-        interleaved = len(scomps) > 1
         cid = scomps[0][0]
         _, ch_, cv, _tq = comp_by_id[cid]
         if single:
@@ -445,9 +441,9 @@ def _decode_prog_scan(
     p1 = 1 << al
 
     def refine_nonzero(r, block, k, kend):
-        """Read correction bits for every nonzero coefficient in
-        positions k..kend; returns the position AFTER the first
-        zero-history slot NOT consumed (used by the run walker)."""
+        """Read a correction bit for every nonzero coefficient in
+        positions k..kend (the full-band sweep used on EOB-run
+        entry and after an EOBn symbol)."""
         while k <= kend:
             z = _ZZ_LIST[k]
             if block[z] != 0:
@@ -559,24 +555,10 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
             (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
             seg = b[pos + 4 : pos + 2 + seg_len]
             if marker == 0xDB:  # DQT
-                i = 0
-                while i < len(seg):
-                    pq, tq = seg[i] >> 4, seg[i] & 15
-                    if pq != 0:  # 16-bit tables: beyond 8-bit baseline
-                        return None
-                    tbl = np.zeros(64, dtype=np.int32)
-                    tbl[_ZIGZAG] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
-                    qt[tq] = tbl.reshape(8, 8)
-                    i += 65
+                if not _parse_dqt(seg, qt):
+                    return None  # 16-bit tables: beyond 8-bit scope
             elif marker == 0xC4:  # DHT
-                i = 0
-                while i + 17 <= len(seg):
-                    tc, th = seg[i] >> 4, seg[i] & 15
-                    counts = list(seg[i + 1 : i + 17])
-                    nsym = sum(counts)
-                    symbols = seg[i + 17 : i + 17 + nsym]
-                    huff[(tc, th)] = _build_huffman(counts, symbols)
-                    i += 17 + nsym
+                _parse_dht(seg, huff)
             elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline sequential
                 precision = seg[0]
                 if precision != 8:
@@ -608,7 +590,7 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
         if frame is None or scan is None:
             return None
         h, w, comps = frame
-        if h < 1 or w < 1 or len(comps) not in (1, 3):
+        if h < 1 or w < 1 or len(comps) not in (1, 3) or h * w > MAX_PIXELS:
             return None
         if len(scan) != len(comps):  # multi-scan baseline: out of scope
             return None

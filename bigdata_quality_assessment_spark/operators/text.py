@@ -1417,15 +1417,38 @@ def fix_mojibake(text_col: Column | str) -> Column:
     UTF-8 lead byte seen as Latin-1 (U+00C2/C3, U+00E2, U+00CA)
     followed by a continuation byte seen as Latin-1 (U+0080-00BF)
     — and (b) the Latin-1 re-encode is lossless (every char < U+0100)
-    and (c) the round trip yields valid UTF-8 (no U+FFFD): any failure
-    leaves the text untouched, so clean text that legitimately
-    contains U+00C3 survives. Pure Catalyst (encode/decode/when),
+    and (c) the byte sequence is structurally valid UTF-8 (checked by
+    regex BEFORE decoding — Spark 4's decode raises on malformed input
+    rather than substituting U+FFFD, so the check must be a
+    precondition, not a postcondition): any failure leaves the text
+    untouched, so clean text that legitimately contains U+00C3 (or
+    emoji, or any non-Latin-1 script) survives. Pure Catalyst (encode/decode/when),
     zero shuffle; charset transcoding is not expressible in the DuckDB
     oracle dialect, so this is pytest-pinned (round-trip goldens)
     rather than registry-graded."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     sig = c.rlike("[\u00c2\u00c3\u00e2\u00ca][\u0080-\u00bf]")
-    lossless = ~c.rlike("[\u0100-\uffff]")
+    # losslessness: EVERY char must be Latin-1-encodable. The class is
+    # [^\x00-\xff] (not [\u0100-\uffff]) because Java regex matches
+    # CODE POINTS: astral chars (emoji, U+10000+) are above U+FFFF and
+    # would slip through the narrower class, then crash the encode.
+    lossless = ~c.rlike("[^\x00-\xff]")
+    # Spark 4's decode() RAISES MALFORMED_CHARACTER_CODING on invalid
+    # UTF-8 (it does not substitute U+FFFD), so validity must be
+    # proven BEFORE decoding: with chars==bytes (lossless), UTF-8
+    # structure is checkable as a regex over the Latin-1 code points
+    # (the W3C byte-pattern). CASE evaluates branches lazily per row,
+    # so invalid rows never reach the decode.
+    valid_utf8 = c.rlike(
+        "^([\x00-\x7f]"
+        "|[\u00c2-\u00df][\u0080-\u00bf]"
+        "|\u00e0[\u00a0-\u00bf][\u0080-\u00bf]"
+        "|[\u00e1-\u00ec][\u0080-\u00bf][\u0080-\u00bf]"
+        "|\u00ed[\u0080-\u009f][\u0080-\u00bf]"
+        "|[\u00ee-\u00ef][\u0080-\u00bf][\u0080-\u00bf]"
+        "|\u00f0[\u0090-\u00bf][\u0080-\u00bf][\u0080-\u00bf]"
+        "|[\u00f1-\u00f3][\u0080-\u00bf][\u0080-\u00bf][\u0080-\u00bf]"
+        "|\u00f4[\u0080-\u008f][\u0080-\u00bf][\u0080-\u00bf])*$"
+    )
     repaired = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
-    ok = ~repaired.contains("\ufffd")
-    return F.when(sig & lossless & ok, repaired).otherwise(c)
+    return F.when(sig & lossless & valid_utf8, repaired).otherwise(c)

@@ -351,9 +351,12 @@ def test_decode_media_jpeg_gif_real_paths(spark):
     assert got[2]["features"][0] == pytest.approx(float(exp.mean(axis=2).mean()), abs=1e-9)
 
 
-def test_decode_media_progressive_jpeg_stays_stub(spark):
-    """SOF2 (progressive) is out of codec scope: header dims real,
-    decoder marker 'stub'."""
+def test_decode_media_invalid_progressive_falls_back_to_stub(spark):
+    """A BASELINE stream whose SOF marker is rewritten to SOF2 is not
+    valid progressive (its single Ss=0..Se=63 scan is structurally
+    illegal there): the progressive decoder rejects it and decode_media
+    falls back to header dims + stub features. Real SOF2 files DECODE
+    (see test_decode_media_real_progressive_jpeg)."""
     from tests.test_imagecodec import _encode_jpeg
 
     blob = bytearray(_encode_jpeg(np.full((8, 8), 90, dtype=np.uint8), quant=1))
@@ -362,3 +365,38 @@ def test_decode_media_progressive_jpeg_stays_stub(spark):
     row = decode_media(df).collect()[0]
     assert row["decoder"] == "stub"
     assert (row["width"], row["height"]) == (8, 8)
+
+
+def test_decode_media_real_progressive_jpeg(spark):
+    """A genuine progressive encoding yields decoder='jpeg' with pixel
+    features identical to its baseline twin (same coefficients)."""
+    from tests.test_imagecodec import _encode_jpeg, _encode_jpeg_progressive
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    rows = [
+        (0, bytes(_encode_jpeg(img, quant=2))),
+        (1, bytes(_encode_jpeg_progressive(img, quant=2, dc_al=1, ac_al=1))),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[1]["decoder"] == "jpeg"
+    assert got[1]["width"] == 16 and got[1]["height"] == 16
+    for a, b in zip(got[0]["features"], got[1]["features"]):
+        assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_decode_media_hostile_dims_rejected(spark):
+    """A 20-byte blob declaring 65535x65535 must NOT allocate a
+    coefficient store (executor-OOM vector) — both JPEG paths cap at
+    MAX_PIXELS and fall back to the stub."""
+    import struct as _struct
+
+    from bigdata_quality_assessment_spark.operators.imagecodec import decode_jpeg
+
+    for sof in (0xC0, 0xC2):
+        hdr = bytearray(b"\xff\xd8")
+        body = bytes([8]) + _struct.pack(">HH", 65535, 65535) + bytes([1, 1, 0x11, 0])
+        hdr += bytes([0xFF, sof]) + _struct.pack(">H", 2 + len(body)) + body
+        hdr += b"\xff\xd9"
+        assert decode_jpeg(bytes(hdr)) is None

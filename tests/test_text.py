@@ -665,3 +665,28 @@ def test_fix_mojibake_roundtrip_and_guards(spark):
         assert got[i] == g, (i, ascii(got[i]))
     for i, c in enumerate(cleans):
         assert got[100 + i] == c, (i, ascii(got[100 + i]))
+
+
+def test_fix_mojibake_hostile_inputs_do_not_crash(spark):
+    """The review-found crash classes: mixed mojibake + bare Latin-1
+    (invalid UTF-8 byte structure), truncated lead bytes, and astral
+    chars (emoji) alongside a mojibake signature. All must pass
+    through UNTOUCHED — under Spark 4 an unguarded decode/encode
+    raises MALFORMED_CHARACTER_CODING and kills the job."""
+    from bigdata_quality_assessment_spark.operators.text import fix_mojibake
+
+    def corrupt(s):
+        return s.encode("utf-8").decode("latin-1")
+
+    hostile = [
+        (0, corrupt("Café") + " ¡Hola!"),  # valid moji + bare continuation byte
+        (1, corrupt("Café") + " Â"),        # truncated lead byte at end
+        (2, corrupt("Café") + " \U0001f600"),    # astral char: not Latin-1-encodable
+        (3, "Ã©" * 3),                  # pure repairable mojibake ('ééé')
+    ]
+    df = spark.createDataFrame(hostile, ["i", "t"])
+    got = {r["i"]: r["s"] for r in df.select("i", fix_mojibake("t").alias("s")).collect()}
+    assert got[0] == hostile[0][1]   # untouched, not crashed
+    assert got[1] == hostile[1][1]
+    assert got[2] == hostile[2][1]
+    assert got[3] == "ééé"          # the clean case still repairs
