@@ -1210,9 +1210,14 @@ def ngram_lm_score(
     if max_vocab is not None:
         sc_pairs = fold_unk(sc_pairs)
     k = float(add_k)
-    logp = F.log(
-        (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(k))
-        / (F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(k) * F.col("__vsz"))
+    # ANSI guard: an all-empty training corpus has V == 0, making the
+    # denominator 0 for the NULL-sentinel rows (whose logp is masked
+    # out below but still EVALUATED under ANSI) — found by the
+    # hypothesis corpus generator, not by any fixture
+    denom = F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(k) * F.col("__vsz")
+    logp = F.when(
+        denom > 0,
+        F.log((F.coalesce(F.col("__c"), F.lit(0)) + F.lit(k)) / denom),
     )
     real = F.col("w").isNotNull()
     per_doc = (

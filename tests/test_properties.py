@@ -181,3 +181,76 @@ def test_misra_gries_bounds_property(spark, vals, capacity):
             assert item in got, (item, cnt, n, capacity)
     for item, (est, err) in got.items():
         assert est <= exact[item] <= est + err
+
+
+_words = st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"])
+_doc = st.lists(_words, min_size=0, max_size=24).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=8))
+@SET
+def test_dedup_spans_matches_python_reference(spark, texts):
+    """Random tiny-vocabulary corpora (maximal span collisions): the
+    operator's keep/remove decisions and reassembled text equal a
+    direct python implementation of first-global-occurrence-wins."""
+    from bigdata_quality_assessment_spark.operators.text import dedup_spans
+
+    span = 3
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dedup_spans(docs, span).collect()}
+
+    # python reference
+    spans = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        spans[i] = [" ".join(ws[k: k + span]) for k in range(0, len(ws), span)]
+    counts = {}
+    for i in sorted(spans):
+        for s in spans[i]:
+            counts[s] = counts.get(s, 0) + 1
+    firsts = {}
+    for i in sorted(spans):
+        for sid, s in enumerate(spans[i]):
+            firsts.setdefault(s, (i, sid))
+    for i, t in enumerate(texts):
+        kept = [
+            s for sid, s in enumerate(spans[i])
+            if counts[s] < 2 or firsts[s] == (i, sid)
+        ]
+        r = got[i]
+        assert r["n_spans"] == len(spans[i])
+        assert r["n_spans_removed"] == len(spans[i]) - len(kept)
+        expect = " ".join(kept) if spans[i] else None
+        assert r["text_deduped"] == expect, (i, texts)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6))
+@SET
+def test_ngram_lm_matches_python_reference(spark, texts):
+    """Self-trained bigram perplexity equals the closed-form python
+    computation on arbitrary random corpora (incl. empty docs)."""
+    from collections import Counter
+
+    from bigdata_quality_assessment_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_lm_score(docs, add_k=0.5).collect()}
+
+    def pairs(t):
+        ws = [w for w in t.split(" ") if w]
+        return list(zip(["<s>"] + ws[:-1], ws))
+
+    bi = Counter(p for t in texts for p in pairs(t))
+    ctx = Counter()
+    for (pv, _), c in bi.items():
+        ctx[pv] += c
+    v = len({w for t in texts for w in t.split(" ") if w})
+    for i, t in enumerate(texts):
+        ps = pairs(t)
+        r = got[i]
+        assert r["n_lm_tokens"] == len(ps)
+        if not ps:
+            assert r["ppl"] is None
+            continue
+        lp = sum(np.log((bi[p] + 0.5) / (ctx[p[0]] + 0.5 * v)) for p in ps) / len(ps)
+        assert r["avg_logp"] == pytest.approx(lp, rel=1e-10, abs=1e-12)
