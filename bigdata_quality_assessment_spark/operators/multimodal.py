@@ -48,6 +48,10 @@ _MAGIC = {
     "1A45DFA3": "video/webm",
 }
 
+# MP4/MOV: the signature 'ftyp' sits at byte offset 4 (after the box
+# size), so it needs an offset match rather than a prefix row in _MAGIC
+_MP4_HEX = "66747970"
+
 
 def sniff_media_type(content_col: Column | str) -> Column:
     """Magic-byte media-type detection as a pure Catalyst expression:
@@ -56,6 +60,9 @@ def sniff_media_type(content_col: Column | str) -> Column:
     c = F.col(content_col) if isinstance(content_col, str) else content_col
     head = F.upper(F.hex(F.substring(c, 1, 8)))
     expr = F.lit("application/octet-stream")
+    expr = F.when(
+        F.upper(F.hex(F.substring(c, 5, 4))) == _MP4_HEX, F.lit("video/mp4")
+    ).otherwise(expr)
     for magic, mtype in reversed(list(_MAGIC.items())):
         expr = F.when(head.startswith(magic), F.lit(mtype)).otherwise(expr)
     return expr
@@ -158,6 +165,61 @@ def _parse_gif_header(b: bytes) -> dict | None:
         return None
     w, h = struct.unpack("<HH", b[6:10])
     return {"width": int(w), "height": int(h), "channels": None, "sample_rate": None}
+
+
+def _parse_mp4_header(b: bytes) -> dict | None:
+    """Video dimensions from an ISO-BMFF (MP4/MOV) container: walk the
+    top-level boxes to ``moov``, then each ``trak``'s ``tkhd`` for the
+    16.16-fixed-point presentation width/height (the video track is
+    the one with nonzero dims). Pure struct parsing — real metadata,
+    no frame decode (that tier stays stubbed without ffmpeg)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int):
+        boxes = []
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", b[pos : pos + 4])
+            typ = b[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > hi:
+                    break
+                (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:
+                size = hi - pos
+            if size < hdr or pos + size > hi:
+                break
+            boxes.append((typ, pos + hdr, pos + size))
+            pos += size
+        return boxes
+
+    try:
+        moov = next(
+            ((s, e) for t, s, e in walk(0, len(b)) if t == b"moov"), None
+        )
+        if moov is None:
+            return None
+        width = height = None
+        for t, s, e in walk(*moov):
+            if t == b"trak":
+                for t2, s2, e2 in walk(s, e):
+                    if t2 == b"tkhd" and e2 - s2 >= 84:
+                        ver = b[s2]
+                        woff = s2 + (76 if ver == 0 else 88)
+                        if woff + 8 <= e2:
+                            (wfx,) = struct.unpack(">I", b[woff : woff + 4])
+                            (hfx,) = struct.unpack(">I", b[woff + 4 : woff + 8])
+                            w, h = wfx >> 16, hfx >> 16
+                            if w and h:
+                                width, height = w, h
+        if width is None:
+            return None
+        return {"width": width, "height": height, "channels": None, "sample_rate": None}
+    except Exception:
+        return None
 
 
 def _parse_wav_header(b: bytes) -> dict | None:
@@ -434,7 +496,7 @@ def decode_media(
                     meta, feats = decoded
                 else:
                     which = "stub"
-                    meta = _parse_png_header(b) or _parse_wav_header(b) or _parse_jpeg_header(b) or _parse_gif_header(b) or {
+                    meta = _parse_png_header(b) or _parse_wav_header(b) or _parse_jpeg_header(b) or _parse_gif_header(b) or _parse_mp4_header(b) or {
                         "width": None, "height": None, "channels": None, "sample_rate": None
                     }
                     feats = _fake_pixels(b, n_features)

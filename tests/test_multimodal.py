@@ -400,3 +400,51 @@ def test_decode_media_hostile_dims_rejected(spark):
         hdr += bytes([0xFF, sof]) + _struct.pack(">H", 2 + len(body)) + body
         hdr += b"\xff\xd9"
         assert decode_jpeg(bytes(hdr)) is None
+
+
+def _make_mp4(width, height, version=0):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd with 16.16 dims))."""
+    import struct as s
+
+    def box(typ, payload):
+        return s.pack(">I", 8 + len(payload)) + typ + payload
+
+    if version == 0:
+        # v0 layout: ver/flags(4) + fixed fields(72) + width + height
+        tkhd = bytes([0, 0, 0, 7]) + b"\x00" * 72 + s.pack(">II", width << 16, height << 16)
+        mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + s.pack(">II", 1000, 5000) + b"\x00" * 80
+    else:
+        tkhd = bytes([1, 0, 0, 7]) + b"\x00" * 84 + s.pack(">II", width << 16, height << 16)
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + s.pack(">IQ", 1000, 5000) + b"\x00" * 80
+    trak = box(b"trak", box(b"tkhd", tkhd))
+    moov = box(b"moov", box(b"mvhd", mvhd) + trak)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_mp4_header_dims_and_sniffing(spark):
+    """MP4 containers: sniffed as video/mp4 (the ftyp signature sits at
+    offset 4, not 0) and the tkhd box walk yields real presentation
+    dims for both tkhd versions; features stay stub (no frame decode)."""
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        sniff_media_type,
+    )
+
+    rows = [
+        (0, _make_mp4(640, 360, version=0)),
+        (1, _make_mp4(1920, 1080, version=1)),
+        (2, b"\x00\x00\x00\x08free"),  # BMFF-ish but no ftyp -> octet-stream
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    sniffed = {
+        r["media_id"]: r["t"]
+        for r in df.select("media_id", sniff_media_type("content").alias("t")).collect()
+    }
+    assert sniffed[0] == sniffed[1] == "video/mp4"
+    assert sniffed[2] == "application/octet-stream"
+
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (640, 360)
+    assert (got[1]["width"], got[1]["height"]) == (1920, 1080)
+    assert got[0]["decoder"] == "stub"  # metadata tier, no frame decode
+    assert got[2]["width"] is None
