@@ -823,3 +823,57 @@ def knn_pq(
         .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
     )
     return _topk_per_query(rescored, query_id_col, id_col, k)
+
+
+def cluster_embeddings(
+    corpus: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    n_train: int = 2048,
+    n_kmeans_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Corpus organization by embedding cluster — the grouping
+    primitive behind domain-balanced mixtures (cluster the corpus,
+    then re-weight or quota-sample per cluster, the DoReMi/DSIR-style
+    deployment) and the shared front end of SemDeDup and IVF search.
+
+    Returns ``(assigned, centroids)``: ``assigned`` is the corpus with
+    a ``cluster`` column plus ``centroid_cosine`` (each row's cosine
+    to its own centroid — the prototypicality score the keep-low/high
+    curation rules rank on), and ``centroids`` the k×dim model.
+
+    Shape: the quantizer is a driver-trained k-means on a bounded
+    ``n_train`` sample; assignment + cosine are ONE narrow Catalyst
+    projection over a centroid-literal array (no UDF, no join, no
+    shuffle — plan-pinned in tests). Compose with
+    ``stratified_sample_exact(assigned, quotas, "cluster")`` for exact
+    per-domain mixtures or ``top_fraction_per_group`` for per-cluster
+    curation."""
+    c = corpus.withColumn("__v", _as_double(F.col(vec_col)))
+    train = [r["__v"] for r in c.select("__v").limit(n_train).collect()]
+    cents = _kmeans_centroids(train, n_clusters, n_iter=n_kmeans_iter, seed=seed)
+
+    cd = _centroid_dists(F.col("__v"), cents)
+    cluster = (F.array_position(cd, F.array_min(cd)) - 1).cast("int")
+    cent_lit = F.lit(cents)
+    pick = F.element_at(cent_lit, F.col("cluster") + 1)
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), pick, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate(pick, F.lit(0.0), lambda acc, x: acc + x * x))
+    denom = nv * nc
+    assigned = (
+        c.withColumn("cluster", cluster)
+        .withColumn(
+            "centroid_cosine",
+            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)),
+        )
+        .drop("__v")
+    )
+    return assigned, cents

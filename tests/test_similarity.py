@@ -357,3 +357,42 @@ def test_pq_256_centroids_codes_are_valid(corpus, vectors):
     for qi in range(2):
         expect, _ = _np_topk(vectors, qi, 5)
         assert [v for _, v in sorted(by_q[qi])] == [int(e) for e in expect]
+
+
+def test_cluster_embeddings_assignment_and_plan(corpus, vectors):
+    """Assignments equal numpy argmin over the same centroids, the
+    prototypicality cosine matches numpy, and the assignment plan is
+    exchange-free (pure projection)."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        cluster_embeddings,
+    )
+
+    assigned, cents = cluster_embeddings(corpus, dim=DIM, n_clusters=6, seed=13)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("InMemoryTableScan", "")
+    C = np.asarray(cents)
+    rows = assigned.collect()
+    assert len(rows) == len(vectors)
+    for r in rows:
+        v = vectors[r["vec_id"]]
+        expect = int(np.argmin(((C - v) ** 2).sum(1)))
+        assert r["cluster"] == expect
+        cv = C[expect]
+        cos = float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv)))
+        assert r["centroid_cosine"] == pytest.approx(cos, rel=1e-9)
+
+    # composition: exact per-cluster quotas over the assignment
+    from bigdata_quality_assessment_spark.operators.select import (
+        stratified_sample_exact,
+    )
+
+    counts = {r["cluster"]: 0 for r in rows}
+    for r in rows:
+        counts[r["cluster"]] += 1
+    quotas = {int(k): min(3, v) for k, v in counts.items()}
+    sampled = stratified_sample_exact(assigned, quotas, "cluster", "vec_id")
+    got = {
+        r["cluster"]: r["count"]
+        for r in sampled.groupBy("cluster").count().collect()
+    }
+    assert got == {k: v for k, v in quotas.items() if v > 0}
