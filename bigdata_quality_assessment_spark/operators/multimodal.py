@@ -204,7 +204,10 @@ def _parse_mp4_header(b: bytes) -> dict | None:
             return None
         width = height = None
         for t, s, e in walk(*moov):
-            if t == b"trak":
+            if t == b"trak" and width is None:
+                # FIRST track with nonzero dims wins: subtitle/text
+                # tracks later in the moov also carry presentation
+                # dims and must not override the video track
                 for t2, s2, e2 in walk(s, e):
                     if t2 == b"tkhd" and e2 - s2 >= 84:
                         ver = b[s2]
@@ -215,6 +218,7 @@ def _parse_mp4_header(b: bytes) -> dict | None:
                             w, h = wfx >> 16, hfx >> 16
                             if w and h:
                                 width, height = w, h
+                                break
         if width is None:
             return None
         return {"width": width, "height": height, "channels": None, "sample_rate": None}

@@ -825,6 +825,16 @@ def knn_pq(
     return _topk_per_query(rescored, query_id_col, id_col, k)
 
 
+def _train_quantizer(
+    c: DataFrame, n_clusters: int, n_train: int, n_kmeans_iter: int, seed: int
+) -> list[list[float]]:
+    """Shared k-means-quantizer prologue (cluster_embeddings / IVF /
+    SemDeDup): bounded driver sample of the pre-validated ``__v``
+    column -> Lloyd's iterations -> centroid list."""
+    train = [r["__v"] for r in c.select("__v").limit(n_train).collect()]
+    return _kmeans_centroids(train, n_clusters, n_iter=n_kmeans_iter, seed=seed)
+
+
 def cluster_embeddings(
     corpus: DataFrame,
     dim: int,
@@ -851,28 +861,53 @@ def cluster_embeddings(
     shuffle — plan-pinned in tests). Compose with
     ``stratified_sample_exact(assigned, quotas, "cluster")`` for exact
     per-domain mixtures or ``top_fraction_per_group`` for per-cluster
-    curation."""
-    c = corpus.withColumn("__v", _as_double(F.col(vec_col)))
-    train = [r["__v"] for r in c.select("__v").limit(n_train).collect()]
-    cents = _kmeans_centroids(train, n_clusters, n_iter=n_kmeans_iter, seed=seed)
+    curation.
+
+    Invalid vectors (NULL, wrong dimension, NaN/Inf elements — real
+    corpora have them) get ``cluster = NULL`` and NULL prototypicality,
+    and are EXCLUDED from the training sample (an unguarded sample
+    collect would crash driver-side k-means) — same validity contract
+    as :func:`semantic_dedup`; count them via
+    ``assigned.filter("cluster IS NULL")`` before quota sampling, since
+    a NULL group key silently drops out of per-cluster operations."""
+    valid = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(
+            _as_double(F.col(vec_col)),
+            lambda x: F.isnan(x) | x.isin(float("inf"), float("-inf")),
+        )
+    )
+    c = corpus.withColumn(
+        "__v", F.when(valid, _as_double(F.col(vec_col)))
+    )
+    cents = _train_quantizer(
+        c.filter(valid), n_clusters, n_train, n_kmeans_iter, seed
+    )
 
     cd = _centroid_dists(F.col("__v"), cents)
     cluster = (F.array_position(cd, F.array_min(cd)) - 1).cast("int")
-    cent_lit = F.lit(cents)
-    pick = F.element_at(cent_lit, F.col("cluster") + 1)
+    # centroid norms are driver-known constants — one element_at per
+    # row instead of an O(dim) fold over the picked centroid
+    import math
+
+    cnorms = [math.sqrt(sum(x * x for x in cc)) for cc in cents]
+    pick = F.element_at(F.lit(cents), F.col("cluster") + 1)
     dot = F.aggregate(
         F.zip_with(F.col("__v"), pick, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     nv = F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nc = F.sqrt(F.aggregate(pick, F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.element_at(F.lit(cnorms), F.col("cluster") + 1)
     denom = nv * nc
     assigned = (
         c.withColumn("cluster", cluster)
         .withColumn(
             "centroid_cosine",
-            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)),
+            F.when(denom > 0, dot / denom).otherwise(
+                F.when(F.col("cluster").isNotNull(), F.lit(0.0))
+            ),
         )
         .drop("__v")
     )

@@ -1143,6 +1143,11 @@ def ngram_lm_score(
     map-side-combined bigram count (shuffle = distinct observed
     bigrams per task, not token instances).
     """
+    if add_k <= 0:
+        # unsmoothed LMs give -inf log-probs on unseen contexts; the
+        # division guard below would silently SKIP those tokens and
+        # return a plausible finite perplexity — refuse loudly instead
+        raise ValueError("add_k must be > 0 (unsmoothed LMs unsupported)")
     train = docs if train is None else train
     bos = "<s>"
     unk = "<unk>"

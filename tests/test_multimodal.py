@@ -448,3 +448,25 @@ def test_mp4_header_dims_and_sniffing(spark):
     assert (got[1]["width"], got[1]["height"]) == (1920, 1080)
     assert got[0]["decoder"] == "stub"  # metadata tier, no frame decode
     assert got[2]["width"] is None
+
+
+def test_mp4_first_video_track_wins(spark):
+    """A subtitle-like second trak with its own nonzero dims must not
+    override the first (video) track's dims."""
+    import struct as s
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _parse_mp4_header,
+    )
+
+    def box(typ, payload):
+        return s.pack(">I", 8 + len(payload)) + typ + payload
+
+    def trak(w, h):
+        tkhd = bytes([0, 0, 0, 7]) + b"\x00" * 72 + s.pack(">II", w << 16, h << 16)
+        return box(b"trak", box(b"tkhd", tkhd))
+
+    moov = box(b"moov", trak(1920, 1080) + trak(1920, 480))
+    blob = box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+    meta = _parse_mp4_header(blob)
+    assert (meta["width"], meta["height"]) == (1920, 1080)

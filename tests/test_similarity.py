@@ -396,3 +396,31 @@ def test_cluster_embeddings_assignment_and_plan(corpus, vectors):
         for r in sampled.groupBy("cluster").count().collect()
     }
     assert got == {k: v for k, v in quotas.items() if v > 0}
+
+
+def test_cluster_embeddings_invalid_vectors(spark):
+    """NULL / wrong-dim / NaN vectors: excluded from training (no
+    driver crash), assigned cluster NULL with NULL prototypicality."""
+    import math
+
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        cluster_embeddings,
+    )
+
+    rng = np.random.RandomState(2)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    rows += [
+        (100, None),
+        (101, [1.0, 2.0]),                       # wrong dim
+        (102, [float("nan")] * 8),
+        (103, [float("inf")] + [0.0] * 7),
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    assigned, cents = cluster_embeddings(df, dim=8, n_clusters=4, seed=5)
+    got = {r["vec_id"]: r for r in assigned.collect()}
+    for vid in (100, 101, 102, 103):
+        assert got[vid]["cluster"] is None
+        assert got[vid]["centroid_cosine"] is None
+    for vid in range(30):
+        assert got[vid]["cluster"] is not None
+        assert math.isfinite(got[vid]["centroid_cosine"])

@@ -690,3 +690,13 @@ def test_fix_mojibake_hostile_inputs_do_not_crash(spark):
     assert got[1] == hostile[1][1]
     assert got[2] == hostile[2][1]
     assert got[3] == "ééé"          # the clean case still repairs
+
+
+def test_ngram_lm_rejects_unsmoothed(spark):
+    """add_k=0 would silently skip unseen-context tokens under the
+    ANSI division guard — must refuse loudly instead."""
+    from bigdata_quality_assessment_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="add_k"):
+        ngram_lm_score(docs, add_k=0.0)
