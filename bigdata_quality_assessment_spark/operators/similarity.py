@@ -329,11 +329,10 @@ def ivf_knn(
     ``train_fraction`` bounds the k-means sample scan at scale (the
     sample itself is capped at ``n_train`` rows)."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
-    sample = c.select("__v")
+    sample = c
     if train_fraction < 1.0:
         sample = sample.sample(fraction=train_fraction, seed=seed)
-    train = [r["__v"] for r in sample.limit(n_train).collect()]
-    cents = _kmeans_centroids(train, n_centroids, n_iter=n_kmeans_iter, seed=seed)
+    cents = _train_quantizer(sample, n_centroids, n_train, n_kmeans_iter, seed)
 
     cd = _centroid_dists(F.col("__v"), cents)
     assigned = c.withColumn(
@@ -478,10 +477,9 @@ def semantic_dedup(
     c = corpus.filter(valid).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
-    train = [r["__v"] for r in c.select("__v").limit(n_train).collect()]
-    if not train:
+    cents = _train_quantizer(c, n_centroids, n_train, n_kmeans_iter, seed)
+    if not cents:
         return corpus
-    cents = _kmeans_centroids(train, n_centroids, n_iter=n_kmeans_iter, seed=seed)
     cd = _centroid_dists(F.col("__v"), cents)
     assigned = c.select(
         id_col,
@@ -830,8 +828,11 @@ def _train_quantizer(
 ) -> list[list[float]]:
     """Shared k-means-quantizer prologue (cluster_embeddings / IVF /
     SemDeDup): bounded driver sample of the pre-validated ``__v``
-    column -> Lloyd's iterations -> centroid list."""
+    column -> Lloyd's iterations -> centroid list ([] when the sample
+    is empty — callers decide their degenerate behavior)."""
     train = [r["__v"] for r in c.select("__v").limit(n_train).collect()]
+    if not train:
+        return []
     return _kmeans_centroids(train, n_clusters, n_iter=n_kmeans_iter, seed=seed)
 
 
@@ -884,6 +885,12 @@ def cluster_embeddings(
     cents = _train_quantizer(
         c.filter(valid), n_clusters, n_train, n_kmeans_iter, seed
     )
+    if not cents:
+        # no valid vectors anywhere: every row is unassignable
+        out = corpus.withColumn("cluster", F.lit(None).cast("int")).withColumn(
+            "centroid_cosine", F.lit(None).cast("double")
+        )
+        return out, []
 
     cd = _centroid_dists(F.col("__v"), cents)
     cluster = (F.array_position(cd, F.array_min(cd)) - 1).cast("int")
