@@ -1462,3 +1462,89 @@ def fix_mojibake(text_col: Column | str) -> Column:
     )
     repaired = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
     return F.when(sig & lossless & valid_utf8, repaired).otherwise(c)
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UNALIGNED exact-substring deduplication (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better"
+    semantics, windowed): any ``min_tokens``-token sequence that occurs
+    more than once ACROSS the corpus — at ANY token offset, unlike the
+    fixed non-overlapping grid of :func:`dedup_spans` — survives only
+    at its globally-first occurrence; every other occurrence has its
+    covered tokens excised and the remaining tokens are rejoined.
+    Returns ``(id, text_deduped, n_tokens, n_tokens_removed)``.
+
+    Relationship to the paper: Lee et al. build a suffix array to
+    remove duplicated substrings >= 50 tokens exactly; the windowed
+    form removes exactly the token positions covered by some
+    duplicated ``min_tokens``-gram, which equals the suffix-array
+    coverage for any duplicated run >= ``min_tokens`` (a run of length
+    R > L is covered by its R-L+1 constituent L-grams) — the
+    approximation is only at the boundaries of partially-overlapping
+    near-repeats. Rejoining non-adjacent survivors creates new
+    adjacencies, as in the paper.
+
+    100 TB shape: the corpus-sized frames carry
+    ``(id, pos, xxhash64)`` — one row per token (stride-1 windows),
+    ~24 B each, BARRIERED so tokenize runs once for the count and
+    excision consumers; the duplicated-gram table is
+    repetition-shaped and broadcasts; excised positions come back as
+    one ``collect_set`` row per affected doc (bounded by that doc's
+    own token count); reassembly filters each doc's own token array in
+    place. Corpus text never crosses the wire."""
+    L = int(min_tokens)
+    ws = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    framed = docs.select(F.col(id_col), ws.alias("__ws"))
+
+    n_tok = F.size("__ws")
+    n_grams = F.greatest(n_tok - L + 1, F.lit(0))
+    gram_keys = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda p: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__ws"), p + 1, L))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    ex = (
+        framed.select(id_col, F.posexplode(gram_keys).alias("__pos", "__key"))
+        .withColumn("__ord", F.col(id_col) * _SPAN_ORD_SHIFT + F.col("__pos"))
+        # count + excision both consume this frame — tokenize once
+        .localCheckpoint(eager=False)
+    )
+    firsts = ex.groupBy("__key").agg(
+        F.count(F.lit(1)).alias("__c"), F.min("__ord").alias("__keep")
+    )
+    dups = firsts.filter(F.col("__c") >= 2).select("__key", "__keep")
+    # every non-first occurrence covers tokens [pos, pos+L)
+    removed = (
+        ex.join(F.broadcast(dups), "__key")
+        .filter(F.col("__ord") != F.col("__keep"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(L - 1))
+            ).alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__rm"))
+    )
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__ws"), lambda t, i: ~F.array_contains(rm, i.cast("int"))
+    )
+    return (
+        framed.join(removed, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.size("__ws") > 0, F.concat_ws(" ", kept)).alias("text_deduped"),
+            F.size("__ws").cast("bigint").alias("n_tokens"),
+            F.size(rm).cast("bigint").alias("n_tokens_removed"),
+        )
+    )

@@ -1924,24 +1924,60 @@ _FP_POWS = " + ".join(
                   WHERE f.c < 2 OR s.doc_id*1048576 + s.sid = f.keep),
         reas AS (SELECT doc_id, string_agg(span, ' ' ORDER BY sid) AS text_deduped,
                         count(*) AS n_kept
-                 FROM keptq GROUP BY doc_id)
+                 FROM keptq GROUP BY doc_id),
+        subg AS (SELECT doc_id, p,
+                        array_to_string(list_slice(ws, CAST(p+1 AS INT), CAST(p+10 AS INT)), ' ') AS gram
+                 FROM (SELECT doc_id, ws,
+                              unnest(CASE WHEN len(ws) >= 10 THEN range(len(ws)-9)
+                                          ELSE [] END) AS p
+                       FROM spd)),
+        subf AS (SELECT gram, count(*) AS c, min(doc_id*1048576 + p) AS keep
+                 FROM subg GROUP BY gram),
+        subrm AS (SELECT DISTINCT g.doc_id, g.p + off.o AS q
+                  FROM subg g JOIN subf f USING (gram)
+                       CROSS JOIN (SELECT unnest(range(10)) AS o) off
+                  WHERE f.c >= 2 AND g.doc_id*1048576 + g.p <> f.keep),
+        subtok AS (SELECT doc_id, q, w FROM
+                   (SELECT doc_id, unnest(ws) AS w,
+                           generate_subscripts(ws, 1) - 1 AS q
+                    FROM spd)),
+        subkept AS (SELECT t.doc_id, t.q, t.w
+                    FROM subtok t LEFT JOIN subrm r
+                      ON t.doc_id = r.doc_id AND t.q = r.q
+                    WHERE r.doc_id IS NULL),
+        subre AS (SELECT doc_id, string_agg(w, ' ' ORDER BY q) AS text_deduped
+                  FROM subkept GROUP BY doc_id),
+        subcnt AS (SELECT doc_id, count(*) AS n_rm FROM subrm GROUP BY doc_id)
         SELECT 'fp' AS part, doc_id, fp,
                CAST(NULL AS BIGINT) AS n_hits, CAST(NULL AS BIGINT) AS contaminated,
                CAST(NULL AS BIGINT) AS n_spans, CAST(NULL AS BIGINT) AS n_spans_removed,
-               CAST(NULL AS VARCHAR) AS text_deduped
+               CAST(NULL AS VARCHAR) AS text_deduped,
+               CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_tokens_removed
         FROM (SELECT DISTINCT doc_id, fp FROM h WHERE fp % 16 = 0)
         UNION ALL
         SELECT 'decon', d.doc_id, CAST(NULL AS BIGINT),
                coalesce(h.n_hits, 0),
                CASE WHEN coalesce(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END,
-               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         UNION ALL
         SELECT 'spandedup', p.doc_id, CAST(NULL AS BIGINT),
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(p.ns AS BIGINT), CAST(p.ns - coalesce(r.n_kept, 0) AS BIGINT),
-               CASE WHEN p.ns > 0 THEN coalesce(r.text_deduped, '') END
-        FROM spn p LEFT JOIN reas r ON p.doc_id = r.doc_id""",
+               CASE WHEN p.ns > 0 THEN coalesce(r.text_deduped, '') END,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM spn p LEFT JOIN reas r ON p.doc_id = r.doc_id
+        UNION ALL
+        SELECT 'substr', s0.doc_id, CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CASE WHEN len(s0.ws) > 0 THEN coalesce(re.text_deduped, '') END,
+               CAST(len(s0.ws) AS BIGINT),
+               CAST(coalesce(sc.n_rm, 0) AS BIGINT)
+        FROM spd s0
+             LEFT JOIN subre re ON s0.doc_id = re.doc_id
+             LEFT JOIN subcnt sc ON s0.doc_id = sc.doc_id""",
 )
 def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint family as one tagged union (round-5 continuation):
@@ -1959,7 +1995,12 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     and documents are reassembled — run on the HASHED scale path
     (xxhash64 span keys; collision-free at any tested SF) against the
     oracle's exact string-keyed formulation, so the grade covers the
-    production configuration end-to-end including reassembly."""
+    production configuration end-to-end including reassembly;
+    part='substr' (round-5.2) is UNALIGNED exact-substring dedup
+    (dedup_substrings, min_tokens=10 — the Lee et al. windowed
+    semantics: stride-1 grams, global-first-occurrence wins,
+    token-interval excision), with the excised-and-rejoined text
+    hash-matched against the SQL coverage computation."""
     from bigdata_quality_assessment_spark.operators.text import (
         decontaminate,
         dedup_spans,
@@ -1970,6 +2011,8 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_spans"),
         F.lit(None).cast("bigint").alias("n_spans_removed"),
         F.lit(None).cast("string").alias("text_deduped"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("n_tokens_removed"),
     ]
     fp = doc_fingerprints(docs, k=8, mod_p=16).select(
         F.lit("fp").alias("part"),
@@ -1997,8 +2040,28 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans",
         "n_spans_removed",
         "text_deduped",
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("n_tokens_removed"),
     )
-    return fp.unionByName(dec).unionByName(spd)
+    # part='substr' (round-5.2): UNALIGNED exact-substring dedup
+    # (dedup_substrings, min_tokens=10) — stride-1 windows, so the
+    # oracle exercises first-occurrence selection AND token-interval
+    # coverage; reassembled text hash-matched cross-engine
+    from bigdata_quality_assessment_spark.operators.text import dedup_substrings
+
+    sub = dedup_substrings(docs, min_tokens=10).select(
+        F.lit("substr").alias("part"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("fp"),
+        F.lit(None).cast("bigint").alias("n_hits"),
+        F.lit(None).cast("bigint").alias("contaminated"),
+        F.lit(None).cast("bigint").alias("n_spans"),
+        F.lit(None).cast("bigint").alias("n_spans_removed"),
+        "text_deduped",
+        "n_tokens",
+        "n_tokens_removed",
+    )
+    return fp.unionByName(dec).unionByName(spd).unionByName(sub)
 
 
 @_register(

@@ -254,3 +254,35 @@ def test_ngram_lm_matches_python_reference(spark, texts):
             continue
         lp = sum(np.log((bi[p] + 0.5) / (ctx[p[0]] + 0.5 * v)) for p in ps) / len(ps)
         assert r["avg_logp"] == pytest.approx(lp, rel=1e-10, abs=1e-12)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6))
+@SET
+def test_dedup_substrings_matches_python_reference(spark, texts):
+    """Windowed exact-substring dedup equals the direct python
+    computation of covered-position excision on random tiny-vocabulary
+    corpora (heavy unaligned collisions by construction)."""
+    from bigdata_quality_assessment_spark.operators.text import dedup_substrings
+
+    L = 3
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dedup_substrings(docs, min_tokens=L).collect()}
+
+    toks = {i: [w for w in t.split(" ") if w] for i, t in enumerate(texts)}
+    grams = {}
+    for i in sorted(toks):
+        ws = toks[i]
+        for p in range(max(len(ws) - L + 1, 0)):
+            grams.setdefault(tuple(ws[p : p + L]), []).append((i, p))
+    removed = {i: set() for i in toks}
+    for g, occ in grams.items():
+        if len(occ) >= 2:
+            for (i, p) in occ[1:]:  # occurrences after the global first
+                removed[i].update(range(p, p + L))
+    for i, ws in toks.items():
+        kept = [w for q, w in enumerate(ws) if q not in removed[i]]
+        r = got[i]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_tokens_removed"] == len(removed[i])
+        expect = " ".join(kept) if ws else None
+        assert r["text_deduped"] == expect, (i, texts)

@@ -700,3 +700,49 @@ def test_ngram_lm_rejects_unsmoothed(spark):
     docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="add_k"):
         ngram_lm_score(docs, add_k=0.0)
+
+
+def test_dedup_substrings_unaligned_excision(spark):
+    """Unaligned repeats: a 6-token boilerplate embedded at DIFFERENT
+    offsets in two docs (invisible to the fixed span grid) is excised
+    from the second arrival; first occurrence intact; surrounding
+    unique prose survives and rejoins."""
+    from bigdata_quality_assessment_spark.operators.text import dedup_substrings
+
+    boiler = "all rights reserved contact us today"          # 6 tokens
+    rows = [
+        (0, f"alpha beta {boiler} gamma delta"),             # offset 2
+        (1, f"x {boiler} y z"),                              # offset 1 (unaligned)
+        (2, "totally unrelated document content here"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_substrings(docs, min_tokens=6).collect()}
+    assert out[0]["text_deduped"] == rows[0][1]
+    assert out[0]["n_tokens_removed"] == 0
+    assert out[1]["text_deduped"] == "x y z"
+    assert out[1]["n_tokens_removed"] == 6
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[3]["text_deduped"] is None and out[3]["n_tokens"] == 0
+
+
+def test_dedup_substrings_long_run_coverage(spark):
+    """A duplicated run LONGER than min_tokens is covered end-to-end
+    by its constituent L-grams (the suffix-array-equivalence
+    property), and within-doc self-repetition is excised after the
+    first occurrence."""
+    from bigdata_quality_assessment_spark.operators.text import dedup_substrings
+
+    run = " ".join(f"w{i}" for i in range(10))               # 10-token run
+    rows = [
+        (0, f"{run} MID {run}"),                             # self-repeat
+        (1, f"pre {run} post"),                              # cross-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_substrings(docs, min_tokens=4).collect()}
+    # doc 0: first run kept, second run fully excised
+    assert out[0]["text_deduped"] == f"{run} MID"
+    assert out[0]["n_tokens_removed"] == 10
+    # doc 1: the whole run excised (later global occurrence), prose kept
+    assert out[1]["text_deduped"] == "pre post"
+    assert out[1]["n_tokens_removed"] == 10

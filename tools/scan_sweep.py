@@ -51,9 +51,10 @@ EXPECTED_MAX = {
     # predicate), the gram explode (id+text), and the id-universe
     # join-back (id-only, column-pruned — cheaper than a barrier that
     # would store per-doc gram ARRAYS, i.e. re-materialize the text)
-    # +1 round-5.2: spandedup part — the reassembly join scans docs
-    # once (the span-key frame is barriered; its scan ran at sizing)
-    "x_doc_fingerprints": 5,
+    # +2 round-5.2: spandedup and substr parts — each reassembly join
+    # scans docs once (their key frames are barriered; those scans ran
+    # at sizing)
+    "x_doc_fingerprints": 6,
     # lang part 1 scan; lm part 1: outer-explode pair scan covers the
     # whole id universe (token-less docs ride as NULL sentinels), LM
     # tables barriered; tfidf consumes its barrier — no scan
