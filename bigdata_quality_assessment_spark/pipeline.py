@@ -72,6 +72,11 @@ class CurationConfig:
     # whose text empties out are dropped
     span_dedup: bool = False
     span_tokens: int = 5
+    # unaligned exact-substring dedup (Lee-et-al windowed semantics):
+    # stronger than the fixed span grid — catches boilerplate at any
+    # token offset; same rewrite-in-place / drop-empty contract
+    substr_dedup: bool = False
+    substr_min_tokens: int = 20
     # CCNet-style perplexity filter: self-trained bigram LM; drop docs
     # with ppl above the cap (token-less docs carry no LM evidence and
     # pass through — the quality/length rules own that case)
@@ -202,6 +207,30 @@ def curate(
         cur = stage(
             "span_dedup",
             cur.join(spd, cfg.id_col)
+            .filter(
+                F.col("text_deduped").isNull() | (F.col("text_deduped") != "")
+            )
+            .withColumn(
+                cfg.text_col,
+                F.coalesce(F.col("text_deduped"), F.col(cfg.text_col)),
+            )
+            .drop("text_deduped"),
+        )
+
+    if cfg.substr_dedup:
+        from bigdata_quality_assessment_spark.operators.text import (
+            dedup_substrings,
+        )
+
+        sub = dedup_substrings(
+            cur,
+            cfg.substr_min_tokens,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).select(cfg.id_col, "text_deduped")
+        cur = stage(
+            "substr_dedup",
+            cur.join(sub, cfg.id_col)
             .filter(
                 F.col("text_deduped").isNull() | (F.col("text_deduped") != "")
             )

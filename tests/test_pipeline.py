@@ -287,3 +287,29 @@ def test_curate_markup_and_encoding_repairs(spark):
     assert got[2] == "other doc entirely"
     rep = dict(report.collect())
     assert rep["exact_dedup"] == 2
+
+
+def test_curate_substr_dedup_stage(spark):
+    """Unaligned substring tier: offset-shifted boilerplate (invisible
+    to the span grid) is excised from later docs; a doc that was pure
+    repeated substring is dropped."""
+    run = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (0, f"intro words {run} outro"),
+        (1, f"x {run} y"),          # same 8-token run at another offset
+        (2, run),                    # nothing but the run -> dropped
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "web") for i, t in rows], "doc_id long, text string, source string"
+    )
+    out, report = curate(
+        docs,
+        config=CurationConfig(
+            normalize=False, near_dedup=False,
+            substr_dedup=True, substr_min_tokens=8,
+        ),
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {0: f"intro words {run} outro", 1: "x y"}
+    rep = dict(report.collect())
+    assert rep["substr_dedup"] == 2
