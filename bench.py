@@ -334,6 +334,11 @@ def main() -> None:
     t0 = time.perf_counter()
     dedup_spans(docs, 5).agg(F.sum("n_spans_removed")).collect()
     extras["dedup_spans"] = round(time.perf_counter() - t0, 3)
+    from bigdata_quality_assessment_spark.operators.text import dedup_substrings
+
+    t0 = time.perf_counter()
+    dedup_substrings(docs, 10).agg(F.sum("n_tokens_removed")).collect()
+    extras["dedup_substrings"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     _model = distill_quality_classifier(docs, dim=256, n_train=2000)
     classify_quality(docs, _model).agg(F.sum("p_good")).collect()
