@@ -333,6 +333,11 @@ def ivf_knn(
     if train_fraction < 1.0:
         sample = sample.sample(fraction=train_fraction, seed=seed)
     cents = _train_quantizer(sample, n_centroids, n_train, n_kmeans_iter, seed)
+    if not cents:
+        raise ValueError(
+            "IVF training sample is empty — raise train_fraction/n_train "
+            "or check the corpus"
+        )
 
     cd = _centroid_dists(F.col("__v"), cents)
     assigned = c.withColumn(

@@ -1245,10 +1245,63 @@ def ngram_lm_score(
     )
 
 
-# Combined (doc, span) ordinal used to pick the globally-first span
-# occurrence: doc_id * 2^20 + span_idx. Bounds a document at 2^20
-# spans (~5M tokens at span_tokens=5) — far beyond any real document.
-_SPAN_ORD_SHIFT = 1 << 20
+# Combined (doc, position) ordinal used to pick the globally-first
+# occurrence in the dedup family: doc_id * 2^32 + position. Bounds a
+# document at 2^32 positions (tokens for the stride-1 substring op —
+# far beyond any real document) and doc ids at 2^31 (int64 headroom).
+# Requires an integral, non-negative id column — validated below.
+_SPAN_ORD_SHIFT = 1 << 32
+
+
+def _require_integral_id(docs: DataFrame, id_col: str) -> None:
+    """The first-occurrence ordinal multiplies the id: a string id
+    would cast to NULL and silently disable dedup (every duplicate
+    would survive). Fail loudly instead; map ids first."""
+    from pyspark.sql import types as T
+
+    dt = docs.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"{id_col} must be an integral type for first-occurrence "
+            f"ordering (got {dt.simpleString()}); map ids to longs first"
+        )
+
+
+def _excise_by_first_occurrence(
+    framed: DataFrame,
+    ex: DataFrame,
+    expand_positions,
+    min_count: int,
+    id_col: str,
+    arr_col: str = "__ws",
+):
+    """Shared tail of the dedup family: global first occurrence per
+    key (min combined ordinal), removal-position derivation via
+    ``expand_positions`` (a DataFrame->Column(s) hook — span index for
+    the grid op, an interval explode for the stride-1 op), one
+    collect_set row per affected doc, and the in-place array filter.
+    Returns (kept_elements Column, removal_count Column, joined frame).
+    The duplicated-key join carries NO broadcast hint: the table is
+    usually boilerplate-shaped, but a pathologically duplicated corpus
+    grows it corpus-proportional — AQE picks broadcast when it fits
+    and degrades to a shuffle join instead of a driver OOM."""
+    firsts = ex.groupBy("__key").agg(
+        F.count(F.lit(1)).alias("__c"), F.min("__ord").alias("__keep")
+    )
+    dups = firsts.filter(F.col("__c") >= min_count).select("__key", "__keep")
+    removed = (
+        expand_positions(
+            ex.join(dups, "__key").filter(F.col("__ord") != F.col("__keep"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__rm"))
+    )
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col(arr_col), lambda s, i: ~F.array_contains(rm, i.cast("int"))
+    )
+    joined = framed.join(removed, [id_col], "left")
+    return kept, F.size(rm), joined
 
 
 def span_frame(
@@ -1340,32 +1393,24 @@ def dedup_spans(
     in place (narrow). ``hash_spans=False`` keys by the span string
     itself (collision-free; the oracle path, pinned row-identical to
     the hashed path in tests)."""
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    _require_integral_id(docs, id_col)
     framed = span_frame(docs, span_tokens, text_col=text_col, id_col=id_col)
     ex = span_keys(framed, hash_spans=hash_spans, id_col=id_col)
-    firsts = ex.groupBy("__key").agg(
-        F.count(F.lit(1)).alias("__c"), F.min("__ord").alias("__keep")
+    kept, n_rm, joined = _excise_by_first_occurrence(
+        framed,
+        ex,
+        lambda r: r.select(id_col, F.col("__sid").alias("__p")),
+        min_count,
+        id_col,
+        arr_col="__spans",
     )
-    dups = firsts.filter(F.col("__c") >= min_count).select("__key", "__keep")
-    removed = (
-        ex.join(F.broadcast(dups), "__key")
-        .filter(F.col("__ord") != F.col("__keep"))
-        .groupBy(id_col)
-        .agg(F.collect_set("__sid").alias("__rm"))
-    )
-    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("__spans"), lambda s, i: ~F.array_contains(rm, i.cast("int"))
-    )
-    return (
-        framed.join(removed, [id_col], "left")
-        .select(
-            F.col(id_col),
-            F.when(F.size("__spans") > 0, F.concat_ws(" ", kept)).alias(
-                "text_deduped"
-            ),
-            F.size("__spans").cast("bigint").alias("n_spans"),
-            F.size(rm).cast("bigint").alias("n_spans_removed"),
-        )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.size("__spans") > 0, F.concat_ws(" ", kept)).alias("text_deduped"),
+        F.size("__spans").cast("bigint").alias("n_spans"),
+        n_rm.cast("bigint").alias("n_spans_removed"),
     )
 
 
@@ -1499,6 +1544,11 @@ def dedup_substrings(
     own token count); reassembly filters each doc's own token array in
     place. Corpus text never crosses the wire."""
     L = int(min_tokens)
+    if L < 1:
+        # min_tokens=0 would hash empty slices to one shared key and
+        # emit DESCENDING removal intervals — garbage, not an error
+        raise ValueError("min_tokens must be >= 1")
+    _require_integral_id(docs, id_col)
     ws = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     framed = docs.select(F.col(id_col), ws.alias("__ws"))
 
@@ -1518,33 +1568,23 @@ def dedup_substrings(
         # count + excision both consume this frame — tokenize once
         .localCheckpoint(eager=False)
     )
-    firsts = ex.groupBy("__key").agg(
-        F.count(F.lit(1)).alias("__c"), F.min("__ord").alias("__keep")
-    )
-    dups = firsts.filter(F.col("__c") >= 2).select("__key", "__keep")
     # every non-first occurrence covers tokens [pos, pos+L)
-    removed = (
-        ex.join(F.broadcast(dups), "__key")
-        .filter(F.col("__ord") != F.col("__keep"))
-        .select(
+    kept, n_rm, joined = _excise_by_first_occurrence(
+        framed,
+        ex,
+        lambda r: r.select(
             id_col,
             F.explode(
                 F.sequence(F.col("__pos"), F.col("__pos") + F.lit(L - 1))
             ).alias("__p"),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("__p").alias("__rm"))
+        ),
+        2,
+        id_col,
+        arr_col="__ws",
     )
-    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("__ws"), lambda t, i: ~F.array_contains(rm, i.cast("int"))
-    )
-    return (
-        framed.join(removed, [id_col], "left")
-        .select(
-            F.col(id_col),
-            F.when(F.size("__ws") > 0, F.concat_ws(" ", kept)).alias("text_deduped"),
-            F.size("__ws").cast("bigint").alias("n_tokens"),
-            F.size(rm).cast("bigint").alias("n_tokens_removed"),
-        )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.size("__ws") > 0, F.concat_ws(" ", kept)).alias("text_deduped"),
+        F.size("__ws").cast("bigint").alias("n_tokens"),
+        n_rm.cast("bigint").alias("n_tokens_removed"),
     )

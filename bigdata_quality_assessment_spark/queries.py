@@ -1917,11 +1917,11 @@ _FP_POWS = " + ".join(
                FROM (SELECT doc_id, ws,
                             unnest(CASE WHEN ns > 0 THEN range(ns) ELSE [] END) AS sid
                      FROM spn)),
-        fir AS (SELECT span, count(*) AS c, min(doc_id*1048576 + sid) AS keep
+        fir AS (SELECT span, count(*) AS c, min(doc_id*4294967296 + sid) AS keep
                 FROM sx GROUP BY span),
         keptq AS (SELECT s.doc_id, s.sid, s.span
                   FROM sx s JOIN fir f USING (span)
-                  WHERE f.c < 2 OR s.doc_id*1048576 + s.sid = f.keep),
+                  WHERE f.c < 2 OR s.doc_id*4294967296 + s.sid = f.keep),
         reas AS (SELECT doc_id, string_agg(span, ' ' ORDER BY sid) AS text_deduped,
                         count(*) AS n_kept
                  FROM keptq GROUP BY doc_id),
@@ -1931,12 +1931,12 @@ _FP_POWS = " + ".join(
                               unnest(CASE WHEN len(ws) >= 10 THEN range(len(ws)-9)
                                           ELSE [] END) AS p
                        FROM spd)),
-        subf AS (SELECT gram, count(*) AS c, min(doc_id*1048576 + p) AS keep
+        subf AS (SELECT gram, count(*) AS c, min(doc_id*4294967296 + p) AS keep
                  FROM subg GROUP BY gram),
         subrm AS (SELECT DISTINCT g.doc_id, g.p + off.o AS q
                   FROM subg g JOIN subf f USING (gram)
                        CROSS JOIN (SELECT unnest(range(10)) AS o) off
-                  WHERE f.c >= 2 AND g.doc_id*1048576 + g.p <> f.keep),
+                  WHERE f.c >= 2 AND g.doc_id*4294967296 + g.p <> f.keep),
         subtok AS (SELECT doc_id, q, w FROM
                    (SELECT doc_id, unnest(ws) AS w,
                            generate_subscripts(ws, 1) - 1 AS q

@@ -746,3 +746,24 @@ def test_dedup_substrings_long_run_coverage(spark):
     # doc 1: the whole run excised (later global occurrence), prose kept
     assert out[1]["text_deduped"] == "pre post"
     assert out[1]["n_tokens_removed"] == 10
+
+
+def test_dedup_family_input_validation(spark):
+    """String ids would silently disable first-occurrence ordering
+    (NULL ordinals); min_tokens=0 would excise garbage — both must
+    fail loudly."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        dedup_spans,
+        dedup_substrings,
+    )
+
+    sdocs = spark.createDataFrame([("u1", "a b c")], ["doc_id", "text"])
+    with pytest.raises(TypeError, match="integral"):
+        dedup_spans(sdocs, 5)
+    with pytest.raises(TypeError, match="integral"):
+        dedup_substrings(sdocs, 5)
+    ndocs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_tokens"):
+        dedup_substrings(ndocs, 0)
+    with pytest.raises(ValueError, match="span_tokens"):
+        dedup_spans(ndocs, 0)
