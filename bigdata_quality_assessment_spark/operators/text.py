@@ -1245,26 +1245,15 @@ def ngram_lm_score(
     )
 
 
-# Combined (doc, position) ordinal used to pick the globally-first
-# occurrence in the dedup family: doc_id * 2^32 + position. Bounds a
-# document at 2^32 positions (tokens for the stride-1 substring op —
-# far beyond any real document) and doc ids at 2^31 (int64 headroom).
-# Requires an integral, non-negative id column — validated below.
-_SPAN_ORD_SHIFT = 1 << 32
+# First-occurrence selection in the dedup family orders by the STRUCT
+# (id, position) — struct min/comparison is lexicographic in both
+# Spark and the DuckDB oracle dialect, works for ANY orderable id type
+# (ints, 64-bit hash ids, strings), and cannot overflow the way an
+# arithmetic id*SHIFT+pos ordinal can for large ids or huge documents.
 
 
-def _require_integral_id(docs: DataFrame, id_col: str) -> None:
-    """The first-occurrence ordinal multiplies the id: a string id
-    would cast to NULL and silently disable dedup (every duplicate
-    would survive). Fail loudly instead; map ids first."""
-    from pyspark.sql import types as T
-
-    dt = docs.schema[id_col].dataType
-    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        raise TypeError(
-            f"{id_col} must be an integral type for first-occurrence "
-            f"ordering (got {dt.simpleString()}); map ids to longs first"
-        )
+def _ord_struct(id_col: str, pos_col: str):
+    return F.struct(F.col(id_col).alias("d"), F.col(pos_col).alias("p"))
 
 
 def _excise_by_first_occurrence(
@@ -1276,7 +1265,7 @@ def _excise_by_first_occurrence(
     arr_col: str = "__ws",
 ):
     """Shared tail of the dedup family: global first occurrence per
-    key (min combined ordinal), removal-position derivation via
+    key (min of the (id, position) struct), removal-position derivation via
     ``expand_positions`` (a DataFrame->Column(s) hook — span index for
     the grid op, an interval explode for the stride-1 op), one
     collect_set row per affected doc, and the in-place array filter.
@@ -1349,7 +1338,7 @@ def span_keys(
             id_col,
             F.col("__sid"),
             key.alias("__key"),
-            (F.col(id_col) * _SPAN_ORD_SHIFT + F.col("__sid")).alias("__ord"),
+            _ord_struct(id_col, "__sid").alias("__ord"),
         )
         .localCheckpoint(eager=False)
     )
@@ -1387,7 +1376,9 @@ def dedup_spans(
     tokenized once, not once per reference (count + removal join).
     The duplicated-span table (``key → first occurrence``) holds one
     row per distinct ≥min_count span — boilerplate-shaped, orders
-    smaller than the corpus — and broadcasts into the removal join.
+    smaller than the corpus — and joins WITHOUT a broadcast hint (AQE
+    broadcasts it when it fits; a pathologically duplicated corpus
+    degrades to a shuffle join instead of a driver OOM).
     Removal indices come back as one small ``collect_set`` row per
     affected doc; reassembly filters the document's own span array
     in place (narrow). ``hash_spans=False`` keys by the span string
@@ -1395,7 +1386,6 @@ def dedup_spans(
     the hashed path in tests)."""
     if span_tokens < 1:
         raise ValueError("span_tokens must be >= 1")
-    _require_integral_id(docs, id_col)
     framed = span_frame(docs, span_tokens, text_col=text_col, id_col=id_col)
     ex = span_keys(framed, hash_spans=hash_spans, id_col=id_col)
     kept, n_rm, joined = _excise_by_first_occurrence(
@@ -1539,7 +1529,8 @@ def dedup_substrings(
     ``(id, pos, xxhash64)`` — one row per token (stride-1 windows),
     ~24 B each, BARRIERED so tokenize runs once for the count and
     excision consumers; the duplicated-gram table is
-    repetition-shaped and broadcasts; excised positions come back as
+    repetition-shaped and AQE-sized (no forced broadcast — see
+    _excise_by_first_occurrence); excised positions come back as
     one ``collect_set`` row per affected doc (bounded by that doc's
     own token count); reassembly filters each doc's own token array in
     place. Corpus text never crosses the wire."""
@@ -1548,7 +1539,6 @@ def dedup_substrings(
         # min_tokens=0 would hash empty slices to one shared key and
         # emit DESCENDING removal intervals — garbage, not an error
         raise ValueError("min_tokens must be >= 1")
-    _require_integral_id(docs, id_col)
     ws = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     framed = docs.select(F.col(id_col), ws.alias("__ws"))
 
@@ -1564,7 +1554,7 @@ def dedup_substrings(
 
     ex = (
         framed.select(id_col, F.posexplode(gram_keys).alias("__pos", "__key"))
-        .withColumn("__ord", F.col(id_col) * _SPAN_ORD_SHIFT + F.col("__pos"))
+        .withColumn("__ord", _ord_struct(id_col, "__pos"))
         # count + excision both consume this frame — tokenize once
         .localCheckpoint(eager=False)
     )

@@ -748,22 +748,37 @@ def test_dedup_substrings_long_run_coverage(spark):
     assert out[1]["n_tokens_removed"] == 10
 
 
-def test_dedup_family_input_validation(spark):
-    """String ids would silently disable first-occurrence ordering
-    (NULL ordinals); min_tokens=0 would excise garbage — both must
-    fail loudly."""
+def test_dedup_family_input_validation_and_string_ids(spark):
+    """Window sizes < 1 fail loudly; string document ids WORK (struct
+    first-occurrence ordering is type-agnostic — 'first' = smallest
+    (id, position) lexicographically), and huge 64-bit hash ids cannot
+    overflow the ordering."""
     from bigdata_quality_assessment_spark.operators.text import (
         dedup_spans,
         dedup_substrings,
     )
 
-    sdocs = spark.createDataFrame([("u1", "a b c")], ["doc_id", "text"])
-    with pytest.raises(TypeError, match="integral"):
-        dedup_spans(sdocs, 5)
-    with pytest.raises(TypeError, match="integral"):
-        dedup_substrings(sdocs, 5)
     ndocs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="min_tokens"):
         dedup_substrings(ndocs, 0)
     with pytest.raises(ValueError, match="span_tokens"):
         dedup_spans(ndocs, 0)
+
+    span = "one two three four five"
+    sdocs = spark.createDataFrame(
+        [("url-b", span), ("url-a", span)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in dedup_spans(sdocs, 5).collect()}
+    assert got["url-a"]["n_spans_removed"] == 0   # lexicographic first
+    assert got["url-b"]["n_spans_removed"] == 1
+    got2 = {r["doc_id"]: r for r in dedup_substrings(sdocs, 5).collect()}
+    assert got2["url-a"]["n_tokens_removed"] == 0
+    assert got2["url-b"]["n_tokens_removed"] == 5
+
+    # 64-bit hash-range ids: ordering must stay exact (no overflow)
+    big = 2**62
+    hdocs = spark.createDataFrame(
+        [(big + 1, span), (big, span)], ["doc_id", "text"]
+    )
+    got3 = {r["doc_id"]: r["n_spans_removed"] for r in dedup_spans(hdocs, 5).collect()}
+    assert got3 == {big: 0, big + 1: 1}
