@@ -64,7 +64,12 @@ def init_ingest_store(
     """Create empty digest / bucket stores, plus an empty corpus store
     when ``corpus_schema`` (a DDL string matching the incoming stream,
     e.g. ``"doc_id long, text string"``) is given — so ``read_corpus``
-    works before the first surviving batch lands."""
+    works before the first surviving batch lands.
+
+    Id-type contract: the STATE stores pin ``doc_id long`` (the batch
+    dedup operators order by an (id, position) struct and accept any
+    orderable id, but a persistent store needs one concrete schema) —
+    map string ids to longs before streaming ingest."""
     os.makedirs(root, exist_ok=True)
     spark.createDataFrame([], "digest string").write.mode("overwrite").parquet(
         os.path.join(root, "digests")
