@@ -50,7 +50,12 @@ def token_bucket(tok: Column, dim: int) -> Column:
     ``TOKEN_HASH_MOD`` over the characters, then mod ``dim``. A pure
     Catalyst expression (``aggregate`` over ``split(tok, '')``) with an
     exact python twin (`_py_token_bucket`), so driver-side training and
-    cluster-side scoring featurize identically."""
+    cluster-side scoring featurize identically — including outside the
+    BMP: Spark 4's empty-pattern split yields one element per CODE
+    POINT and ``ascii()`` returns its code-point value (an emoji is
+    one char, ascii 128512 — not two surrogate halves), matching
+    Python's ``ord`` iteration exactly; pinned for astral-plane input
+    in tests/test_classifier.py::test_token_bucket_parity."""
     chars = F.filter(F.split(tok, ""), lambda c: c != "")
     h = F.aggregate(
         chars,

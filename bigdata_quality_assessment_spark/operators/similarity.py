@@ -332,7 +332,9 @@ def ivf_knn(
     sample = c
     if train_fraction < 1.0:
         sample = sample.sample(fraction=train_fraction, seed=seed)
-    cents = _train_quantizer(sample, n_centroids, n_train, n_kmeans_iter, seed)
+    cents = _train_quantizer(
+        sample, n_centroids, n_train, n_kmeans_iter, seed, id_col=id_col
+    )
     if not cents:
         raise ValueError(
             "IVF training sample is empty — raise train_fraction/n_train "
@@ -482,7 +484,9 @@ def semantic_dedup(
     c = corpus.filter(valid).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
-    cents = _train_quantizer(c, n_centroids, n_train, n_kmeans_iter, seed)
+    cents = _train_quantizer(
+        c, n_centroids, n_train, n_kmeans_iter, seed, id_col=id_col
+    )
     if not cents:
         return corpus
     cd = _centroid_dists(F.col("__v"), cents)
@@ -662,11 +666,13 @@ def train_pq_codebooks(
     n_kmeans_iter: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str | None = "vec_id",
 ) -> list[list[list[float]]]:
     """Train ``m`` per-subspace codebooks (Jégou et al. 2011 product
     quantization): split each vector into ``m`` contiguous
     ``dim/m``-dimensional subvectors and run k-means independently in
-    each subspace on a bounded driver sample. Returns
+    each subspace on a bounded driver sample (hash-ordered bottom-k —
+    reproducible codebooks; see ``_train_quantizer``). Returns
     ``m × n_centroids × dim/m`` floats — model parameters (KBs), the
     same train-small/apply-wide contract as the IVF quantizer."""
     if dim % m != 0:
@@ -674,10 +680,20 @@ def train_pq_codebooks(
     dsub = dim // m
     import numpy as np
 
+    if id_col is not None and id_col in corpus.columns:
+        c = corpus.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+        )
+        key = F.col(id_col)
+    else:
+        c = corpus.select(_as_double(F.col(vec_col)).alias("__v"))
+        key = F.col("__v")
     train = [
         r["__v"]
-        for r in corpus.select(_as_double(F.col(vec_col)).alias("__v"))
+        for r in c.withColumn("__hk", F.xxhash64(key, F.lit(seed)))
+        .orderBy("__hk")
         .limit(n_train)
+        .select("__v")
         .collect()
     ]
     v = np.asarray(train, dtype="float64")
@@ -756,7 +772,7 @@ def knn_pq(
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, dim, m=m, n_centroids=n_centroids, n_train=n_train, seed=seed,
-            vec_col=vec_col,
+            vec_col=vec_col, id_col=id_col,
         )
     m = len(codebooks)
     dsub = len(codebooks[0][0])
@@ -829,13 +845,33 @@ def knn_pq(
 
 
 def _train_quantizer(
-    c: DataFrame, n_clusters: int, n_train: int, n_kmeans_iter: int, seed: int
+    c: DataFrame,
+    n_clusters: int,
+    n_train: int,
+    n_kmeans_iter: int,
+    seed: int,
+    id_col: str | None = None,
 ) -> list[list[float]]:
     """Shared k-means-quantizer prologue (cluster_embeddings / IVF /
-    SemDeDup): bounded driver sample of the pre-validated ``__v``
+    SemDeDup / PQ): bounded driver sample of the pre-validated ``__v``
     column -> Lloyd's iterations -> centroid list ([] when the sample
-    is empty — callers decide their degenerate behavior)."""
-    train = [r["__v"] for r in c.select("__v").limit(n_train).collect()]
+    is empty — callers decide their degenerate behavior).
+
+    The sample is the bottom-``n_train`` rows by ``xxhash64(id, seed)``
+    (the hash_sample_k minwise contract), NOT an unordered ``limit``
+    — a bare limit takes whichever partitions answer first, so the
+    trained centroids would differ across runs/repartitionings,
+    breaking the repo's determinism contract (codebooks must be a pure
+    function of (corpus, seed)). ``id_col=None`` falls back to hashing
+    the vector itself — same determinism, collision-tolerant (two
+    identical vectors are interchangeable as k-means training rows)."""
+    key = F.col(id_col) if id_col is not None else F.col("__v")
+    sample = (
+        c.withColumn("__hk", F.xxhash64(key, F.lit(seed)))
+        .orderBy("__hk")
+        .limit(n_train)
+    )
+    train = [r["__v"] for r in sample.select("__v").collect()]
     if not train:
         return []
     return _kmeans_centroids(train, n_clusters, n_iter=n_kmeans_iter, seed=seed)
@@ -888,7 +924,7 @@ def cluster_embeddings(
         "__v", F.when(valid, _as_double(F.col(vec_col)))
     )
     cents = _train_quantizer(
-        c.filter(valid), n_clusters, n_train, n_kmeans_iter, seed
+        c.filter(valid), n_clusters, n_train, n_kmeans_iter, seed, id_col=id_col
     )
     if not cents:
         # no valid vectors anywhere: every row is unassignable

@@ -1132,16 +1132,22 @@ def ngram_lm_score(
 
     100 TB shape: the LM tables are VOCABULARY-shaped, never
     corpus-shaped — observed bigrams for the count table, distinct
-    contexts for the denominator table — and both broadcast into the
-    scoring pass (web-scale vocabularies are pruned to ``max_vocab``
-    tokens by frequency first, with every out-of-vocabulary token
-    folded to '<unk>' on BOTH the train and score sides, so the
-    broadcast stays bounded no matter the corpus). Scoring is then a
-    narrow explode + broadcast joins + a per-document groupBy whose
-    map-side combine emits one row per (doc, task) — corpus text never
-    crosses the wire. Training cost is one scan of ``train`` with a
-    map-side-combined bigram count (shuffle = distinct observed
-    bigrams per task, not token instances).
+    contexts for the denominator table. With ``max_vocab`` set,
+    web-scale vocabularies are pruned to the top tokens by frequency
+    first, with every out-of-vocabulary token folded to '<unk>' on
+    BOTH the train and score sides, so the tables are provably
+    vocabulary-bounded and broadcast into the scoring pass. With
+    ``max_vocab=None`` the distinct-bigram count grows roughly
+    linearly with the training corpus, so the joins are deliberately
+    UNHINTED — AQE broadcasts them while they fit and shuffles
+    otherwise (a forced broadcast here is a guaranteed driver OOM at
+    corpus scale; at that scale set ``max_vocab``, which is also the
+    ``CurationConfig`` default). Scoring is then a narrow explode +
+    joins + a per-document groupBy whose map-side combine emits one
+    row per (doc, task) — corpus text never crosses the wire.
+    Training cost is one scan of ``train`` with a map-side-combined
+    bigram count (shuffle = distinct observed bigrams per task, not
+    token instances).
     """
     if add_k <= 0:
         # unsmoothed LMs give -inf log-probs on unseen contexts; the
@@ -1225,9 +1231,15 @@ def ngram_lm_score(
         F.log((F.coalesce(F.col("__c"), F.lit(0)) + F.lit(k)) / denom),
     )
     real = F.col("w").isNotNull()
+    # broadcast hints only when max_vocab bounds the tables; unbounded
+    # LM tables (max_vocab=None) are AQE's call — see docstring
+    if max_vocab is not None:
+        bg_side, cx_side = F.broadcast(bigrams), F.broadcast(contexts)
+    else:
+        bg_side, cx_side = bigrams, contexts
     per_doc = (
-        sc_pairs.join(F.broadcast(bigrams), ["prev", "w"], "left")
-        .join(F.broadcast(contexts), ["prev"], "left")
+        sc_pairs.join(bg_side, ["prev", "w"], "left")
+        .join(cx_side, ["prev"], "left")
         .crossJoin(F.broadcast(v_frame))
         .select(id_col, F.col("w"), logp.alias("__lp"))
         .groupBy(id_col)

@@ -79,9 +79,14 @@ class CurationConfig:
     substr_min_tokens: int = 20
     # CCNet-style perplexity filter: self-trained bigram LM; drop docs
     # with ppl above the cap (token-less docs carry no LM evidence and
-    # pass through — the quality/length rules own that case)
+    # pass through — the quality/length rules own that case).
+    # lm_max_vocab defaults BOUNDED: it caps the LM tables at a
+    # vocabulary shape so they stay broadcastable at corpus scale
+    # (None means unbounded tables — legal, but the LM joins then
+    # shuffle once the distinct-bigram count outgrows AQE's broadcast
+    # threshold; see ngram_lm_score's 100 TB note)
     max_ppl: float | None = None
-    lm_max_vocab: int | None = None
+    lm_max_vocab: int | None = 65536
     # model-based filter: a trained QualityClassifier (see
     # operators/classifier.py distill_quality_classifier) applied as
     # one exchange-free projection; rows below min_p are dropped

@@ -129,9 +129,14 @@ def streaming_ingest_curated(
     with first-ARRIVAL-wins instead of min-ord-wins. State is the
     ``spans`` store of (xxhash64 key, doc_id) rows — 16 B per kept
     span, never text; docs reduced to pure boilerplate are dropped.
-    The stored corpus text is the REWRITTEN text, so digests (and
-    therefore the exact-dedup tier) always describe what is actually
-    stored."""
+    The stored corpus text is the REWRITTEN text, and ALL persisted
+    state describes it: after excision, survivors are re-screened
+    exactly (within-batch first-id-wins + digest-store anti-join — a
+    doc whose rewrite collapses onto already-stored text is dropped,
+    not appended) and the persisted band buckets are recomputed from
+    the rewritten text, matching what a ``forget()`` rebuild would
+    derive from the stored corpus. The pre-rewrite minhash screen is
+    the arrival filter only; it is not persisted."""
     marker_dir = (
         os.path.join(checkpoint, "_ingest_commits") if checkpoint else None
     )
@@ -248,6 +253,28 @@ def streaming_ingest_curated(
                 # digests must describe the STORED (rewritten) text
                 .withColumn("digest", F.md5(F.col(text_col)))
                 .localCheckpoint(eager=True)
+            )
+            # post-rewrite exact re-screen: span excision can collapse
+            # two batch docs onto the same text, or collapse a doc
+            # onto text already stored — the pre-rewrite digest screen
+            # cannot see either. First (lowest-id) occurrence wins
+            # within the batch, then the digest store wins over the
+            # batch — same precedence as the pre-rewrite tier.
+            firsts2 = survivors.groupBy("digest").agg(
+                F.min(id_col).alias(id_col)
+            )
+            survivors = (
+                survivors.join(firsts2.select(id_col), id_col, "left_semi")
+                .join(digests, "digest", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            # state symmetry with forget()'s rebuild: the persisted
+            # band buckets must describe the STORED (rewritten) text,
+            # so recompute signatures post-rewrite — the pre-rewrite
+            # ``bb`` screened arrivals but is stale as state.
+            sigs2 = minhash_signatures(survivors, text_col, k=k, id_col=id_col)
+            bb = minhash_band_keys(sigs2, bands, id_col).localCheckpoint(
+                eager=False
             )
             # state: the KEPT spans of docs that made it to the corpus
             # (excised spans are already present from their keeper)

@@ -40,8 +40,13 @@ def labeled(spark):
 def test_token_bucket_parity(spark):
     """The Catalyst hash and the python twin agree token-for-token —
     the property that makes driver training valid for cluster
-    scoring."""
-    toks = ["the", "fox", "zzz", "a", "Straße", "x1!", "12345"]
+    scoring. Includes astral-plane (non-BMP) characters: Spark 4's
+    ``split(tok, '')`` + ``ascii()`` operate on CODE POINTS ('😀' is
+    one element with ascii 128512, not two UTF-16 surrogates —
+    verified empirically), matching Python's code-point iteration;
+    this pin catches any engine regression to code-unit splitting."""
+    toks = ["the", "fox", "zzz", "a", "Straße", "x1!", "12345",
+            "x\U0001F600y", "\U0001F600", "中文", "émixed\U0001F680"]
     df = spark.createDataFrame([(t,) for t in toks], ["tok"])
     got = {
         r["tok"]: r["b"]

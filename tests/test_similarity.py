@@ -424,3 +424,23 @@ def test_cluster_embeddings_invalid_vectors(spark):
     for vid in range(30):
         assert got[vid]["cluster"] is not None
         assert math.isfinite(got[vid]["centroid_cosine"])
+
+
+def test_quantizer_training_sample_is_deterministic(corpus, vectors):
+    """Codebooks/centroids are a pure function of (corpus, seed):
+    the training sample is hash-ordered bottom-k, so repartitioning
+    the corpus (which reorders an unordered limit) must not change
+    the trained model — round-5 advice item (similarity.py
+    _train_quantizer / train_pq_codebooks used a bare .limit)."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        cluster_embeddings,
+        train_pq_codebooks,
+    )
+
+    shuffled = corpus.repartition(7)
+    b1 = train_pq_codebooks(corpus, dim=DIM, m=4, n_centroids=8, n_train=50, seed=3)
+    b2 = train_pq_codebooks(shuffled, dim=DIM, m=4, n_centroids=8, n_train=50, seed=3)
+    assert b1 == b2
+    _, c1 = cluster_embeddings(corpus, dim=DIM, n_clusters=4, n_train=50, seed=5)
+    _, c2 = cluster_embeddings(shuffled, dim=DIM, n_clusters=4, n_train=50, seed=5)
+    assert c1 == c2

@@ -740,3 +740,64 @@ def test_streaming_ingest_span_dedup_cross_batch(spark, tmp_path):
     assert removed == 1
     spans2 = spark.read.parquet(root + "/spans")
     assert {r.doc_id for r in spans2.collect()} == {10}
+
+
+def test_ingest_bucket_state_matches_stored_text(spark, tmp_path):
+    """Round-5 advice: persisted band buckets must describe the
+    STORED (rewritten) text, not the pre-excision arrival text —
+    otherwise the live state diverges from what a forget() rebuild
+    derives from the corpus. After a wave-2 doc has a boilerplate
+    span excised, the buckets store must equal the band keys
+    recomputed from the stored corpus."""
+    import time
+
+    from bigdata_quality_assessment_spark.operators.text import (
+        minhash_band_keys,
+        minhash_signatures,
+    )
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        init_ingest_store,
+        read_corpus,
+        streaming_ingest_curated,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    root = str(tmp_path / "store")
+    init_ingest_store(spark, root)
+    stage = tmp_path / "arrivals"
+    stage.mkdir()
+    batches = [
+        [(0, f"{boiler} first real content here now")],
+        [(10, f"{boiler} second unrelated content body text words")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage / f"b{i}"))
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    q = streaming_ingest_curated(
+        stream, root, normalize=False, span_dedup=True,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    corpus = read_corpus(spark, root)
+    # doc 10's stored text has the boiler span excised
+    stored = {r.doc_id: r.text for r in corpus.collect()}
+    assert stored[10] == "second unrelated content body text words"
+    expect = {
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in minhash_band_keys(
+            minhash_signatures(corpus, "text", k=3), 16
+        ).collect()
+    }
+    got = {
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in spark.read.parquet(root + "/buckets").collect()
+    }
+    assert got == expect
