@@ -14,13 +14,19 @@ baseline sequential AND progressive SOF2 (Huffman + spectral
 selection + successive approximation + dequant + vectorized IDCT +
 chroma upsampling + YCbCr, operators/imagecodec.py) — and GIF (LZW
 first-frame + palette).
-This container ships no PIL/librosa/ffmpeg, so the remaining formats
-(MP3, WebM, arithmetic/hierarchical JPEG) fall back to header metadata (where
-parseable) plus a deterministic content-hash-seeded feature vector;
-the ``decoder`` output column says which path ran
-('png' | 'wav' | 'jpeg' | 'gif' | 'stub'). Swap ``_fake_pixels`` for
-a PIL/ffmpeg call to extend coverage — the Spark plumbing is
-unchanged.
+MP3 gets a real METADATA decode — a full MPEG-1/2/2.5 Layer III
+frame-header walk (exact duration from per-frame sample counts,
+bitrate/sample-rate/channel-mode, Xing fallback) with frame-stream
+statistics as features; PCM synthesis is not needed for curation
+signals. WebM/Matroska gets a real EBML metadata walk (duration via
+TimecodeScale, video dims, audio rate/channels). This container ships
+no PIL/librosa/ffmpeg, so the remaining payload tiers (WebM clusters,
+arithmetic/hierarchical JPEG) fall back to header metadata plus a
+deterministic content-hash-seeded feature vector; the ``decoder``
+output column says which path ran
+('png' | 'wav' | 'jpeg' | 'gif' | 'mp3' | 'stub'). Swap
+``_fake_pixels`` for a PIL/ffmpeg call to extend coverage — the Spark
+plumbing is unchanged.
 
 Scale notes: content bytes never leave the executors; per-row work is
 O(bytes); the only shuffle anywhere is the optional groupBy in
@@ -203,6 +209,21 @@ def _parse_mp4_header(b: bytes) -> dict | None:
         if moov is None:
             return None
         width = height = None
+        duration = None
+        for t, s, e in walk(*moov):
+            if t == b"mvhd" and duration is None and e - s >= 20:
+                ver = b[s]
+                if ver == 0 and e - s >= 20:
+                    (tscale,) = struct.unpack(">I", b[s + 12 : s + 16])
+                    (dur,) = struct.unpack(">I", b[s + 16 : s + 20])
+                elif ver == 1 and e - s >= 32:
+                    (tscale,) = struct.unpack(">I", b[s + 20 : s + 24])
+                    (dur,) = struct.unpack(">Q", b[s + 24 : s + 32])
+                else:
+                    tscale = 0
+                    dur = 0
+                if tscale:
+                    duration = dur / tscale
         for t, s, e in walk(*moov):
             if t == b"trak" and width is None:
                 # FIRST track with nonzero dims wins: subtitle/text
@@ -221,9 +242,267 @@ def _parse_mp4_header(b: bytes) -> dict | None:
                                 break
         if width is None:
             return None
-        return {"width": width, "height": height, "channels": None, "sample_rate": None}
+        return {
+            "width": width,
+            "height": height,
+            "channels": None,
+            "sample_rate": None,
+            "duration": duration,
+        }
     except Exception:
         return None
+
+
+def _ebml_read_vint(b: bytes, p: int, keep_marker: bool):
+    """Read one EBML variable-length integer at ``p`` → (value, next)
+    or None. ``keep_marker=True`` for element IDs (the length-marker
+    bit is part of the ID); False for sizes (marker masked off; an
+    all-ones payload means 'unknown size' → returned as None value)."""
+    if p >= len(b):
+        return None
+    first = b[p]
+    for ln in range(1, 9):
+        if first & (0x80 >> (ln - 1)):
+            if ln > 4 and keep_marker:  # IDs are at most 4 bytes
+                return None
+            if p + ln > len(b):
+                return None
+            raw = int.from_bytes(b[p : p + ln], "big")
+            if keep_marker:
+                return raw, p + ln
+            raw &= (1 << (7 * ln)) - 1
+            if raw == (1 << (7 * ln)) - 1:
+                return None, p + ln  # unknown-size element
+            return raw, p + ln
+    return None
+
+
+# Matroska/WebM element IDs (public EBML/Matroska spec)
+_EBML_SEGMENT = 0x18538067
+_EBML_INFO = 0x1549A966
+_EBML_TIMESCALE = 0x2AD7B1  # ns per timecode unit, default 1_000_000
+_EBML_DURATION = 0x4489  # float, in timecode units
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACKENTRY = 0xAE
+_EBML_VIDEO = 0xE0
+_EBML_PIXELW = 0xB0
+_EBML_PIXELH = 0xBA
+_EBML_AUDIO = 0xE1
+_EBML_SAMPLERATE = 0xB5  # float
+_EBML_CHANNELS = 0x9F  # uint
+
+
+def _parse_webm_header(b: bytes) -> dict | None:
+    """WebM/Matroska metadata from an EBML walk (public Matroska
+    spec): Segment → Info (TimecodeScale + Duration → seconds) and
+    Segment → Tracks → TrackEntry → Video (PixelWidth/Height) /
+    Audio (SamplingFrequency/Channels). Pure byte parsing, bounded by
+    the blob; no cluster/codec decode (that tier needs libvpx)."""
+    if len(b) < 4 or b[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+
+    def children(lo: int, hi: int):
+        pos = lo
+        while pos < hi:
+            rid = _ebml_read_vint(b, pos, True)
+            if rid is None:
+                return
+            eid, pos = rid
+            rsz = _ebml_read_vint(b, pos, False)
+            if rsz is None:
+                return
+            size, pos = rsz
+            end = hi if size is None else min(pos + size, hi)
+            yield eid, pos, end
+            if size is None:
+                return  # unknown-size element swallows the rest
+            pos = end
+
+    try:
+        out = {
+            "width": None,
+            "height": None,
+            "channels": None,
+            "sample_rate": None,
+            "duration": None,
+        }
+        tscale = 1_000_000
+        dur_units = None
+
+        def flt(lo, hi):
+            n = hi - lo
+            if n == 4:
+                return struct.unpack(">f", b[lo:hi])[0]
+            if n == 8:
+                return struct.unpack(">d", b[lo:hi])[0]
+            return None
+
+        def uint(lo, hi):
+            return int.from_bytes(b[lo:hi], "big") if hi > lo else None
+
+        for eid, lo, hi in children(0, len(b)):
+            if eid != _EBML_SEGMENT:
+                continue
+            for eid2, lo2, hi2 in children(lo, hi):
+                if eid2 == _EBML_INFO:
+                    for eid3, lo3, hi3 in children(lo2, hi2):
+                        if eid3 == _EBML_TIMESCALE:
+                            tscale = uint(lo3, hi3) or tscale
+                        elif eid3 == _EBML_DURATION:
+                            dur_units = flt(lo3, hi3)
+                elif eid2 == _EBML_TRACKS:
+                    for eid3, lo3, hi3 in children(lo2, hi2):
+                        if eid3 != _EBML_TRACKENTRY:
+                            continue
+                        for eid4, lo4, hi4 in children(lo3, hi3):
+                            if eid4 == _EBML_VIDEO and out["width"] is None:
+                                for eid5, lo5, hi5 in children(lo4, hi4):
+                                    if eid5 == _EBML_PIXELW:
+                                        out["width"] = uint(lo5, hi5)
+                                    elif eid5 == _EBML_PIXELH:
+                                        out["height"] = uint(lo5, hi5)
+                            elif eid4 == _EBML_AUDIO and out["sample_rate"] is None:
+                                for eid5, lo5, hi5 in children(lo4, hi4):
+                                    if eid5 == _EBML_SAMPLERATE:
+                                        f = flt(lo5, hi5)
+                                        out["sample_rate"] = int(f) if f else None
+                                    elif eid5 == _EBML_CHANNELS:
+                                        out["channels"] = uint(lo5, hi5)
+        if dur_units is not None and dur_units >= 0:
+            out["duration"] = dur_units * tscale / 1e9
+        if all(v is None for v in out.values()):
+            return None
+        return out
+    except Exception:
+        return None
+
+
+# MPEG audio framing tables (ISO/IEC 11172-3 / 13818-3, Layer III).
+# Keyed by the 2-bit version field: 3=MPEG1, 2=MPEG2, 0=MPEG2.5.
+_MP3_BITRATE_KBPS = {
+    3: (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    0: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATE_HZ = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+_MP3_FRAME_CAP = 1_000_000  # ~7h of MPEG1 audio; past it, trust Xing
+_MP3_RESYNC_WINDOW = 4096  # junk tolerated before the first sync word
+
+
+def _mp3_frame_header(b: bytes, p: int):
+    """Decode the 4-byte MPEG Layer III frame header at ``p`` →
+    ``(size, ver, kbps, rate, samples_per_frame, mode, padded)`` or
+    None if the bytes there are not a valid header."""
+    if p + 4 > len(b):
+        return None
+    h0, h1, h2, h3 = b[p], b[p + 1], b[p + 2], b[p + 3]
+    if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+        return None
+    ver = (h1 >> 3) & 3
+    layer = (h1 >> 1) & 3
+    if ver == 1 or layer != 1:  # reserved version / not Layer III
+        return None
+    bri = (h2 >> 4) & 0xF
+    sri = (h2 >> 2) & 3
+    pad = (h2 >> 1) & 1
+    if bri in (0, 15) or sri == 3:  # free-format / reserved
+        return None
+    kbps = _MP3_BITRATE_KBPS[ver][bri]
+    rate = _MP3_RATE_HZ[ver][sri]
+    spf = 1152 if ver == 3 else 576
+    size = (144000 if ver == 3 else 72000) * kbps // rate + pad
+    mode = (h3 >> 6) & 3
+    return size, ver, kbps, rate, spf, mode, pad
+
+
+def _decode_mp3(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
+    """MPEG-1/2/2.5 Layer III frame-header walk (public ISO/IEC
+    11172-3 / 13818-3 framing — no payload synthesis): skip any ID3v2
+    tag (syncsafe size + optional footer), resync to the first frame
+    header (double-checked against the following frame so a stray
+    0xFFEx byte in junk can't fake a stream), then walk EVERY frame —
+    version, bitrate, sample rate, padding, channel mode — summing
+    per-frame sample counts for an exact duration. The walk handles
+    CBR and VBR identically (no Xing needed when the whole blob is in
+    hand); a Xing/Info frame count from the first frame's side-info
+    region is used only if the stream outruns the frame cap. Features
+    are REAL frame-stream statistics (duration, frame-size and
+    bitrate shape, padding fraction) — not seeded noise; full PCM
+    decode is not needed for curation signals."""
+    import numpy as np
+
+    n = len(b)
+    pos = 0
+    if n >= 10 and b[:3] == b"ID3":
+        tag = (
+            ((b[6] & 0x7F) << 21)
+            | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7)
+            | (b[9] & 0x7F)
+        )
+        pos = 10 + tag + (10 if b[5] & 0x10 else 0)
+    start = None
+    for p in range(pos, min(pos + _MP3_RESYNC_WINDOW, n)):
+        probe = _mp3_frame_header(b, p)
+        if probe is not None:
+            nxt = p + probe[0]
+            if nxt >= n or _mp3_frame_header(b, nxt) is not None:
+                start = p
+                break
+    if start is None:
+        return None
+    dur = 0.0
+    sizes: list[int] = []
+    kbps_seen: list[int] = []
+    n_padded = 0
+    first_rate = first_spf = None
+    channels = 2
+    xing_frames = None
+    p = start
+    while p + 4 <= n and len(sizes) < _MP3_FRAME_CAP:
+        f = _mp3_frame_header(b, p)
+        if f is None:
+            break
+        size, ver, kbps, rate, spf, mode, pad = f
+        if not sizes:
+            first_rate, first_spf = rate, spf
+            channels = 1 if mode == 3 else 2
+            # Xing/Info VBR header sits after the side info
+            si = (17 if mode == 3 else 32) if ver == 3 else (9 if mode == 3 else 17)
+            q = p + 4 + si
+            if q + 12 <= n and b[q : q + 4] in (b"Xing", b"Info"):
+                flags = int.from_bytes(b[q + 4 : q + 8], "big")
+                if flags & 1:
+                    xing_frames = int.from_bytes(b[q + 8 : q + 12], "big")
+        dur += spf / rate
+        sizes.append(size)
+        kbps_seen.append(kbps)
+        n_padded += pad
+        p += size
+    if not sizes:
+        return None
+    if len(sizes) >= _MP3_FRAME_CAP and xing_frames:
+        dur = xing_frames * first_spf / first_rate
+    sz = np.asarray(sizes, dtype=np.float64)
+    br = np.asarray(kbps_seen, dtype=np.float64)
+    feats = [
+        min(dur / 600.0, 1.0),
+        min(len(sizes) / 1e5, 1.0),
+        min(float(sz.mean()) / 2048.0, 1.0),
+        min(float(sz.std()) / 2048.0, 1.0),
+        float(br.mean()) / 320.0,
+        first_rate / 48000.0,
+        channels / 2.0,
+        n_padded / len(sizes),
+    ]
+    meta = {
+        "width": None,
+        "height": None,
+        "channels": channels,
+        "sample_rate": first_rate,
+        "duration": dur,
+    }
+    return meta, _fit_features(feats, n_features)
 
 
 def _parse_wav_header(b: bytes) -> dict | None:
@@ -425,7 +704,13 @@ def _decode_wav(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
         ]
     else:
         feats = [0.5, 0.0, 0.0, 0.0, 0.0, 0.5, 0.5, 0.0]
-    meta = {"width": None, "height": None, "channels": int(channels), "sample_rate": int(rate)}
+    meta = {
+        "width": None,
+        "height": None,
+        "channels": int(channels),
+        "sample_rate": int(rate),
+        "duration": (n_frames / rate) if rate else None,
+    }
     return meta, _fit_features(feats, n_features)
 
 
@@ -466,12 +751,16 @@ def decode_media(
     id_col: str = "media_id",
     n_features: int = 8,
 ) -> DataFrame:
-    """Decode + feature-extract as ``mapInPandas``. PNG and WAV blobs
-    get a REAL decode (stdlib zlib inflate + filter reconstruction /
-    PCM sample decode) → pixel/signal statistics; other formats fall
-    back to header metadata + a deterministic stub vector (``decoder``
-    column records which path ran). One Arrow-batched pass, no shuffle;
-    blobs stay on the executors."""
+    """Decode + feature-extract as ``mapInPandas``. PNG/WAV/JPEG/GIF
+    blobs get a REAL decode (stdlib zlib inflate + filter
+    reconstruction / PCM sample decode / Huffman+IDCT / LZW) →
+    pixel/signal statistics, and MP3 gets a REAL frame-header walk
+    (duration, sample rate, channels, bitrate shape — no PCM
+    synthesis); remaining formats fall back to header metadata + a
+    deterministic stub vector (``decoder`` column records which path
+    ran). ``duration_s`` is populated where the container carries it
+    (WAV sample count, MP3 frame walk, MP4 mvhd). One Arrow-batched
+    pass, no shuffle; blobs stay on the executors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -481,6 +770,7 @@ def decode_media(
                 "height": [],
                 "channels": [],
                 "sample_rate": [],
+                "duration_s": [],
                 "features": [],
                 "decoder": [],
             }
@@ -492,6 +782,7 @@ def decode_media(
                     ("wav", _decode_wav),
                     ("jpeg", _decode_jpeg),
                     ("gif", _decode_gif),
+                    ("mp3", _decode_mp3),
                 ):
                     decoded = codec(b, n_features)
                     if decoded is not None:
@@ -500,21 +791,24 @@ def decode_media(
                     meta, feats = decoded
                 else:
                     which = "stub"
-                    meta = _parse_png_header(b) or _parse_wav_header(b) or _parse_jpeg_header(b) or _parse_gif_header(b) or _parse_mp4_header(b) or {
+                    meta = _parse_png_header(b) or _parse_wav_header(b) or _parse_jpeg_header(b) or _parse_gif_header(b) or _parse_mp4_header(b) or _parse_webm_header(b) or {
                         "width": None, "height": None, "channels": None, "sample_rate": None
                     }
                     feats = _fake_pixels(b, n_features)
+                dur = meta.get("duration")
                 out["width"].append(_safe_i32(meta["width"]))
                 out["height"].append(_safe_i32(meta["height"]))
                 out["channels"].append(_safe_i32(meta["channels"]))
                 out["sample_rate"].append(_safe_i32(meta["sample_rate"]))
+                out["duration_s"].append(float(dur) if dur is not None else None)
                 out["features"].append(feats)
                 out["decoder"].append(which)
             yield pd.DataFrame(out)
 
     schema = (
         f"{id_col} BIGINT, width INT, height INT, channels INT, "
-        "sample_rate INT, features ARRAY<DOUBLE>, decoder STRING"
+        "sample_rate INT, duration_s DOUBLE, features ARRAY<DOUBLE>, "
+        "decoder STRING"
     )
     return media.select(id_col, content_col).mapInPandas(run, schema)
 

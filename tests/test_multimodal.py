@@ -470,3 +470,120 @@ def test_mp4_first_video_track_wins(spark):
     blob = box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
     meta = _parse_mp4_header(blob)
     assert (meta["width"], meta["height"]) == (1920, 1080)
+
+
+# --------------------- MP3 frame-header walk -------------------------
+
+
+def _mp3_cbr(n_frames=50, id3_pad=100, xing=False):
+    """MPEG-1 Layer III, 44100 Hz, 128 kbps, stereo, no padding:
+    frame size 144000*128//44100 = 417 B, 1152 samples/frame."""
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    body = bytearray(b"\x00" * (417 - 4))
+    frames = [hdr + bytes(body)] * n_frames
+    if xing:
+        # plant a Xing tag (frames flag, bogus frame count) after the
+        # 32-byte MPEG1-stereo side info of frame 0 — the walk must
+        # still report the TRUE walked duration, not the Xing claim
+        f0 = bytearray(frames[0])
+        f0[4 + 32 : 4 + 32 + 12] = b"Xing" + (1).to_bytes(4, "big") + (999).to_bytes(4, "big")
+        frames[0] = bytes(f0)
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, id3_pad]) + b"\x00" * id3_pad
+    return id3 + b"".join(frames)
+
+
+def _mp3_vbr_mono(n_pairs=10):
+    """MPEG-2 Layer III, 22050 Hz, mono, alternating 64/96 kbps —
+    true VBR, duration only derivable by walking every frame."""
+    f64 = bytes([0xFF, 0xF3, 0x80, 0xC0]) + b"\x00" * (208 - 4)
+    f96 = bytes([0xFF, 0xF3, 0xA0, 0xC0]) + b"\x00" * (313 - 4)
+    return (f64 + f96) * n_pairs
+
+
+def test_decode_media_mp3_frame_walk(spark):
+    """The round-5 'decoder=stub seeded noise' gap for MP3 is closed:
+    real duration / sample_rate / channels from the frame-header walk
+    (goldens are hand-computed from the framing math: 50*1152/44100
+    and 20*576/22050), decoder='mp3', features real and bounded."""
+    rows = [
+        (0, _mp3_cbr()),
+        (1, _mp3_vbr_mono()),
+        (2, b"ID3" + b"\x00" * 64),  # tag, no frames -> stub
+        (3, _mp3_cbr(xing=True)),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[0]["decoder"] == "mp3"
+    assert got[0]["sample_rate"] == 44100 and got[0]["channels"] == 2
+    assert got[0]["duration_s"] == pytest.approx(50 * 1152 / 44100, abs=1e-9)
+    assert got[1]["decoder"] == "mp3"
+    assert got[1]["sample_rate"] == 22050 and got[1]["channels"] == 1
+    assert got[1]["duration_s"] == pytest.approx(20 * 576 / 22050, abs=1e-9)
+    for i in (0, 1, 3):
+        assert len(got[i]["features"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in got[i]["features"])
+    assert got[2]["decoder"] == "stub" and got[2]["duration_s"] is None
+    # Xing present but stream short of the frame cap: walked truth wins
+    assert got[3]["decoder"] == "mp3"
+    assert got[3]["duration_s"] == pytest.approx(50 * 1152 / 44100, abs=1e-9)
+
+
+def test_decode_media_duration_wav_and_mp4(spark):
+    """duration_s is populated wherever the container carries it:
+    WAV = sample frames / rate; MP4 = mvhd duration/timescale."""
+    rows = [
+        (0, _real_wav(np.zeros(64), 1, 8000)),
+        (1, _make_mp4(320, 240)),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[0]["duration_s"] == pytest.approx(64 / 8000, abs=1e-9)
+    # fixture mvhd: timescale 1000, duration 5000 -> 5.0 s
+    assert got[1]["decoder"] == "stub"
+    assert got[1]["duration_s"] == pytest.approx(5.0, abs=1e-9)
+
+
+def _ebml_el(eid, payload):
+    n = len(payload)
+    size = bytes([0x80 | n]) if n < 0x7F else bytes([0x40 | (n >> 8), n & 0xFF])
+    return eid + size + payload
+
+
+def test_decode_media_webm_metadata(spark):
+    """WebM/Matroska EBML walk: duration from TimecodeScale x
+    Duration, video dims from the video TrackEntry, audio
+    rate/channels from the audio TrackEntry — real metadata, stub
+    features (cluster decode needs libvpx)."""
+    import struct as s
+
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", (1000000).to_bytes(3, "big"))
+        + _ebml_el(b"\x44\x89", s.pack(">f", 12000.0)),
+    )
+    video = _ebml_el(
+        b"\xe0",
+        _ebml_el(b"\xb0", (640).to_bytes(2, "big"))
+        + _ebml_el(b"\xba", (360).to_bytes(2, "big")),
+    )
+    audio = _ebml_el(
+        b"\xe1",
+        _ebml_el(b"\xb5", s.pack(">f", 48000.0)) + _ebml_el(b"\x9f", b"\x02"),
+    )
+    tracks = _ebml_el(
+        b"\x16\x54\xae\x6b", _ebml_el(b"\xae", video) + _ebml_el(b"\xae", audio)
+    )
+    seg = _ebml_el(b"\x18\x53\x80\x67", info + tracks)
+    blob = _ebml_el(b"\x1a\x45\xdf\xa3", b"") + seg
+    df = spark.createDataFrame([(0, blob)], "media_id BIGINT, content BINARY")
+    r = decode_media(df).collect()[0]
+    assert r["decoder"] == "stub"  # metadata-only tier
+    assert (r["width"], r["height"]) == (640, 360)
+    assert (r["channels"], r["sample_rate"]) == (2, 48000)
+    assert r["duration_s"] == pytest.approx(12.0, abs=1e-9)
+    # truncated EBML must not crash the batch
+    df2 = spark.createDataFrame(
+        [(1, blob[:7]), (2, b"\x1a\x45\xdf\xa3")], "media_id BIGINT, content BINARY"
+    )
+    out = {x["media_id"]: x for x in decode_media(df2).collect()}
+    assert out[1]["decoder"] == "stub" and out[2]["decoder"] == "stub"
