@@ -1077,46 +1077,94 @@ def q_m6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------- M4: the loops end-to-end --------------------
 
-# Committed golden for the fully-deterministic seeded loop run (oracle
-# = literal VALUES): with an explicit init_train there is no rand()
-# anywhere — poly/ridge fits are closed-form numpy, selection is
-# argmax/top-k with pinned tie-breaks, and round(·, 6) absorbs
-# partition-order float-sum jitter. Regenerate with
-# tools/gen_loop_golden.py if loop semantics change.
-_M4_GOLDEN: list[tuple[str, int, str, float]] = [
-    ("active", 0, "mse", 0.148016),
-    ("active", 0, "mae", 0.319486),
-    ("active", 0, "mean_var", 0.004454),
-    ("active", 0, "log_pdf_error", 3.411284),
-    ("active", 0, "train_rows", 100.0),
-    ("active", 1, "mse", 0.153532),
-    ("active", 1, "mae", 0.323262),
-    ("active", 1, "mean_var", 0.003739),
-    ("active", 1, "log_pdf_error", 3.564403),
-    ("active", 1, "train_rows", 104.0),
-    ("active", 2, "mse", 0.149158),
-    ("active", 2, "mae", 0.319704),
-    ("active", 2, "mean_var", 0.002411),
-    ("active", 2, "log_pdf_error", 3.368752),
-    ("active", 2, "train_rows", 108.0),
-    ("sde", 0, "mae", 0.526208),
-    ("sde", 0, "train_rows", 19.0),
-    ("sde", 1, "mae", 0.52845),
-    ("sde", 1, "train_rows", 29.0),
-    ("sde", 2, "mae", 0.42651),
-    ("sde", 2, "train_rows", 39.0),
+# Committed goldens for the fully-deterministic seeded loop run
+# (oracle = literal VALUES): with an explicit init_train there is no
+# rand() anywhere — poly/ridge fits are closed-form numpy, selection
+# is argmax/top-k with pinned tie-breaks, and round(·, 6) absorbs
+# partition-order float-sum jitter. The §3.1 active branch is
+# grid-driven (no sf tables) and its golden is SF-INDEPENDENT
+# (asserted identical across sf0.001..sf1 by the generator); the §3.2
+# SDE branch reads the events table, so its golden is keyed by the
+# events ROW COUNT and the oracle SQL picks the matching key via
+# (SELECT count(*) FROM events) — the entry grades green at every
+# pre-computed SF instead of being pinned to sf0.01 (round-5 verdict
+# ask #3). Regenerate with tools/gen_loop_golden.py if loop semantics
+# change or a new SF tier appears.
+_M4_GOLDEN_ACTIVE: list[tuple[int, str, float]] = [
+    (0, "mse", 0.148016),
+    (0, "mae", 0.319486),
+    (0, "mean_var", 0.004454),
+    (0, "log_pdf_error", 3.411284),
+    (0, "train_rows", 100.0),
+    (1, "mse", 0.153532),
+    (1, "mae", 0.323262),
+    (1, "mean_var", 0.003739),
+    (1, "log_pdf_error", 3.564403),
+    (1, "train_rows", 104.0),
+    (2, "mse", 0.149158),
+    (2, "mae", 0.319704),
+    (2, "mean_var", 0.002411),
+    (2, "log_pdf_error", 3.368752),
+    (2, "train_rows", 108.0),
 ]
+# sf1 (local replicate of sf0.1) shares sf0.1's values because the
+# replication offsets user_ids, so the user_id==1 series is replica 0
+# verbatim — the key (1M events) still differs, so it gets its own row
+_M4_GOLDEN_SDE: dict[int, list[tuple[int, str, float]]] = {
+    1000: [  # sf0.001
+        (0, "mae", 0.498764),
+        (0, "train_rows", 14.0),
+        (1, "mae", 0.305975),
+        (1, "train_rows", 24.0),
+        (2, "mae", 0.232876),
+        (2, "train_rows", 34.0),
+    ],
+    10000: [  # sf0.01 — the driver's grading SF
+        (0, "mae", 0.526208),
+        (0, "train_rows", 19.0),
+        (1, "mae", 0.52845),
+        (1, "train_rows", 29.0),
+        (2, "mae", 0.42651),
+        (2, "train_rows", 39.0),
+    ],
+    100000: [  # sf0.1
+        (0, "mae", 1.667443),
+        (0, "train_rows", 13.0),
+        (1, "mae", 0.693049),
+        (1, "train_rows", 23.0),
+        (2, "mae", 0.361707),
+        (2, "train_rows", 33.0),
+    ],
+    1000000: [  # sf1 (tools/make_sf_scale.py replicate)
+        (0, "mae", 1.667443),
+        (0, "train_rows", 13.0),
+        (1, "mae", 0.693049),
+        (1, "train_rows", 23.0),
+        (2, "mae", 0.361707),
+        (2, "train_rows", 33.0),
+    ],
+}
 
 
 def _m4_oracle_sql() -> str:
-    rows = ",\n        ".join(
-        f"('{p}', CAST({i} AS BIGINT), '{k}', CAST({v!r} AS DOUBLE))"
-        for p, i, k, v in _M4_GOLDEN
+    act = ",\n        ".join(
+        f"('active', CAST({i} AS BIGINT), '{k}', CAST({v!r} AS DOUBLE))"
+        for i, k, v in _M4_GOLDEN_ACTIVE
+    )
+    sde = ",\n        ".join(
+        f"(CAST({n} AS BIGINT), 'sde', CAST({i} AS BIGINT), '{k}', CAST({v!r} AS DOUBLE))"
+        for n, rows in sorted(_M4_GOLDEN_SDE.items())
+        for i, k, v in rows
     )
     return (
         "SELECT * FROM (VALUES\n        "
-        + rows
-        + ") t(pipeline, iter, metric, value)"
+        + act
+        + ") t(pipeline, iter, metric, value)\n"
+        "UNION ALL\n"
+        "SELECT pipeline, iter, metric, value FROM (VALUES\n        "
+        + sde
+        + ") s(n_events, pipeline, iter, metric, value)\n"
+        "WHERE n_events = (SELECT count(*) FROM events)"
     )
 
 

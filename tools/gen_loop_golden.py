@@ -1,8 +1,17 @@
 #!/usr/bin/env python
-"""Regenerate the committed golden for the ``m4_loop_metrics`` oracle
-(queries._M4_GOLDEN). Runs the seeded deterministic loop query at two
-parallelism levels, asserts the rounded values agree (partition-order
-independence), and prints the Python literal to paste into queries.py.
+"""Regenerate the committed goldens for the ``m4_loop_metrics`` oracle
+(queries._M4_GOLDEN_ACTIVE / _M4_GOLDEN_SDE).
+
+The §3.1 active-sampling branch is grid-driven (no sf tables), so its
+golden is SF-independent — verified here by asserting the active rows
+agree across every SF dir AND across two parallelism levels. The §3.2
+SDE branch reads the events table, so its golden is a function of SF;
+it is emitted once per SF dir, keyed by the events row count (the
+oracle SQL selects the matching key via ``(SELECT count(*) FROM
+events)``, so the entry grades green at any pre-computed SF instead of
+being pinned to sf0.01 — round-5 verdict ask #3).
+
+Run, then paste the two printed literals into queries.py.
 """
 
 from __future__ import annotations
@@ -13,26 +22,66 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+_local_sf1 = REPO / ".localdata" / "sf1"
+if _local_sf1.exists():
+    SF_DIRS.append(str(_local_sf1))
 
 
 def main() -> None:
+    import duckdb
+
     from bigdata_quality_assessment_spark import queries as Q
     from bigdata_quality_assessment_spark.session import build_session
 
-    runs = []
-    for master, parts in (("local[8]", 8), ("local[16]", 16)):
-        spark = build_session(master=master, shuffle_partitions=parts)
-        df = Q.queries()["m4_loop_metrics"](spark, SF_DIR)
-        runs.append(
-            [(r["pipeline"], r["iter"], r["metric"], r["value"]) for r in df.collect()]
+    active_ref: list[tuple[int, str, float]] | None = None
+    sde_by_count: dict[int, list[tuple[int, str, float]]] = {}
+
+    for sf_dir in SF_DIRS:
+        ev_path = Path(sf_dir) / "events.parquet"
+        # spark-written tables are DIRECTORIES of part files
+        pat = f"{ev_path}/*.parquet" if ev_path.is_dir() else str(ev_path)
+        n_events = duckdb.sql(f"SELECT count(*) FROM '{pat}'").fetchone()[0]
+        runs = []
+        for master, parts in (("local[8]", 8), ("local[16]", 16)):
+            spark = build_session(master=master, shuffle_partitions=parts)
+            df = Q.queries()["m4_loop_metrics"](spark, sf_dir)
+            runs.append(
+                [
+                    (r["pipeline"], r["iter"], r["metric"], r["value"])
+                    for r in df.collect()
+                ]
+            )
+            spark.stop()
+        assert runs[0] == runs[1], (
+            f"{sf_dir}: loop metrics are parallelism-dependent — do NOT commit"
         )
-        spark.stop()
-    assert runs[0] == runs[1], "loop metrics are parallelism-dependent — do NOT commit"
-    print("_M4_GOLDEN: list[tuple[str, int, str, float]] = [")
-    for p, i, k, v in runs[0]:
-        print(f"    ({p!r}, {i}, {k!r}, {v!r}),")
+        active = [(i, k, v) for p, i, k, v in runs[0] if p == "active"]
+        sde = [(i, k, v) for p, i, k, v in runs[0] if p == "sde"]
+        if active_ref is None:
+            active_ref = active
+        else:
+            assert active == active_ref, (
+                f"{sf_dir}: active branch is NOT sf-independent — do NOT commit"
+            )
+        sde_by_count[int(n_events)] = sde
+        print(f"# {sf_dir}: events={n_events}, ok", file=sys.stderr)
+
+    print("_M4_GOLDEN_ACTIVE: list[tuple[int, str, float]] = [")
+    for i, k, v in active_ref or []:
+        print(f"    ({i}, {k!r}, {v!r}),")
     print("]")
+    print("_M4_GOLDEN_SDE: dict[int, list[tuple[int, str, float]]] = {")
+    for n in sorted(sde_by_count):
+        print(f"    {n}: [")
+        for i, k, v in sde_by_count[n]:
+            print(f"        ({i}, {k!r}, {v!r}),")
+        print("    ],")
+    print("}")
 
 
 if __name__ == "__main__":
