@@ -9,12 +9,17 @@
 Each query materializes its (small) result with a collect/count so the
 measured time covers the full plan execution, not plan construction.
 
-Steady-state protocol: every query runs TWICE and the reported time is
-the better pass. The first pass pays one-off JVM/codegen/Arrow-worker
-warmup and absorbs host-level noise bursts (this container shows 5x
-run-to-run swings on identical plans under noisy-neighbor steal);
-BASELINE.md's medians are recorded under the same protocol, so ratios
-stay apples-to-apples.
+Steady-state protocol (round 6): every headline query runs THREE timed
+passes and the reported per-query number is the MEDIAN; the JSON also
+carries ``query_stats`` with {median, spread, n_runs} per query so a
+single noisy pass is visible instead of silently becoming the record
+(this container shows 5x run-to-run swings on identical plans under
+noisy-neighbor steal — round 5's driver snapshot overstated the
+steady-state by ~25% for exactly this reason). Pass 1 additionally
+absorbs one-off JVM/codegen/Arrow-worker warmup; the median discards
+it unless noise inverts the ordering. ``queries`` stays name→seconds
+(now the median) so cross-round comparisons keep working; extras run
+once and track scaling trends, not the headline.
 """
 
 from __future__ import annotations
@@ -246,7 +251,11 @@ def main() -> None:
         "active_loop_3iter": q_active_loop_3iter,
     }
 
+    import statistics
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
     for name, fn in queries.items():
         # inter-query hygiene: drop any cross-query cached frames and
         # force a JVM GC so the ContextCleaner releases the PREVIOUS
@@ -257,12 +266,17 @@ def main() -> None:
         # isolated; both best-of-2 runs were polluted)
         spark.catalog.clearCache()
         jvm.System.gc()
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        stats[name] = {
+            "median": timings[name],
+            "spread": round(max(samples) - min(samples), 3),
+            "n_runs": n_runs,
+        }
 
     # plan-depth regression sentinel (round-5): the 20-iteration loop
     # must stay flat per iteration (eager-checkpoint lineage cuts —
@@ -347,6 +361,49 @@ def main() -> None:
     knn_pq(emb, q, dim=64, k=5, m=8, rescore_factor=8).collect()
     extras["knn_pq"] = round(time.perf_counter() - t0, 3)
 
+    # round-6: streaming-ingest state-growth evidence — the dedup
+    # store grows every batch; per-batch fold time must stay O(batch).
+    # 10 equal batches of the documents table; record the first-3 and
+    # last-3 mean trigger times so any O(history) drift is a visible
+    # ratio in the per-round record (tests pin a 3x tolerance on the
+    # same shape; this is the at-SF measurement).
+    import shutil
+    import tempfile
+
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        init_ingest_store,
+        streaming_ingest_curated,
+    )
+
+    ing_root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        store = os.path.join(ing_root, "store")
+        stage = os.path.join(ing_root, "arrivals")
+        init_ingest_store(spark, store)
+        base = docs.select("doc_id", "text")
+        for b in range(10):
+            base.filter(F.col("doc_id") % 10 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(stage, f"b{b}"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "*"))
+        )
+        t0 = time.perf_counter()
+        qi = streaming_ingest_curated(
+            stream, store, checkpoint=os.path.join(ing_root, "ck")
+        )
+        qi.awaitTermination()
+        extras["ingest_10batch_total"] = round(time.perf_counter() - t0, 3)
+        prog = [p for p in qi.recentProgress if p.get("numInputRows", 0) > 0]
+        durs = [p["durationMs"]["triggerExecution"] / 1000.0 for p in prog]
+        if len(durs) >= 6:
+            extras["ingest_batch_first3_mean"] = round(sum(durs[:3]) / 3, 3)
+            extras["ingest_batch_last3_mean"] = round(sum(durs[-3:]) / 3, 3)
+    finally:
+        shutil.rmtree(ing_root, ignore_errors=True)
+
     spark.stop()
     print(
         json.dumps(
@@ -355,6 +412,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": stats,
                 "extras": {
                     "active_loop_20iter": round(loop20, 3),
                     "active_loop_20iter_s_per_iter": round(loop20 / 20, 3),

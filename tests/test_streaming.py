@@ -801,3 +801,49 @@ def test_ingest_bucket_state_matches_stored_text(spark, tmp_path):
         for r in spark.read.parquet(root + "/buckets").collect()
     }
     assert got == expect
+
+
+def test_ingest_per_batch_cost_is_flat(spark, tmp_path):
+    """State-growth evidence (round-5 ask #6): the accumulated dedup
+    store grows every batch, but per-batch fold cost must stay
+    O(batch), not O(history) — the slim-state design claim, measured.
+    12 equal-size batches; the mean trigger time of the last 3 must
+    stay within 3x the mean of batches 2-4 (batch 1 excluded: it pays
+    stream/codegen warmup). A fold that re-derived state per batch or
+    accumulated plan depth shows up as monotone growth and fails."""
+    import time
+
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        init_ingest_store,
+        streaming_ingest_curated,
+    )
+
+    root = str(tmp_path / "store")
+    init_ingest_store(spark, root)
+    stage = tmp_path / "arrivals"
+    stage.mkdir()
+    n_batches = 12
+    for b in range(n_batches):
+        rows = [
+            (b * 1000 + i, f"document {b * 1000 + i} unique content body words here")
+            for i in range(40)
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage / f"b{b:02d}"))
+        time.sleep(0.02)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    q = streaming_ingest_curated(
+        stream, root, normalize=False, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    prog = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    assert len(prog) == n_batches, [p.get("numInputRows") for p in prog]
+    durs = [p["durationMs"]["triggerExecution"] / 1000.0 for p in prog]
+    early = sum(durs[1:4]) / 3
+    late = sum(durs[-3:]) / 3
+    assert late <= 3.0 * early + 0.5, (durs, early, late)
