@@ -1282,17 +1282,29 @@ def _excise_by_first_occurrence(
     the grid op, an interval explode for the stride-1 op), one
     collect_set row per affected doc, and the in-place array filter.
     Returns (kept_elements Column, removal_count Column, joined frame).
-    The duplicated-key join carries NO broadcast hint: the table is
-    usually boilerplate-shaped, but a pathologically duplicated corpus
-    grows it corpus-proportional — AQE picks broadcast when it fits
-    and degrades to a shuffle join instead of a driver OOM."""
-    firsts = ex.groupBy("__key").agg(
-        F.count(F.lit(1)).alias("__c"), F.min("__ord").alias("__keep")
-    )
-    dups = firsts.filter(F.col("__c") >= min_count).select("__key", "__keep")
+
+    Two-phase shape (round-5 verdict ask #4 — the singleton
+    pre-filter): a real corpus's keys are overwhelmingly singletons,
+    so the ONLY corpus-keyed shuffle is a count over bare 8-byte keys
+    (map-side combined; no (id, position) struct rides along for keys
+    that will be discarded). Keys with count >= min_count — the
+    boilerplate-shaped minority — are then resolved against the
+    barriered slim frame: occurrence restriction, first-occurrence
+    min, and the removal explode all run on the duplicate subset
+    only. The duplicated-key joins carry NO broadcast hint: the
+    tables are usually boilerplate-shaped, but a pathologically
+    duplicated corpus grows them corpus-proportional — AQE picks
+    broadcast when they fit and degrades to a shuffle join instead of
+    a driver OOM."""
+    counts = ex.groupBy("__key").agg(F.count(F.lit(1)).alias("__c"))
+    dup_keys = counts.filter(F.col("__c") >= min_count).select("__key")
+    # two consumers (first-occurrence agg + removal filter) — barrier
+    # so the restriction join runs once
+    dup_occ = ex.join(dup_keys, "__key").localCheckpoint(eager=False)
+    firsts = dup_occ.groupBy("__key").agg(F.min("__ord").alias("__keep"))
     removed = (
         expand_positions(
-            ex.join(dups, "__key").filter(F.col("__ord") != F.col("__keep"))
+            dup_occ.join(firsts, "__key").filter(F.col("__ord") != F.col("__keep"))
         )
         .groupBy(id_col)
         .agg(F.collect_set("__p").alias("__rm"))
