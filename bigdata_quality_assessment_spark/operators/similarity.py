@@ -436,6 +436,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: str = "low",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, then
@@ -464,6 +465,14 @@ def semantic_dedup(
     the corpus unshuffled. Cross-cluster duplicates are missed by
     design — that is SemDeDup's stated approximation; pair with
     ``embedding_near_dedup`` (LSH) when cross-cluster recall matters.
+
+    ``centroids`` (optional) skips quantizer training and assigns
+    cells against the given k×dim model — reuse a trained quantizer
+    across runs, or pin cells for grading: GIVEN fixed centroids the
+    whole operator is deterministic and SQL-expressible (assignment =
+    argmin distance, duplicate groups = recursive closure of in-cell
+    cosine>=1-eps pairs, keep = min id), which is how the DuckDB
+    oracle grades the keep/drop core (queries.py x_semdedup_core).
     """
     if keep not in ("low", "high", "min_id"):
         raise ValueError("keep must be 'low', 'high' or 'min_id'")
@@ -484,8 +493,12 @@ def semantic_dedup(
     c = corpus.filter(valid).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
-    cents = _train_quantizer(
-        c, n_centroids, n_train, n_kmeans_iter, seed, id_col=id_col
+    cents = (
+        centroids
+        if centroids is not None
+        else _train_quantizer(
+            c, n_centroids, n_train, n_kmeans_iter, seed, id_col=id_col
+        )
     )
     if not cents:
         return corpus

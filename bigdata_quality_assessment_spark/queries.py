@@ -2118,43 +2118,52 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM embeddings WHERE vec_id < 5),
        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
        s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, cv) AS cosine
-             FROM c CROSS JOIN q WHERE c.vec_id != q.query_id)
-       SELECT query_id, vec_id, round(cosine, 6) AS cosine,
-              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
-       FROM s QUALIFY rank <= 5""",
+             FROM c CROSS JOIN q WHERE c.vec_id != q.query_id),
+       knn AS (
+         SELECT 'knn' AS part, query_id AS id_a, vec_id AS id_b,
+                round(cosine, 6) AS cosine,
+                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+         FROM s QUALIFY rank <= 5),
+       p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id < 150),
+       pairs AS (
+         SELECT 'pairs' AS part, a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+                CAST(NULL AS BIGINT) AS rank
+         FROM p a JOIN p b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.2)
+       SELECT * FROM knn UNION ALL SELECT * FROM pairs""",
 )
 def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine family as one tagged union (merged round 6 to keep
+    the 50-entry registry window while x_semdedup_core gets its own
+    graded row): part='knn' is brute-force top-k (the recall oracle of
+    the three ANN tiers), part='pairs' is all-pairs cosine >= 0.2 on a
+    bounded slice (documented O(n²) verification path; scale traffic
+    goes to x_ann_knn / x_ann_ivf_knn / x_embedding_near_dedup)."""
+    from bigdata_quality_assessment_spark.operators.similarity import cosine_pairs
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = knn_brute_force(emb, q, k=5)
-    return out.select(
-        "query_id",
-        "vec_id",
+    knn = knn_brute_force(emb, q, k=5).select(
+        F.lit("knn").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("bigint").alias("rank"),
     )
-
-
-@_register(
-    "x_cosine_pairs",
-    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                  FROM embeddings WHERE vec_id < 150)
-       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-       FROM c a JOIN c b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(a.v, b.v) >= 0.2""",
-)
-def q_xcospairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold on a bounded slice — the
-    verification oracle for the ANN paths (documented O(n²); the scale
-    paths are x_ann_knn / x_ivf_knn / x_embedding_near_dedup)."""
-    from bigdata_quality_assessment_spark.operators.similarity import cosine_pairs
-
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    out = cosine_pairs(emb, threshold=0.2)
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    pairs = cosine_pairs(
+        emb.filter(F.col("vec_id") < 150), threshold=0.2
+    ).select(
+        F.lit("pairs").alias("part"),
+        "id_a",
+        "id_b",
+        F.round("cosine", 6).alias("cosine"),
+        F.lit(None).cast("bigint").alias("rank"),
+    )
+    return knn.unionByName(pairs)
 
 
 @_register("x_ann_knn")  # hyperplane projection state not SQL-expressible → rows-only
@@ -2205,6 +2214,90 @@ def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, dim=64, eps=0.03, n_centroids=8, seed=42, keep="min_id"
     ).select(F.lit("semdedup").alias("part"), "vec_id", "label")
     return lsh.unionByName(sem)
+
+
+# SemDeDup deterministic core (round-5 verdict ask #7): GIVEN fixed
+# centroids, the whole keep/drop decision is deterministic and
+# ANSI-SQL-expressible — cell assignment is argmin Euclidean distance
+# to the pinned centroid literals, duplicate groups are the recursive
+# closure of in-cell cosine >= 1-eps pairs, and keep='min_id' keeps
+# each group's smallest id. Only the TRAINED-quantizer variant is
+# rows-only (k-means state); this entry oracle-grades everything else.
+# Centroids: 4 axis-unit vectors (cell = argmax of the first four
+# coordinates) — deterministic, SF-independent, roughly balanced for
+# zero-mean embeddings. eps is wide (0.55 -> cosine threshold 0.45)
+# because the synthetic embeddings carry no planted near-dups (max
+# pairwise cosine ~0.51): a production-style 0.97 threshold would
+# grade an empty duplicate set, while 0.45 yields real multi-member
+# groups (8 in-cell pairs at sf0.01, 60 at sf0.1) so closure and the
+# min-id keep rule are actually exercised.
+_SEMDEDUP_DIM = 64
+_SEMDEDUP_EPS = 0.55
+_SEMDEDUP_CENTROIDS = [
+    [1.0 if j == i else 0.0 for j in range(_SEMDEDUP_DIM)] for i in range(4)
+]
+
+
+def _semdedup_core_sql() -> str:
+    thresh = repr(1.0 - _SEMDEDUP_EPS)  # round-trip repr: same double both engines
+    cents = ",\n          ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(f"{x:.1f}" for x in c)
+        )
+        for i, c in enumerate(_SEMDEDUP_CENTROIDS)
+    )
+    return f"""WITH RECURSIVE cent(cell, cv) AS (
+        SELECT * FROM (VALUES
+          {cents}) t(cell, cv)),
+      v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {_SEMDEDUP_DIM}
+          AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+      a AS (
+        SELECT vec_id, e,
+               (SELECT cell FROM cent ORDER BY list_distance(v.e, cent.cv), cell
+                LIMIT 1) AS cell
+        FROM v),
+      u AS (
+        SELECT vec_id, cell,
+               list_transform(
+                 e, x -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS ue
+        FROM (SELECT vec_id, cell, e, sqrt(list_dot_product(e, e)) AS nrm FROM a)),
+      edges AS (
+        SELECT x.vec_id AS s, y.vec_id AS t
+        FROM u x JOIN u y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        WHERE list_dot_product(x.ue, y.ue) >= {thresh}),
+      reach AS (
+        SELECT s AS id, t AS peer FROM edges
+        UNION
+        SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
+      drops AS (
+        SELECT id AS vec_id FROM (SELECT id, min(peer) AS mn FROM reach GROUP BY id)
+        WHERE mn < id)
+      SELECT emb.vec_id, emb.label FROM embeddings emb
+      WHERE emb.vec_id NOT IN (SELECT vec_id FROM drops)"""
+
+
+@_register("x_semdedup_core", _semdedup_core_sql())
+def q_xsemdedup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop core, oracle-graded: same operator as the
+    part='semdedup' row of x_embedding_near_dedup but with the coarse
+    quantizer PINNED (fixed centroid literals instead of driver
+    k-means), which makes the survivor set a pure function of the
+    corpus — the DuckDB oracle recomputes assignment, the in-cell
+    cosine closure (recursive CTE), and the min-id keep rule from the
+    same parquet."""
+    from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        dim=_SEMDEDUP_DIM,
+        eps=_SEMDEDUP_EPS,
+        keep="min_id",
+        centroids=_SEMDEDUP_CENTROIDS,
+    ).select("vec_id", "label")
 
 
 def _profile_sql() -> str:

@@ -15,7 +15,7 @@ frame):
   j3 / j4_j5            two projections feeding a join/union of top-ks
   t1_u1 (6)             four tagged parts over lineitem (argmax/topk/
                         dedup each 1; append unions two filters)
-  x_knn / x_cosine_pairs corpus + query-subset (or self-join) scans
+  x_knn_cosine corpus + query-subset (and pairs self-join) scans
   x_ann_knn / x_ann_ivf_knn  bucketed candidates + query scans
   x_blob_stats          stats + chunking (blobs must not materialize)
 
@@ -82,8 +82,8 @@ EXPECTED_MAX = {
     "j3_interp": 2,
     "j4_j5_index_aligned": 2,
     "t1_u1_selection_set_ops": 6,
-    "x_knn_cosine": 2,
-    "x_cosine_pairs": 2,
+    "x_knn_cosine": 4,  # knn (corpus+query) + pairs slice self-join, merged round 6
+    "x_semdedup_core": 2,
     "x_blob_stats": 2,
     "x_asof_join": 2,
 }
