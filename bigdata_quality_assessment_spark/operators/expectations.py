@@ -21,9 +21,13 @@ pass_rate)``. Rule kinds:
 Execution shape: all ROW-WISE kinds (not_null/in_range/in_set/
 matches/expr) fold into ONE aggregation pass — adding a rule adds a
 sum column, not a scan. ``unique`` adds one map-side-combined
-groupBy per distinct column-set; ``ref`` adds one broadcast-dim
-anti-join count per referenced table (dimension tables broadcast; for
-fact-to-fact integrity checks use a join strategy hint upstream).
+groupBy per distinct column-set; ``ref`` adds one UNHINTED anti-join
+count per referenced table — AQE broadcasts a dimension-shaped
+reference and degrades a fact-to-fact integrity check to a shuffle
+join instead of a driver OOM (the repo's no-forced-broadcast
+discipline). ``ref`` is also per-group decidable in
+``check_expectations_by`` and skew-safe there (the join key is the
+reference key, not the group).
 Violation COUNTS, not violating rows, cross the wire — the row-level
 drill-down is ``df.filter(NOT rule)`` when a rule fails.
 """
@@ -178,10 +182,14 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             other = e.params["other"].select(
                 F.col(e.params["other_col"]).alias("__k")
             ).distinct()
+            # no broadcast hint: reference tables are usually
+            # dimension-shaped (AQE broadcasts them), but a fact-fact
+            # ref must degrade to a shuffle join, not a driver OOM —
+            # same discipline as the dedup dup-key tables
             missing = (
                 df.select(F.col(e.params["col"]).alias("__k"))
                 .filter(F.col("__k").isNotNull())
-                .join(F.broadcast(other), "__k", "left_anti")
+                .join(other, "__k", "left_anti")
                 .agg(F.count(F.lit(1)).cast("long").alias(f"__r{j}"))
             )
             results = results.crossJoin(missing)
@@ -249,17 +257,25 @@ def enforce_expectations(
 def check_expectations_by(
     df: DataFrame, rules: list[Expectation], group_col: str
 ) -> DataFrame:
-    """Per-group audit of the ROW-WISE rules: one output row per
-    (group, rule) — the per-source quality dashboard (which ingest
-    feed is violating which contract). Still ONE aggregation pass
-    (groupBy + the same violation sums); unique/ref rules are
-    table-level and raise here."""
+    """Per-group audit: one output row per (group, rule) — the
+    per-source quality dashboard (which ingest feed is violating
+    which contract). Row-wise rules fold into ONE aggregation pass
+    (groupBy + the same violation sums). ``ref`` rules are per-group
+    decidable too (how many of THIS feed's keys are missing from the
+    reference): each adds one anti-join on the (group, key)
+    projection, UNHINTED so AQE broadcasts a dimension-shaped
+    reference and degrades a fact-fact ref to a shuffle join — and
+    because the join key is the REFERENCE key, not the group, a
+    skewed group distribution does not skew the join (one hot group's
+    rows spread across key partitions; pinned in
+    tests/test_expectations.py). ``unique`` rules remain table-level
+    and raise here."""
     if group_col in RESERVED_COLS or group_col.startswith("__"):
         raise ValueError(
             f"group_col {group_col!r} collides with a report column; "
             "rename it before auditing"
         )
-    bad = [e.kind for e in rules if _row_ok(e) is None]
+    bad = [e.kind for e in rules if _row_ok(e) is None and e.kind != "ref"]
     if bad:
         raise ValueError(
             f"set-level rule kinds {bad} are not per-group decidable; "
@@ -267,11 +283,37 @@ def check_expectations_by(
         )
     if not rules:
         return _empty_report(df.sparkSession, lead=f"{group_col} string")
+    row_rules = [e for e in rules if _row_violation(e) is not None]
     aggs = [F.count(F.lit(1)).alias("__n")] + [
-        _row_violation(e).alias(f"__v{i}") for i, e in enumerate(rules)
+        _row_violation(e).alias(f"__v{i}") for i, e in enumerate(row_rules)
     ]
     wide = df.groupBy(group_col).agg(*aggs)
-    pairs = _report_pairs(rules, lambda j: f"__v{j}")
+
+    col_for: dict[int, str] = {}
+    row_i = 0
+    for j, e in enumerate(rules):
+        if e.kind == "ref":
+            other = e.params["other"].select(
+                F.col(e.params["other_col"]).alias("__k")
+            ).distinct()
+            missing = (
+                df.select(F.col(group_col), F.col(e.params["col"]).alias("__k"))
+                .filter(F.col("__k").isNotNull())
+                .join(other, "__k", "left_anti")
+                .groupBy(group_col)
+                .agg(F.count(F.lit(1)).cast("long").alias(f"__r{j}"))
+            )
+            # groups with zero missing keys drop out of the anti-join
+            # result — outer-join back and zero-fill so every group
+            # reports the rule
+            wide = wide.join(missing, [group_col], "left").withColumn(
+                f"__r{j}", F.coalesce(F.col(f"__r{j}"), F.lit(0).cast("long"))
+            )
+            col_for[j] = f"__r{j}"
+        else:
+            col_for[j] = f"__v{row_i}"
+            row_i += 1
+    pairs = _report_pairs(rules, lambda j: col_for[j])
     return wide.select(
         group_col, F.explode(F.array(*pairs)).alias("p")
     ).select(group_col, "p.rule", "p.kind", "p.n_rows", "p.n_violations", "p.pass_rate")

@@ -2443,7 +2443,16 @@ _RULES = {
                         / (SELECT count(*) FROM orders), 9),
               CAST((SELECT count(*) FROM orders o
                     WHERE o.o_custkey IS NOT NULL
-                      AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)""",
+                      AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+       UNION ALL
+       SELECT 'expect_by', o_orderpriority, 'ref(o_custkey)',
+              round(1.0 - sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN
+                     (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 9),
+              CAST(sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN
+                     (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+       FROM orders GROUP BY o_orderpriority""",
 )
 def q_xvalidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality validation family as one tagged union: part=
@@ -2452,9 +2461,14 @@ def q_xvalidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectations engine (operators/expectations.py) — not_null /
     in_range / unique / referential-integrity rules over orders with
     exact violation counts, hash-matched against plain-SQL
-    formulations of each rule."""
+    formulations of each rule; part='expect_by' (round 6) is the
+    PER-GROUP referential-integrity audit (check_expectations_by) —
+    missing-key counts per o_orderpriority feed against a restricted
+    customer dim (c_custkey % 3 != 0, so violations are non-zero),
+    exercising the unhinted skew-safe anti-join path."""
     from bigdata_quality_assessment_spark.operators.expectations import (
         check_expectations,
+        check_expectations_by,
         in_range,
         not_null,
         ref,
@@ -2487,7 +2501,25 @@ def q_xvalidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pass_rate", 9).alias("pass_rate"),
         "n_violations",
     )
-    return val.unionByName(exp)
+    by = check_expectations_by(
+        ords,
+        [
+            ref(
+                "o_custkey",
+                cust.filter(F.col("c_custkey") % 3 != 0),
+                "c_custkey",
+                name="ref(o_custkey)",
+            )
+        ],
+        "o_orderpriority",
+    ).select(
+        F.lit("expect_by").alias("part"),
+        F.col("o_orderpriority").alias("column"),
+        F.col("rule"),
+        F.round("pass_rate", 9).alias("pass_rate"),
+        "n_violations",
+    )
+    return val.unionByName(exp).unionByName(by)
 
 
 @_register(

@@ -135,3 +135,41 @@ def test_check_expectations_by_group(spark):
     assert out[("b", "in_range(v,0.0,100.0)")] == (2, 1)   # 500
     with pytest.raises(ValueError):
         check_expectations_by(df, [unique("src")], "src")
+
+
+def test_check_expectations_by_group_ref_skewed(spark):
+    """Per-group referential integrity on a SKEWED group distribution
+    (one feed holds ~95% of rows): counts are exact per group, groups
+    with zero missing keys still report the rule with 0 violations,
+    and the plan pin shows the anti-join is UNHINTED — no forced
+    broadcast node from this operator; the join key is the reference
+    key, so the hot group cannot concentrate a join partition."""
+    from bigdata_quality_assessment_spark.operators.expectations import (
+        check_expectations_by,
+        not_null,
+        ref,
+    )
+
+    rows = [("hot", i % 50) for i in range(950)]  # all keys valid
+    rows += [("cold", 1), ("cold", 999), ("cold", 998)]  # 2 dangling
+    df = spark.createDataFrame(rows, "src string, k int")
+    dim = spark.createDataFrame([(i,) for i in range(50)], "id int")
+
+    out = check_expectations_by(
+        df, [not_null("k"), ref("k", dim, "id")], "src"
+    )
+    got = {(r.src, r.kind): (r.n_rows, r.n_violations) for r in out.collect()}
+    assert got[("hot", "ref")] == (950, 0)
+    assert got[("cold", "ref")] == (3, 2)
+    assert got[("hot", "not_null")] == (950, 0)
+    # plan pin: the operator must not force a broadcast — the hint
+    # node would appear as ResolvedHint in the analyzed plan
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # NULL keys are exempt from ref (consistent with table-level)
+    df2 = spark.createDataFrame(
+        [("a", None), ("a", 7)], "src string, k int"
+    )
+    got2 = {(r.src, r.kind): r.n_violations for r in check_expectations_by(
+        df2, [ref("k", dim, "id")], "src").collect()}
+    assert got2[("a", "ref")] == 0
