@@ -587,3 +587,58 @@ def test_decode_media_webm_metadata(spark):
     )
     out = {x["media_id"]: x for x in decode_media(df2).collect()}
     assert out[1]["decoder"] == "stub" and out[2]["decoder"] == "stub"
+
+
+def test_mp3_and_webm_parsers_never_crash_on_garbage():
+    """Hostile-input property: the MP3 frame walker and the EBML walk
+    must return None or a well-formed meta dict for ANY bytes —
+    truncated tags, random noise, sync bytes in junk — and never
+    raise (a decoder exception inside mapInPandas would fail the
+    whole Arrow batch). Seeded random blobs + adversarial prefixes."""
+    import random
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _decode_mp3,
+        _parse_webm_header,
+    )
+
+    rng = random.Random(42)
+    blobs = [
+        b"",
+        b"\xff",
+        b"\xff\xfb",
+        b"\xff\xfb\x90",
+        b"ID3",
+        b"ID3\x03\x00\x00\xff\xff\xff\xff",  # insane syncsafe size
+        b"ID3\x03\x00\x10" + bytes(20),  # footer flag, short blob
+        b"\x1a\x45\xdf\xa3",
+        b"\x1a\x45\xdf\xa3\xff\xff\xff",  # unknown-size markers
+        bytes([0xFF, 0xFB, 0x90, 0x00]),  # lone valid header, no body
+        _mp3_cbr(n_frames=2)[:-100],  # truncated mid-frame
+    ]
+    for _ in range(200):
+        n = rng.randrange(0, 400)
+        blobs.append(bytes(rng.randrange(256) for _ in range(n)))
+    for _ in range(50):  # adversarial: valid-ish prefixes + noise
+        blobs.append(
+            b"\x1a\x45\xdf\xa3"
+            + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        )
+        blobs.append(
+            b"ID3\x03\x00\x00"
+            + bytes([0, 0, rng.randrange(128), rng.randrange(128)])
+            + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        )
+    for b in blobs:
+        got = _decode_mp3(b, 8)
+        if got is not None:
+            meta, feats = got
+            assert meta["sample_rate"] in (
+                44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000,
+            )
+            assert meta["duration"] >= 0 and len(feats) == 8
+        got2 = _parse_webm_header(b)
+        if got2 is not None:
+            assert set(got2) == {
+                "width", "height", "channels", "sample_rate", "duration"
+            }
