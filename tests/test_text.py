@@ -782,3 +782,55 @@ def test_dedup_family_input_validation_and_string_ids(spark):
     )
     got3 = {r["doc_id"]: r["n_spans_removed"] for r in dedup_spans(hdocs, 5).collect()}
     assert got3 == {big: 0, big + 1: 1}
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """DSIR log weights: docs whose token statistics match the target
+    corpus get HIGHER log p_target - log p_background than docs that
+    look like the background; weights are deterministic and NULL for
+    token-less docs."""
+    from bigdata_quality_assessment_spark.operators.text import dsir_weights
+
+    target_rows = [(100 + i, "alpha beta gamma delta " * 4) for i in range(8)]
+    docs_rows = (
+        [(0, "alpha beta gamma delta alpha beta")]  # target-like
+        + [(1, "zig zag quux corge zig zag")]  # background-only
+        + [(2, "zig zag quux corge grault zag")]
+        + [(3, "")]  # token-less -> NULL
+        + [(10 + i, "zig zag quux corge grault garply") for i in range(6)]
+    )
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    w = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+    assert w[3]["log_weight"] is None
+    assert w[0]["log_weight"] > w[1]["log_weight"]
+    assert w[0]["log_weight"] > 0 > w[1]["log_weight"]
+    # pure function of (corpora): repartition changes nothing
+    w2 = {r["doc_id"]: r["log_weight"]
+          for r in dsir_weights(docs.repartition(5), target).collect()}
+    assert all(w2[k] == w[k]["log_weight"] for k in w2)
+
+
+def test_dsir_sample_is_biased_deterministic_and_exact(spark):
+    """Gumbel top-k resampling: exactly n rows, reproducible across
+    runs/repartitionings, and the target-like minority is heavily
+    over-represented relative to its corpus share."""
+    from bigdata_quality_assessment_spark.operators.text import dsir_sample
+
+    like = [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(20)]
+    noise = [(100 + i, f"w{i % 17} v{i % 13} zig zag quux corge u{i % 7}")
+             for i in range(180)]
+    docs = spark.createDataFrame(like + noise, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon zeta " * 4) for i in range(10)],
+        "doc_id long, text string",
+    )
+    got = dsir_sample(docs, target, 30, seed=7)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert len(ids) == 30
+    ids2 = sorted(
+        r["doc_id"] for r in dsir_sample(docs.repartition(9), target, 30, seed=7).collect()
+    )
+    assert ids == ids2
+    frac_like = sum(1 for i in ids if i < 100) / 30
+    assert frac_like > 0.5, frac_like  # 10% of corpus, >50% of sample
