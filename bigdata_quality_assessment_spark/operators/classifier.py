@@ -206,15 +206,16 @@ def distill_quality_classifier(
 
     base = docs.select(id_col, text_col).filter(F.col(text_col).isNotNull())
     sample = hash_sample_k(base, n_train, id_col)
-    labeled = (
-        quality_score(sample, text_col=text_col, keep=[text_col], id_col=id_col)
-        .select(
-            id_col,
-            text_col,
-            (F.col("quality") >= threshold).cast("double").alias("label"),
-        )
-        .filter(F.col("label").isNotNull())
+    labeled = quality_score(
+        sample, text_col=text_col, keep=[text_col], id_col=id_col
+    ).select(
+        id_col,
+        text_col,
+        (F.col("quality") >= threshold).cast("double").alias("label"),
     )
-    return _fit_logistic(
-        labeled.collect(), dim, 2.0, 300, 1e-4, text_col, "label"
+    # the shared trainer owns the hyperparameters; its re-sample over
+    # this already-bounded frame re-selects every row (bottom-k of
+    # <= n_train rows) and its null-label filter drops token-less picks
+    return train_quality_classifier(
+        labeled, dim=dim, n_train=n_train, text_col=text_col, id_col=id_col
     )

@@ -305,9 +305,20 @@ def check_expectations_by(
             )
             # groups with zero missing keys drop out of the anti-join
             # result — outer-join back and zero-fill so every group
-            # reports the rule
-            wide = wide.join(missing, [group_col], "left").withColumn(
-                f"__r{j}", F.coalesce(F.col(f"__r{j}"), F.lit(0).cast("long"))
+            # reports the rule. NULL-SAFE key: a NULL group (rows with
+            # no source tag are a real feed) must still receive its
+            # missing-key count, and a plain equi-join would drop it
+            # to the zero-fill silently.
+            miss_g = missing.withColumnRenamed(group_col, "__mg")
+            wide = (
+                wide.join(
+                    miss_g, F.col(group_col).eqNullSafe(F.col("__mg")), "left"
+                )
+                .drop("__mg")
+                .withColumn(
+                    f"__r{j}",
+                    F.coalesce(F.col(f"__r{j}"), F.lit(0).cast("long")),
+                )
             )
             col_for[j] = f"__r{j}"
         else:

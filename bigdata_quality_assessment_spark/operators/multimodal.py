@@ -216,13 +216,19 @@ def _parse_mp4_header(b: bytes) -> dict | None:
                 if ver == 0 and e - s >= 20:
                     (tscale,) = struct.unpack(">I", b[s + 12 : s + 16])
                     (dur,) = struct.unpack(">I", b[s + 16 : s + 20])
+                    unknown = dur == 0xFFFFFFFF
                 elif ver == 1 and e - s >= 32:
                     (tscale,) = struct.unpack(">I", b[s + 20 : s + 24])
                     (dur,) = struct.unpack(">Q", b[s + 24 : s + 32])
+                    unknown = dur == 0xFFFFFFFFFFFFFFFF
                 else:
                     tscale = 0
                     dur = 0
-                if tscale:
+                    unknown = True
+                # all-ones duration is the ISO-BMFF 'unknown' sentinel
+                # (fragmented/live MP4s) — a 49-day duration_s would
+                # poison downstream duration filters
+                if tscale and not unknown:
                     duration = dur / tscale
         for t, s, e in walk(*moov):
             if t == b"trak" and width is None:
@@ -432,6 +438,13 @@ def _decode_mp3(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
     import numpy as np
 
     n = len(b)
+    # an MP3 sync word can occur by chance inside other containers'
+    # payload bytes — never steal a blob that declares itself
+    # EBML/ISO-BMFF (those get their own metadata parsers downstream)
+    if n >= 4 and b[:4] == b"\x1a\x45\xdf\xa3":
+        return None
+    if n >= 12 and b[4:8] == b"ftyp":
+        return None
     pos = 0
     if n >= 10 and b[:3] == b"ID3":
         tag = (
@@ -446,7 +459,13 @@ def _decode_mp3(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
         probe = _mp3_frame_header(b, p)
         if probe is not None:
             nxt = p + probe[0]
-            if nxt >= n or _mp3_frame_header(b, nxt) is not None:
+            # evidence bar: a VERIFIED second frame, or a single frame
+            # ending EXACTLY at EOF. A lone header whose claimed size
+            # overshoots the blob is random 0xFFEx noise (~10% of
+            # 2-byte patterns half-validate) — accepting it would
+            # misclassify small foreign blobs as decoder='mp3' and
+            # rob them of their real header-metadata fallback.
+            if _mp3_frame_header(b, nxt) is not None or nxt == n:
                 start = p
                 break
     if start is None:

@@ -704,7 +704,7 @@ def train_pq_codebooks(
     train = [
         r["__v"]
         for r in c.withColumn("__hk", F.xxhash64(key, F.lit(seed)))
-        .orderBy("__hk")
+        .orderBy("__hk", key)
         .limit(n_train)
         .select("__v")
         .collect()
@@ -877,11 +877,15 @@ def _train_quantizer(
     breaking the repo's determinism contract (codebooks must be a pure
     function of (corpus, seed)). ``id_col=None`` falls back to hashing
     the vector itself — same determinism, collision-tolerant (two
-    identical vectors are interchangeable as k-means training rows)."""
+    identical vectors are interchangeable as k-means training rows).
+    The sort carries the key itself as tie-break (same as
+    hash_sample_k's (hash, id)): equal hashes — duplicate ids, or a
+    64-bit collision at the boundary — must not leave the pick to
+    partition arrival order."""
     key = F.col(id_col) if id_col is not None else F.col("__v")
     sample = (
         c.withColumn("__hk", F.xxhash64(key, F.lit(seed)))
-        .orderBy("__hk")
+        .orderBy("__hk", key)
         .limit(n_train)
     )
     train = [r["__v"] for r in sample.select("__v").collect()]

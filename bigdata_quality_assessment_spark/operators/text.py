@@ -1265,6 +1265,7 @@ def dsir_weights(
     max_vocab: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    background_scored: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023,
     arXiv:2302.03169 "Data Selection for Language Models via
@@ -1286,15 +1287,22 @@ def dsir_weights(
     passes, each with the vocabulary-shaped tables and narrow
     explode+join+groupBy plan of ``ngram_lm_score``; set
     ``max_vocab`` at web scale for the same broadcast-bound reasons.
-    The log-ratio join is id-keyed on two doc-count-sized frames."""
+    The log-ratio join is id-keyed on two doc-count-sized frames.
+    A pipeline that already ran the self-perplexity pass (the CCNet
+    filter) can hand its UNROUNDED ``ngram_lm_score`` output in via
+    ``background_scored`` — the background LM is then not retrained
+    (and Catalyst's exchange reuse can share the scoring subtree
+    when both legs sit in one plan)."""
     t = ngram_lm_score(
         docs, target, add_k=add_k, max_vocab=max_vocab,
         text_col=text_col, id_col=id_col,
     ).select(id_col, "n_lm_tokens", F.col("avg_logp").alias("__at"))
-    b = ngram_lm_score(
-        docs, None, add_k=add_k, max_vocab=max_vocab,
-        text_col=text_col, id_col=id_col,
-    ).select(id_col, F.col("avg_logp").alias("__ab"))
+    if background_scored is None:
+        background_scored = ngram_lm_score(
+            docs, None, add_k=add_k, max_vocab=max_vocab,
+            text_col=text_col, id_col=id_col,
+        )
+    b = background_scored.select(id_col, F.col("avg_logp").alias("__ab"))
     n = F.col("n_lm_tokens")
     lw = F.col("__at") * n - F.col("__ab") * n
     return t.join(b, [id_col]).select(

@@ -1581,7 +1581,8 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("tfidf", 6).alias("tfidf"),
         *_lm_nulls,
     )
-    lm = ngram_lm_score(docs).select(
+    lm_raw = ngram_lm_score(docs)
+    lm = lm_raw.select(
         F.lit("lm").alias("part"),
         "doc_id",
         *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],
@@ -1596,7 +1597,10 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("log_weight"),
     )
     tgt = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
-    dsir = dsir_weights(docs, tgt).select(
+    # the background LM is the SAME self-perplexity pass as part='lm'
+    # — hand the unrounded frame over so it is not retrained (and the
+    # shared subtree is exchange-reusable within the one union plan)
+    dsir = dsir_weights(docs, tgt, background_scored=lm_raw).select(
         F.lit("dsir").alias("part"),
         "doc_id",
         *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],

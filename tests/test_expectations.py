@@ -173,3 +173,23 @@ def test_check_expectations_by_group_ref_skewed(spark):
     got2 = {(r.src, r.kind): r.n_violations for r in check_expectations_by(
         df2, [ref("k", dim, "id")], "src").collect()}
     assert got2[("a", "ref")] == 0
+
+
+def test_check_expectations_by_group_ref_null_group(spark):
+    """A NULL group key is a real feed (rows with no source tag): its
+    missing-key count must join back null-safely — a plain equi-join
+    would silently zero-fill the NULL group's violations."""
+    from bigdata_quality_assessment_spark.operators.expectations import (
+        check_expectations_by,
+        ref,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 999), (None, 1), ("a", 998), ("a", 2)],
+        "src string, k int",
+    )
+    dim = spark.createDataFrame([(i,) for i in range(50)], "id int")
+    got = {r.src: (r.n_rows, r.n_violations) for r in check_expectations_by(
+        df, [ref("k", dim, "id")], "src").collect()}
+    assert got[None] == (2, 1)
+    assert got["a"] == (2, 1)

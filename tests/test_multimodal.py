@@ -642,3 +642,44 @@ def test_mp3_and_webm_parsers_never_crash_on_garbage():
             assert set(got2) == {
                 "width", "height", "channels", "sample_rate", "duration"
             }
+
+
+def test_mp3_rejects_lone_overshooting_header(spark):
+    """A stray 0xFFEx sync pattern inside a small foreign blob must
+    NOT classify as decoder='mp3': a single frame header whose claimed
+    size overshoots EOF is random noise, and stealing the blob robs it
+    of its real container-metadata fallback (mp4/webm parse)."""
+    from bigdata_quality_assessment_spark.operators.multimodal import _decode_mp3
+
+    # lone valid-looking header + short garbage tail (frame size 417
+    # but only 40 bytes present, not ending at EOF)
+    assert _decode_mp3(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 36, 8) is None
+    # a single COMPLETE frame ending exactly at EOF is a legal tiny MP3
+    assert _decode_mp3(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413, 8) is not None
+    # MP4/WebM magic is never stolen even if payload contains syncs
+    mp4ish = b"\x00\x00\x00\x18ftypisom" + bytes([0xFF, 0xFB, 0x90, 0x00]) * 120
+    assert _decode_mp3(mp4ish, 8) is None
+    webmish = b"\x1a\x45\xdf\xa3" + bytes([0xFF, 0xFB, 0x90, 0x00]) * 120
+    assert _decode_mp3(webmish, 8) is None
+
+
+def test_mp4_unknown_duration_sentinel_is_null(spark):
+    """Fragmented/live MP4s write mvhd duration as all-ones meaning
+    'unknown' — that must surface as NULL duration_s, not ~49 days."""
+    import struct as s
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _parse_mp4_header,
+    )
+
+    def box(typ, payload):
+        return s.pack(">I", 8 + len(payload)) + typ + payload
+
+    tkhd = bytes([0, 0, 0, 7]) + b"\x00" * 72 + s.pack(">II", 320 << 16, 240 << 16)
+    mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + s.pack(">II", 1000, 0xFFFFFFFF) + b"\x00" * 80
+    blob = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
+        b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd))
+    )
+    meta = _parse_mp4_header(blob)
+    assert meta is not None and meta["width"] == 320
+    assert meta["duration"] is None
