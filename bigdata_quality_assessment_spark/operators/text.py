@@ -185,6 +185,34 @@ def pii_scan(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return out.withColumn("has_pii", flag)
 
 
+# placeholder per PII class, applied in THIS order (emails before
+# URLs so a mailto-ish tail cannot half-survive; URLs before IPs so a
+# host IP inside a URL is already gone; placeholders contain no
+# digits/@/scheme, so later patterns never match earlier replacements)
+PII_PLACEHOLDERS = (
+    ("n_emails", "<EMAIL>"),
+    ("n_urls", "<URL>"),
+    ("n_ipv4", "<IP>"),
+    ("n_phones", "<PHONE>"),
+)
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Redact PII in place — every :data:`PII_PATTERNS` match becomes
+    a typed placeholder (``<EMAIL>``/``<URL>``/``<IP>``/``<PHONE>``),
+    the C4-style release step downstream of the :func:`pii_scan`
+    triage. Pure ``regexp_replace`` chain: JVM-side, whole-stage
+    codegen, zero shuffle, linear in bytes; the patterns are the same
+    RE2-compatible ones the scan counts with, so ``pii_scan`` over
+    ``redact_pii`` output reports zero remaining indicators (pinned in
+    tests) and the DuckDB oracle reproduces the rewrite bit-for-bit
+    (part='redact' of ``x_text_stats``)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name, placeholder in PII_PLACEHOLDERS:
+        c = F.regexp_replace(c, PII_PATTERNS[name], placeholder)
+    return c
+
+
 def ngram_repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

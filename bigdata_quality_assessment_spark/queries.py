@@ -1335,7 +1335,16 @@ _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
         SELECT 'html', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
         clean_text
-        FROM cleaned""",
+        FROM cleaned
+        UNION ALL
+        SELECT 'redact', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
+        NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+          'https?://[^ ]+', '<URL>', 'g'),
+          '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+          '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}', '<PHONE>', 'g')
+        FROM pii_aug""",
 )
 def q_xtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-signal family as one tagged union (round-5 additions):
@@ -1430,9 +1439,24 @@ def q_xtext(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(None).cast("bigint").alias(c) for c in ("n_emails", "n_urls", "n_ipv4", "n_phones")],
         strip_html(wrapped).alias("clean_text"),
     )
+    # part='redact' (round 6): redact_pii over the SAME injected-PII
+    # text as part='pii' — the rewritten text itself is hash-matched
+    # cross-engine (typed placeholders, chained regexp_replace)
+    from bigdata_quality_assessment_spark.operators.text import redact_pii
+
+    redact = docs.select("doc_id", inj.alias("text")).select(
+        F.lit("redact").alias("part"),
+        "doc_id",
+        *stat_nulls,
+        *rep_nulls,
+        *[F.lit(None).cast("bigint").alias(c) for c in ("n_emails", "n_urls", "n_ipv4", "n_phones")],
+        redact_pii("text").alias("clean_text"),
+    )
     stats = stats.withColumn("clean_text", F.lit(None).cast("string"))
     rep = rep.withColumn("clean_text", F.lit(None).cast("string"))
-    return stats.unionByName(rep).unionByName(pii).unionByName(html)
+    return (
+        stats.unionByName(rep).unionByName(pii).unionByName(html).unionByName(redact)
+    )
 
 
 # DSIR target domain for the graded part: a fixed 25% source slice

@@ -834,3 +834,33 @@ def test_dsir_sample_is_biased_deterministic_and_exact(spark):
     assert ids == ids2
     frac_like = sum(1 for i in ids if i < 100) / 30
     assert frac_like > 0.5, frac_like  # 10% of corpus, >50% of sample
+
+
+def test_redact_pii_removes_every_indicator(spark):
+    """redact_pii: every pii_scan pattern becomes its typed
+    placeholder, a rescan of the redacted text reports ZERO remaining
+    indicators, and clean text passes through unchanged."""
+    from bigdata_quality_assessment_spark.operators.text import pii_scan, redact_pii
+
+    rows = [
+        (0, "write to alice.b+x@corp.example.org or bob@ex.io today"),
+        (1, "see https://ex.org/a?b=1 and http://t.co/x for info"),
+        (2, "host 10.0.0.1 and 192.168.255.3 are up"),
+        (3, "call +1 555-123-4567 or 212 555 1234 now"),
+        (4, "no sensitive content in this one at all"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    red = docs.select("doc_id", redact_pii("text").alias("text"))
+    got = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert got[0] == "write to <EMAIL> or <EMAIL> today"
+    assert got[1] == "see <URL> and <URL> for info"
+    assert got[2] == "host <IP> and <IP> are up"
+    assert "<PHONE>" in got[3]
+    assert got[4] == rows[4][1]
+    assert got[5] is None
+    rescan = pii_scan(red).collect()
+    for r in rescan:
+        if r["doc_id"] == 5:
+            continue
+        assert not r["has_pii"], r
