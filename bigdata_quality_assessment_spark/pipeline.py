@@ -92,6 +92,15 @@ class CurationConfig:
     # one exchange-free projection; rows below min_p are dropped
     classifier_model: object | None = None
     classifier_min_p: float = 0.5
+    # DSIR importance resampling (Xie et al. 2023): keep exactly
+    # dsir_n docs, sampled without replacement with probability
+    # proportional to exp(log p_target - log p_background) — the
+    # data-SELECTION stage (target-domain matching) as opposed to the
+    # data-FILTERING stages above; both LMs are bounded by
+    # lm_max_vocab. Requires BOTH fields; runs after the model-based
+    # filters and before the heuristic quality fraction.
+    dsir_target: object | None = None  # DataFrame of target-domain docs
+    dsir_n: int | None = None
     mixture_rates: dict[str, float] = field(default_factory=dict)
     # exact per-source quotas (stratified_sample_exact) — applied
     # after/instead of the rate-based mixture when non-empty
@@ -270,6 +279,22 @@ def curate(
         )
         ok = scored.filter(F.col("p_good") >= cfg.classifier_min_p).select(cfg.id_col)
         cur = stage("classifier_filter", cur.join(ok, cfg.id_col, "left_semi"))
+
+    if cfg.dsir_target is not None and cfg.dsir_n is not None:
+        from bigdata_quality_assessment_spark.operators.text import dsir_sample
+
+        cur = stage(
+            "dsir_select",
+            dsir_sample(
+                cur,
+                cfg.dsir_target,
+                cfg.dsir_n,
+                seed=cfg.seed,
+                max_vocab=cfg.lm_max_vocab,
+                text_col=cfg.text_col,
+                id_col=cfg.id_col,
+            ),
+        )
 
     if cfg.quality_frac < 1.0:
         qs = quality_score(

@@ -452,3 +452,31 @@ def streaming_expectations_ledger(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def compact_ingest_state(
+    spark: SparkSession,
+    root: str,
+    target_records_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Small-file maintenance for the ingest stores: every accepted
+    micro-batch APPENDS one file to each of corpus / digests /
+    buckets / spans, so after N batches every per-batch state read
+    (the digest anti-join, the bucket join, the span-store join) pays
+    N file opens + footer reads — the classic streaming-sink
+    small-file decay, and the one per-batch cost in this design that
+    grows with HISTORY LENGTH rather than state size. One
+    :func:`...sources.io.compact_lake` pass per store resets it (same
+    crash-safety contract: failed compactions leave the original
+    layout untouched). Run between drains — ingest must be quiesced.
+    Returns {store: new_file_count} for the stores present."""
+    from bigdata_quality_assessment_spark.sources.io import compact_lake
+
+    out: dict[str, int] = {}
+    for name in ("corpus", "digests", "buckets", "spans"):
+        p = os.path.join(root, name)
+        if os.path.exists(p):
+            out[name] = compact_lake(
+                spark, p, target_records_per_file=target_records_per_file
+            )
+    return out

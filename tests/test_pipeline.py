@@ -313,3 +313,32 @@ def test_curate_substr_dedup_stage(spark):
     assert got == {0: f"intro words {run} outro", 1: "x y"}
     rep = dict(report.collect())
     assert rep["substr_dedup"] == 2
+
+
+def test_curate_dsir_select_stage(spark):
+    """DSIR selection stage: curate keeps exactly dsir_n docs chosen
+    by target-domain importance resampling, ledgered as its own
+    stage, biased toward target-like text."""
+    from bigdata_quality_assessment_spark.pipeline import CurationConfig, curate
+
+    like = [(i, f"alpha beta gamma delta epsilon zeta tag{i} " * 3, "web")
+            for i in range(10)]
+    noise = [(100 + i, f"w{i % 17} v{i % 13} zig zag quux corge u{i % 7}", "web")
+             for i in range(90)]
+    docs = spark.createDataFrame(like + noise, ["doc_id", "text", "source"])
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon zeta " * 4) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    clean, ledger = curate(
+        docs,
+        config=CurationConfig(
+            normalize=False, near_dedup=False,
+            dsir_target=target, dsir_n=20,
+        ),
+    )
+    stages = {r["stage"]: r["rows"] for r in ledger.collect()}
+    assert stages["dsir_select"] == 20
+    ids = {r["doc_id"] for r in clean.collect()}
+    assert len(ids) == 20
+    assert sum(1 for i in ids if i < 100) >= 8  # 10% of corpus, heavily kept

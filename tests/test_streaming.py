@@ -847,3 +847,59 @@ def test_ingest_per_batch_cost_is_flat(spark, tmp_path):
     early = sum(durs[1:4]) / 3
     late = sum(durs[-3:]) / 3
     assert late <= 3.0 * early + 0.5, (durs, early, late)
+
+
+def test_compact_ingest_state_resets_file_decay(spark, tmp_path):
+    """After N drained batches each store holds ~N small files;
+    compaction rewrites each store to few files with content
+    unchanged, and a post-compaction batch still folds correctly
+    against the compacted state."""
+    import time
+
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        compact_ingest_state,
+        init_ingest_store,
+        read_corpus,
+        streaming_ingest_curated,
+    )
+
+    root = str(tmp_path / "store")
+    init_ingest_store(spark, root)
+    stage = tmp_path / "arrivals"
+    stage.mkdir()
+
+    def drain(batches, ck):
+        for i, rows in batches:
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(stage / f"b{i:02d}"))
+            time.sleep(0.02)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage / "*"))
+        )
+        q = streaming_ingest_curated(stream, root, checkpoint=str(tmp_path / ck))
+        q.awaitTermination()
+
+    drain(
+        [(b, [(b * 10 + i, f"doc {b * 10 + i} body content") for i in range(5)])
+         for b in range(6)],
+        "ck1",
+    )
+    import glob
+
+    def nfiles(store):
+        return len(glob.glob(f"{root}/{store}/*.parquet"))
+
+    corpus_before = {r.doc_id for r in read_corpus(spark, root).collect()}
+    assert nfiles("digests") >= 6
+    counts = compact_ingest_state(spark, root)
+    assert set(counts) == {"corpus", "digests", "buckets", "spans"}
+    assert nfiles("digests") <= 2 and nfiles("corpus") <= 2
+    assert {r.doc_id for r in read_corpus(spark, root).collect()} == corpus_before
+    # post-compaction fold: an exact dup is still suppressed, a new
+    # doc still lands
+    drain([(6, [(0, "doc 0 body content"), (999, "fresh doc body")])], "ck1")
+    after = {r.doc_id for r in read_corpus(spark, root).collect()}
+    assert after == corpus_before | {999}
