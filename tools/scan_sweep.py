@@ -45,7 +45,7 @@ sys.path.insert(0, str(REPO))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 EXPECTED_MAX = {
-    "x_text_stats": 4,  # stats/repetition/pii/html tagged parts, one scan each
+    "x_text_stats": 5,  # stats/repetition/pii/html/redact tagged parts, one scan each
     "x_quality_score": 2,  # quality + chunking tagged parts
     # fp part 1 scan; decon part 3: the eval-set filter (different
     # predicate), the gram explode (id+text), and the id-universe
@@ -58,7 +58,7 @@ EXPECTED_MAX = {
     # lang part 1 scan; lm part 1: outer-explode pair scan covers the
     # whole id universe (token-less docs ride as NULL sentinels), LM
     # tables barriered; tfidf consumes its barrier — no scan
-    "x_language_id": 2,
+    "x_language_id": 4,  # lang+tfidf+lm shared scans, + dsir target-LM train + score (round 6)
     # lsh part 1 scan (bucket frame barriered); semdedup part 2: the
     # valid-vector clustering scan and the survivor anti-join re-scan
     # of the corpus (both id+embedding; a barrier would store the
@@ -74,7 +74,7 @@ EXPECTED_MAX = {
     # scan a DIFFERENT 1-2 column projection of orders (column-pruned
     # — cheaper than one barrier storing all projected columns), plus
     # the broadcast customer dim
-    "x_validity_rates": 5,
+    "x_validity_rates": 8,  # + expect_by per-group ref leg: orders group agg, orders anti-join side, filtered customer dim (round 6)
     "x_ann_knn": 2,
     "x_ann_ivf_knn": 2,
     "p1_p13_pointwise_fields": 4,
