@@ -861,10 +861,24 @@ def frame_sample(
 
 
 def media_summary(decoded: DataFrame) -> DataFrame:
-    """Corpus-level media profile: counts and mean feature vector per
-    (width, height, channels, sample_rate) class — the groupBy is the
-    module's only shuffle, over the (tiny) decoded-metadata table."""
+    """Corpus-level media profile: counts, mean feature vector, and
+    total/mean playable duration per (width, height, channels,
+    sample_rate) class — the groupBy is the module's only shuffle,
+    over the (tiny) decoded-metadata table. ``total_duration_s`` is
+    the corpus-hours number an audio/video curation budget is stated
+    in; NULL-duration rows (images, unparsed containers) contribute
+    nothing to it."""
+    cols = decoded.columns
+    dur = (
+        [
+            F.sum("duration_s").alias("total_duration_s"),
+            F.avg("duration_s").alias("mean_duration_s"),
+        ]
+        if "duration_s" in cols
+        else []
+    )
     return decoded.groupBy("width", "height", "channels", "sample_rate").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col("features")[0]).alias("mean_f0"),
+        *dur,
     )

@@ -142,3 +142,53 @@ def validity_rates(
         wide.select(F.explode(F.array(*pairs)).alias("p"))
         .select("p.column", "p.rule", "p.pass_rate")
     )
+
+
+def profile_correlations(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Pairwise Pearson correlations of the numeric columns in ONE
+    aggregation pass — the dependency screen of a data profile
+    (constant-multiple columns, leaking features, broken joins all
+    show up as |corr| ≈ 1). All n·(n−1)/2 ``F.corr`` aggregates fold
+    into a single map-side-combined agg: each is a six-scalar
+    streaming co-moment, so the pass carries O(n²) scalars per task,
+    never data, and the corpus is scanned once regardless of how many
+    pairs are requested. Non-numeric columns are skipped. Returns
+    ``(col_a, col_b, value)`` with ``col_a < col_b`` in the given
+    column order; constant columns yield NULL (zero variance).
+
+    The ratio is assembled from ``covar_samp`` / ``stddev_samp``
+    aggregates under an explicit zero-variance guard rather than
+    ``F.corr``: Spark 4's ANSI mode makes corr's internal division
+    THROW on a constant column (found by the constant-column test) —
+    profiling real tables must degrade a degenerate pair to NULL,
+    not fail the whole profile."""
+    cols = [
+        c
+        for c in (columns or df.columns)
+        if isinstance(df.schema[c].dataType, _NUMERIC)
+    ]
+    pairs_ab = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs_ab:
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, value double"
+        )
+    def _corr(a: str, b: str):
+        sa, sb = F.stddev_samp(a), F.stddev_samp(b)
+        return F.when((sa > 0) & (sb > 0), F.covar_samp(a, b) / (sa * sb))
+
+    wide = df.agg(
+        *[_corr(a, b).alias(f"{a}::{b}") for a, b in pairs_ab]
+    )
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"{a}::{b}").alias("value"),
+        )
+        for a, b in pairs_ab
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.value"
+    )

@@ -2402,20 +2402,45 @@ def _profile_sql() -> str:
             parts.append(f"SELECT '{c}', 'avg', round(CAST(avg({c}) AS DOUBLE), 6) FROM customer")
             parts.append(f"SELECT '{c}', 'p50', round(CAST(quantile_cont({c}, 0.5) AS DOUBLE), 6) FROM customer")
             parts.append(f"SELECT '{c}', 'p95', round(CAST(quantile_cont({c}, 0.95) AS DOUBLE), 6) FROM customer")
+    # pairwise Pearson correlations of the numeric columns (round 6:
+    # profile_correlations) — cross-engine agreement is ~1e-17, so
+    # round 6 is generous
+    nums = [c for c, numeric in cols.items() if numeric]
+    for i, a in enumerate(nums):
+        for b in nums[i + 1:]:
+            parts.append(
+                f"SELECT '{a}|{b}', 'pearson_corr', round(CAST(corr({a}, {b}) AS DOUBLE), 6) FROM customer"
+            )
     return " UNION ALL ".join(parts)
 
 
 @_register("x_profile_table", _profile_sql())
 def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact profile + (round 6) the pairwise-Pearson dependency
+    screen, both oracle-graded: profile_table's two-agg plan and
+    profile_correlations' single fold of all n(n-1)/2 co-moment
+    aggregates."""
+    from bigdata_quality_assessment_spark.operators.profiling import (
+        profile_correlations,
+    )
+
     cust = _t(spark, sf_dir, "customer")
     out = profile_table(cust)
-    return out.select(
+    prof = out.select(
         "column",
         "metric",
         F.when(
             F.col("metric").isin("avg", "p50", "p95"), F.round("value", 6)
         ).otherwise(F.col("value")).alias("value"),
     )
+    corr = profile_correlations(
+        cust, ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).select(
+        F.concat_ws("|", "col_a", "col_b").alias("column"),
+        F.lit("pearson_corr").alias("metric"),
+        F.round("value", 6).alias("value"),
+    )
+    return prof.unionByName(corr)
 
 
 @_register("x_approx_profile")  # sketch values engine-specific → rows-only

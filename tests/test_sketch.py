@@ -106,3 +106,30 @@ def test_streaming_frequent_items(spark, tmp_path):
     # items of one shard never appear in another
     by_item = out.groupBy("item").agg(F2.count_distinct("shard").alias("ns")).collect()
     assert all(r.ns == 1 for r in by_item)
+
+
+def test_profile_correlations_single_pass_and_values(spark):
+    """All pairwise Pearson aggregates fold into ONE aggregation
+    (single FileScan in the executed plan); values match numpy;
+    constant columns yield NULL; non-numerics are skipped."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.profiling import (
+        profile_correlations,
+    )
+
+    rng = np.random.RandomState(5)
+    x = rng.normal(size=200)
+    y = 2 * x + rng.normal(scale=0.1, size=200)
+    z = rng.normal(size=200)
+    rows = [(float(a), float(b), float(c), "s", 1.0) for a, b, c in zip(x, y, z)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, s string, k double")
+    out = profile_correlations(df)
+    got = {(r.col_a, r.col_b): r.value for r in out.collect()}
+    assert ("x", "s") not in got and not any("s" in k for k in got)
+    assert got[("x", "y")] == pytest.approx(float(np.corrcoef(x, y)[0, 1]), abs=1e-12)
+    assert got[("x", "z")] == pytest.approx(float(np.corrcoef(x, z)[0, 1]), abs=1e-12)
+    assert got[("x", "k")] is None  # zero-variance column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan too
+    assert final.count("Scan ExistingRDD") + final.count("FileScan") <= 1
