@@ -293,7 +293,18 @@ def main() -> None:
     loop20 = time.perf_counter() - t0
 
     # round-5 continuation operators — recorded as extras (outside the
-    # headline sum, run once) so their scaling is tracked per-round
+    # headline sum, run once) so their scaling is tracked per-round.
+    # Extras get the SAME inter-query hygiene as the headline loop:
+    # without it, a heavy neighbor's lingering blocks inflate the next
+    # extra's single run (measured at sf1: decontaminate 63.8 s
+    # in-bench directly after the 20-iter loop vs 16-18 s isolated).
+    def timed_extra(name, fn):
+        spark.catalog.clearCache()
+        jvm.System.gc()
+        t0 = time.perf_counter()
+        fn()
+        extras[name] = round(time.perf_counter() - t0, 3)
+
     from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
     from bigdata_quality_assessment_spark.operators.text import decontaminate
     from bigdata_quality_assessment_spark.pipeline import CurationConfig, curate
@@ -301,36 +312,34 @@ def main() -> None:
     extras: dict[str, float] = {}
     docs = load_table(spark, "documents", SF_DIR)
     bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
-    t0 = time.perf_counter()
-    decontaminate(docs, bench_docs, k=5).filter("contaminated").count()
-    extras["decontaminate"] = round(time.perf_counter() - t0, 3)
+    timed_extra("decontaminate",
+                lambda: decontaminate(docs, bench_docs, k=5).filter("contaminated").count())
     emb = load_table(spark, "embeddings", SF_DIR)
-    t0 = time.perf_counter()
-    semantic_dedup(emb, dim=64, eps=0.03, n_centroids=16, keep="min_id").count()
-    extras["semantic_dedup"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _clean, report = curate(
-        docs, benchmark=bench_docs,
-        config=CurationConfig(near_dedup=False, decon_k=5, quality_frac=0.3),
-    )
-    report.collect()
-    extras["curate_pipeline"] = round(time.perf_counter() - t0, 3)
+    timed_extra("semantic_dedup",
+                lambda: semantic_dedup(emb, dim=64, eps=0.03, n_centroids=16, keep="min_id").count())
+    def run_curate():
+        _clean, report = curate(
+            docs, benchmark=bench_docs,
+            config=CurationConfig(near_dedup=False, decon_k=5, quality_frac=0.3),
+        )
+        report.collect()
+
+    timed_extra("curate_pipeline", run_curate)
     from bigdata_quality_assessment_spark.operators.bpe import (
         bpe_token_count,
         train_bpe,
     )
     from bigdata_quality_assessment_spark.operators.similarity import knn_quantized
 
-    t0 = time.perf_counter()
-    merges = train_bpe(docs, n_merges=200, sample_n=2000)
-    bpe_token_count(docs, merges).agg(F.sum("n_bpe_tokens")).collect()
-    extras["bpe_train_encode"] = round(time.perf_counter() - t0, 3)
+    def run_bpe():
+        merges = train_bpe(docs, n_merges=200, sample_n=2000)
+        bpe_token_count(docs, merges).agg(F.sum("n_bpe_tokens")).collect()
+
+    timed_extra("bpe_train_encode", run_bpe)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    t0 = time.perf_counter()
-    knn_quantized(emb, q, k=5).collect()
-    extras["knn_quantized"] = round(time.perf_counter() - t0, 3)
+    timed_extra("knn_quantized", lambda: knn_quantized(emb, q, k=5).collect())
 
     from bigdata_quality_assessment_spark.operators.classifier import (
         classify_quality,
@@ -342,24 +351,21 @@ def main() -> None:
         ngram_lm_score,
     )
 
-    t0 = time.perf_counter()
-    ngram_lm_score(docs).agg(F.sum("n_lm_tokens")).collect()
-    extras["ngram_lm_score"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    dedup_spans(docs, 5).agg(F.sum("n_spans_removed")).collect()
-    extras["dedup_spans"] = round(time.perf_counter() - t0, 3)
+    timed_extra("ngram_lm_score",
+                lambda: ngram_lm_score(docs).agg(F.sum("n_lm_tokens")).collect())
+    timed_extra("dedup_spans",
+                lambda: dedup_spans(docs, 5).agg(F.sum("n_spans_removed")).collect())
     from bigdata_quality_assessment_spark.operators.text import dedup_substrings
 
-    t0 = time.perf_counter()
-    dedup_substrings(docs, 10).agg(F.sum("n_tokens_removed")).collect()
-    extras["dedup_substrings"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _model = distill_quality_classifier(docs, dim=256, n_train=2000)
-    classify_quality(docs, _model).agg(F.sum("p_good")).collect()
-    extras["quality_classifier"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    knn_pq(emb, q, dim=64, k=5, m=8, rescore_factor=8).collect()
-    extras["knn_pq"] = round(time.perf_counter() - t0, 3)
+    timed_extra("dedup_substrings",
+                lambda: dedup_substrings(docs, 10).agg(F.sum("n_tokens_removed")).collect())
+    def run_classifier():
+        _model = distill_quality_classifier(docs, dim=256, n_train=2000)
+        classify_quality(docs, _model).agg(F.sum("p_good")).collect()
+
+    timed_extra("quality_classifier", run_classifier)
+    timed_extra("knn_pq",
+                lambda: knn_pq(emb, q, dim=64, k=5, m=8, rescore_factor=8).collect())
 
     # round-6: streaming-ingest state-growth evidence — the dedup
     # store grows every batch; per-batch fold time must stay O(batch).
