@@ -377,3 +377,110 @@ def prepare_training_data(
         packed, splits or {"train": 0.98, "val": 0.01, "test": 0.01},
         id_col="seq_id",
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """One-call dataset "nutrition label": the corpus-level summary a
+    curated-dataset release ships alongside the data — volume, text
+    shape, duplication, PII exposure, per-language and per-source
+    composition — as a long-format ``(section, metric, value)`` frame
+    (value DOUBLE; compositional metrics are fractions of the corpus).
+
+    Shape: one pass per SECTION, not per metric — volume + text shape
+    + PII fold into a single aggregation over one ``text_stats``/
+    ``pii_scan``-augmented projection; duplication is the digest-only
+    ``exact_dedup`` counting pass; language and source composition are
+    one small groupBy each. Sections union lazily, so the whole card
+    is a handful of jobs on one action at any corpus size."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        language_id,
+        pii_scan,
+        text_stats,
+    )
+
+    spark = docs.sparkSession
+
+    def rows(section: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"), "metric", F.col("value").cast("double")
+        )
+
+    st = text_stats(docs, text_col=text_col, id_col=id_col)
+    pii = pii_scan(docs, text_col=text_col, id_col=id_col)
+    base = st.join(pii.select(id_col, "has_pii"), id_col)
+    shape_agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.avg("n_tokens").alias("mean_tokens_per_doc"),
+        F.avg("mean_token_len").alias("mean_token_len"),
+        F.avg("punct_ratio").alias("mean_punct_ratio"),
+        F.avg(F.col("has_pii").cast("double")).alias("pii_doc_fraction"),
+    )
+    shape = shape_agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("metric"), F.col(m).cast("double").alias("value"))
+                    for m in (
+                        "n_docs", "total_chars", "total_tokens",
+                        "mean_tokens_per_doc", "mean_token_len",
+                        "mean_punct_ratio", "pii_doc_fraction",
+                    )
+                ]
+            )
+        ).alias("p")
+    ).select(F.col("p.metric").alias("metric"), F.col("p.value").alias("value"))
+
+    dup = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("__d"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("__d").alias("__nd"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("exact_duplicate_fraction").alias("metric"),
+                        F.when(
+                            F.col("__n") > 0,
+                            (F.col("__n") - F.col("__nd")) / F.col("__n"),
+                        ).otherwise(F.lit(0.0)).alias("value"),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.metric", "p.value")
+    )
+
+    lang = (
+        language_id(docs, text_col=text_col)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(F.concat(F.lit("lang:"), F.col("lang_pred")).alias("metric"), "value")
+    )
+
+    card = rows("volume_and_shape", shape).unionByName(
+        rows("duplication", dup)
+    ).unionByName(rows("language_mix", lang))
+    if source_col is not None and source_col in docs.columns:
+        src = (
+            docs.groupBy(source_col)
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(
+                F.concat(F.lit("source:"), F.col(source_col).cast("string")).alias(
+                    "metric"
+                ),
+                "value",
+            )
+        )
+        card = card.unionByName(rows("source_mix", src))
+    return card

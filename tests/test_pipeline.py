@@ -342,3 +342,26 @@ def test_curate_dsir_select_stage(spark):
     ids = {r["doc_id"] for r in clean.collect()}
     assert len(ids) == 20
     assert sum(1 for i in ids if i < 100) >= 8  # 10% of corpus, heavily kept
+
+
+def test_dataset_card_sections_and_values(spark):
+    """dataset_card: volume/shape numbers exact, duplicate fraction
+    from the digest pass, language and source mixes present, all in
+    one long-format frame."""
+    from bigdata_quality_assessment_spark.pipeline import dataset_card
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "web"),
+        (1, "the quick brown fox jumps over the lazy dog", "web"),  # exact dup
+        (2, "der schnelle braune fuchs und der faule hund ist", "books"),
+        (3, "mail me at a@b.co now", "web"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    card = {(r.section, r.metric): r.value for r in dataset_card(docs).collect()}
+    assert card[("volume_and_shape", "n_docs")] == 4.0
+    assert card[("volume_and_shape", "pii_doc_fraction")] == 0.25
+    assert card[("duplication", "exact_duplicate_fraction")] == 0.25
+    assert card[("source_mix", "source:web")] == 3.0
+    assert card[("source_mix", "source:books")] == 1.0
+    langs = {m for s, m in card if s == "language_mix"}
+    assert any(m.startswith("lang:") for m in langs)
