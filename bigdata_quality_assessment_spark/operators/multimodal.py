@@ -49,9 +49,11 @@ _MAGIC = {
     "89504E47": "image/png",
     "FFD8FF": "image/jpeg",
     "47494638": "image/gif",
-    "52494646": "audio/wav",  # RIFF container (WAV/AVI share it; fmt disambiguates)
+    "52494646": "audio/wav",  # RIFF container (WAV/WebP/AVI share it; payload tag disambiguates)
     "494433": "audio/mp3",
     "1A45DFA3": "video/webm",
+    "664C6143": "audio/flac",
+    "424D": "image/bmp",
 }
 
 # MP4/MOV: the signature 'ftyp' sits at byte offset 4 (after the box
@@ -71,6 +73,17 @@ def sniff_media_type(content_col: Column | str) -> Column:
     ).otherwise(expr)
     for magic, mtype in reversed(list(_MAGIC.items())):
         expr = F.when(head.startswith(magic), F.lit(mtype)).otherwise(expr)
+    # RIFF payload disambiguation: bytes 9-12 name the container's
+    # actual content (WAVE vs WEBP vs AVI ) — without this every WebP
+    # image sniffs as audio
+    riff_tag = F.substring(c, 9, 4)
+    expr = F.when(
+        head.startswith("52494646") & (riff_tag == F.lit(b"WEBP")),
+        F.lit("image/webp"),
+    ).when(
+        head.startswith("52494646") & (riff_tag == F.lit(b"AVI ")),
+        F.lit("video/avi"),
+    ).otherwise(expr)
     return expr
 
 
@@ -255,6 +268,78 @@ def _parse_mp4_header(b: bytes) -> dict | None:
             "sample_rate": None,
             "duration": duration,
         }
+    except Exception:
+        return None
+
+
+def _parse_flac_header(b: bytes) -> dict | None:
+    """FLAC STREAMINFO (public format spec): 'fLaC' magic, then the
+    mandatory first metadata block — sample rate (20 bits), channels
+    (3 bits, stored −1), bits/sample (5 bits, stored −1), total
+    samples (36 bits; 0 = unknown) packed at byte offsets 18-26 of
+    the block. Duration = total_samples / rate."""
+    if len(b) < 42 or b[:4] != b"fLaC":
+        return None
+    # first block header: 1 bit last-flag + 7 bits type (0 =
+    # STREAMINFO, mandatory first) + 24-bit length
+    if b[4] & 0x7F != 0:
+        return None
+    info = b[8:42]  # 34-byte STREAMINFO body
+    rate = (info[10] << 12) | (info[11] << 4) | (info[12] >> 4)
+    channels = ((info[12] >> 1) & 0x7) + 1
+    total = ((info[13] & 0x0F) << 32) | int.from_bytes(info[14:18], "big")
+    if rate == 0:  # spec: 0 is invalid
+        return None
+    return {
+        "width": None,
+        "height": None,
+        "channels": channels,
+        "sample_rate": rate,
+        "duration": (total / rate) if total else None,
+    }
+
+
+def _parse_bmp_header(b: bytes) -> dict | None:
+    """BMP dimensions: BITMAPINFOHEADER width/height (LE int32) at
+    offsets 18/22; height may be negative (top-down rows)."""
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = abs(int.from_bytes(b[22:26], "little", signed=True))
+    if w <= 0 or h <= 0:
+        return None
+    return {"width": w, "height": h, "channels": None, "sample_rate": None}
+
+
+def _parse_webp_header(b: bytes) -> dict | None:
+    """WebP dimensions from the RIFF container (public spec): VP8X
+    extended header carries 24-bit width-1/height-1; lossy VP8 a
+    14-bit pair after the frame tag + start code; lossless VP8L a
+    packed 14-bit pair after its signature byte."""
+    if len(b) < 30 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    tag = b[12:16]
+    try:
+        if tag == b"VP8X":
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+        elif tag == b"VP8 ":
+            # frame tag (3 B) then start code 9D 01 2A, then dims
+            if b[23:26] != b"\x9d\x01\x2a":
+                return None
+            w = int.from_bytes(b[26:28], "little") & 0x3FFF
+            h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        elif tag == b"VP8L":
+            if b[20] != 0x2F:
+                return None
+            bits = int.from_bytes(b[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+        else:
+            return None
+        if w <= 0 or h <= 0:
+            return None
+        return {"width": w, "height": h, "channels": None, "sample_rate": None}
     except Exception:
         return None
 
@@ -810,7 +895,7 @@ def decode_media(
                     meta, feats = decoded
                 else:
                     which = "stub"
-                    meta = _parse_png_header(b) or _parse_wav_header(b) or _parse_jpeg_header(b) or _parse_gif_header(b) or _parse_mp4_header(b) or _parse_webm_header(b) or {
+                    meta = _parse_png_header(b) or _parse_wav_header(b) or _parse_webp_header(b) or _parse_jpeg_header(b) or _parse_gif_header(b) or _parse_mp4_header(b) or _parse_webm_header(b) or _parse_flac_header(b) or _parse_bmp_header(b) or {
                         "width": None, "height": None, "channels": None, "sample_rate": None
                     }
                     feats = _fake_pixels(b, n_features)

@@ -683,3 +683,64 @@ def test_mp4_unknown_duration_sentinel_is_null(spark):
     meta = _parse_mp4_header(blob)
     assert meta is not None and meta["width"] == 320
     assert meta["duration"] is None
+
+
+def _flac(rate=44100, channels=2, total=441000):
+    info = bytearray(34)
+    info[10] = (rate >> 12) & 0xFF
+    info[11] = (rate >> 4) & 0xFF
+    info[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((total >> 35) & 1)
+    info[13] = ((16 - 1) << 4) | ((total >> 32) & 0xF)  # 16 bits/sample
+    info[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(info)
+
+
+def test_flac_bmp_webp_header_metadata(spark):
+    """Round-6 widening of the header-metadata tier: FLAC STREAMINFO
+    (rate/channels/duration), BMP dims (incl. top-down negative
+    height), WebP dims for all three payload kinds, and RIFF payload
+    disambiguation in the sniffer (WebP must not sniff as audio)."""
+    import struct as s
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _parse_bmp_header,
+        _parse_flac_header,
+        _parse_webp_header,
+    )
+
+    f = _parse_flac_header(_flac())
+    assert (f["sample_rate"], f["channels"]) == (44100, 2)
+    assert f["duration"] == pytest.approx(10.0)
+    assert _parse_flac_header(_flac(total=0))["duration"] is None
+
+    bmp = b"BM" + bytes(16) + s.pack("<ii", 640, -480) + bytes(12)
+    assert (_parse_bmp_header(bmp)["width"], _parse_bmp_header(bmp)["height"]) == (640, 480)
+
+    def riff(tag, payload):
+        return b"RIFF" + s.pack("<I", 4 + len(payload)) + b"WEBP" + tag + payload
+
+    vp8x = riff(b"VP8X", s.pack("<I", 10) + bytes(4)
+                + (639).to_bytes(3, "little") + (359).to_bytes(3, "little") + bytes(8))
+    got = _parse_webp_header(vp8x)
+    assert (got["width"], got["height"]) == (640, 360)
+    vp8 = riff(b"VP8 ", s.pack("<I", 12) + bytes(3) + b"\x9d\x01\x2a"
+               + s.pack("<HH", 320, 240) + bytes(4))
+    got = _parse_webp_header(vp8)
+    assert (got["width"], got["height"]) == (320, 240)
+    bits = (99) | (49 << 14)  # 100 x 50
+    vp8l = riff(b"VP8L", s.pack("<I", 8) + b"\x2f" + s.pack("<I", bits) + bytes(8))
+    got = _parse_webp_header(vp8l)
+    assert (got["width"], got["height"]) == (100, 50)
+
+    rows = [(0, _flac()), (1, bmp), (2, vp8x), (3, b"RIFF\x10\x00\x00\x00WAVEjunk")]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    sniffed = {r["media_id"]: r["t"] for r in df.select(
+        "media_id", sniff_media_type("content").alias("t")).collect()}
+    assert sniffed[0] == "audio/flac"
+    assert sniffed[1] == "image/bmp"
+    assert sniffed[2] == "image/webp"
+    assert sniffed[3] == "audio/wav"
+    dec = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert dec[0]["sample_rate"] == 44100 and dec[0]["duration_s"] == pytest.approx(10.0)
+    assert (dec[1]["width"], dec[1]["height"]) == (640, 480)
+    assert (dec[2]["width"], dec[2]["height"]) == (640, 360)
