@@ -72,7 +72,15 @@ def sniff_media_type(content_col: Column | str) -> Column:
         F.upper(F.hex(F.substring(c, 5, 4))) == _MP4_HEX, F.lit("video/mp4")
     ).otherwise(expr)
     for magic, mtype in reversed(list(_MAGIC.items())):
-        expr = F.when(head.startswith(magic), F.lit(mtype)).otherwise(expr)
+        cond = head.startswith(magic)
+        if magic == "424D":
+            # 'BM' is only 2 bytes — corroborate with the spec's
+            # zeroed reserved field so ASCII blobs starting "BM..."
+            # don't sniff as bitmaps
+            cond = cond & (
+                F.upper(F.hex(F.substring(c, 7, 4))) == F.lit("00000000")
+            )
+        expr = F.when(cond, F.lit(mtype)).otherwise(expr)
     # RIFF payload disambiguation: bytes 9-12 name the container's
     # actual content (WAVE vs WEBP vs AVI ) — without this every WebP
     # image sniffs as audio
@@ -299,13 +307,28 @@ def _parse_flac_header(b: bytes) -> dict | None:
     }
 
 
+_BMP_DIB_SIZES = (40, 52, 56, 64, 108, 124)  # BITMAPINFOHEADER family
+
+
 def _parse_bmp_header(b: bytes) -> dict | None:
-    """BMP dimensions: BITMAPINFOHEADER width/height (LE int32) at
-    offsets 18/22; height may be negative (top-down rows)."""
-    if len(b) < 26 or b[:2] != b"BM":
+    """BMP dimensions, branched on the DIB header size at offset 14:
+    the BITMAPINFOHEADER family stores LE int32 width/height at 18/22
+    (height may be negative — top-down rows); the OS/2
+    BITMAPCOREHEADER (size 12) stores LE uint16 at 18/20 — reading a
+    core header with the int32 layout would fuse width and height
+    into one garbage number. The reserved field at offset 6 must be
+    zero (spec), which also rejects ASCII blobs starting 'BM'."""
+    if len(b) < 26 or b[:2] != b"BM" or b[6:10] != b"\x00\x00\x00\x00":
         return None
-    w = int.from_bytes(b[18:22], "little", signed=True)
-    h = abs(int.from_bytes(b[22:26], "little", signed=True))
+    dib = int.from_bytes(b[14:18], "little")
+    if dib == 12:
+        w = int.from_bytes(b[18:20], "little")
+        h = int.from_bytes(b[20:22], "little")
+    elif dib in _BMP_DIB_SIZES:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+    else:
+        return None
     if w <= 0 or h <= 0:
         return None
     return {"width": w, "height": h, "channels": None, "sample_rate": None}

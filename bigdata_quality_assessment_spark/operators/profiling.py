@@ -175,8 +175,16 @@ def profile_correlations(
             [], "col_a string, col_b string, value double"
         )
     def _corr(a: str, b: str):
-        sa, sb = F.stddev_samp(a), F.stddev_samp(b)
-        return F.when((sa > 0) & (sb > 0), F.covar_samp(a, b) / (sa * sb))
+        # PAIRWISE-complete semantics (what corr means): every moment
+        # is computed over rows where BOTH columns are non-null — a
+        # column-complete stddev against a pairwise-complete covar
+        # reports a non-correlation (can even leave [-1, 1]) whenever
+        # the two columns have different NULL patterns
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        av = F.when(both, F.col(a))
+        bv = F.when(both, F.col(b))
+        sa, sb = F.stddev_samp(av), F.stddev_samp(bv)
+        return F.when((sa > 0) & (sb > 0), F.covar_samp(av, bv) / (sa * sb))
 
     wide = df.agg(
         *[_corr(a, b).alias(f"{a}::{b}") for a, b in pairs_ab]

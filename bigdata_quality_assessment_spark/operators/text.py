@@ -97,13 +97,15 @@ def stopword_ratio(text_col: Column, lexicon: tuple[str, ...]) -> Column:
     return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Language-ID heuristic: stopword-hit ratio per language, argmax
     with deterministic lexicographic tie-break; 'und' (undetermined)
     when no lexicon scores above zero."""
     t = F.col(text_col)
     scored = docs.select(
-        "doc_id",
+        id_col,
         *[
             stopword_ratio(t, lex).alias(f"score_{lang}")
             for lang, lex in sorted(LANG_LEXICONS.items())
@@ -160,7 +162,10 @@ def quality_score(
 # so the registry oracle can reproduce the counts bit-for-bit
 PII_PATTERNS = {
     "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "n_urls": r"https?://[^ ]+",
+    # \S (not [^ ]): the negated-space class matches newlines/tabs,
+    # so a URL at end of line would swallow the next line's leading
+    # word — tolerable for counting, data-destroying in redact_pii
+    "n_urls": r"https?://\S+",
     "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "n_phones": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
 }

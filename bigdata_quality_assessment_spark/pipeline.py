@@ -397,10 +397,13 @@ def dataset_card(
     ``pii_scan``-augmented projection; duplication is the digest-only
     ``exact_dedup`` counting pass; language and source composition are
     one small groupBy each. Sections union lazily, so the whole card
-    is a handful of jobs on one action at any corpus size."""
+    is a handful of jobs on one action at any corpus size.
+    NULL-text documents count toward ``n_docs`` and as PII-free (one
+    denominator everywhere); the language/source mixes are FRACTIONS
+    of ``n_docs``."""
     from bigdata_quality_assessment_spark.operators.text import (
+        PII_PATTERNS,
         language_id,
-        pii_scan,
         text_stats,
     )
 
@@ -411,9 +414,17 @@ def dataset_card(
             F.lit(section).alias("section"), "metric", F.col("value").cast("double")
         )
 
-    st = text_stats(docs, text_col=text_col, id_col=id_col)
-    pii = pii_scan(docs, text_col=text_col, id_col=id_col)
-    base = st.join(pii.select(id_col, "has_pii"), id_col)
+    # PII indicator folded into text_stats' SINGLE projection via its
+    # extra= hook — one text scan for the whole volume/shape section,
+    # no second scan, no join (the hook exists for this composition)
+    t = F.col(text_col)
+    pii_flag = None
+    for pat in PII_PATTERNS.values():
+        c = F.size(F.regexp_extract_all(t, F.lit(pat), 0)) > 0
+        pii_flag = c if pii_flag is None else (pii_flag | c)
+    base = text_stats(
+        docs, text_col=text_col, id_col=id_col, extra={"has_pii": pii_flag}
+    )
     shape_agg = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("double").alias("total_chars"),
@@ -421,7 +432,11 @@ def dataset_card(
         F.avg("n_tokens").alias("mean_tokens_per_doc"),
         F.avg("mean_token_len").alias("mean_token_len"),
         F.avg("punct_ratio").alias("mean_punct_ratio"),
-        F.avg(F.col("has_pii").cast("double")).alias("pii_doc_fraction"),
+        # coalesce: a NULL-text doc's NULL indicator would silently
+        # shrink this metric's denominator relative to n_docs
+        F.avg(F.coalesce(F.col("has_pii"), F.lit(False)).cast("double")).alias(
+            "pii_doc_fraction"
+        ),
     )
     shape = shape_agg.select(
         F.explode(
@@ -461,26 +476,37 @@ def dataset_card(
         .select("p.metric", "p.value")
     )
 
-    lang = (
-        language_id(docs, text_col=text_col)
+    def _mix(grouped: DataFrame, prefix: str, key: str) -> DataFrame:
+        # fraction of the corpus per group — the tiny grouped frame
+        # normalizes against its own total in one single-partition
+        # window (a handful of rows, never data)
+        from pyspark.sql.window import Window
+
+        return grouped.withColumn(
+            "value", F.col("__cnt") / F.sum("__cnt").over(Window.partitionBy())
+        ).select(
+            F.concat(F.lit(prefix), F.col(key).cast("string")).alias("metric"),
+            "value",
+        )
+
+    lang = _mix(
+        language_id(docs, text_col=text_col, id_col=id_col)
         .groupBy("lang_pred")
-        .agg(F.count(F.lit(1)).cast("double").alias("value"))
-        .select(F.concat(F.lit("lang:"), F.col("lang_pred")).alias("metric"), "value")
+        .agg(F.count(F.lit(1)).cast("double").alias("__cnt")),
+        "lang:",
+        "lang_pred",
     )
 
     card = rows("volume_and_shape", shape).unionByName(
         rows("duplication", dup)
     ).unionByName(rows("language_mix", lang))
     if source_col is not None and source_col in docs.columns:
-        src = (
-            docs.groupBy(source_col)
-            .agg(F.count(F.lit(1)).cast("double").alias("value"))
-            .select(
-                F.concat(F.lit("source:"), F.col(source_col).cast("string")).alias(
-                    "metric"
-                ),
-                "value",
-            )
+        src = _mix(
+            docs.groupBy(source_col).agg(
+                F.count(F.lit(1)).cast("double").alias("__cnt")
+            ),
+            "source:",
+            source_col,
         )
         card = card.unionByName(rows("source_mix", src))
     return card

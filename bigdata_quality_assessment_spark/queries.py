@@ -1326,7 +1326,7 @@ _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
         SELECT 'pii', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
         NULL, NULL, NULL, NULL,
         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT),
-        CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT),
+        CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS BIGINT),
         CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT),
         CAST(len(regexp_extract_all(text, '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS BIGINT),
         CAST(NULL AS VARCHAR)
@@ -1341,7 +1341,7 @@ _TOKRE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-          'https?://[^ ]+', '<URL>', 'g'),
+          'https?://\\S+', '<URL>', 'g'),
           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
           '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}', '<PHONE>', 'g')
         FROM pii_aug""",

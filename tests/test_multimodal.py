@@ -713,8 +713,16 @@ def test_flac_bmp_webp_header_metadata(spark):
     assert f["duration"] == pytest.approx(10.0)
     assert _parse_flac_header(_flac(total=0))["duration"] is None
 
-    bmp = b"BM" + bytes(16) + s.pack("<ii", 640, -480) + bytes(12)
+    # BM + size(4) + reserved(4, zero) + dataoffset(4) + DIB size 40
+    bmp = b"BM" + bytes(12) + (40).to_bytes(4, "little") + s.pack("<ii", 640, -480) + bytes(12)
     assert (_parse_bmp_header(bmp)["width"], _parse_bmp_header(bmp)["height"]) == (640, 480)
+    # OS/2 BITMAPCOREHEADER: DIB size 12, u16 dims — int32 layout
+    # would fuse them into garbage
+    core = b"BM" + bytes(12) + (12).to_bytes(4, "little") + s.pack("<HH", 100, 100) + bytes(8)
+    got_core = _parse_bmp_header(core)
+    assert (got_core["width"], got_core["height"]) == (100, 100)
+    # ASCII blob starting 'BM' must not parse (nonzero reserved bytes)
+    assert _parse_bmp_header(b"BMW engine data report 2024 edition!") is None
 
     def riff(tag, payload):
         return b"RIFF" + s.pack("<I", 4 + len(payload)) + b"WEBP" + tag + payload

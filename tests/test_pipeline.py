@@ -356,12 +356,18 @@ def test_dataset_card_sections_and_values(spark):
         (2, "der schnelle braune fuchs und der faule hund ist", "books"),
         (3, "mail me at a@b.co now", "web"),
     ]
+    rows.append((4, None, "web"))  # NULL text: counted, PII-free
     docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     card = {(r.section, r.metric): r.value for r in dataset_card(docs).collect()}
-    assert card[("volume_and_shape", "n_docs")] == 4.0
-    assert card[("volume_and_shape", "pii_doc_fraction")] == 0.25
-    assert card[("duplication", "exact_duplicate_fraction")] == 0.25
-    assert card[("source_mix", "source:web")] == 3.0
-    assert card[("source_mix", "source:books")] == 1.0
-    langs = {m for s, m in card if s == "language_mix"}
-    assert any(m.startswith("lang:") for m in langs)
+    assert card[("volume_and_shape", "n_docs")] == 5.0
+    assert card[("volume_and_shape", "pii_doc_fraction")] == 0.2  # 1 of 5
+    assert card[("duplication", "exact_duplicate_fraction")] == 0.25  # of non-null
+    # mixes are FRACTIONS of the corpus
+    assert card[("source_mix", "source:web")] == 0.8
+    assert card[("source_mix", "source:books")] == 0.2
+    lang_fracs = [v for (s, m), v in card.items() if s == "language_mix"]
+    assert abs(sum(lang_fracs) - 1.0) < 1e-9
+    # id_col threading: a non-default id column must not crash
+    renamed = docs.withColumnRenamed("doc_id", "id")
+    card2 = {(r.section, r.metric) for r in dataset_card(renamed, id_col="id").collect()}
+    assert ("volume_and_shape", "n_docs") in card2

@@ -133,3 +133,18 @@ def test_profile_correlations_single_pass_and_values(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan too
     assert final.count("Scan ExistingRDD") + final.count("FileScan") <= 1
+
+
+def test_profile_correlations_pairwise_complete_nulls(spark):
+    """Asymmetric NULL patterns: the correlation must be computed over
+    PAIRWISE-complete rows (what Pearson means) — a column-complete
+    stddev against a pairwise-complete covariance reports a
+    non-correlation for perfectly dependent paired data."""
+    from bigdata_quality_assessment_spark.operators.profiling import (
+        profile_correlations,
+    )
+
+    rows = [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (1000.0, None)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = {(r.col_a, r.col_b): r.value for r in profile_correlations(df).collect()}
+    assert got[("a", "b")] == pytest.approx(1.0, abs=1e-12)

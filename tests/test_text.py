@@ -864,3 +864,17 @@ def test_redact_pii_removes_every_indicator(spark):
         if r["doc_id"] == 5:
             continue
         assert not r["has_pii"], r
+
+
+def test_redact_pii_url_stops_at_newline(spark):
+    """The URL pattern must stop at ANY whitespace: with [^ ]+ a URL
+    at end of line swallowed the next line's leading word into <URL>
+    — data destruction in the release rewrite (round-6 review)."""
+    from bigdata_quality_assessment_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [(0, "see https://a.b/c\nImportant sentence here")],
+        "doc_id long, text string",
+    )
+    got = docs.select(redact_pii("text").alias("t")).collect()[0]["t"]
+    assert got == "see <URL>\nImportant sentence here"

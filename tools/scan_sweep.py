@@ -68,7 +68,7 @@ EXPECTED_MAX = {
     # countDistinct Expand with the exact-percentile buffers in one
     # agg measured ~7x slower (the expanded copies stream through the
     # sort buffers); split = one scan per pass, each map-side combined
-    "x_profile_table": 2,
+    "x_profile_table": 3,  # + pairwise-correlation agg pass (round 6)
     # validity part 1 scan (lineitem); expectations part 4: the fused
     # row-rule agg, the unique groupBy, and the ref anti-join each
     # scan a DIFFERENT 1-2 column projection of orders (column-pruned
