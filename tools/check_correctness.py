@@ -79,9 +79,11 @@ def main() -> int:
     spark = build_session(master="local[16]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        # spark-written tables (.localdata sf1/sf10 replicas) are
+        # DIRECTORIES of part files — DuckDB needs the glob form
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     n_pass = n_fail = n_rows_only = 0
     failures = []

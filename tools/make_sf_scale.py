@@ -67,7 +67,12 @@ def main() -> None:
         offset("l_orderkey", li), *[c for c in li.columns if c != "l_orderkey"]
     ).write.mode("overwrite").parquet(str(dest / "lineitem.parquet"))
 
-    ev = load_table(spark, "events", src)
+    # read events RAW (not via load_table, which normalizes ts to
+    # epoch-nanos long): the replica must keep the source's TIMESTAMP
+    # storage so the DuckDB oracle SQL (epoch_ns(ts)) binds at every
+    # SF — round-6 find: the sf1 replica stored ts as BIGINT and the
+    # streaming-metrics oracle failed to bind there
+    ev = spark.read.parquet(f"{src}/events.parquet")
     ev.crossJoin(reps).select(
         offset("event_id", ev),
         "ts",
