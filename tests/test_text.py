@@ -878,3 +878,29 @@ def test_redact_pii_url_stops_at_newline(spark):
     )
     got = docs.select(redact_pii("text").alias("t")).collect()[0]["t"]
     assert got == "see <URL>\nImportant sentence here"
+
+
+def test_redact_pii_idempotent_on_fuzz(spark):
+    """Property: redact_pii is idempotent — placeholders contain
+    nothing any PII pattern can match, so a second pass is a no-op.
+    Seeded fuzz over PII-dense and random text."""
+    import random
+
+    from bigdata_quality_assessment_spark.operators.text import redact_pii
+
+    rng = random.Random(11)
+    frags = [
+        "a@b.co", "https://x.y/z?q=1", "10.0.0.1", "+44 555-123-4567",
+        "plain", "word", "\n", "\t", "<EMAIL>", "end.", "a.b@c.d.ee",
+        "http://t", "999.999.999.999", "BM", "☃",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randrange(0, 12))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    once = docs.select("doc_id", redact_pii("text").alias("text"))
+    twice = once.select("doc_id", redact_pii("text").alias("text"))
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b
