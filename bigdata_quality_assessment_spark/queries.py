@@ -1143,6 +1143,15 @@ _M4_GOLDEN_SDE: dict[int, list[tuple[int, str, float]]] = {
         (2, "mae", 0.361707),
         (2, "train_rows", 33.0),
     ],
+    10000000: [  # sf10 replicate — user_id==1 series is replica 0, so
+        # values match sf1/sf0.1 (verified by running, not assumed)
+        (0, "mae", 1.667443),
+        (0, "train_rows", 13.0),
+        (1, "mae", 0.693049),
+        (1, "train_rows", 23.0),
+        (2, "mae", 0.361707),
+        (2, "train_rows", 33.0),
+    ],
 }
 
 
