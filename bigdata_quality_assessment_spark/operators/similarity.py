@@ -128,6 +128,7 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_dots: bool = False,
+    planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket ids: per table t, the sign bits of
     ``n_planes`` dot products pack into one BIGINT bucket key. The
@@ -139,14 +140,23 @@ def hyperplane_buckets(
 
     ``keep_dots`` also emits the raw dot-product array per table
     (``dots_{t}``) — the margin information multi-probe querying needs
-    (query side only; the corpus never pays for it)."""
+    (query side only; the corpus never pays for it).
+
+    ``planes`` overrides the seeded Gaussian planes with an explicit
+    per-table matrix list (``planes[t][p][j]``) — the PINNED variant
+    that makes the bucket keys a pure function of the corpus (a
+    DuckDB oracle can recompute them; see ``x_ann_knn``). Rademacher
+    (±1) pinned planes keep every dot-product addend exact, so the
+    sign test is bit-identical across engines."""
+    if planes is not None and len(planes) != n_tables:
+        raise ValueError("planes must supply one matrix per table")
     v = _as_double(F.col(vec_col))
     out = df.select(id_col, v.alias("__v"))
     bit_weights = [float(1 << p_i) for p_i in range(n_planes)]
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        tp = planes[t] if planes is not None else _hyperplanes(dim, n_planes, seed + 1000 * t)
         dots = F.transform(
-            F.lit(planes),
+            F.lit(tp),
             lambda plane: F.aggregate(
                 F.zip_with(F.col("__v"), plane, lambda a, b: a * b),
                 F.lit(0.0),
@@ -181,6 +191,7 @@ def ann_hyperplane_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_probes: int = 0,
+    planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: a candidate is any corpus vector sharing at
     least one table's bucket with the query; candidates are scored
@@ -197,10 +208,12 @@ def ann_hyperplane_knn(
     ``1 + n_probes`` keys per query per table. At 100 TB the corpus
     index is the expensive artifact; multi-probe is the knob that
     trades a few extra broadcast-side keys for fewer stored tables."""
-    cb = hyperplane_buckets(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
+    cb = hyperplane_buckets(
+        corpus, dim, n_planes, n_tables, seed, id_col, vec_col, planes=planes
+    )
     qb = hyperplane_buckets(
         queries, dim, n_planes, n_tables, seed, query_id_col, vec_col,
-        keep_dots=n_probes > 0,
+        keep_dots=n_probes > 0, planes=planes,
     )
     buckets = [F.col(f"bucket_{t}") for t in range(n_tables)]
     # posexplode the per-table keys → ONE corpus scan + ONE join on
@@ -313,6 +326,7 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path
     beside hyperplane LSH: a driver-trained coarse quantizer partitions
@@ -327,14 +341,22 @@ def ivf_knn(
     per-query work ≈ corpus·n_probe/n_centroids.
 
     ``train_fraction`` bounds the k-means sample scan at scale (the
-    sample itself is capped at ``n_train`` rows)."""
+    sample itself is capped at ``n_train`` rows).
+
+    ``centroids`` skips quantizer training and pins the coarse cells
+    as explicit literals — the deterministic variant whose cell
+    assignment and probe order a SQL oracle can recompute (see
+    ``x_ann_ivf_knn``); the trained path stays the production default."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
-    sample = c
-    if train_fraction < 1.0:
-        sample = sample.sample(fraction=train_fraction, seed=seed)
-    cents = _train_quantizer(
-        sample, n_centroids, n_train, n_kmeans_iter, seed, id_col=id_col
-    )
+    if centroids is not None:
+        cents = [[float(x) for x in cc] for cc in centroids]
+    else:
+        sample = c
+        if train_fraction < 1.0:
+            sample = sample.sample(fraction=train_fraction, seed=seed)
+        cents = _train_quantizer(
+            sample, n_centroids, n_train, n_kmeans_iter, seed, id_col=id_col
+        )
     if not cents:
         raise ValueError(
             "IVF training sample is empty — raise train_fraction/n_train "
