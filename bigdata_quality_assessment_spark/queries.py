@@ -1521,20 +1521,28 @@ _DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 _DSIR_TARGET_SQL = "(" + ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES) + ")"
 
 
-def _lang_sql() -> str:
+def _lang_score_exprs() -> tuple[list[str], list[str], str, str]:
+    """(langs, per-lang score exprs, best-score expr, argmax CASE) —
+    the DuckDB mirror of language_id's lexicon-hit scoring, shared by
+    the x_language_id oracle and the dataset_card language-mix part."""
     scores = []
-    for lang, lex in sorted(LANG_LEXICONS.items()):
-        arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+    langs = sorted(LANG_LEXICONS)
+    for lang in langs:
+        arr = "[" + ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang]) + "]"
         scores.append(
             f"CASE WHEN len(string_split(text, ' ')) > 0 THEN "
             f"len(list_filter(string_split(text, ' '), t -> list_contains({arr}, lower(t)))) * 1.0 "
             f"/ len(string_split(text, ' ')) ELSE 0.0 END AS score_{lang}"
         )
-    langs = sorted(LANG_LEXICONS)
     best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
     case = "CASE " + " ".join(
         f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
     ) + " END"
+    return langs, scores, best, case
+
+
+def _lang_sql() -> str:
+    langs, scores, best, case = _lang_score_exprs()
     return f"""
     WITH s AS (SELECT doc_id, {', '.join(scores)} FROM documents),
     tfq AS (
@@ -2588,18 +2596,79 @@ def _profile_sql() -> str:
             parts.append(
                 f"SELECT '{a}|{b}', 'pearson_corr', round(CAST(corr({a}, {b}) AS DOUBLE), 6) FROM customer"
             )
+    # -------- dataset_card corpus nutrition label (round-6 verdict
+    # ask #4): every section is SQL-expressible aggregation over the
+    # documents table. column = 'card:<section>'. The +1e-9 on BOTH
+    # engines is the rounding-tie bias (same pattern as
+    # st_windowed_metrics): corpus-level avgs of per-doc doubles sum
+    # in engine-specific order, so a value landing exactly on a
+    # .xxxxxx5 boundary could round differently by 1 ulp.
+    b6 = lambda e: f"round({e} + 1e-9, 6)"  # noqa: E731
+    nt = "len(string_split(text, ' '))"
+    pii_flag = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for pat in (
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+            "https?://\\S+",
+            "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+            "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}",
+        )
+    )
+    vs = "'card:volume_and_shape'"
+    for metric, expr in [
+        ("n_docs", "count(*) * 1.0"),
+        ("total_chars", "sum(length(text)) * 1.0"),
+        ("total_tokens", f"sum({nt}) * 1.0"),
+        ("mean_tokens_per_doc", f"avg({nt})"),
+        ("mean_token_len",
+         f"avg(CASE WHEN {nt} > 0 THEN "
+         f"list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 1.0 / {nt} "
+         f"ELSE 0.0 END)"),
+        ("mean_punct_ratio",
+         "avg(CASE WHEN length(text) > 0 THEN "
+         "(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 "
+         "/ length(text) ELSE 0.0 END)"),
+        ("pii_doc_fraction",
+         f"avg(CASE WHEN coalesce({pii_flag}, false) THEN 1.0 ELSE 0.0 END)"),
+    ]:
+        parts.append(f"SELECT {vs}, '{metric}', {b6(expr)} FROM documents")
+    parts.append(
+        "SELECT 'card:duplication', 'exact_duplicate_fraction', "
+        + b6("CASE WHEN count(text) > 0 THEN "
+             "(count(text) - count(DISTINCT md5(text))) * 1.0 / count(text) "
+             "ELSE 0.0 END")
+        + " FROM documents WHERE text IS NOT NULL"
+    )
+    _, scores, best, case = _lang_score_exprs()
+    parts.append(
+        f"SELECT 'card:language_mix', 'lang:' || lang_pred, "
+        + b6("count(*) * 1.0 / (SELECT count(*) FROM documents)")
+        + f" FROM (SELECT doc_id, CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_pred"
+        + f" FROM (SELECT doc_id, {', '.join(scores)} FROM documents))"
+        + " GROUP BY lang_pred"
+    )
+    parts.append(
+        "SELECT 'card:source_mix', 'source:' || CAST(source AS VARCHAR), "
+        + b6("count(*) * 1.0 / (SELECT count(*) FROM documents)")
+        + " FROM documents GROUP BY source"
+    )
     return " UNION ALL ".join(parts)
 
 
 @_register("x_profile_table", _profile_sql())
 def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact profile + (round 6) the pairwise-Pearson dependency
-    screen, both oracle-graded: profile_table's two-agg plan and
-    profile_correlations' single fold of all n(n-1)/2 co-moment
-    aggregates."""
+    """Exact profile + pairwise-Pearson dependency screen + (round 7)
+    the dataset_card corpus nutrition label, all oracle-graded:
+    profile_table's two-agg plan, profile_correlations' single fold of
+    all n(n-1)/2 co-moment aggregates, and dataset_card's one-agg-per-
+    section plan over documents (column = 'card:<section>'; folded here
+    because the registry sits at the 50-row cap — round-6 verdict ask
+    #4). The 1e-9 added on BOTH engines before round(·, 6) is the
+    rounding-tie bias for corpus-level averages of per-doc doubles."""
     from bigdata_quality_assessment_spark.operators.profiling import (
         profile_correlations,
     )
+    from bigdata_quality_assessment_spark.pipeline import dataset_card
 
     cust = _t(spark, sf_dir, "customer")
     out = profile_table(cust)
@@ -2617,7 +2686,12 @@ def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pearson_corr").alias("metric"),
         F.round("value", 6).alias("value"),
     )
-    return prof.unionByName(corr)
+    card = dataset_card(_t(spark, sf_dir, "documents")).select(
+        F.concat(F.lit("card:"), F.col("section")).alias("column"),
+        "metric",
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
+    )
+    return prof.unionByName(corr).unionByName(card)
 
 
 @_register("x_approx_profile")  # sketch values engine-specific → rows-only
