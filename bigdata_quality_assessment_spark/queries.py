@@ -1200,6 +1200,22 @@ _M4_GOLDEN_SDE: dict[int, list[tuple[int, str, float]]] = {
 }
 
 
+def _m4_sentinel(n_events: int) -> tuple[str, int, str, float]:
+    """Fail-CLOSED marker for an un-goldened events row count (round-6
+    verdict ask #8 / ADVICE): both engines emit this row when count(*)
+    matches no _M4_GOLDEN_SDE key, so the inevitable grade mismatch
+    reads as 'new SF tier — run tools/gen_loop_golden.py' instead of a
+    phantom loop regression. The sde metric rows themselves still have
+    no oracle counterpart → the entry still fails (closed), but the
+    diagnosis is in the row itself."""
+    return (
+        "sde",
+        -1,
+        f"UNGOLDENED_EVENTS_COUNT_{n_events}_run_tools/gen_loop_golden.py",
+        float(n_events),
+    )
+
+
 def _m4_oracle_sql() -> str:
     act = ",\n        ".join(
         f"('active', CAST({i} AS BIGINT), '{k}', CAST({v!r} AS DOUBLE))"
@@ -1210,6 +1226,7 @@ def _m4_oracle_sql() -> str:
         for n, rows in sorted(_M4_GOLDEN_SDE.items())
         for i, k, v in rows
     )
+    keys = ", ".join(str(n) for n in sorted(_M4_GOLDEN_SDE))
     return (
         "SELECT * FROM (VALUES\n        "
         + act
@@ -1218,7 +1235,14 @@ def _m4_oracle_sql() -> str:
         "SELECT pipeline, iter, metric, value FROM (VALUES\n        "
         + sde
         + ") s(n_events, pipeline, iter, metric, value)\n"
-        "WHERE n_events = (SELECT count(*) FROM events)"
+        "WHERE n_events = (SELECT count(*) FROM events)\n"
+        "UNION ALL\n"
+        "SELECT 'sde', CAST(-1 AS BIGINT),\n"
+        "       'UNGOLDENED_EVENTS_COUNT_' || CAST(n AS VARCHAR)"
+        " || '_run_tools/gen_loop_golden.py',\n"
+        "       CAST(n AS DOUBLE)\n"
+        "FROM (SELECT count(*) AS n FROM events)\n"
+        f"WHERE n NOT IN ({keys})"
     )
 
 
@@ -1255,6 +1279,9 @@ def q_m4loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("active", it, "train_rows", float(m["train_rows"])))
 
     ev = _t(spark, sf_dir, "events")
+    n_ev = ev.count()
+    if n_ev not in _M4_GOLDEN_SDE:
+        rows.append(_m4_sentinel(n_ev))
     series = ev.filter(F.col("user_id") == 1).select(
         F.col("event_id").alias("step"), F.col("value").alias("y")
     )

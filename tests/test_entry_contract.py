@@ -46,3 +46,38 @@ def test_sample_queries_run_at_sf0001(entry_mod, spark):
     qs = entry_mod.queries()
     for name in ("t1_u1_selection_set_ops", "a7_histogram", "x_text_stats"):
         assert qs[name](spark, "/root/testdata/sf0.001").count() > 0
+
+
+def test_m4_ungoldened_sf_fails_closed_with_sentinel():
+    """An events count absent from _M4_GOLDEN_SDE must surface as an
+    explicit sentinel row on BOTH engines (round-6 verdict ask #8) —
+    not as a silent zero-sde-row oracle that reads like a loop
+    regression. Pins: oracle emits exactly the _m4_sentinel row for an
+    unknown count, and emits NO sentinel for every goldened count."""
+    import duckdb
+
+    from bigdata_quality_assessment_spark.queries import (
+        _M4_GOLDEN_SDE,
+        _m4_oracle_sql,
+        _m4_sentinel,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events AS SELECT * FROM range(123) t(i)")
+    got = con.execute(
+        f"SELECT * FROM ({_m4_oracle_sql()}) WHERE iter = -1"
+    ).fetchall()
+    assert got == [_m4_sentinel(123)]
+    # sde golden rows vanish for the unknown key — the sentinel is the
+    # only sde-pipeline row, so the grade fails closed but named
+    sde = con.execute(
+        f"SELECT count(*) FROM ({_m4_oracle_sql()}) WHERE pipeline = 'sde'"
+    ).fetchone()[0]
+    assert sde == 1
+
+    for n in _M4_GOLDEN_SDE:
+        con.execute("DROP TABLE events")
+        con.execute(f"CREATE TABLE events AS SELECT * FROM range({n}) t(i)")
+        assert con.execute(
+            f"SELECT count(*) FROM ({_m4_oracle_sql()}) WHERE iter = -1"
+        ).fetchone()[0] == 0
