@@ -289,8 +289,10 @@ def _parse_flac_header(b: bytes) -> dict | None:
     if len(b) < 42 or b[:4] != b"fLaC":
         return None
     # first block header: 1 bit last-flag + 7 bits type (0 =
-    # STREAMINFO, mandatory first) + 24-bit length
-    if b[4] & 0x7F != 0:
+    # STREAMINFO, mandatory first) + 24-bit length — which the spec
+    # fixes at 34; a lying length means the body bytes below would be
+    # unrelated data parsed as sample rate/channels
+    if b[4] & 0x7F != 0 or int.from_bytes(b[5:8], "big") != 34:
         return None
     info = b[8:42]  # 34-byte STREAMINFO body
     rate = (info[10] << 12) | (info[11] << 4) | (info[12] >> 4)
@@ -585,13 +587,30 @@ def _decode_mp3(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
     first_rate = first_spf = None
     channels = 2
     xing_frames = None
+    is_vbr_tag_frame = False
     p = start
     while p + 4 <= n and len(sizes) < _MP3_FRAME_CAP:
         f = _mp3_frame_header(b, p)
         if f is None:
-            break
+            # bounded mid-stream RESYNC: a single corrupted byte must
+            # not silently truncate the walk. Accept a restart point
+            # only under the same evidence bar as the initial sync —
+            # a VERIFIED following frame, or a frame ending at EOF.
+            nxt = None
+            for q in range(p + 1, min(p + _MP3_RESYNC_WINDOW, n - 3)):
+                probe = _mp3_frame_header(b, q)
+                if probe is not None:
+                    after = q + probe[0]
+                    if _mp3_frame_header(b, after) is not None or after == n:
+                        nxt = q
+                        break
+            if nxt is None:
+                break
+            p = nxt
+            continue
         size, ver, kbps, rate, spf, mode, pad = f
-        if not sizes:
+        is_first = first_rate is None
+        if is_first:
             first_rate, first_spf = rate, spf
             channels = 1 if mode == 3 else 2
             # Xing/Info VBR header sits after the side info
@@ -601,26 +620,51 @@ def _decode_mp3(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
                 flags = int.from_bytes(b[q + 4 : q + 8], "big")
                 if flags & 1:
                     xing_frames = int.from_bytes(b[q + 8 : q + 12], "big")
-        dur += spf / rate
-        sizes.append(size)
-        kbps_seen.append(kbps)
-        n_padded += pad
+                is_vbr_tag_frame = True
+        if is_first and is_vbr_tag_frame:
+            # a Xing/Info frame is METADATA, not audio — counting it
+            # would overstate duration by one frame (~26 ms) and skew
+            # the frame-size/bitrate statistics for VBR files
+            pass
+        else:
+            dur += spf / rate
+            sizes.append(size)
+            kbps_seen.append(kbps)
+            n_padded += pad
         p += size
     if not sizes:
-        return None
-    if len(sizes) >= _MP3_FRAME_CAP and xing_frames:
+        if not (xing_frames and first_rate):
+            return None
+        # degenerate Xing-only stream (metadata frame, no walkable
+        # audio): the declared frame count is the only duration signal
         dur = xing_frames * first_spf / first_rate
-    sz = np.asarray(sizes, dtype=np.float64)
-    br = np.asarray(kbps_seen, dtype=np.float64)
+    else:
+        # trust the walk only if it consumed most of the stream; a
+        # resync-defeating corruption mid-file would otherwise report
+        # a silently truncated duration. Xing's declared frame count
+        # is the better estimate there (and past the frame cap).
+        span = n - start
+        walked_most = (p - start) >= 0.9 * span
+        if xing_frames and (len(sizes) >= _MP3_FRAME_CAP or not walked_most):
+            dur = xing_frames * first_spf / first_rate
+    if sizes:
+        sz = np.asarray(sizes, dtype=np.float64)
+        br = np.asarray(kbps_seen, dtype=np.float64)
+        f_sz_mean = min(float(sz.mean()) / 2048.0, 1.0)
+        f_sz_std = min(float(sz.std()) / 2048.0, 1.0)
+        f_br = float(br.mean()) / 320.0
+        f_pad = n_padded / len(sizes)
+    else:
+        f_sz_mean = f_sz_std = f_br = f_pad = 0.0
     feats = [
         min(dur / 600.0, 1.0),
         min(len(sizes) / 1e5, 1.0),
-        min(float(sz.mean()) / 2048.0, 1.0),
-        min(float(sz.std()) / 2048.0, 1.0),
-        float(br.mean()) / 320.0,
+        f_sz_mean,
+        f_sz_std,
+        f_br,
         first_rate / 48000.0,
         channels / 2.0,
-        n_padded / len(sizes),
+        f_pad,
     ]
     meta = {
         "width": None,

@@ -484,7 +484,8 @@ def _mp3_cbr(n_frames=50, id3_pad=100, xing=False):
     if xing:
         # plant a Xing tag (frames flag, bogus frame count) after the
         # 32-byte MPEG1-stereo side info of frame 0 — the walk must
-        # still report the TRUE walked duration, not the Xing claim
+        # report the TRUE walked duration of the AUDIO frames (the
+        # Xing frame itself is metadata), not the Xing claim
         f0 = bytearray(frames[0])
         f0[4 + 32 : 4 + 32 + 12] = b"Xing" + (1).to_bytes(4, "big") + (999).to_bytes(4, "big")
         frames[0] = bytes(f0)
@@ -523,9 +524,11 @@ def test_decode_media_mp3_frame_walk(spark):
         assert len(got[i]["features"]) == 8
         assert all(0.0 <= v <= 1.0 for v in got[i]["features"])
     assert got[2]["decoder"] == "stub" and got[2]["duration_s"] is None
-    # Xing present but stream short of the frame cap: walked truth wins
+    # Xing present but stream short of the frame cap: walked truth
+    # wins over the (bogus) Xing claim, and the Xing metadata frame
+    # itself is excluded from the audio-frame duration/stats
     assert got[3]["decoder"] == "mp3"
-    assert got[3]["duration_s"] == pytest.approx(50 * 1152 / 44100, abs=1e-9)
+    assert got[3]["duration_s"] == pytest.approx(49 * 1152 / 44100, abs=1e-9)
 
 
 def test_decode_media_duration_wav_and_mp4(spark):
@@ -752,3 +755,131 @@ def test_flac_bmp_webp_header_metadata(spark):
     assert dec[0]["sample_rate"] == 44100 and dec[0]["duration_s"] == pytest.approx(10.0)
     assert (dec[1]["width"], dec[1]["height"]) == (640, 480)
     assert (dec[2]["width"], dec[2]["height"]) == (640, 360)
+
+
+# ------- round-7: MP3 resync/truncation + FLAC/BMP/WebP hostile bytes -------
+
+
+def test_mp3_resync_survives_midstream_corruption():
+    """A single corrupted byte mid-stream must not silently truncate
+    the walk (ADVICE round 6): the walker resyncs within a bounded
+    window — under the same verified-next-frame evidence bar as the
+    initial sync — and keeps counting the frames after the damage."""
+    from bigdata_quality_assessment_spark.operators.multimodal import _decode_mp3
+
+    blob = bytearray(_mp3_cbr(n_frames=50, id3_pad=0))
+    # smash the sync byte of frame 10 (frames are 417 B, after the
+    # 10-byte ID3 header the fixture always prepends)
+    blob[10 + 10 * 417] = 0x00
+    got = _decode_mp3(bytes(blob), 8)
+    assert got is not None
+    meta, _ = got
+    # 49 clean frames survive (the smashed one is skipped by resync)
+    assert meta["duration"] == pytest.approx(49 * 1152 / 44100, abs=1e-9)
+
+
+def test_mp3_truncated_walk_falls_back_to_xing():
+    """When resync fails and the walk covered <90% of the stream, a
+    present Xing frame count is the better duration estimate than the
+    silently truncated walk (ADVICE round 6)."""
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _MP3_RESYNC_WINDOW,
+        _decode_mp3,
+    )
+
+    blob = bytearray(_mp3_cbr(n_frames=50, id3_pad=0, xing=True))
+    # replace everything after frame 5 with resync-defeating 0x00
+    # padding longer than the resync window, then append junk so the
+    # stream clearly extends far beyond what the walk consumed
+    cut = 5 * 417
+    tail = b"\x00" * (_MP3_RESYNC_WINDOW + 100) + b"\x01" * (30 * 417)
+    blob = bytes(blob[:cut]) + tail
+    got = _decode_mp3(blob, 8)
+    assert got is not None
+    meta, _ = got
+    # Xing declared 999 frames; walk saw only 4 audio frames (frame 0
+    # is the Xing metadata frame) over <90% of the stream
+    assert meta["duration"] == pytest.approx(999 * 1152 / 44100, abs=1e-9)
+
+
+def test_mp3_xing_only_stream_uses_declared_frames():
+    """A stream whose only walkable frame is the Xing metadata frame
+    still yields a duration (from the declared count) instead of a
+    26 ms phantom — and its frame-stream features are zeroed."""
+    from bigdata_quality_assessment_spark.operators.multimodal import _decode_mp3
+
+    blob = _mp3_cbr(n_frames=1, id3_pad=0, xing=True)
+    got = _decode_mp3(blob, 8)
+    assert got is not None
+    meta, feats = got
+    assert meta["duration"] == pytest.approx(999 * 1152 / 44100, abs=1e-9)
+    assert all(0.0 <= v <= 1.0 for v in feats)
+
+
+def test_flac_rejects_lying_streaminfo_length():
+    """A type-0 first block whose 24-bit length is not the mandatory
+    34 must parse as None (ADVICE round 6) — otherwise unrelated bytes
+    get decoded as sample rate/channels."""
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _parse_flac_header,
+    )
+
+    good = _flac()
+    assert _parse_flac_header(good) is not None
+    bad = bytearray(good)
+    bad[5:8] = (20).to_bytes(3, "big")  # lying length
+    assert _parse_flac_header(bytes(bad)) is None
+    bad[5:8] = (35).to_bytes(3, "big")
+    assert _parse_flac_header(bytes(bad)) is None
+
+
+def test_flac_bmp_webp_parsers_never_crash_on_garbage():
+    """Hostile-input property for the round-6 header tier (round-6
+    verdict ask #6), mirroring the MP3/EBML harness: truncation at
+    every length, lying lengths, magic-plus-noise — the parsers must
+    return None or a well-formed dict, never raise, and never
+    misclassify foreign blobs."""
+    import random
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _parse_bmp_header,
+        _parse_flac_header,
+        _parse_webp_header,
+    )
+
+    rng = random.Random(7)
+    seeds = [
+        _flac(),
+        b"BM" + bytes(12) + (40).to_bytes(4, "little") + bytes(24),
+        b"RIFF\x20\x00\x00\x00WEBPVP8X" + bytes(20),
+        b"RIFF\x20\x00\x00\x00WEBPVP8 " + bytes(20),
+        b"RIFF\x20\x00\x00\x00WEBPVP8L" + bytes(20),
+    ]
+    blobs: list[bytes] = []
+    for s in seeds:
+        blobs.extend(s[:i] for i in range(len(s) + 1))  # every truncation
+        for _ in range(40):  # magic + noise tail
+            blobs.append(
+                s[: rng.randrange(4, len(s))]
+                + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+            )
+    for _ in range(200):  # pure noise
+        blobs.append(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 80))))
+    # lying-length FLAC block headers at every value near 34
+    for ln in (0, 1, 33, 35, 255, 0xFFFFFF):
+        bad = bytearray(_flac())
+        bad[5:8] = ln.to_bytes(3, "big")
+        blobs.append(bytes(bad))
+    for b in blobs:
+        for parser in (_parse_flac_header, _parse_bmp_header, _parse_webp_header):
+            got = parser(b)
+            if got is not None:
+                assert isinstance(got, dict)
+                assert got.get("width") is None or got["width"] > 0
+                assert got.get("height") is None or got["height"] > 0
+                sr = got.get("sample_rate")
+                assert sr is None or sr > 0
+    # foreign-blob discipline: ASCII starting 'BM', WAV RIFF, fLaC text
+    assert _parse_bmp_header(b"BMW parts catalogue, 2024 edition ok") is None
+    assert _parse_webp_header(b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00") is None
+    assert _parse_flac_header(b"fLaC is a lossless audio format spec") is None
