@@ -18,8 +18,11 @@ noisy-neighbor steal — round 5's driver snapshot overstated the
 steady-state by ~25% for exactly this reason). Pass 1 additionally
 absorbs one-off JVM/codegen/Arrow-worker warmup; the median discards
 it unless noise inverts the ordering. ``queries`` stays name→seconds
-(now the median) so cross-round comparisons keep working; extras run
-once and track scaling trends, not the headline.
+(now the median) so cross-round comparisons keep working. Extras track
+scaling trends outside the headline and (round 7) use the same
+median-of-n protocol, reported in ``extras_stats``; the structural
+extras (20-iter loop sentinel, the 20-batch streaming-ingest-with-
+compaction run) are single end-to-end measurements by design.
 """
 
 from __future__ import annotations
@@ -293,17 +296,31 @@ def main() -> None:
     loop20 = time.perf_counter() - t0
 
     # round-5 continuation operators — recorded as extras (outside the
-    # headline sum, run once) so their scaling is tracked per-round.
-    # Extras get the SAME inter-query hygiene as the headline loop:
-    # without it, a heavy neighbor's lingering blocks inflate the next
-    # extra's single run (measured at sf1: decontaminate 63.8 s
-    # in-bench directly after the 20-iter loop vs 16-18 s isolated).
+    # headline sum) so their scaling is tracked per-round. Extras get
+    # the SAME inter-query hygiene as the headline loop: without it, a
+    # heavy neighbor's lingering blocks inflate the next extra's run
+    # (measured at sf1: decontaminate 63.8 s in-bench directly after
+    # the 20-iter loop vs 16-18 s isolated). Round 7: extras now use
+    # the SAME median-of-n protocol as the headline (round-6 verdict
+    # ask #3) and report ``extras_stats`` {median, spread, n_runs} —
+    # the 63.8-vs-17 artifact was a single polluted run becoming the
+    # record; a median with a visible spread can't silently do that.
+    extras_stats: dict[str, dict[str, float]] = {}
+
     def timed_extra(name, fn):
-        spark.catalog.clearCache()
-        jvm.System.gc()
-        t0 = time.perf_counter()
-        fn()
-        extras[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(n_runs):
+            spark.catalog.clearCache()
+            jvm.System.gc()
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        extras[name] = round(statistics.median(samples), 3)
+        extras_stats[name] = {
+            "median": extras[name],
+            "spread": round(max(samples) - min(samples), 3),
+            "n_runs": n_runs,
+        }
 
     from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
     from bigdata_quality_assessment_spark.operators.text import decontaminate
@@ -367,28 +384,53 @@ def main() -> None:
     timed_extra("knn_pq",
                 lambda: knn_pq(emb, q, dim=64, k=5, m=8, rescore_factor=8).collect())
 
-    # round-6: streaming-ingest state-growth evidence — the dedup
-    # store grows every batch; per-batch fold time must stay O(batch).
-    # 10 equal batches of the documents table; record the first-3 and
-    # last-3 mean trigger times so any O(history) drift is a visible
-    # ratio in the per-round record (tests pin a 3x tolerance on the
-    # same shape; this is the at-SF measurement).
+    # round-7 (verdict ask #5): the ANN family was the only operator
+    # family with no per-round scaling record — time both bucketed
+    # tiers so sf0.1→sf1→sf10 ratios land in BASELINE.md beside the
+    # dedup curves.
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        ann_hyperplane_knn,
+        ivf_knn,
+    )
+
+    timed_extra("ann_hyperplane_knn",
+                lambda: ann_hyperplane_knn(
+                    emb, q, dim=64, k=5, n_planes=12, n_tables=4, n_probes=4
+                ).collect())
+    timed_extra("knn_ivf",
+                lambda: ivf_knn(
+                    emb, q, dim=64, k=5, n_centroids=16, n_probe=4
+                ).collect())
+
+    # streaming-ingest state evidence (round 6: per-batch flatness;
+    # round 7, verdict ask #7: compaction). 20 equal batches in two
+    # availableNow drains with a compact_ingest_state pass between —
+    # per-batch fold time must stay O(batch) across the whole run, the
+    # compaction must reset the state FILE COUNT (the one cost that
+    # grows with history length, not state size), and post-compaction
+    # per-batch time must not exceed pre-compaction.
     import shutil
     import tempfile
 
     from bigdata_quality_assessment_spark.streaming.ingest import (
+        compact_ingest_state,
         init_ingest_store,
         streaming_ingest_curated,
     )
 
-    ing_root = tempfile.mkdtemp(prefix="bench_ingest_")
-    try:
-        store = os.path.join(ing_root, "store")
-        stage = os.path.join(ing_root, "arrivals")
-        init_ingest_store(spark, store)
+    def _state_files(root: str) -> tuple[int, int]:
+        n = b = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(dirpath, f))
+        return n, b
+
+    def _drain(batch_ids, stage, store, ck):
         base = docs.select("doc_id", "text")
-        for b in range(10):
-            base.filter(F.col("doc_id") % 10 == b).coalesce(1).write.mode(
+        for b in batch_ids:
+            base.filter(F.col("doc_id") % 20 == b).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(stage, f"b{b}"))
         stream = (
@@ -396,17 +438,42 @@ def main() -> None:
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(stage, "*"))
         )
-        t0 = time.perf_counter()
-        qi = streaming_ingest_curated(
-            stream, store, checkpoint=os.path.join(ing_root, "ck")
-        )
+        qi = streaming_ingest_curated(stream, store, checkpoint=ck)
         qi.awaitTermination()
-        extras["ingest_10batch_total"] = round(time.perf_counter() - t0, 3)
         prog = [p for p in qi.recentProgress if p.get("numInputRows", 0) > 0]
-        durs = [p["durationMs"]["triggerExecution"] / 1000.0 for p in prog]
-        if len(durs) >= 6:
-            extras["ingest_batch_first3_mean"] = round(sum(durs[:3]) / 3, 3)
-            extras["ingest_batch_last3_mean"] = round(sum(durs[-3:]) / 3, 3)
+        return [p["durationMs"]["triggerExecution"] / 1000.0 for p in prog]
+
+    ing_root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        store = os.path.join(ing_root, "store")
+        stage = os.path.join(ing_root, "arrivals")
+        ck = os.path.join(ing_root, "ck")
+        init_ingest_store(spark, store)
+        t0 = time.perf_counter()
+        durs_a = _drain(range(10), stage, store, ck)
+        files_pre, bytes_pre = _state_files(store)
+        compact_ingest_state(spark, store)
+        files_post, bytes_post = _state_files(store)
+        # same checkpoint: availableNow resumes and drains ONLY the 10
+        # newly staged files against the compacted store
+        durs_b = _drain(range(10, 20), stage, store, ck)
+        extras["ingest_20batch_total"] = round(time.perf_counter() - t0, 3)
+        if len(durs_a) >= 3 and len(durs_b) >= 3:
+            extras["ingest_batch_first3_mean"] = round(sum(durs_a[:3]) / 3, 3)
+            extras["ingest_batch_last3_mean"] = round(sum(durs_b[-3:]) / 3, 3)
+            extras["ingest_batch_precompact_mean"] = round(
+                sum(durs_a[-3:]) / 3, 3
+            )
+            # durs_b[0] carries the second drain's query-start overhead
+            # (stream + checkpoint re-init), not per-batch fold cost —
+            # skip it so the pre/post comparison is steady-state both sides
+            extras["ingest_batch_postcompact_mean"] = round(
+                sum(durs_b[1:4]) / 3, 3
+            )
+        extras["ingest_state_files_precompact"] = files_pre
+        extras["ingest_state_files_postcompact"] = files_post
+        extras["ingest_state_mb_precompact"] = round(bytes_pre / 1e6, 3)
+        extras["ingest_state_mb_postcompact"] = round(bytes_post / 1e6, 3)
     finally:
         shutil.rmtree(ing_root, ignore_errors=True)
 
@@ -424,6 +491,7 @@ def main() -> None:
                     "active_loop_20iter_s_per_iter": round(loop20 / 20, 3),
                     **extras,
                 },
+                "extras_stats": extras_stats,
                 "sf": _sf_label(SF_DIR),
             }
         )

@@ -404,17 +404,19 @@ def embedding_near_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster: bool = True,
+    planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dedup: LSH candidates → exact cosine
     verify ≥ threshold → connected-components closure; keep the
     minimum id of each duplicate cluster (``cluster=False``: pairwise
     higher-id drop, which misses transitive chains). Returns the
-    surviving rows of ``corpus``."""
+    surviving rows of ``corpus``. ``planes`` pins the LSH projections
+    (see :func:`hyperplane_buckets`) for the oracle-graded variant."""
     # Lazy barrier on the pre-explode bucket frame (corpus + n_tables
     # longs per row): the a/b self-join below otherwise re-executes the
     # n_tables × n_planes × dim hyperplane dot products once per side.
     cb = hyperplane_buckets(
-        corpus, dim, n_planes, n_tables, seed, id_col, vec_col
+        corpus, dim, n_planes, n_tables, seed, id_col, vec_col, planes=planes
     ).localCheckpoint(eager=False)
     buckets = [F.col(f"bucket_{t}") for t in range(n_tables)]
     cbe = cb.select(

@@ -2486,25 +2486,89 @@ def q_xann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("x_embedding_near_dedup")  # rows-only
-def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space dedup family as one tagged union (round-5
-    continuation): part='lsh' is LSH-candidate near-dedup with exact
-    cosine verify + CC closure (embedding_near_dedup); part='semdedup'
-    is SemDeDup cluster-scoped dedup (semantic_dedup, keep='min_id'
-    for determinism under k-means assignment noise). Both rows-only
-    (hyperplane/quantizer state not SQL-expressible); survivor sets
-    and keep rules are pinned in tests/test_similarity.py."""
-    from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
+# Pinned Rademacher planes for the oracle-graded LSH near-dedup (same
+# md5-bit construction as _ANN_PLANES, distinct tag → distinct planes;
+# 6 planes × 6 tables so candidate capture at the wide synthetic
+# threshold is high enough to exercise verify + closure + min-id keep).
+_EDD_PLANES_N = 6
+_EDD_TABLES = 6
+_EDD_THRESHOLD = 0.4  # synthetic embeddings carry no planted dups;
+# max pairwise cosine is ~0.51, so a production-style 0.98 would grade
+# an empty edge set (same reasoning as _SEMDEDUP_EPS)
 
-    emb = _t(spark, sf_dir, "embeddings")
-    lsh = embedding_near_dedup(emb, threshold=0.95, dim=64).select(
-        F.lit("lsh").alias("part"), "vec_id", "label"
+
+def _edd_pinned_planes() -> list[list[list[float]]]:
+    import hashlib
+
+    out = []
+    for t in range(_EDD_TABLES):
+        tbl = []
+        for p in range(_EDD_PLANES_N):
+            dig = hashlib.md5(f"edd-plane:{t}:{p}".encode()).digest()
+            bits = int.from_bytes(dig, "big")
+            tbl.append(
+                [1.0 if (bits >> j) & 1 else -1.0 for j in range(_ANN_DIM)]
+            )
+        out.append(tbl)
+    return out
+
+
+_EDD_PLANES = _edd_pinned_planes()
+
+
+def _edd_sql() -> str:
+    rows = ",\n          ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            t, p, ", ".join("1" if x > 0 else "-1" for x in _EDD_PLANES[t][p])
+        )
+        for t in range(_EDD_TABLES)
+        for p in range(_EDD_PLANES_N)
     )
-    sem = semantic_dedup(
-        emb, dim=64, eps=0.03, n_centroids=8, seed=42, keep="min_id"
-    ).select(F.lit("semdedup").alias("part"), "vec_id", "label")
-    return lsh.unionByName(sem)
+    thresh = repr(_EDD_THRESHOLD)
+    return f"""WITH RECURSIVE pl AS (SELECT * FROM (VALUES
+          {rows}) x(t, p, pv)),
+      v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+      bk AS (SELECT v.vec_id, pl.t,
+                    CAST(sum(CASE WHEN list_dot_product(v.e, pl.pv) > 0
+                             THEN power(2.0, pl.p) ELSE 0 END) AS BIGINT) AS b
+             FROM v CROSS JOIN pl GROUP BY v.vec_id, pl.t),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+               FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b
+               WHERE a.vec_id < c.vec_id),
+      verified AS (SELECT id_a, id_b
+                   FROM cand JOIN v x ON x.vec_id = cand.id_a
+                             JOIN v y ON y.vec_id = cand.id_b
+                   WHERE list_cosine_similarity(x.e, y.e) >= {thresh}),
+      edges AS (SELECT id_a AS s, id_b AS t FROM verified
+                UNION ALL SELECT id_b, id_a FROM verified),
+      reach AS (
+        SELECT s AS id, t AS peer FROM edges
+        UNION
+        SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
+      drops AS (
+        SELECT id AS vec_id FROM (SELECT id, min(peer) AS mn FROM reach GROUP BY id)
+        WHERE mn < id)
+      SELECT emb.vec_id, emb.label FROM embeddings emb
+      WHERE emb.vec_id NOT IN (SELECT vec_id FROM drops)"""
+
+
+@_register("x_embedding_near_dedup", _edd_sql())
+def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine LSH near-dedup, ORACLE-GRADED (round-7
+    continuation of the pinning pattern): bucket candidates from
+    pinned Rademacher planes → exact cosine verify ≥ threshold → CC
+    closure → keep each component's min id. The DuckDB oracle
+    recomputes buckets, the verified edge set, the recursive-CTE
+    closure and the survivor set from the same parquet. The
+    seeded-Gaussian production planes and the trained SemDeDup
+    variant (semantic_dedup) stay pytest-covered; the trained-vs-
+    pinned split mirrors x_semdedup_core."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dedup(
+        emb, threshold=_EDD_THRESHOLD, dim=_ANN_DIM,
+        n_planes=_EDD_PLANES_N, n_tables=_EDD_TABLES, planes=_EDD_PLANES,
+    ).select("vec_id", "label")
 
 
 # SemDeDup deterministic core (round-5 verdict ask #7): GIVEN fixed
