@@ -274,11 +274,21 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
+        # adaptive firm-up (round 7): an n=3 median on a query whose
+        # spread exceeds its median is itself wobbly (r6 recorded a
+        # 9.9 s spread on a 3.6 s flagship median) — two extra runs
+        # make the reported median a 5-sample one on exactly the
+        # queries where host noise was observed
+        if n_runs == 3 and max(samples) - min(samples) > statistics.median(samples):
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         stats[name] = {
             "median": timings[name],
             "spread": round(max(samples) - min(samples), 3),
-            "n_runs": n_runs,
+            "n_runs": len(samples),
         }
 
     # plan-depth regression sentinel (round-5): the 20-iteration loop

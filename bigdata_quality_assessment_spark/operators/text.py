@@ -563,6 +563,20 @@ def minhash_lsh_candidates(
     )
 
 
+# Mersenne prime modulus for the PINNED MinHash lane family
+# (a·h + b) mod P over 48-bit md5-derived shingle hashes: a < 2^13 and
+# h < 2^48 keep every product inside BIGINT, and the whole pipeline —
+# hash, lanes, min — is exact integer arithmetic both engines can run.
+MINHASH_P = (1 << 61) - 1
+
+
+def _md5_48(col):
+    """48-bit BIGINT from the md5 hex prefix — the SQL-expressible
+    shingle hash for the pinned MinHash variant (DuckDB twin:
+    ('0x' || substring(md5(s), 1, 12))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
 def near_dedup_minhash(
     docs: DataFrame,
     text_col: str = "text",
@@ -573,6 +587,7 @@ def near_dedup_minhash(
     mode: str = "word",
     id_col: str = "doc_id",
     cluster: bool = True,
+    lane_params: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Near-dedup: LSH candidates → exact-Jaccard verification on the
     candidate pairs only → connected-components closure over the
@@ -590,6 +605,14 @@ def near_dedup_minhash(
     sets, computed by re-joining the shingle table on the pair list);
     the closure iterates over the duplicates-only edge list (see
     operators/graph.py).
+
+    ``lane_params`` pins the signature family for the oracle-graded
+    variant (same pattern as the pinned ANN planes): shingles hash via
+    the 48-bit md5 prefix and lane i is ``min((aᵢ·h + bᵢ) mod
+    MINHASH_P)`` — exact integer arithmetic a SQL oracle can recompute
+    (xxhash64, the production default, is not SQL-expressible). Its
+    length overrides ``n_hashes``. Everything downstream (banding,
+    candidate join, Jaccard verify, closure) is byte-identical code.
     """
     from bigdata_quality_assessment_spark.operators.graph import duplicate_drop_ids
     # ONE shingling pass feeds everything. Signatures, set sizes, and
@@ -607,13 +630,23 @@ def near_dedup_minhash(
     # shingles on the wire. The string-exact path remains
     # ``jaccard_pairs`` (the SQL oracle).
     sh = _shingle_expr(F.col(text_col), k, mode)
+    shingle_hash = _md5_48 if lane_params is not None else F.xxhash64
     hashes = docs.select(
-        id_col, F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("__h")
+        id_col, F.explode(F.transform(sh, lambda s: shingle_hash(s))).alias("__h")
     ).localCheckpoint(eager=False)
-    lanes = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__s{i}")
-        for i in range(n_hashes)
-    ]
+    if lane_params is not None:
+        n_hashes = len(lane_params)
+        lanes = [
+            F.min(
+                (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"__s{i}")
+            for i, (a, b) in enumerate(lane_params)
+        ]
+    else:
+        lanes = [
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__s{i}")
+            for i in range(n_hashes)
+        ]
     sigs = (
         hashes.groupBy(id_col)
         .agg(*lanes)

@@ -2048,35 +2048,109 @@ def q_xjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("x_minhash_near_dedup")  # rows-only; see docstring for why no oracle
-def q_xminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dedup with cluster closure. Rows-only by
-    necessity (round-5 investigated upgrading, verdict item #6):
+# Pinned MinHash lane family (round-7: the last dedup-family entry
+# moves from rows-only to oracle-graded). Round 5 established that
+# xxhash64 lanes are NOT SQL-expressible and that a threshold-level
+# oracle would only match if LSH recall were exactly 1.0. Pinning
+# sidesteps BOTH: with lanes ``(aᵢ·h + bᵢ) mod P`` over 48-bit md5
+# shingle hashes, the oracle recomputes the ACTUAL signatures, band
+# keys, candidate pairs, Jaccard verification and closure — recall
+# <1.0 is reproduced, not assumed. The xxhash64 production path stays
+# covered by seeded goldens/recall-bound tests (tests/test_text.py).
+# 64 lanes (not 128) bound the oracle's |shingles|×lanes cross join;
+# bands=16 → r=4. Residual divergence risk (documented, accepted):
+# Spark's band BUCKET is xxhash64(slice) while the oracle joins on
+# slice equality — they differ only if unequal 8-lane slices collide
+# in xxhash64 AND that pair also passes true Jaccard ≥ 0.8 (~2⁻⁶⁴);
+# likewise 48-bit shingle-hash collisions shift a pair's Jaccard by
+# ~|A|·|B|/2⁴⁸ ≈ 1e-11 per pair.
+_MINHASH_LANES_N = 64
+_MINHASH_BANDS = 16
 
-    The signature lanes are ``xxhash64(lane_i, xxhash64(shingle))``.
-    Spark's XxHash64 is XXH64 *seed-chained across columns* over
-    Spark's internal encodings — UTF-8 bytes in 32-byte stripes with
-    four rotating accumulators for strings, per-element chaining with
-    the running hash as seed for arrays. DuckDB macros are loop-free
-    expressions; they cannot walk variable-length byte stripes, so a
-    bit-exact SQL reimplementation is not expressible (DuckDB's own
-    ``hash()`` is a different function entirely). And a
-    threshold-level oracle (exact-Jaccard edges ≥ θ in SQL) would
-    only match if banded-LSH recall were exactly 1.0 on the corpus —
-    a data-dependent accident, not a contract, and the testdata
-    regenerates between rounds.
 
-    What IS oracle-graded instead: the exact shingle-Jaccard pair
-    operator that VERIFIES every LSH candidate (``x_jaccard_pairs``,
-    hash-matched in SQL) and the cluster-closure operator
-    (``x_exact_dedup`` grades connected components on a deterministic
-    graph). Pytest covers the probabilistic layer: seeded signature
-    goldens, band-collision recall bounds, and closure property tests
-    (tests/test_text.py, tests/test_graph.py)."""
-    docs = _t(spark, sf_dir, "documents")
-    return near_dedup_minhash(docs, k=3, n_hashes=128, bands=16, min_jaccard=0.8).select(
-        "doc_id", "lang", "source"
+def _minhash_pinned_lanes() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(_MINHASH_LANES_N):
+        dig = hashlib.md5(f"minhash-lane:{i}".encode()).digest()
+        bits = int.from_bytes(dig, "big")
+        a = (bits & ((1 << 13) - 1)) | 1  # odd, < 2^13 → a·h < 2^61
+        b = (bits >> 13) & ((1 << 20) - 1)
+        out.append((a, b))
+    return out
+
+
+_MINHASH_LANES = _minhash_pinned_lanes()
+
+
+def _minhash_sql() -> str:
+    from bigdata_quality_assessment_spark.operators.text import MINHASH_P
+
+    lanes = ",\n          ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MINHASH_LANES)
     )
+    r = _MINHASH_LANES_N // _MINHASH_BANDS
+    return f"""WITH RECURSIVE lp AS (SELECT * FROM (VALUES
+          {lanes}) x(lane, a, b)),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
+                      || ' ' || ws[CAST(i + 3 AS INT)] AS gram
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+                   FROM toks WHERE len(ws) >= 3)),
+      h AS (SELECT doc_id,
+                   ('0x' || substring(md5(gram), 1, 12))::BIGINT AS hv
+            FROM sh),
+      mh AS (SELECT h.doc_id, lp.lane,
+                    min((lp.a * h.hv + lp.b) % {MINHASH_P}) AS s
+             FROM h CROSS JOIN lp GROUP BY h.doc_id, lp.lane),
+      bandk AS (SELECT doc_id, lane // {r} AS band,
+                       list(s ORDER BY lane) AS key
+                FROM mh GROUP BY doc_id, lane // {r}),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bandk x JOIN bandk y
+                 ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.doc_a
+                JOIN sh b ON b.doc_id = c.doc_b AND b.gram = a.gram
+                GROUP BY c.doc_a, c.doc_b),
+      verified AS (SELECT i.doc_a, i.doc_b
+                   FROM inter i
+                   JOIN sz sa ON sa.doc_id = i.doc_a
+                   JOIN sz sb ON sb.doc_id = i.doc_b
+                   WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.8),
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM verified
+                UNION ALL SELECT doc_b, doc_a FROM verified),
+      reach AS (
+        SELECT s AS id, t AS peer FROM edges
+        UNION
+        SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
+      drops AS (
+        SELECT id FROM (SELECT id, min(peer) AS mn FROM reach GROUP BY id)
+        WHERE mn < id)
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM drops)"""
+
+
+@_register("x_minhash_near_dedup", _minhash_sql())
+def q_xminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup with cluster closure, ORACLE-GRADED via
+    the pinned lane family (see _minhash_pinned_lanes): the DuckDB
+    oracle recomputes shingles, 48-bit md5 hashes, all 64 signature
+    lanes, band keys, the candidate join, exact-Jaccard verification
+    and the recursive closure — the survivor set is a pure corpus
+    function. The xxhash64-lane production default (same code path,
+    different hash family) stays pytest-covered: seeded signature
+    goldens, band-collision recall bounds, closure property tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return near_dedup_minhash(
+        docs, k=3, bands=_MINHASH_BANDS, min_jaccard=0.8,
+        lane_params=_MINHASH_LANES,
+    ).select("doc_id", "lang", "source")
 
 
 @_register("x_simhash_near_dedup")  # rows-only (signature-space dedup)

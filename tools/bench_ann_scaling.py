@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""ANN-family scaling points (round-6 verdict ask #5): time the two
+bucketed ANN tiers — multi-probe hyperplane LSH and IVF — at a given
+SF dir, median-of-3 with the same inter-query hygiene as bench.py.
+
+    python tools/bench_ann_scaling.py /root/testdata/sf0.1
+    python tools/bench_ann_scaling.py .localdata/sf1
+    python tools/bench_ann_scaling.py .localdata/sf10
+
+Prints one JSON line {sf_dir, n_vectors, queries: {name: median_sec},
+stats: {...}} for the BASELINE.md record. Query shapes match bench.py's
+``ann_hyperplane_knn`` / ``knn_ivf`` extras exactly so the numbers are
+comparable with the per-round bench record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    from pyspark.sql import functions as F
+
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        ann_hyperplane_knn,
+        ivf_knn,
+        knn_brute_force,
+    )
+    from bigdata_quality_assessment_spark.session import build_session
+    from bigdata_quality_assessment_spark.sources.tables import load_table
+
+    spark = build_session(
+        app_name="bench_ann", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark.sparkContext._jvm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n_vec = emb.count()
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    queries = {
+        "ann_hyperplane_knn": lambda: ann_hyperplane_knn(
+            emb, q, dim=64, k=5, n_planes=12, n_tables=4, n_probes=4
+        ).collect(),
+        "knn_ivf": lambda: ivf_knn(
+            emb, q, dim=64, k=5, n_centroids=16, n_probe=4
+        ).collect(),
+        # brute force at the same SF: the speedup denominator
+        "knn_brute_force": lambda: knn_brute_force(emb, q, k=5).collect(),
+    }
+    meds: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
+    for name, fn in queries.items():
+        samples = []
+        for _ in range(n_runs):
+            spark.catalog.clearCache()
+            jvm.System.gc()
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        meds[name] = round(statistics.median(samples), 3)
+        stats[name] = {
+            "median": meds[name],
+            "spread": round(max(samples) - min(samples), 3),
+            "n_runs": n_runs,
+        }
+    spark.stop()
+    print(json.dumps({
+        "sf_dir": sf_dir, "n_vectors": n_vec, "queries": meds, "stats": stats,
+    }))
+
+
+if __name__ == "__main__":
+    main()
