@@ -687,12 +687,21 @@ def near_dedup_minhash(
     return docs.join(drop_ids, id_col, "left_anti")
 
 
+def _simhash_bits(hash_fn: str) -> int:
+    if hash_fn == "xxhash64":
+        return 64
+    if hash_fn == "md5_48":
+        return 48
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_48', got {hash_fn!r}")
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",
     k: int = 3,
     mode: str = "word",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash: per bit j, sum ±1 votes of every shingle's
     ``xxhash64`` bit j; the sign pattern packs into one BIGINT.
@@ -700,23 +709,32 @@ def simhash(
     16-bit chunks for candidate generation (4 tables, any exact chunk
     match is a candidate).
 
+    ``hash_fn='md5_48'`` is the PINNED 48-bit variant (md5-prefix
+    shingle hash, bits 0-47): every vote, the packed signature, and
+    the downstream Hamming dedup become exact integer arithmetic a
+    SQL oracle can recompute (see x_simhash_near_dedup); xxhash64
+    stays the production default.
+
     Same explode+aggregate shape as ``minhash_signatures``: each
-    shingle is hashed once, the 64 bit-votes are map-side-combined sums
-    (a 64-fold array ``aggregate`` would re-evaluate the shingle+hash
-    array per bit — Catalyst does not CSE across lambda boundaries)."""
+    shingle is hashed once, the bit-votes are map-side-combined sums
+    (an n_bits-fold array ``aggregate`` would re-evaluate the
+    shingle+hash array per bit — Catalyst does not CSE across lambda
+    boundaries)."""
+    n_bits = _simhash_bits(hash_fn)
+    hfn = _md5_48 if hash_fn == "md5_48" else F.xxhash64
     shingles = _shingle_expr(F.col(text_col), k, mode)
     base = docs.select(
-        id_col, F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("__h")
+        id_col, F.explode(F.transform(shingles, lambda s: hfn(s))).alias("__h")
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"__v{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     wide = base.groupBy(id_col).agg(*votes)
     packed = F.lit(0).cast("bigint")
-    for j in range(64):
+    for j in range(n_bits):
         packed = packed + F.when(
             F.col(f"__v{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
@@ -732,18 +750,23 @@ def simhash_near_dedup(
     id_col: str = "doc_id",
     cluster: bool = True,
     signatures: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dedup: 64-bit signatures → 4×16-bit band buckets →
+    """SimHash near-dedup: signatures → 4 equal band buckets →
     exact Hamming verify (``bit_count(a XOR b)``) → connected-
     components closure; keep the minimum id of each duplicate cluster
     (``cluster=False``: pairwise higher-id drop, which misses
     transitive chains). Returns the surviving rows of ``docs``.
+    ``hash_fn`` selects the signature family (see :func:`simhash`;
+    band width follows: 16-bit bands for 64-bit xxhash64 signatures,
+    12-bit for the pinned 48-bit md5 variant) — pass the SAME value
+    used to build ``signatures`` when precomputing.
 
     Completeness: with ``max_hamming ≤ 3`` and 4 bands, any pair within
     the threshold differs in at most 3 bits, so by pigeonhole at least
-    one 16-bit band matches EXACTLY — the band equi-join misses no
+    one band matches EXACTLY — the band equi-join misses no
     qualifying pair (same banding argument as MinHash-LSH, but exact).
-    Candidate volume per band key ≈ corpus/2¹⁶; the signature frame is
+    Candidate volume per band key ≈ corpus/2^band_bits; the signature frame is
     (id, BIGINT) — the equi-join never carries document text. The drop
     set is duplicates-only, so the final anti-join broadcasts (see
     exact_dedup for the same discipline).
@@ -758,12 +781,17 @@ def simhash_near_dedup(
     # band self-join below otherwise re-executes the whole shingling +
     # 64-vote aggregation once per side.
     if signatures is None:
-        sig = simhash(docs, text_col, k, mode, id_col).localCheckpoint(eager=False)
+        sig = simhash(docs, text_col, k, mode, id_col, hash_fn).localCheckpoint(
+            eager=False
+        )
     else:
         sig = signatures
+    band_bits = _simhash_bits(hash_fn) // 4
     bands = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * t).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("simhash"), band_bits * t).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
             for t in range(4)
         ]
     )

@@ -1074,19 +1074,75 @@ def q_w1a4u2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------- models M1/M2/M5 ---------------------------
 
-@_register("m2_m5_ensemble_udfs")  # closed-form fit (np.linalg) → rows-only
+# Pinned ensemble thetas (round-7 continuation of the pinning
+# pattern): with the member parameter vectors pinned as DYADIC
+# literals (multiples of 2⁻³) and the grid features quantized to
+# multiples of 2⁻⁶ (floor(x·64)/64 — exact in both engines), every
+# Φ-term product and partial sum in ŷ = Φ(x)·θ is exactly
+# representable, so the numpy dgemv inside mapInPandas and the SQL
+# polynomial agree BIT-EXACTLY regardless of accumulation order.
+# M1 TRAINING stays oracle-graded end-to-end through m4_loop_metrics'
+# committed goldens (the loop trains real members every iteration)
+# and numpy-golden pytest; this entry grades the M2 Arrow inference
+# path, the M3 reduction, and the M5 analytic Jacobian/Hessian.
+# Φ order: [1, x1, x2, x1², x1·x2, x2²].
+_M2_THETAS = [
+    [0.5, 1.25, -0.75, 0.25, 0.5, -0.25],
+    [0.25, -0.5, 1.0, -0.125, 0.75, 0.375],
+]
+_M2_GRID_N = 40
+_M2_STEP = repr(2.0 / (_M2_GRID_N - 1))
+
+
+def _m2m5_sql() -> str:
+    th = ",\n          ".join(
+        "({}, {})".format(i, ", ".join(repr(v) for v in t))
+        for i, t in enumerate(_M2_THETAS)
+    )
+    n = _M2_GRID_N
+    return f"""WITH grid AS (
+        SELECT i*{n}+j AS point_id,
+               floor((-1.0 + i*{_M2_STEP}::DOUBLE) * 64) / 64 AS x1,
+               floor((-1.0 + j*{_M2_STEP}::DOUBLE) * 64) / 64 AS x2
+        FROM range({n}) t1(i), range({n}) t2(j)),
+      m AS (SELECT * FROM (VALUES
+          {th}) t(model_id, t0, t1, t2, t3, t4, t5)),
+      preds AS (
+        SELECT g.point_id, g.x1, g.x2, m.model_id,
+               m.t0 + m.t1*g.x1 + m.t2*g.x2 + m.t3*g.x1*g.x1
+                    + m.t4*g.x1*g.x2 + m.t5*g.x2*g.x2 AS y_pred,
+               m.t1 + 2*m.t3*g.x1 + m.t4*g.x2 AS dj1,
+               m.t2 + m.t4*g.x1 + 2*m.t5*g.x2 AS dj2,
+               2*m.t3 AS dh11, m.t4 AS dh12, 2*m.t5 AS dh22
+        FROM grid g CROSS JOIN m)
+      SELECT point_id,
+             round(avg(y_pred), 6) AS y_mean,
+             round(var_pop(y_pred), 9) AS y_var,
+             round(avg(dj1), 6) AS j1, round(avg(dj2), 6) AS j2,
+             round(avg(dh11), 6) AS h11, round(avg(dh12), 6) AS h12,
+             round(avg(dh22), 6) AS h22
+      FROM preds GROUP BY point_id"""
+
+
+@_register("m2_m5_ensemble_udfs", _m2m5_sql())
 def q_m2m5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1 train (applyInPandas per model_id) → M2 mapInPandas inference
-    → M3 mean/var reduction, joined with the M5 analytic
-    Jacobian/Hessian producer on the same ensemble."""
-    pts = grid_points_2d(spark, 40)
-    train = pts.filter(F.col("point_id") % 7 == 0)
-    thetas = train_ensemble(train, ["x1", "x2"], "y", n_models=2, seed=42)
-    preds = predict_ensemble(pts, thetas, ["x1", "x2"])
+    """M2 mapInPandas ensemble inference → M3 mean/var reduction,
+    joined with the M5 analytic Jacobian/Hessian producer — ORACLE-
+    GRADED with pinned dyadic member thetas (see _M2_THETAS note: the
+    dyadic lattice makes the Arrow/numpy matmul bit-exact against the
+    SQL polynomial; M1 training keeps its applyInPandas grading inside
+    m4_loop_metrics plus numpy-golden pytest). The graded plan is the
+    production inference plan — only the theta source differs."""
+    pts = grid_points_2d(spark, _M2_GRID_N).select(
+        "point_id",
+        (F.floor(F.col("x1") * 64) / 64).alias("x1"),
+        (F.floor(F.col("x2") * 64) / 64).alias("x2"),
+    )
+    preds = predict_ensemble(pts, _M2_THETAS, ["x1", "x2"])
     st = ensemble_stats(preds).select(
         "point_id", F.round("y_mean", 6).alias("y_mean"), F.round("y_var", 9).alias("y_var")
     )
-    jh = ensemble_jac_hess(pts, thetas, ["x1", "x2"]).select(
+    jh = ensemble_jac_hess(pts, _M2_THETAS, ["x1", "x2"]).select(
         "point_id",
         F.round(F.col("jac")[0], 6).alias("j1"),
         F.round(F.col("jac")[1], 6).alias("j2"),
@@ -1097,18 +1153,57 @@ def q_m2m5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.join(jh, "point_id")
 
 
-@_register("m6_linear_forecaster")  # np.linalg closed-form fit → rows-only
+# Pinned forecaster weights (round-7): predict_forecaster is a pure
+# left-assoc Catalyst fold (w0 + h0·w1 + h1·w2 + ...), so a SQL
+# polynomial with the SAME literals and the same association order is
+# bit-exact — pinning W upgrades the inference path to oracle-graded.
+# The np.linalg closed-form FIT keeps its numpy-golden pytest and is
+# exercised end-to-end (trained every iteration) inside the
+# oracle-graded m4_loop_metrics SDE branch. Dyadic entries (k/16)
+# additionally make every partial sum exact. Shape: (history+1) × p.
+_M6_W = [
+    [((-1) ** (i + j)) * (i + 1 + j) / 16.0 for j in range(3)]
+    for i in range(9)
+]
+
+
+def _m6_sql() -> str:
+    win = """
+  SELECT user_id, event_id AS window_id, value AS v0,
+         lead(value, 1) OVER win AS v1, lead(value, 2) OVER win AS v2,
+         lead(value, 3) OVER win AS v3, lead(value, 4) OVER win AS v4,
+         lead(value, 5) OVER win AS v5, lead(value, 6) OVER win AS v6,
+         lead(value, 7) OVER win AS v7, lead(value, 8) OVER win AS v8,
+         lead(value, 9) OVER win AS v9, lead(value, 10) OVER win AS v10
+  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+"""
+    preds = []
+    for j in range(3):
+        expr = repr(_M6_W[0][j])
+        for i in range(8):
+            expr = f"{expr} + v{i} * {_M6_W[i + 1][j]!r}"
+        preds.append(f"round({expr}, 6) AS p{j}")
+    cols = ",\n               ".join(preds)
+    return f"""WITH w AS ({win})
+        SELECT user_id, window_id,
+               {cols}
+        FROM w WHERE v10 IS NOT NULL"""
+
+
+@_register("m6_linear_forecaster", _m6_sql())
 def q_m6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 forecaster inference over all sliding windows, ORACLE-GRADED
+    with a pinned weight matrix (see _M6_W note; the closed-form ridge
+    fit stays numpy-golden-tested and loop-graded). The graded plan —
+    window build + whole-stage-codegen polynomial, zero shuffle — is
+    the production plan; only the weight source differs."""
     from bigdata_quality_assessment_spark.operators.models import (
-        fit_linear_forecaster,
         predict_forecaster,
     )
 
     ev = _t(spark, sf_dir, "events")
     w = sliding_windows(ev, "event_id", "value", history=8, prediction=3, group_cols=["user_id"])
-    train = w.filter(F.col("window_id") % 11 == 0)
-    weights = fit_linear_forecaster(train)
-    out = predict_forecaster(w, weights)
+    out = predict_forecaster(w, _M6_W)
     return out.select(
         "user_id",
         "window_id",
@@ -2153,23 +2248,67 @@ def q_xminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-@_register("x_simhash_near_dedup")  # rows-only (signature-space dedup)
+def _simhash_sql() -> str:
+    return """WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
+                      || ' ' || ws[CAST(i + 3 AS INT)] AS gram
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+                   FROM toks WHERE len(ws) >= 3)),
+      h AS (SELECT doc_id,
+                   ('0x' || substring(md5(gram), 1, 12))::BIGINT AS hv
+            FROM sh),
+      bits AS (SELECT unnest(range(48)) AS j),
+      votes AS (SELECT h.doc_id, bits.j,
+                       sum(CASE WHEN (h.hv >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h CROSS JOIN bits GROUP BY h.doc_id, bits.j),
+      sig AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN power(2.0, j) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+      bt AS (SELECT unnest(range(4)) AS t),
+      bk AS (SELECT doc_id, simhash, t, (simhash >> (12 * CAST(t AS INT))) & 4095 AS b
+             FROM sig CROSS JOIN bt),
+      verified AS (SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+                   FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b
+                    AND a.doc_id < c.doc_id
+                   WHERE bit_count(xor(a.simhash, c.simhash)) <= 3),
+      edges AS (SELECT ida AS s, idb AS t FROM verified
+                UNION ALL SELECT idb, ida FROM verified),
+      reach AS (
+        SELECT s AS id, t AS peer FROM edges
+        UNION
+        SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
+      drops AS (
+        SELECT id FROM (SELECT id, min(peer) AS mn FROM reach GROUP BY id)
+        WHERE mn < id)
+      SELECT d.doc_id, d.source, s.simhash
+      FROM documents d JOIN sig s ON s.doc_id = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT id FROM drops)"""
+
+
+@_register("x_simhash_near_dedup", _simhash_sql())
 def q_xsimdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signature + banded-SimHash near-dedup in one row: the
-    64-bit signature of every SURVIVOR (Hamming ≤ 3 dups dropped; the
-    4×16-bit band candidate join is pigeonhole-complete at that
-    threshold). Covers both the signature operator (text.py simhash)
-    and the dedup composite; Hamming/bit-vote invariants are
-    pytest-checked in tests/test_text.py."""
+    """SimHash signature + banded-SimHash near-dedup in one row,
+    ORACLE-GRADED via the pinned 48-bit md5 hash family (round-7
+    continuation of the pinning pattern): the DuckDB oracle recomputes
+    every shingle hash, all 48 bit-votes, the packed signature, the
+    4×12-bit band candidates (pigeonhole-complete at Hamming ≤ 3),
+    the bit_count(XOR) verify, and the closure — survivor set AND
+    signatures are hash-matched. The 64-bit xxhash64 production
+    default (same code path, different hash family) stays covered by
+    the Hamming/bit-vote invariants in tests/test_text.py."""
     from bigdata_quality_assessment_spark.operators.text import simhash_near_dedup
 
     docs = _t(spark, sf_dir, "documents")
     # ONE signature pass: the barriered frame feeds both the dedup's
     # band self-join and the survivor join-back (was: a second full
-    # shingling + 64-vote scan just to re-attach signatures).
-    sig = simhash(docs, k=3, mode="word").localCheckpoint(eager=False)
+    # shingling + 48-vote scan just to re-attach signatures).
+    sig = simhash(docs, k=3, mode="word", hash_fn="md5_48").localCheckpoint(
+        eager=False
+    )
     survivors = simhash_near_dedup(
-        docs, k=3, max_hamming=3, signatures=sig
+        docs, k=3, max_hamming=3, signatures=sig, hash_fn="md5_48"
     ).select("doc_id", "source")
     return survivors.join(sig, "doc_id")
 
