@@ -45,7 +45,7 @@ from bigdata_quality_assessment_spark.functions.scalar import (
     squared_error,
 )
 from bigdata_quality_assessment_spark.operators.asof import asof_join, time_rollup
-from bigdata_quality_assessment_spark.operators.decomp import comp_pca, project_coeffs
+from bigdata_quality_assessment_spark.operators.decomp import project_coeffs
 from bigdata_quality_assessment_spark.operators.density import (
     grid_nint,
     histogram,
@@ -59,7 +59,6 @@ from bigdata_quality_assessment_spark.operators.density import (
 from bigdata_quality_assessment_spark.operators.models import (
     ensemble_jac_hess,
     predict_ensemble,
-    train_ensemble,
 )
 from bigdata_quality_assessment_spark.operators.profiling import (
     approx_profile,
