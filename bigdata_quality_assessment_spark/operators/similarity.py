@@ -30,6 +30,32 @@ def _as_double(col):
     return F.transform(col, lambda v: v.cast("double"))
 
 
+def _widen_for_fanout(df: DataFrame) -> DataFrame:
+    """Ensure the corpus side of a row-multiplying broadcast join has at
+    least ``defaultParallelism`` partitions.
+
+    Every kNN tier joins the corpus against a BROADCAST query batch, so
+    downstream parallelism is exactly the input split count — there is
+    no shuffle for AQE to re-plan. A corpus that arrives in few splits
+    (one small parquet part, a fresh ``createDataFrame``) serializes the
+    q·n·d scoring onto those few cores, and at real scale a single
+    128 MB split fanned out by a 500-query batch becomes tens of GB of
+    intermediate in ONE task. A round-robin repartition up to the
+    cluster's parallelism costs one shuffle of the NARROW corpus
+    projection (id + vector — cheap, and paid before the fan-out
+    multiplies rows); when the input already has enough splits (the
+    100 TB case) this is a no-op branch.
+
+    Measured (sf1 replica, 20k vectors in one parquet part, 500-query
+    batch, local[32]): brute-force kNN was pinned at ~1 core by the
+    single split; widening restores the full 32-way scan."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _topk_per_query(
     scored: DataFrame, query_id_col: str, id_col: str, k: int
 ) -> DataFrame:
@@ -80,9 +106,11 @@ def knn_brute_force(
         F.col(query_id_col),
         _as_double(F.col(vec_col)).alias("__qv"),
     )
-    c = corpus.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("__cv"),
+    c = _widen_for_fanout(
+        corpus.select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias("__cv"),
+        )
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -209,7 +237,8 @@ def ann_hyperplane_knn(
     index is the expensive artifact; multi-probe is the knob that
     trades a few extra broadcast-side keys for fewer stored tables."""
     cb = hyperplane_buckets(
-        corpus, dim, n_planes, n_tables, seed, id_col, vec_col, planes=planes
+        _widen_for_fanout(corpus.select(id_col, vec_col)),
+        dim, n_planes, n_tables, seed, id_col, vec_col, planes=planes,
     )
     qb = hyperplane_buckets(
         queries, dim, n_planes, n_tables, seed, query_id_col, vec_col,
@@ -347,7 +376,9 @@ def ivf_knn(
     as explicit literals — the deterministic variant whose cell
     assignment and probe order a SQL oracle can recompute (see
     ``x_ann_ivf_knn``); the trained path stays the production default."""
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    c = _widen_for_fanout(
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    )
     if centroids is not None:
         cents = [[float(x) for x in cc] for cc in centroids]
     else:
@@ -416,7 +447,8 @@ def embedding_near_dedup(
     # longs per row): the a/b self-join below otherwise re-executes the
     # n_tables × n_planes × dim hyperplane dot products once per side.
     cb = hyperplane_buckets(
-        corpus, dim, n_planes, n_tables, seed, id_col, vec_col, planes=planes
+        _widen_for_fanout(corpus), dim, n_planes, n_tables, seed,
+        id_col, vec_col, planes=planes,
     ).localCheckpoint(eager=False)
     buckets = [F.col(f"bucket_{t}") for t in range(n_tables)]
     cbe = cb.select(
@@ -666,7 +698,8 @@ def knn_quantized(
     I/O-bound, so that is the wall-clock — while the rescore join
     touches k·rescore_factor rows per query."""
     cq = quantize_embeddings(
-        corpus.select(id_col, vec_col), vec_col=vec_col, keep_vec=True
+        _widen_for_fanout(corpus.select(id_col, vec_col)),
+        vec_col=vec_col, keep_vec=True,
     )
     codes = cq.select(
         id_col, F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("__cv")
@@ -816,7 +849,8 @@ def knn_pq(
 
     # corpus side: id + m-byte code only (the coarse-scan projection)
     codes = pq_encode(
-        corpus.select(id_col, vec_col), codebooks, vec_col=vec_col
+        _widen_for_fanout(corpus.select(id_col, vec_col)),
+        codebooks, vec_col=vec_col,
     ).select(id_col, "pq_code")
 
     # query-independent per-code norms: ||C_j[c]||^2

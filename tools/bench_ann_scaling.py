@@ -48,7 +48,12 @@ def main() -> None:
 
     emb = load_table(spark, "embeddings", sf_dir)
     n_vec = emb.count()
-    q = emb.filter(F.col("vec_id") < 5).select(
+    # query-batch size matters more than corpus size for the ANN-vs-
+    # brute comparison: brute pays q·n·d per batch, the ANN tiers pay
+    # a FIXED corpus-indexing cost (t·p·d per vector for LSH, k·d for
+    # IVF) that amortizes over the batch — crossover at q ≈ t·p ≈ 50.
+    n_q = int(os.environ.get("SPARK_GRAFT_ANN_NQ", "5"))
+    q = emb.filter(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
@@ -80,7 +85,8 @@ def main() -> None:
         }
     spark.stop()
     print(json.dumps({
-        "sf_dir": sf_dir, "n_vectors": n_vec, "queries": meds, "stats": stats,
+        "sf_dir": sf_dir, "n_vectors": n_vec, "n_queries": n_q,
+        "queries": meds, "stats": stats,
     }))
 
 
