@@ -57,12 +57,28 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
+    # IVF index-build vs query-path split: production builds the coarse
+    # quantizer once per corpus, so the amortized cost is the PINNED-
+    # centroids query path; the unpinned leg keeps train+query together
+    # for the worst-case (cold index) record.
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        _train_quantizer, _as_double,
+    )
+    pre_cents = _train_quantizer(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("__v")),
+        16, 2048, 10, 42, id_col="vec_id",
+    )
+
     queries = {
         "ann_hyperplane_knn": lambda: ann_hyperplane_knn(
             emb, q, dim=64, k=5, n_planes=12, n_tables=4, n_probes=4
         ).collect(),
         "knn_ivf": lambda: ivf_knn(
             emb, q, dim=64, k=5, n_centroids=16, n_probe=4
+        ).collect(),
+        "knn_ivf_pretrained": lambda: ivf_knn(
+            emb, q, dim=64, k=5, n_centroids=16, n_probe=4,
+            centroids=pre_cents,
         ).collect(),
         # brute force at the same SF: the speedup denominator
         "knn_brute_force": lambda: knn_brute_force(emb, q, k=5).collect(),
