@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .partitioning import ensure_min_parallelism
+
 EOW = "</w>"
 
 
@@ -152,7 +154,9 @@ def bpe_encode(
             pdf[out_col] = pd.Series([enc_text(t) for t in pdf[text_col]], index=pdf.index, dtype=object)
             yield pdf
 
-    return docs.mapInPandas(encode_batches, schema=schema)
+    # per-row Python merge loops — widen an under-split local input so
+    # they parallelize (no-op at real split counts)
+    return ensure_min_parallelism(docs).mapInPandas(encode_batches, schema=schema)
 
 
 def bpe_token_count(

@@ -44,6 +44,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import ensure_min_parallelism
+
 # magic-byte prefixes, hex-encoded (JVM-side sniffing — no UDF)
 _MAGIC = {
     "89504E47": "image/png",
@@ -931,7 +933,8 @@ def decode_media(
     deterministic stub vector (``decoder`` column records which path
     ran). ``duration_s`` is populated where the container carries it
     (WAV sample count, MP3 frame walk, MP4 mvhd). One Arrow-batched
-    pass, no shuffle; blobs stay on the executors."""
+    pass; blobs stay on the executors (an under-split local input is
+    widened once first — a no-op at real split counts)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -981,7 +984,12 @@ def decode_media(
         "sample_rate INT, duration_s DOUBLE, features ARRAY<DOUBLE>, "
         "decoder STRING"
     )
-    return media.select(id_col, content_col).mapInPandas(run, schema)
+    # the per-blob Python decode is the heaviest per-row work in the
+    # repo — an under-split local input must not serialize it onto one
+    # core (no-op at real split counts; see operators/partitioning.py)
+    return ensure_min_parallelism(
+        media.select(id_col, content_col)
+    ).mapInPandas(run, schema)
 
 
 def frame_sample(

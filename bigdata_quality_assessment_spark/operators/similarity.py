@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.arrays import cosine_similarity
+from .partitioning import ensure_min_parallelism
 
 
 def _as_double(col):
@@ -40,20 +41,10 @@ def _widen_for_fanout(df: DataFrame) -> DataFrame:
     (one small parquet part, a fresh ``createDataFrame``) serializes the
     q·n·d scoring onto those few cores, and at real scale a single
     128 MB split fanned out by a 500-query batch becomes tens of GB of
-    intermediate in ONE task. A round-robin repartition up to the
-    cluster's parallelism costs one shuffle of the NARROW corpus
-    projection (id + vector — cheap, and paid before the fan-out
-    multiplies rows); when the input already has enough splits (the
-    100 TB case) this is a no-op branch.
-
-    Measured (sf1 replica, 20k vectors in one parquet part, 500-query
-    batch, local[32]): brute-force kNN was pinned at ~1 core by the
-    single split; widening restores the full 32-way scan."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    intermediate in ONE task. See
+    :mod:`..operators.partitioning` for the shared guard and the
+    measured evidence."""
+    return ensure_min_parallelism(df)
 
 
 def _topk_per_query(

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import ensure_min_parallelism
+
 # A deliberately tiny multilingual stopword lexicon — enough for a
 # deterministic n-gram-free language heuristic that both Spark and the
 # DuckDB oracle can evaluate identically.
@@ -438,7 +440,9 @@ def shingle_sets(
     ``(doc_id, shingle)``. ``mode='word'``: k-token grams joined by a
     space; ``mode='char'``: k-char substrings."""
     sh = _shingle_expr(F.col(text_col), k, mode)
-    return docs.select(id_col, F.explode(sh).alias("shingle"))
+    return ensure_min_parallelism(docs.select(id_col, text_col)).select(
+        id_col, F.explode(sh).alias("shingle")
+    )
 
 
 def jaccard_pairs(
@@ -504,7 +508,7 @@ def minhash_signatures(
     every short doc into every LSH bucket (candidate-pair explosion).
     """
     shingles = _shingle_expr(F.col(text_col), k, mode)
-    base = docs.select(
+    base = ensure_min_parallelism(docs.select(id_col, text_col)).select(
         id_col, F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("__h")
     )
     lanes = [
@@ -631,7 +635,7 @@ def near_dedup_minhash(
     # ``jaccard_pairs`` (the SQL oracle).
     sh = _shingle_expr(F.col(text_col), k, mode)
     shingle_hash = _md5_48 if lane_params is not None else F.xxhash64
-    hashes = docs.select(
+    hashes = ensure_min_parallelism(docs.select(id_col, text_col)).select(
         id_col, F.explode(F.transform(sh, lambda s: shingle_hash(s))).alias("__h")
     ).localCheckpoint(eager=False)
     if lane_params is not None:
@@ -723,7 +727,7 @@ def simhash(
     n_bits = _simhash_bits(hash_fn)
     hfn = _md5_48 if hash_fn == "md5_48" else F.xxhash64
     shingles = _shingle_expr(F.col(text_col), k, mode)
-    base = docs.select(
+    base = ensure_min_parallelism(docs.select(id_col, text_col)).select(
         id_col, F.explode(F.transform(shingles, lambda s: hfn(s))).alias("__h")
     )
     votes = [
@@ -853,8 +857,10 @@ def decontaminate(
     100 TB shape: the benchmark side is aggregated to DISTINCT grams
     and broadcast (eval suites are ~10^6-10^7 grams — megabytes as
     64-bit hashes); the corpus side is a narrow shingle->explode
-    projection feeding a broadcast semi-join, so the corpus is NEVER
-    shuffled and document bodies never leave their input partitions.
+    projection feeding a broadcast semi-join, so the corpus is never
+    shuffled and document bodies stay on their input partitions (an
+    under-split local input is first widened once — see
+    operators/partitioning.py — which is a no-op at real split counts).
     The per-doc hit aggregation sees only MATCHED grams — a sparse
     fraction of the exploded stream in any real (mostly-clean) corpus.
     ``hash_grams=True`` (default) joins on ``xxhash64(gram)`` so the
@@ -869,9 +875,9 @@ def decontaminate(
     bench_grams = (
         benchmark.select(gram).select(key(F.col("gram")).alias("__g")).distinct()
     )
-    doc_grams = docs.select(F.col(id_col), gram).select(
-        id_col, key(F.col("gram")).alias("__g")
-    )
+    doc_grams = ensure_min_parallelism(docs.select(id_col, text_col)).select(
+        F.col(id_col), gram
+    ).select(id_col, key(F.col("gram")).alias("__g"))
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "__g")
         .groupBy(id_col)
@@ -1195,7 +1201,8 @@ def _bigram_pairs(
     )
     ex = F.explode_outer(pairs) if outer else F.explode(pairs)
     return (
-        frame.select(F.col(id_col), ts.alias("__ts"))
+        ensure_min_parallelism(frame.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), ts.alias("__ts"))
         .select(id_col, ex.alias("__p"))
         .select(id_col, F.col("__p.prev").alias("prev"), F.col("__p.w").alias("w"))
     )
@@ -1526,9 +1533,9 @@ def span_frame(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(F.col(id_col), ws.alias("__ws")).select(
-        id_col, spans.alias("__spans")
-    )
+    return ensure_min_parallelism(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), ws.alias("__ws")
+    ).select(id_col, spans.alias("__spans"))
 
 
 def span_keys(
@@ -1750,7 +1757,9 @@ def dedup_substrings(
         # emit DESCENDING removal intervals — garbage, not an error
         raise ValueError("min_tokens must be >= 1")
     ws = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    framed = docs.select(F.col(id_col), ws.alias("__ws"))
+    framed = ensure_min_parallelism(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), ws.alias("__ws")
+    )
 
     n_tok = F.size("__ws")
     n_grams = F.greatest(n_tok - L + 1, F.lit(0))
