@@ -10,6 +10,11 @@ from bigdata_quality_assessment_spark.functions.arrays import (
     l1_distance,
     l2_norm,
 )
+from bigdata_quality_assessment_spark.functions.counter_rng import (
+    counter_gaussian,
+    counter_hash,
+    counter_uniform,
+)
 from bigdata_quality_assessment_spark.functions.pdfs import (
     gaussian_pdf,
     gaussian_pdf_grad,
@@ -26,6 +31,9 @@ from bigdata_quality_assessment_spark.functions.scalar import (
 )
 
 __all__ = [
+    "counter_hash",
+    "counter_uniform",
+    "counter_gaussian",
     "affine_rescale",
     "squared_error",
     "abs_error",

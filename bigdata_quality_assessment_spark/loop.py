@@ -93,7 +93,15 @@ def initial_selection(
     grid = kde_1d(points, y_col, bw=bw, ngrid=ngrid)
     with_pdf = interp_uniform_grid(points, grid, q_col=y_col, out_col="__pdf")
     weighted = inverse_density_weights(with_pdf, pdf_col="__pdf", weight_col="__w")
-    draws = weighted_sample_with_replacement(weighted, "__w", n_init, seed=seed, id_col=id_col)
+    # rng="spark" pins the legacy draw stream: the m4_loop_metrics
+    # goldens (queries._M4_GOLDEN_*) were generated against it across
+    # five SF tiers (sf0.001..sf10), and the loop's draw frame is k
+    # rows (bounded), so the counter stream's partition-invariance
+    # buys nothing here while a stream change would force an sf10
+    # golden regeneration (tools/gen_loop_golden.py).
+    draws = weighted_sample_with_replacement(
+        weighted, "__w", n_init, seed=seed, id_col=id_col, rng="spark"
+    )
     # Truncate lineage at the draw-sized frame (n_init rows): the
     # KDE→interp→weights→sampler plan is deep, and middle_match
     # references ``values`` twice — without the checkpoint Catalyst
@@ -407,6 +415,7 @@ def sde_initial_resample(
             n_draws,
             seed=seed + mode,
             id_col=id_col,
+            rng="spark",  # golden continuity — see initial_selection
         # draw-sized lineage cut: the n_modes per-mode KDE→sampler
         # plans otherwise union into one enormous tree (see
         # initial_selection).

@@ -44,12 +44,32 @@ def top_k(df: DataFrame, score_col: str, k: int, id_col: str = "point_id") -> Da
 
 
 def weighted_sample_without_replacement(
-    df: DataFrame, weight_col: str, k: int, seed: int = 42, id_col: str = "point_id"
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "point_id",
+    rng: str = "counter",
 ) -> DataFrame:
     """T3 (variant): k draws without replacement, P(i) ∝ wᵢ, via
-    Efraimidis-Spirakis keys ``rand^(1/w)`` — a single distributed
-    top-k, no cumulative-weight table needed."""
-    key = F.pow(F.rand(seed), 1.0 / F.col(weight_col))
+    Efraimidis-Spirakis keys ``u^(1/w)`` — a single distributed
+    top-k, no cumulative-weight table needed.
+
+    ``rng="counter"`` (default) draws u from the md5 counter stream
+    keyed ``wor:{seed}:{id}`` — the selected set is a pure function of
+    the input rows (partition-invariant, ORACLE-GRADED in
+    ``t3_weighted_sample``); ``rng="spark"`` keeps legacy ``F.rand``.
+    """
+    from bigdata_quality_assessment_spark.functions.counter_rng import (
+        counter_uniform,
+    )
+
+    u = (
+        counter_uniform("wor", seed, F.col(id_col))
+        if rng == "counter"
+        else F.rand(seed)
+    )
+    key = F.pow(u, 1.0 / F.col(weight_col))
     return (
         df.withColumn("__es_key", key)
         .orderBy(F.col("__es_key").desc(), F.col(id_col).asc())
@@ -65,15 +85,26 @@ def weighted_sample_with_replacement(
     seed: int = 42,
     id_col: str = "point_id",
     n_parts: int | None = None,
+    rng: str = "counter",
 ) -> DataFrame:
     """T3: k draws WITH replacement, P(i) ∝ wᵢ — the exact
     ``np.random.choice(p=...)`` contract. Inverse-CDF over the
     cumulative-weight table: k uniforms are broadcast against the
     weight intervals ``[cum_w − w, cum_w)``.
 
+    ``rng="counter"`` (default) draws the k uniforms from the md5
+    counter stream keyed ``wr:{seed}:{draw_id}`` and derives the
+    bucket from the md5 hash of ``id`` — every float in the pipeline
+    (running sums, offsets, interval bounds, draw targets) is then a
+    pure function of the input rows, reproducible across partition
+    layouts AND recomputable by a SQL twin that mirrors the two-level
+    prefix sum (ORACLE-GRADED in ``t3_weighted_sample``).
+    ``rng="spark"`` keeps legacy ``F.rand`` draws + xxhash64 buckets.
+
     The cumulative sum is a DISTRIBUTED two-level prefix sum, safe to
     point at the full pool. The total order is ``(bucket, id)`` where
-    ``bucket = pmod(xxhash64(id), n_parts)`` — any deterministic total
+    ``bucket`` is a hash of ``id`` mod ``n_parts`` (md5 counter hash in
+    counter mode, xxhash64 in legacy mode) — any deterministic total
     order realizes the same sampling distribution, and a HASH bucket
     (unlike ``repartitionByRange``) is deterministic across plan
     re-executions: range boundaries are sampled with an RDD-id-derived
@@ -91,11 +122,19 @@ def weighted_sample_with_replacement(
     ``u = 0`` lands in the first (half-open intervals). Output carries
     ``draw_id`` so repeated rows keep distinct identity.
     """
+    from bigdata_quality_assessment_spark.functions.counter_rng import (
+        counter_hash,
+        counter_uniform,
+    )
+
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    bucketed = df.withColumn(
-        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts)).cast("int")
+    bucket = (
+        counter_hash("wrb", F.col(id_col)) % n_parts
+        if rng == "counter"
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts))
     )
+    bucketed = df.withColumn("__b", bucket.cast("int"))
     local_cum = Window.partitionBy("__b").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -125,9 +164,11 @@ def weighted_sample_with_replacement(
     weighted = local.join(F.broadcast(offs), "__b").withColumn(
         "__cum_w", F.col("__off") + F.col("__lcum")
     )
-    draws = (
-        df.sparkSession.range(k)
-        .select(F.col("id").alias("draw_id"), F.rand(seed).alias("__u"))
+    draw_u = (
+        counter_uniform("wr", seed, F.col("id")) if rng == "counter" else F.rand(seed)
+    )
+    draws = df.sparkSession.range(k).select(
+        F.col("id").alias("draw_id"), draw_u.alias("__u")
     )
     joined = weighted.join(
         F.broadcast(draws),

@@ -283,11 +283,64 @@ def q_s1_s5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P1–P12, P14–P17, J3 variants, A8+A9, A11 variants, T1+T2, W1+A4+U2.
 
 
-@_register("s2_s4_samplers")  # stochastic → rows-only
+def _samplers_sql() -> str:
+    """DuckDB twin of the three counter-RNG samplers (see
+    functions/counter_rng.py for the stream definition). Every uniform
+    is bit-identical across engines (52-bit md5 counter ÷ 2⁵²);
+    Box-Muller normals go through the standard round(·, 6)."""
+    import math as _m
+
+    from bigdata_quality_assessment_spark.functions.counter_rng import (
+        sql_counter_gaussian,
+        sql_counter_hash,
+        sql_counter_uniform,
+    )
+
+    def key(tag: str, k, idcol: str, extra: str = "") -> str:
+        return f"'{tag}:42:{k}:{extra}' || CAST({idcol} AS VARCHAR)"
+
+    # S3 uniform over [0,1]×[-1,1]
+    u1 = sql_counter_uniform(key("uni", 1, "id"))
+    u2 = sql_counter_uniform(key("uni", 2, "id"))
+    uni = f"""SELECT 'uni' AS method, id AS point_id,
+        round({_r(0.0)} + ({_r(1.0)} - {_r(0.0)}) * {u1}, 6) AS x1,
+        round({_r(-1.0)} + ({_r(1.0)} - {_r(-1.0)}) * {u2}, 6) AS x2
+      FROM range(500) t(id)"""
+    # S4 gaussian, mean [0,1], cov [[1,.3],[.3,2]] → cholesky literals
+    l11 = _m.sqrt(2.0 - 0.3 * 0.3)
+    z0 = sql_counter_gaussian(key("gau", 0, "id"))
+    z1 = sql_counter_gaussian(key("gau", 1, "id"))
+    gau = f"""SELECT 'gauss' AS method, id AS point_id,
+        round({_r(0.0)} + {_r(1.0)} * {z0}, 6) AS x1,
+        round({_r(1.0)} + {_r(0.3)} * {z0} + {_r(l11)} * {z1}, 6) AS x2
+      FROM range(500) t(id)"""
+    # S2 LHS over [0,1]×[-1,1]: stratum = rank of the integer hash
+    h1 = sql_counter_hash(key("lhs", 1, "id"))
+    h2 = sql_counter_hash(key("lhs", 2, "id"))
+    j1 = sql_counter_uniform(key("lhs", 1, "id", "j:"))
+    j2 = sql_counter_uniform(key("lhs", 2, "id", "j:"))
+    lhs = f"""SELECT 'lhs' AS method, point_id,
+        round({_r(0.0)} + ({_r(1.0)} - {_r(0.0)})
+              * ((CAST(s1 AS DOUBLE) + jit1) / 200), 6) AS x1,
+        round({_r(-1.0)} + ({_r(1.0)} - {_r(-1.0)})
+              * ((CAST(s2 AS DOUBLE) + jit2) / 200), 6) AS x2
+      FROM (SELECT id AS point_id,
+              row_number() OVER (ORDER BY {h1}, id) - 1 AS s1,
+              row_number() OVER (ORDER BY {h2}, id) - 1 AS s2,
+              {j1} AS jit1, {j2} AS jit2
+            FROM range(200) t(id))"""
+    return f"{lhs} UNION ALL {uni} UNION ALL {gau}"
+
+
+@_register("s2_s4_samplers", _samplers_sql())
 def q_s2s4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 Latin-hypercube + S3 uniform + S4 Gaussian samplers, tagged
-    and unioned (each rows-only; distributional properties are
-    pytest-checked in tests/test_generators.py)."""
+    and unioned — ORACLE-GRADED since the counter-RNG default
+    (functions/counter_rng.py): each variate is a pure function of
+    (tag, seed, dim, point_id), so the DuckDB twin recomputes the
+    identical md5 stream, permutation ranks and Box-Muller transforms.
+    Distributional properties stay pytest-checked in
+    tests/test_generators.py."""
     lhs = latin_hypercube(spark, 200, [0.0, -1.0], [1.0, 1.0], seed=42).withColumn(
         "method", F.lit("lhs")
     )
@@ -297,16 +350,64 @@ def q_s2s4(spark: SparkSession, sf_dir: str) -> DataFrame:
     gau = gaussian_samples(
         spark, 500, [0.0, 1.0], [[1.0, 0.3], [0.3, 2.0]], seed=42
     ).withColumn("method", F.lit("gauss"))
-    return (
+    out = (
         lhs.select("method", "point_id", "x1", "x2")
         .unionByName(uni.select("method", "point_id", "x1", "x2"))
         .unionByName(gau.select("method", "point_id", "x1", "x2"))
     )
+    return out.select(
+        "method",
+        "point_id",
+        F.round("x1", 6).alias("x1"),
+        F.round("x2", 6).alias("x2"),
+    )
 
 
-@_register("s6_ou_process")  # seeded numpy recurrence → rows-only
+def _ou_sql() -> str:
+    """DuckDB recursive-CTE twin of the OU Euler-Maruyama recurrence:
+    replays the IDENTICAL float64 update ``x + dt·(−(0.25x − μ)/τ) +
+    c·ε`` with ε drawn from the same md5 counter stream the
+    applyInPandas python twin uses (key ``ou:{seed}:{traj}:{step}``).
+    ε differs by ≤ a few ulp across libm implementations; the
+    contractive recurrence keeps the drift ≪ the round(·, 6) grid."""
+    import math as _m
+
+    from bigdata_quality_assessment_spark.functions.counter_rng import (
+        sql_counter_gaussian,
+    )
+
+    dt, sigma, mu, tau = 0.001, 2.0, 2.0, 0.5
+    c = sigma * _m.sqrt(2.0 / tau) * _m.sqrt(dt)
+    eps = sql_counter_gaussian(
+        "'ou:42:' || CAST(trajectory_id AS VARCHAR) || ':' || CAST(step AS VARCHAR)"
+    )
+    return f"""WITH RECURSIVE s AS (
+        SELECT CAST(t.id AS INT) AS trajectory_id, 0 AS step,
+               CAST(0.0 AS DOUBLE) AS x
+        FROM range(4) t(id)
+        UNION ALL
+        SELECT trajectory_id, step + 1,
+               x + {_r(dt)} * (-({_r(0.25)} * x - {_r(mu)}) / {_r(tau)})
+                 + {_r(c)} * {eps}
+        FROM s WHERE step < 499)
+      SELECT trajectory_id, CAST(step AS BIGINT) AS step,
+             round(step * {_r(dt)}, 6) AS t, round(x, 6) AS y
+      FROM s"""
+
+
+@_register("s6_ou_process", _ou_sql())
 def q_s6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ou_process(spark, n_trajectories=4, n_steps=500, seed=42)
+    """S6/W2 OU trajectory simulation — ORACLE-GRADED since the
+    counter-noise default: the DuckDB recursive CTE replays the exact
+    recurrence over the same md5-derived ε stream (see _ou_sql). The
+    legacy numpy stream keeps its reference-parity pytest."""
+    out = ou_process(spark, n_trajectories=4, n_steps=500, seed=42)
+    return out.select(
+        "trajectory_id",
+        "step",
+        F.round("t", 6).alias("t"),
+        F.round("y", 6).alias("y"),
+    )
 
 
 # ------------------- projections P1-P13, P17 -------------------------
@@ -1022,13 +1123,64 @@ def q_t1u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
-@_register("t3_weighted_sample")  # stochastic → rows-only (count contract: exactly k draws)
+def _t3_sql() -> str:
+    """DuckDB twin of the counter-RNG inverse-CDF sampler: mirrors the
+    TWO-LEVEL distributed prefix sum (bucket-local running sums +
+    bucket offsets, operators/select.py weighted_sample_with_
+    replacement) addition-for-addition, so the cumulative-weight
+    intervals and the k draw targets are reproduced at full float64
+    precision — the drawn multiset is a pure corpus function."""
+    from bigdata_quality_assessment_spark.functions.counter_rng import (
+        sql_counter_hash,
+        sql_counter_uniform,
+    )
+
+    bsql = sql_counter_hash("'wrb:' || CAST(lid AS VARCHAR)")
+    usql = sql_counter_uniform("'wr:42:' || CAST(id AS VARCHAR)")
+    return f"""WITH li AS (
+        SELECT {LID_SQL} AS lid, l_quantity
+        FROM lineitem WHERE l_orderkey <= 200),
+      raw AS (SELECT lid, l_quantity,
+                     {_r(1.0)} / greatest(l_quantity, {_r(1e-300)}) AS rw
+              FROM li),
+      w AS (SELECT lid, l_quantity,
+                   rw / (SELECT sum(rw) FROM raw) AS w, {bsql} % 8 AS b
+            FROM raw),
+      lc AS (SELECT *, sum(w) OVER (PARTITION BY b ORDER BY lid
+                                    ROWS UNBOUNDED PRECEDING) AS lcum
+             FROM w),
+      ps AS (SELECT b, max(lcum) AS psum FROM lc GROUP BY b),
+      offs AS (SELECT b,
+                      coalesce(sum(psum) OVER (ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        {_r(0.0)}) AS off,
+                      coalesce(sum(psum) OVER (ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        {_r(0.0)}) + psum AS cum_hi
+               FROM ps),
+      tot AS (SELECT max(cum_hi) AS tot_w FROM offs),
+      iv AS (SELECT lc.lid, lc.l_quantity, lc.w,
+                    offs.off + lc.lcum AS cum_w
+             FROM lc JOIN offs ON lc.b = offs.b),
+      draws AS (SELECT id AS draw_id, {usql} AS u FROM range(100) t(id))
+      SELECT d.draw_id, iv.lid, iv.l_quantity
+      FROM iv, draws d, tot
+      WHERE d.u * tot.tot_w >= iv.cum_w - iv.w
+        AND d.u * tot.tot_w < iv.cum_w"""
+
+
+@_register("t3_weighted_sample", _t3_sql())
 def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 weighted sampling with replacement over P12 inverse-density
+    weights — ORACLE-GRADED since the counter-RNG default: draws,
+    buckets and both prefix-sum levels are pure md5-derived functions
+    of the rows, so the DuckDB twin reproduces the exact drawn
+    multiset (see _t3_sql). n_parts pinned to 8 for the oracle."""
     li = _lineitem_id(_t(spark, sf_dir, "lineitem")).filter(F.col("l_orderkey") <= 200)
     w = inverse_density_weights(li, pdf_col="l_quantity", weight_col="w")
-    return weighted_sample_with_replacement(w, "w", 100, seed=42, id_col="lid").select(
-        "draw_id", "lid", "l_quantity"
-    )
+    return weighted_sample_with_replacement(
+        w, "w", 100, seed=42, id_col="lid", n_parts=8
+    ).select("draw_id", "lid", "l_quantity")
 
 
 # --------------------- windows W1, A4, U2 ----------------------------

@@ -21,6 +21,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_quality_assessment_spark.functions.counter_rng import (
+    counter_gaussian,
+    counter_hash,
+    counter_uniform,
+    py_counter_gaussian,
+)
+
 
 def grid_points_2d(
     spark: SparkSession,
@@ -99,13 +106,27 @@ def uniform_samples(
     lo: list[float],
     hi: list[float],
     seed: int = 42,
+    rng: str = "counter",
 ) -> DataFrame:
     """S3: ``n`` uniform samples over the box ``[lo, hi]^d`` as columns
     ``x1..xd`` (reference: np.random.rand + affine rescale,
-    core/inputs.py:58-60, 73-79)."""
+    core/inputs.py:58-60, 73-79).
+
+    ``rng="counter"`` (default) draws each variate from the md5
+    counter stream keyed ``uni:{seed}:{k}:{point_id}`` — the result is
+    a pure function of the row, bit-identical across partition
+    layouts, retries, and engines (ORACLE-GRADED in
+    ``s2_s4_samplers``).  ``rng="spark"`` keeps the legacy
+    partition-index-seeded ``F.rand`` stream.
+    """
     df = spark.range(n).withColumnRenamed("id", "point_id")
     for k, (a, b) in enumerate(zip(lo, hi), start=1):
-        df = df.withColumn(f"x{k}", F.lit(a) + (F.lit(b) - F.lit(a)) * F.rand(seed + k))
+        u = (
+            counter_uniform("uni", seed, k, F.col("point_id"))
+            if rng == "counter"
+            else F.rand(seed + k)
+        )
+        df = df.withColumn(f"x{k}", F.lit(a) + (F.lit(b) - F.lit(a)) * u)
     return df
 
 
@@ -115,6 +136,7 @@ def gaussian_samples(
     mean: list[float],
     cov: list[list[float]],
     seed: int = 42,
+    rng: str = "counter",
 ) -> DataFrame:
     """S4: ``n`` multivariate-normal samples as columns ``x1..xd``
     (reference: ``np.random.multivariate_normal``,
@@ -122,8 +144,11 @@ def gaussian_samples(
 
     The d×d Cholesky factor ``L`` is computed once on the driver
     (d ≤ 3 in every reference use) and folded in as literals:
-    ``x = μ + L·z`` with ``z ~ N(0,1)`` via per-column ``randn`` —
-    fully distributed, one ``range`` scan, pure Catalyst.
+    ``x = μ + L·z`` with ``z ~ N(0,1)`` — fully distributed, one
+    ``range`` scan, pure Catalyst.  ``rng="counter"`` (default) draws
+    z from the Box-Muller counter stream keyed
+    ``gau:{seed}:{k}:{point_id}`` (partition-invariant,
+    ORACLE-GRADED); ``rng="spark"`` keeps legacy ``F.randn``.
     """
     import numpy as np
 
@@ -131,7 +156,12 @@ def gaussian_samples(
     d = len(mean)
     df = spark.range(n).withColumnRenamed("id", "point_id")
     for k in range(d):
-        df = df.withColumn(f"__z{k}", F.randn(seed + k))
+        z = (
+            counter_gaussian("gau", seed, k, F.col("point_id"))
+            if rng == "counter"
+            else F.randn(seed + k)
+        )
+        df = df.withColumn(f"__z{k}", z)
     for i in range(d):
         expr = F.lit(float(mean[i]))
         for j in range(i + 1):
@@ -147,6 +177,7 @@ def latin_hypercube(
     lo: list[float],
     hi: list[float],
     seed: int = 42,
+    rng: str = "counter",
 ) -> DataFrame:
     """S2: Latin-hypercube sample — per dimension, a random permutation
     of ``n`` strata with a uniform jitter inside each stratum
@@ -157,12 +188,26 @@ def latin_hypercube(
     window sort; sampler outputs are n≪data rows by construction
     (they seed the training set), so the single-partition sort is
     bounded by n, never by the pool size.
+
+    ``rng="counter"`` (default): the per-dim permutation is the rank of
+    the 52-bit counter hash ``lhs:{seed}:{k}:{point_id}`` (integer
+    sort keys — exact in every engine, point_id tie-break) and the
+    jitter is the counter uniform on sub-stream ``…:j`` —
+    partition-invariant and ORACLE-GRADED.  ``rng="spark"`` keeps the
+    legacy ``F.rand`` ordering.
     """
     df = spark.range(n).withColumnRenamed("id", "point_id")
     for k, (a, b) in enumerate(zip(lo, hi), start=1):
-        w = Window.orderBy(F.rand(seed + 1000 * k))
+        if rng == "counter":
+            w = Window.orderBy(
+                counter_hash("lhs", seed, k, F.col("point_id")), F.col("point_id")
+            )
+            jitter = counter_uniform("lhs", seed, k, "j", F.col("point_id"))
+        else:
+            w = Window.orderBy(F.rand(seed + 1000 * k))
+            jitter = F.rand(seed + 1000 * k + 1)
         stratum = F.row_number().over(w) - 1
-        u = (stratum.cast("double") + F.rand(seed + 1000 * k + 1)) / n
+        u = (stratum.cast("double") + jitter) / n
         df = df.withColumn(f"x{k}", F.lit(a) + (F.lit(b) - F.lit(a)) * u)
     return df
 
@@ -176,6 +221,7 @@ def ou_process(
     mu: float = 2.0,
     tau: float = 0.5,
     seed: int = 42,
+    rng: str = "counter",
 ) -> DataFrame:
     """S6/W2: Euler-Maruyama simulation of the reference's OU-like SDE
     (SDE_forecast_ActiveSampling.py:23-43):
@@ -189,7 +235,14 @@ def ou_process(
     the cluster; each path is a short in-memory loop).
 
     Returns ``timeseries(trajectory_id INT, step BIGINT, t DOUBLE,
-    y DOUBLE)``, seeded per trajectory with ``seed + trajectory_id``.
+    y DOUBLE)``.  ``rng="counter"`` (default) draws ε[i] from the
+    Box-Muller counter stream keyed ``ou:{seed}:{traj}:{i}`` via the
+    python twin — the SAME stream a SQL engine recomputes, which makes
+    the whole trajectory ORACLE-GRADED (DuckDB recursive-CTE twin in
+    the registry replays the identical float64 recurrence).
+    ``rng="numpy"`` keeps the legacy per-trajectory
+    ``RandomState(seed + traj)`` stream (reference numpy parity,
+    pinned in tests/test_generators.py).
     """
     import numpy as np
 
@@ -198,9 +251,13 @@ def ou_process(
 
     def simulate(pdf: pd.DataFrame) -> pd.DataFrame:
         traj = int(pdf["trajectory_id"].iloc[0])
-        rng = np.random.RandomState(seed + traj)
+        if rng == "counter":
+            noise = np.array(
+                [py_counter_gaussian("ou", seed, traj, i) for i in range(n_steps - 1)]
+            )
+        else:
+            noise = np.random.RandomState(seed + traj).randn(n_steps - 1)
         x = np.zeros(n_steps)
-        noise = rng.randn(n_steps - 1)
         for i in range(n_steps - 1):
             x[i + 1] = x[i] + dt * (-(0.25 * x[i] - mu) / tau) + sigma_bis * sqrtdt * noise[i]
         steps = np.arange(n_steps, dtype="int64")

@@ -70,7 +70,10 @@ def test_ou_process_matches_numpy_reference(spark):
     ActiveSampling.py:23-43) re-implemented in numpy with our seeding."""
     sigma, mu, tau, dt, n = 2.0, 2.0, 0.5, 0.001, 200
     rows = (
-        ou_process(spark, n_trajectories=1, n_steps=n, dt=dt, sigma=sigma, mu=mu, tau=tau, seed=42)
+        ou_process(
+            spark, n_trajectories=1, n_steps=n, dt=dt, sigma=sigma, mu=mu,
+            tau=tau, seed=42, rng="numpy",
+        )
         .orderBy("step")
         .collect()
     )
