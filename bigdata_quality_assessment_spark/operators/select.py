@@ -181,10 +181,24 @@ def weighted_sample_with_replacement(
     )
 
 
-def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
+def shuffle_rows(
+    df: DataFrame, seed: int = 42, id_col: str | None = None
+) -> DataFrame:
     """T4: random row permutation. Row order is immaterial to Spark
     semantics — this exists for parity with the reference's
-    pre-training shuffle (batching order matters to SGD)."""
+    pre-training shuffle (batching order matters to SGD).
+
+    With ``id_col`` the permutation is the md5 counter-hash order of
+    ``shuf:{seed}:{id}`` — DETERMINISTIC across partition layouts and
+    re-executions (two branches of one plan see the same order, which
+    ``F.rand`` does not guarantee after a stage retry). Without an id
+    column it falls back to the legacy ``F.rand`` order."""
+    if id_col is not None:
+        from bigdata_quality_assessment_spark.functions.counter_rng import (
+            counter_hash,
+        )
+
+        return df.orderBy(counter_hash("shuf", seed, F.col(id_col)), F.col(id_col))
     return df.orderBy(F.rand(seed))
 
 
