@@ -315,17 +315,32 @@ def hash_split(
     id_col: str = "doc_id",
     seed: int = 42,
     split_col: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Deterministic train/val/test split: bucket = xxhash64(id, seed)
+    """Deterministic train/val/test split: bucket = hash(id, seed)
     mod 10_000 mapped onto cumulative weight ranges. Properties a
     training pipeline needs and a random() split lacks: stable under
     repartitioning/re-runs (pure function of the id), disjoint and
     exhaustive, and new data lands in splits at the same proportions.
-    Pure projection — no shuffle, no UDF."""
+    Pure projection — no shuffle, no UDF.
+
+    ``hash_fn="xxhash64"`` (default, fastest) or ``"counter"`` (the
+    md5 counter hash keyed ``hsplit:{seed}:{id}`` — same split
+    quality, and a SQL engine can recompute the assignment, which is
+    what ORACLE-grades the split as part='split' of
+    ``x_quality_score``)."""
+    from bigdata_quality_assessment_spark.functions.counter_rng import (
+        counter_hash,
+    )
+
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    bucket = (
+        counter_hash("hsplit", seed, F.col(id_col)) % 10_000
+        if hash_fn == "counter"
+        else F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    )
     expr = None
     acc = 0.0
     names = list(weights)
@@ -344,14 +359,25 @@ def mixture_sample(
     source_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic per-source Bernoulli sampling: keep a row of
-    source s iff xxhash64(id, seed) mod 1e6 < rates[s]*1e6. Sources
+    source s iff hash(id, seed) mod 1e6 < rates[s]*1e6. Sources
     absent from ``rates`` are dropped; a rate >= 1.0 keeps everything.
     Same stability properties as hash_split (pure function of the id —
     reproducible across runs/partitionings); one narrow filter, no
-    shuffle."""
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    shuffle. ``hash_fn="counter"`` (md5 counter hash keyed
+    ``mix:{seed}:{id}``) makes the kept set SQL-recomputable —
+    ORACLE-graded as part='mix' of ``x_quality_score``."""
+    from bigdata_quality_assessment_spark.functions.counter_rng import (
+        counter_hash,
+    )
+
+    bucket = (
+        counter_hash("mix", seed, F.col(id_col)) % 1_000_000
+        if hash_fn == "counter"
+        else F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    )
     rate = None
     for s, r in rates.items():
         cond = F.col(source_col) == s

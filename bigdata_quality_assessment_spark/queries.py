@@ -2025,7 +2025,25 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
                 count(*) OVER (PARTITION BY d.source) AS n
          FROM documents d
          JOIN (SELECT doc_id, n_chars, pr, mtl, swr FROM s) s2 ON s2.doc_id = d.doc_id
-       ) WHERE rn <= ceil(round(n * 0.3, 9))""",
+       ) WHERE rn <= ceil(round(n * 0.3, 9))
+       UNION ALL
+       SELECT 'split', doc_id, CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+              CAST(NULL AS BIGINT),
+              CASE WHEN b < 9000 THEN 'train'
+                   WHEN b < 9500 THEN 'val' ELSE 'test' END
+       FROM (SELECT doc_id,
+               ('0x' || substring(md5('hsplit:42:' || CAST(doc_id AS VARCHAR)),1,13))::BIGINT
+                 % 10000 AS b
+             FROM documents)
+       UNION ALL
+       SELECT 'mix', doc_id, CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+              CAST(NULL AS BIGINT), source
+       FROM (SELECT doc_id, source,
+               ('0x' || substring(md5('mix:42:' || CAST(doc_id AS VARCHAR)),1,13))::BIGINT
+                 % 1000000 AS b
+             FROM documents)
+       WHERE b < (CASE WHEN CAST(substring(source, 4) AS INT) < 10
+                       THEN 250000 ELSE 750000 END)""",
 )
 def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality family as one tagged union (round-5): part='q' is the
@@ -2035,7 +2053,10 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline feeds to its tokenizer; part='filter' (continuation) is
     top_fraction_per_group — the top 30% of each source by quality,
     count-based with doc_id tie-break, sharing the 'q' rows' single
-    quality pass via a lazy barrier."""
+    quality pass via a lazy barrier; parts 'split'/'mix' (round 7) are
+    hash_split + mixture_sample in counter-hash mode — deterministic
+    train/val/test assignment and per-source Bernoulli mixture, both
+    recomputed exactly by the oracle."""
     from bigdata_quality_assessment_spark.operators.text import chunk_text
 
     docs = _t(spark, sf_dir, "documents")
@@ -2074,7 +2095,37 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_chunk_tokens"),
         F.lit(None).cast("string").alias("chunk"),
     )
-    return q.unionByName(ch).unionByName(fl)
+    # parts 'split'/'mix' (round-7): hash_split + mixture_sample in
+    # counter-hash mode — the assignment/kept-set is a pure md5
+    # function of doc_id the oracle recomputes (the xxhash64 default
+    # stays pytest-pinned; same code path, different hash family).
+    # Split label / source ride the VARCHAR `chunk` column.
+    from bigdata_quality_assessment_spark.operators.select import (
+        hash_split,
+        mixture_sample,
+    )
+
+    _nulls = [
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("int").alias("chunk_id"),
+        F.lit(None).cast("bigint").alias("n_chunk_tokens"),
+    ]
+    sp = hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, hash_fn="counter"
+    ).select(
+        F.lit("split").alias("part"), "doc_id", *_nulls,
+        F.col("split").alias("chunk"),
+    )
+    # source-cardinality collect (bounded, sanctioned): rates follow
+    # the srcN index rule so the dict tracks whatever sources the SF
+    # fixture has
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    rates = {s: (0.25 if int(s[3:]) < 10 else 0.75) for s in srcs}
+    mx = mixture_sample(docs, rates, hash_fn="counter").select(
+        F.lit("mix").alias("part"), "doc_id", *_nulls,
+        F.col("source").alias("chunk"),
+    )
+    return q.unionByName(ch).unionByName(fl).unionByName(sp).unionByName(mx)
 
 
 @_register(

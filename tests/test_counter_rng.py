@@ -170,6 +170,38 @@ def test_lhs_counter_keeps_stratification(spark):
         assert sorted(strata) == list(range(n))
 
 
+def test_hash_split_counter_mode_contract(spark):
+    """Counter-mode hash_split keeps the xxhash64 mode's contract:
+    disjoint+exhaustive, proportional, and stable under
+    repartitioning."""
+    from bigdata_quality_assessment_spark.operators.select import hash_split
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="counter")
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 4000
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    re = hash_split(
+        df.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="counter"
+    )
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in re.collect()}
+    assert a == b
+
+
+def test_mixture_sample_counter_mode_rates(spark):
+    from bigdata_quality_assessment_spark.operators.select import mixture_sample
+
+    df = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    out = mixture_sample(df, {"a": 0.5, "b": 1.0}, hash_fn="counter")
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts["b"] == 3000  # rate 1.0 keeps everything
+    assert abs(counts["a"] / 3000 - 0.5) < 0.05
+
+
 def test_hash_is_52_bits(spark):
     mx = (
         spark.range(5000)
