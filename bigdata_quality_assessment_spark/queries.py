@@ -2222,7 +2222,21 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM comp WHERE sz > 1
        UNION ALL
        SELECT 'pipeline', doc_id, CAST(NULL AS VARCHAR), source, CAST(NULL AS BIGINT)
-       FROM pkept""",
+       FROM pkept
+       UNION ALL
+       SELECT 'sample', doc_id, lang, source, CAST(NULL AS BIGINT)
+       FROM (SELECT doc_id, lang, source,
+               ('0x' || substring(md5('hsk:42:' || CAST(doc_id AS VARCHAR)),1,13))::BIGINT AS h
+             FROM documents)
+       QUALIFY row_number() OVER (ORDER BY h, doc_id) <= 50
+       UNION ALL
+       SELECT 'strat', doc_id, CAST(NULL AS VARCHAR), source, CAST(NULL AS BIGINT)
+       FROM (SELECT doc_id, source,
+               ('0x' || substring(md5('strat:42:' || CAST(doc_id AS VARCHAR)),1,13))::BIGINT AS h
+             FROM documents)
+       QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+               <= (CASE WHEN CAST(substring(source, 4) AS INT) < 10
+                        THEN 5 ELSE 12 END)""",
 )
 def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style exact dedup PLUS the connected-components duplicate
@@ -2237,7 +2251,10 @@ def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed iterative tier is pinned equal on the same shapes by
     tests/test_graph.py). Chains reach ~40 docs, so the oracle
     (gaps-and-islands per-run min in SQL) only matches if transitive
-    closure actually propagates end-to-end."""
+    closure actually propagates end-to-end. Parts 'sample'/'strat'
+    (round 7) grade hash_sample_k and stratified_sample_exact in
+    counter-hash mode — exact bottom-k minwise samples, global and
+    per-source-quota."""
     from pyspark.sql import Window
 
     from bigdata_quality_assessment_spark.operators.graph import connected_components
@@ -2300,6 +2317,31 @@ def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("component"),
     )
 
+    # parts 'sample'/'strat' (round-7): hash_sample_k + stratified_
+    # sample_exact in counter-hash mode — bottom-k minwise sampling
+    # (global and per-source-quota) the oracle recomputes exactly; the
+    # xxhash64 defaults keep their pytest contracts.
+    from bigdata_quality_assessment_spark.operators.select import (
+        hash_sample_k,
+        stratified_sample_exact,
+    )
+
+    smp = hash_sample_k(
+        docs.select("doc_id", "lang", "source"), 50, hash_fn="counter"
+    ).select(
+        F.lit("sample").alias("part"), "doc_id", "lang", "source",
+        F.lit(None).cast("bigint").alias("component"),
+    )
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    quotas = {s: (5 if int(s[3:]) < 10 else 12) for s in srcs}
+    strat = stratified_sample_exact(
+        docs.select("doc_id", "source"), quotas, hash_fn="counter"
+    ).select(
+        F.lit("strat").alias("part"), "doc_id",
+        F.lit(None).cast("string").alias("lang"), "source",
+        F.lit(None).cast("bigint").alias("component"),
+    )
+
     # BOTH closure tiers graded against the same oracle rows: the
     # single-task vectorized tier (the sub-threshold common case) and
     # the distributed min-label + pointer-jumping tier (the 100 TB
@@ -2308,6 +2350,8 @@ def q_xdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv.unionByName(_closure_part("closure", "single"))
         .unionByName(_closure_part("closure_iter", "iterative"))
         .unionByName(pipe)
+        .unionByName(smp)
+        .unionByName(strat)
     )
 
 
@@ -2931,6 +2975,16 @@ def _edd_pinned_planes() -> list[list[list[float]]]:
 _EDD_PLANES = _edd_pinned_planes()
 
 
+# part='cells' pinned quantizer: 4 axis-unit centroids (cells =
+# argmin L2 over well-separated axes — no ULP-tie risk), shared shape
+# with the x_semdedup_core quantizer. Assignment + prototypicality
+# (cosine to own centroid, unit centroid norms) become pure corpus
+# functions; the TRAINED k-means default stays pytest-covered.
+_EDD_CELL_CENTROIDS = [
+    [1.0 if j == i else 0.0 for j in range(_ANN_DIM)] for i in range(4)
+]
+
+
 def _edd_sql() -> str:
     rows = ",\n          ".join(
         "({}, {}, [{}]::DOUBLE[])".format(
@@ -2939,9 +2993,15 @@ def _edd_sql() -> str:
         for t in range(_EDD_TABLES)
         for p in range(_EDD_PLANES_N)
     )
+    cellrows = ",\n          ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(f"{x:.1f}" for x in c))
+        for i, c in enumerate(_EDD_CELL_CENTROIDS)
+    )
     thresh = repr(_EDD_THRESHOLD)
     return f"""WITH RECURSIVE pl AS (SELECT * FROM (VALUES
           {rows}) x(t, p, pv)),
+      cellc(cell, cv) AS (SELECT * FROM (VALUES
+          {cellrows}) y(cell, cv)),
       v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings),
       bk AS (SELECT v.vec_id, pl.t,
@@ -2963,9 +3023,31 @@ def _edd_sql() -> str:
         SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
       drops AS (
         SELECT id AS vec_id FROM (SELECT id, min(peer) AS mn FROM reach GROUP BY id)
-        WHERE mn < id)
-      SELECT emb.vec_id, emb.label FROM embeddings emb
-      WHERE emb.vec_id NOT IN (SELECT vec_id FROM drops)"""
+        WHERE mn < id),
+      vv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {_ANN_DIM}
+          AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+      asg AS (
+        SELECT vec_id, e,
+               (SELECT cell FROM cellc ORDER BY list_distance(vv.e, cellc.cv), cell
+                LIMIT 1) AS cell
+        FROM vv)
+      SELECT 'dedup' AS part, emb.vec_id, emb.label,
+             CAST(NULL AS INT) AS cluster,
+             CAST(NULL AS DOUBLE) AS centroid_cosine
+      FROM embeddings emb
+      WHERE emb.vec_id NOT IN (SELECT vec_id FROM drops)
+      UNION ALL
+      SELECT 'cells', emb.vec_id, CAST(NULL AS INT), CAST(a.cell AS INT),
+             CASE WHEN sqrt(list_dot_product(a.e, a.e)) * 1.0 > 0
+                  THEN round(list_dot_product(a.e, c.cv)
+                             / (sqrt(list_dot_product(a.e, a.e)) * 1.0), 6)
+                  WHEN a.cell IS NOT NULL THEN 0.0 END
+      FROM embeddings emb
+      LEFT JOIN asg a ON a.vec_id = emb.vec_id
+      LEFT JOIN cellc c ON c.cell = a.cell"""
 
 
 @_register("x_embedding_near_dedup", _edd_sql())
@@ -2978,12 +3060,34 @@ def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure and the survivor set from the same parquet. The
     seeded-Gaussian production planes and the trained SemDeDup
     variant (semantic_dedup) stay pytest-covered; the trained-vs-
-    pinned split mirrors x_semdedup_core."""
+    pinned split mirrors x_semdedup_core. Part='cells' (round 7)
+    grades cluster_embeddings with the pinned axis-unit quantizer:
+    cell assignment (argmin L2) and prototypicality (cosine to own
+    centroid) recomputed exactly by the oracle; the trained k-means
+    default keeps its pytest coverage."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        cluster_embeddings,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dedup(
+    ded = embedding_near_dedup(
         emb, threshold=_EDD_THRESHOLD, dim=_ANN_DIM,
         n_planes=_EDD_PLANES_N, n_tables=_EDD_TABLES, planes=_EDD_PLANES,
-    ).select("vec_id", "label")
+    ).select(
+        F.lit("dedup").alias("part"), "vec_id", "label",
+        F.lit(None).cast("int").alias("cluster"),
+        F.lit(None).cast("double").alias("centroid_cosine"),
+    )
+    assigned, _cents = cluster_embeddings(
+        emb, dim=_ANN_DIM, centroids=_EDD_CELL_CENTROIDS
+    )
+    cells = assigned.select(
+        F.lit("cells").alias("part"), "vec_id",
+        F.lit(None).cast("int").alias("label"),
+        "cluster",
+        F.round("centroid_cosine", 6).alias("centroid_cosine"),
+    )
+    return ded.unionByName(cells)
 
 
 # SemDeDup deterministic core (round-5 verdict ask #7): GIVEN fixed
