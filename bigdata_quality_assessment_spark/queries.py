@@ -2758,8 +2758,42 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
                 CAST(NULL AS BIGINT) AS rank
          FROM p a JOIN p b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.v, b.v) >= 0.2)
-       SELECT * FROM knn UNION ALL SELECT * FROM pairs""",
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.2),
+       sc8 AS (SELECT vec_id, cv AS e,
+                list_max(list_transform(
+                  list_filter(cv, x -> NOT (isnan(x) OR isinf(x))),
+                  x -> abs(x))) AS amax
+               FROM c),
+       codes AS (SELECT vec_id, e,
+                  list_transform(e, x ->
+                    CASE WHEN NOT (isnan(x) OR isinf(x)) AND amax > 0
+                         THEN round(x / (amax / 127.0)) ELSE 0.0 END) AS qv8
+                 FROM sc8),
+       q8 AS (SELECT vec_id AS query_id, e AS qe FROM sc8 WHERE vec_id < 5),
+       s8 AS (SELECT q8.query_id, co.vec_id,
+               CASE WHEN sqrt(list_dot_product(q8.qe, q8.qe))
+                         * sqrt(list_dot_product(co.qv8, co.qv8)) > 0
+                    THEN list_dot_product(q8.qe, co.qv8)
+                         / (sqrt(list_dot_product(q8.qe, q8.qe))
+                            * sqrt(list_dot_product(co.qv8, co.qv8)))
+                    ELSE 0.0 END AS ccos
+              FROM codes co CROSS JOIN q8 WHERE co.vec_id <> q8.query_id),
+       coarse AS (SELECT query_id, vec_id FROM (
+                   SELECT query_id, vec_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY ccos DESC, vec_id ASC) AS rn
+                   FROM s8) WHERE rn <= 20),
+       r8 AS (SELECT co.query_id, co.vec_id,
+               list_cosine_similarity(qv.cv, cv.cv) AS cosine
+              FROM coarse co JOIN c cv ON cv.vec_id = co.vec_id
+                             JOIN c qv ON qv.vec_id = co.query_id),
+       int8 AS (SELECT 'int8' AS part, query_id AS id_a, vec_id AS id_b,
+                 round(cosine, 6) AS cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+                FROM r8 QUALIFY rank <= 5)
+       SELECT * FROM knn UNION ALL SELECT * FROM pairs
+       UNION ALL SELECT * FROM int8""",
 )
 def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-cosine family as one tagged union (merged round 6 to keep
@@ -2767,8 +2801,16 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded row): part='knn' is brute-force top-k (the recall oracle of
     the three ANN tiers), part='pairs' is all-pairs cosine >= 0.2 on a
     bounded slice (documented O(n²) verification path; scale traffic
-    goes to x_ann_knn / x_ann_ivf_knn / x_embedding_near_dedup)."""
-    from bigdata_quality_assessment_spark.operators.similarity import cosine_pairs
+    goes to x_ann_knn / x_ann_ivf_knn / x_embedding_near_dedup);
+    part='int8' (round 7) is the quantized tier knn_quantized —
+    per-vector int8 scalar quantization, code-space coarse ranking
+    (k·rescore_factor deep), full-precision rescore — every stage
+    recomputed by the oracle (quantization is a pure row function;
+    no pinning needed)."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        cosine_pairs,
+        knn_quantized,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
@@ -2790,7 +2832,14 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.lit(None).cast("bigint").alias("rank"),
     )
-    return knn.unionByName(pairs)
+    i8 = knn_quantized(emb, q, k=5, rescore_factor=4).select(
+        F.lit("int8").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    return knn.unionByName(pairs).unionByName(i8)
 
 
 # ANN oracle pinning (round-6 verdict ask #1, the x_semdedup_core
