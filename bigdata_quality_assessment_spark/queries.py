@@ -2739,9 +2739,87 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.unionByName(dec).unionByName(spd).unionByName(sub)
 
 
+# Pinned PQ codebooks (round-7): m=4 subspaces × 16 centroids × 16
+# dims, entries ±0.25 from md5 bits — the same pin-the-parameters
+# pattern as the ANN planes; assignment argmin distances are
+# generically well-separated, so the encode is engine-stable. The
+# trained-k-means codebook path keeps its recall pytest.
+_PQ_M = 4
+_PQ_NCENT = 16
+_PQ_DSUB = 16
+
+
+def _pq_pinned_codebooks() -> list[list[list[float]]]:
+    import hashlib
+
+    books = []
+    for j in range(_PQ_M):
+        book = []
+        for c in range(_PQ_NCENT):
+            dig = hashlib.md5(f"pq-book:{j}:{c}".encode()).digest()
+            bits = int.from_bytes(dig, "big")
+            book.append(
+                [0.25 if (bits >> i) & 1 else -0.25 for i in range(_PQ_DSUB)]
+            )
+        books.append(book)
+    return books
+
+
+_PQ_BOOKS = _pq_pinned_codebooks()
+
+
+def _pq_sql_parts() -> str:
+    rows = ",\n          ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            j, c, ", ".join("0.25" if x > 0 else "-0.25" for x in _PQ_BOOKS[j][c])
+        )
+        for j in range(_PQ_M)
+        for c in range(_PQ_NCENT)
+    )
+    return f"""cb(j, cc, cv) AS (SELECT * FROM (VALUES
+          {rows}) z(j, cc, cv)),
+       pqv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       enc AS (SELECT v.vec_id, s.j,
+                (SELECT cc FROM cb WHERE cb.j = s.j
+                 ORDER BY list_distance(v.e[s.j*{_PQ_DSUB}+1 : s.j*{_PQ_DSUB}+{_PQ_DSUB}], cb.cv), cc
+                 LIMIT 1) AS code
+               FROM pqv v CROSS JOIN (SELECT unnest(range({_PQ_M})) AS j) s),
+       pqq AS (SELECT vec_id AS query_id, e AS qe,
+                      sqrt(list_dot_product(e, e)) AS qn
+               FROM pqv WHERE vec_id < 5),
+       adc AS (SELECT q.query_id, e.vec_id,
+                      sum(list_dot_product(
+                            q.qe[e.j*{_PQ_DSUB}+1 : e.j*{_PQ_DSUB}+{_PQ_DSUB}],
+                            cb.cv)) AS adot,
+                      sum(list_dot_product(cb.cv, cb.cv)) AS vn2,
+                      any_value(q.qn) AS qn
+               FROM enc e
+                    JOIN cb ON cb.j = e.j AND cb.cc = e.code
+                    CROSS JOIN pqq q
+               WHERE e.vec_id <> q.query_id
+               GROUP BY q.query_id, e.vec_id),
+       pqcoarse AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                     (CASE WHEN qn * sqrt(vn2) > 0
+                           THEN adot / (qn * sqrt(vn2)) ELSE 0.0 END) DESC,
+                     vec_id ASC) AS rn
+            FROM adc) WHERE rn <= 20),
+       pqr AS (SELECT co.query_id, co.vec_id,
+                      list_cosine_similarity(qv.e, cv.e) AS cosine
+               FROM pqcoarse co JOIN pqv cv ON cv.vec_id = co.vec_id
+                                JOIN pqv qv ON qv.vec_id = co.query_id),
+       pq AS (SELECT 'pq' AS part, query_id AS id_a, vec_id AS id_b,
+                     round(cosine, 6) AS cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM pqr QUALIFY rank <= 5)"""
+
+
 @_register(
     "x_knn_cosine",
-    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    f"""WITH {_pq_sql_parts()},
+       q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                   FROM embeddings WHERE vec_id < 5),
        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
        s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, cv) AS cosine
@@ -2793,7 +2871,8 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
                 FROM r8 QUALIFY rank <= 5)
        SELECT * FROM knn UNION ALL SELECT * FROM pairs
-       UNION ALL SELECT * FROM int8""",
+       UNION ALL SELECT * FROM int8
+       UNION ALL SELECT * FROM pq""",
 )
 def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-cosine family as one tagged union (merged round 6 to keep
@@ -2806,9 +2885,14 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector int8 scalar quantization, code-space coarse ranking
     (k·rescore_factor deep), full-precision rescore — every stage
     recomputed by the oracle (quantization is a pure row function;
-    no pinning needed)."""
+    no pinning needed); part='pq' (round 7) is knn_pq with PINNED
+    codebooks (_PQ_BOOKS) — subspace encode (argmin per book), ADC
+    lookup-table cosine, rescore — completing oracle coverage of all
+    four similarity tiers (the trained-codebook default keeps its
+    recall pytest)."""
     from bigdata_quality_assessment_spark.operators.similarity import (
         cosine_pairs,
+        knn_pq,
         knn_quantized,
     )
 
@@ -2839,7 +2923,17 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("bigint").alias("rank"),
     )
-    return knn.unionByName(pairs).unionByName(i8)
+    pq = knn_pq(
+        emb, q, dim=_ANN_DIM, k=5, m=_PQ_M, n_centroids=_PQ_NCENT,
+        rescore_factor=4, codebooks=_PQ_BOOKS,
+    ).select(
+        F.lit("pq").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    return knn.unionByName(pairs).unionByName(i8).unionByName(pq)
 
 
 # ANN oracle pinning (round-6 verdict ask #1, the x_semdedup_core
