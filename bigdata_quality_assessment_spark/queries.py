@@ -1976,6 +1976,53 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_part.unionByName(ti).unionByName(lm).unionByName(dsir)
 
 
+# Pinned hashed-logistic classifier (round-7): with the weight vector
+# pinned as literals, SCORING is a pure corpus function — the
+# polynomial token hash (acc*31 + codepoint mod 1000003, classifier
+# token_bucket) replays in DuckDB as a list_reduce fold, so logit and
+# p_good are oracle-recomputable. TRAINING stays rows-only by nature
+# (numpy GD) with its hash-parity + distillation pytest contracts.
+_CLS_DIM = 32
+_CLS_BIAS = 0.1
+
+
+def _cls_pinned_weights() -> list[float]:
+    import hashlib
+
+    out = []
+    for i in range(_CLS_DIM):
+        bits = int.from_bytes(hashlib.md5(f"cls-w:{i}".encode()).digest(), "big")
+        out.append(((bits % 2001) - 1000) / 1000.0)
+    return out
+
+
+_CLS_W = _cls_pinned_weights()
+
+
+def _cls_sql() -> str:
+    wl = "[" + ", ".join(_r(w) for w in _CLS_W) + "]"
+    bucket = (
+        "list_reduce(list_concat([CAST(0 AS BIGINT)],"
+        " list_transform(string_split(t, ''), ch -> CAST(ord(ch) AS BIGINT))),"
+        " (acc, cp) -> (acc * 31 + cp) % 1000003) % " + str(_CLS_DIM)
+    )
+    return f"""
+       UNION ALL
+       SELECT 'cls', doc_id,
+              round(1.0 / (1.0 + exp(-logit)), 6), CAST(NULL AS INT),
+              CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+       FROM (
+         SELECT doc_id,
+                {_r(_CLS_BIAS)} + (CASE WHEN len(ts) > 0
+                  THEN list_sum(list_transform(ts,
+                         t -> ({wl}::DOUBLE[])[CAST({bucket} AS INT) + 1]))
+                       / len(ts)
+                  ELSE 0.0 END) AS logit
+         FROM (SELECT doc_id,
+                      list_filter(string_split(text, ' '), t -> t <> '') AS ts
+               FROM documents))"""
+
+
 @_register(
     "x_quality_score",
     """WITH s AS (
@@ -2043,7 +2090,7 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  % 1000000 AS b
              FROM documents)
        WHERE b < (CASE WHEN CAST(substring(source, 4) AS INT) < 10
-                       THEN 250000 ELSE 750000 END)""",
+                       THEN 250000 ELSE 750000 END)""" + _cls_sql(),
 )
 def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality family as one tagged union (round-5): part='q' is the
@@ -2056,7 +2103,10 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality pass via a lazy barrier; parts 'split'/'mix' (round 7) are
     hash_split + mixture_sample in counter-hash mode — deterministic
     train/val/test assignment and per-source Bernoulli mixture, both
-    recomputed exactly by the oracle."""
+    recomputed exactly by the oracle; part='cls' (round 7) is
+    classify_quality with a PINNED weight vector — the polynomial
+    token hash, mean bucket weight and sigmoid all replayed by the
+    oracle (training stays rows-only with pytest parity)."""
     from bigdata_quality_assessment_spark.operators.text import chunk_text
 
     docs = _t(spark, sf_dir, "documents")
@@ -2116,6 +2166,24 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("split").alias("part"), "doc_id", *_nulls,
         F.col("split").alias("chunk"),
     )
+    # part='cls' (round-7): classify_quality with the pinned weight
+    # vector — p_good rides the `quality` column; training stays
+    # rows-only (numpy GD) with pytest parity contracts
+    from bigdata_quality_assessment_spark.operators.classifier import (
+        QualityClassifier,
+        classify_quality,
+    )
+
+    cls_model = QualityClassifier(
+        weights=tuple(_CLS_W), bias=_CLS_BIAS, dim=_CLS_DIM
+    )
+    cl = classify_quality(docs, cls_model).select(
+        F.lit("cls").alias("part"), "doc_id",
+        F.round("p_good", 6).alias("quality"),
+        F.lit(None).cast("int").alias("chunk_id"),
+        F.lit(None).cast("bigint").alias("n_chunk_tokens"),
+        F.lit(None).cast("string").alias("chunk"),
+    )
     # source-cardinality collect (bounded, sanctioned): rates follow
     # the srcN index rule so the dict tracks whatever sources the SF
     # fixture has
@@ -2125,7 +2193,13 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mix").alias("part"), "doc_id", *_nulls,
         F.col("source").alias("chunk"),
     )
-    return q.unionByName(ch).unionByName(fl).unionByName(sp).unionByName(mx)
+    return (
+        q.unionByName(ch)
+        .unionByName(fl)
+        .unionByName(sp)
+        .unionByName(mx)
+        .unionByName(cl)
+    )
 
 
 @_register(
