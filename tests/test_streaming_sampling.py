@@ -4,6 +4,11 @@ invariance, bounded state.
 The reservoir keys rows with the SAME Catalyst counter-RNG expression
 the batch sampler uses, so the streamed sample must equal the batch
 sample bit-for-bit — not approximately, not distributionally.
+
+Cost discipline: each applyInPandasWithState drain pays
+``shuffle.partitions`` state stores PER micro-batch, which adds up in
+the full suite — so all assertions share TWO module-scoped drains
+(3-file and 1-file arrivals) instead of one drain per test.
 """
 
 from __future__ import annotations
@@ -57,12 +62,16 @@ def _drain(spark, root: str, name: str):
     return run_available_now(res, name)
 
 
-def test_stream_matches_batch_sample_exactly(spark, weighted_docs, tmp_path):
-    root = _stage(weighted_docs, str(tmp_path / "s3"), 3)
-    drained = _drain(spark, root, "ws_parity")
+@pytest.fixture(scope="module")
+def drained3(spark, weighted_docs, tmp_path_factory):
+    """One 3-batch drain shared by parity/bound/distinct assertions."""
+    root = _stage(weighted_docs, str(tmp_path_factory.mktemp("ws3")), 3)
+    return _drain(spark, root, "ws_three").localCheckpoint()
+
+
+def test_stream_matches_batch_sample_exactly(spark, weighted_docs, drained3):
     got = sorted(
-        r["doc_id"]
-        for r in finalize_weighted_sample(drained, K).collect()
+        r["doc_id"] for r in finalize_weighted_sample(drained3, K).collect()
     )
     want = sorted(
         r["doc_id"]
@@ -72,44 +81,35 @@ def test_stream_matches_batch_sample_exactly(spark, weighted_docs, tmp_path):
     )
     assert got == want
     assert len(got) == K
+    # without replacement — all distinct
+    assert len(set(got)) == K
 
 
-def test_batch_split_invariance(spark, weighted_docs, tmp_path):
-    """1 arrival file vs 4 arrival files → identical final sample (the
+def test_batch_split_invariance(spark, weighted_docs, drained3, tmp_path):
+    """3 arrival files vs 1 arrival file → identical final sample (the
     counter keys depend on rows, never on arrival batching)."""
     r1 = _stage(weighted_docs, str(tmp_path / "one"), 1)
-    r4 = _stage(weighted_docs, str(tmp_path / "four"), 4)
     a = sorted(
-        r["doc_id"]
-        for r in finalize_weighted_sample(_drain(spark, r1, "ws_one"), K).collect()
+        r["doc_id"] for r in finalize_weighted_sample(drained3, K).collect()
     )
     b = sorted(
         r["doc_id"]
-        for r in finalize_weighted_sample(_drain(spark, r4, "ws_four"), K).collect()
+        for r in finalize_weighted_sample(_drain(spark, r1, "ws_one"), K).collect()
     )
     assert a == b
 
 
-def test_reservoir_state_is_bounded(spark, weighted_docs, tmp_path):
+def test_reservoir_state_is_bounded(spark, drained3):
     """Every per-batch emission carries ≤ k rows per bucket — the state
     (and therefore the store) never grows past k·n_buckets regardless
     of stream length."""
-    root = _stage(weighted_docs, str(tmp_path / "b"), 3)
-    drained = _drain(spark, root, "ws_bound")
     per = (
-        drained.groupBy("bucket", "n_seen")
+        drained3.groupBy("bucket", "n_seen")
         .count()
         .agg(F.max("count"))
         .first()[0]
     )
     assert per <= K
     # candidates handed to the final top-k: ≤ n_buckets · k
-    cand = finalize_weighted_sample(drained, 10**9)
+    cand = finalize_weighted_sample(drained3, 8 * K + 1)
     assert cand.count() <= 8 * K
-
-
-def test_without_replacement_distinct(spark, weighted_docs, tmp_path):
-    root = _stage(weighted_docs, str(tmp_path / "d"), 2)
-    rows = finalize_weighted_sample(_drain(spark, root, "ws_dist"), K).collect()
-    ids = [r["doc_id"] for r in rows]
-    assert len(ids) == len(set(ids)) == K
