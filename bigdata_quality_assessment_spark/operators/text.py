@@ -953,6 +953,7 @@ def fuzzy_decontaminate(
     bands: int = 16,
     min_jaccard: float = 0.8,
     mode: str = "word",
+    lane_params: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Cross-corpus near-duplicate decontamination: flag training
     documents whose shingle-set Jaccard with ANY benchmark/eval
@@ -976,9 +977,41 @@ def fuzzy_decontaminate(
     jaccard j is 1-(1-j^r)^bands with r = 128/bands. The default 16
     bands (r=8) holds recall > 99% only for j >= 0.8; for thresholds
     near 0.5 use bands=32 (r=4, recall ~97% at j=0.57) — the
-    curation pipeline's fuzzy tier defaults there."""
-    sig_d = minhash_signatures(docs, text_col, k, n_hashes, mode, id_col)
-    sig_b = minhash_signatures(benchmark, text_col, k, n_hashes, mode, id_col)
+    curation pipeline's fuzzy tier defaults there.
+
+    ``lane_params`` pins the signature family exactly as in
+    :func:`near_dedup_minhash` (48-bit md5 shingle hash + linear
+    lanes) — the ORACLE-graded variant (part='fdecon' of
+    x_doc_fingerprints); since the Jaccard verify intersects STRING
+    shingles and the ratio is integer-derived, the flagged set and
+    best-match scores are integer-exact cross-engine."""
+
+    def _sigs(frame: DataFrame) -> DataFrame:
+        if lane_params is None:
+            return minhash_signatures(frame, text_col, k, n_hashes, mode, id_col)
+        sh = _shingle_expr(F.col(text_col), k, mode)
+        hashes = frame.select(
+            id_col, F.explode(F.transform(sh, lambda s: _md5_48(s))).alias("__h")
+        )
+        lanes = [
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"__s{i}"
+            )
+            for i, (a, b) in enumerate(lane_params)
+        ]
+        return (
+            hashes.groupBy(id_col)
+            .agg(*lanes)
+            .select(
+                id_col,
+                F.array(
+                    *[F.col(f"__s{i}") for i in range(len(lane_params))]
+                ).alias("sig"),
+            )
+        )
+
+    sig_d = _sigs(docs)
+    sig_b = _sigs(benchmark)
 
     def band_keys(sig: DataFrame, out_id: str) -> DataFrame:
         return minhash_band_keys(sig, bands, id_col).withColumnRenamed(id_col, out_id)

@@ -2638,6 +2638,66 @@ _FP_POWS = " + ".join(
 )
 
 
+def _fdecon_sql() -> str:
+    """part='fdecon' oracle: fuzzy (MinHash-band) cross-corpus
+    decontamination with the pinned lane family — 3-word shingles →
+    48-bit md5 → 64 linear lanes → 16 bands (r=4) → train×bench
+    band-key candidates → exact STRING-shingle Jaccard ≥ 0.8 → best
+    match per train doc (max j, tie → lowest bench id). The Jaccard is
+    a ratio of integers, so scores are division-exact cross-engine;
+    matched_bench_id rides `fp`, round(j·1e6) rides `n_hits`."""
+    from bigdata_quality_assessment_spark.operators.text import MINHASH_P
+
+    lanes = ",\n          ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MINHASH_LANES)
+    )
+    return f"""
+        UNION ALL
+        SELECT 'fdecon', did, bid, CAST(round(j * 1000000) AS BIGINT),
+               CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM (
+          WITH fzlp AS (SELECT * FROM (VALUES
+              {lanes}) x(lane, a, b)),
+          fztk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          fzsh AS (SELECT DISTINCT doc_id,
+                        ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
+                          || ' ' || ws[CAST(i + 3 AS INT)] AS gram
+                   FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+                         FROM fztk WHERE len(ws) >= 3)),
+          fzh AS (SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 12))::BIGINT AS hv
+                  FROM fzsh),
+          fzmh AS (SELECT fzh.doc_id, fzlp.lane,
+                        min((fzlp.a * fzh.hv + fzlp.b) % {MINHASH_P}) AS s
+                   FROM fzh CROSS JOIN fzlp GROUP BY fzh.doc_id, fzlp.lane),
+          fzbk AS (SELECT doc_id, lane // 4 AS band,
+                          list(s ORDER BY lane) AS key
+                   FROM fzmh GROUP BY doc_id, lane // 4),
+          fzcand AS (SELECT DISTINCT d.doc_id AS did, b.doc_id AS bid
+                     FROM fzbk d JOIN fzbk b
+                       ON d.band = b.band AND d.key = b.key
+                     WHERE b.doc_id % 97 = 0),
+          fzsz AS (SELECT doc_id, count(*) AS n FROM fzsh GROUP BY doc_id),
+          fzint AS (SELECT c.did, c.bid, count(*) AS com
+                    FROM fzcand c
+                    JOIN fzsh a ON a.doc_id = c.did
+                    JOIN fzsh bb ON bb.doc_id = c.bid AND bb.gram = a.gram
+                    GROUP BY c.did, c.bid),
+          fzj AS (SELECT i.did, i.bid,
+                         i.com / (na.n + nb.n - i.com) AS j
+                  FROM fzint i
+                  JOIN fzsz na ON na.doc_id = i.did
+                  JOIN fzsz nb ON nb.doc_id = i.bid
+                  WHERE i.com / (na.n + nb.n - i.com) >= 0.8)
+          SELECT did, bid, j FROM (
+            SELECT did, bid, j,
+                   row_number() OVER (PARTITION BY did
+                     ORDER BY j DESC, bid ASC) AS rn
+            FROM fzj) WHERE rn = 1)"""
+
+
 @_register(
     "x_doc_fingerprints",
     f"""WITH idx AS (
@@ -2726,7 +2786,7 @@ _FP_POWS = " + ".join(
                CAST(coalesce(sc.n_rm, 0) AS BIGINT)
         FROM spd s0
              LEFT JOIN subre re ON s0.doc_id = re.doc_id
-             LEFT JOIN subcnt sc ON s0.doc_id = sc.doc_id""",
+             LEFT JOIN subcnt sc ON s0.doc_id = sc.doc_id""" + _fdecon_sql(),
 )
 def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint family as one tagged union (round-5 continuation):
@@ -2772,6 +2832,24 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_span_nulls,
     )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # part='fdecon' (round-7): fuzzy MinHash-band decontamination with
+    # the pinned lane family — matched_bench_id rides fp, round(j·1e6)
+    # rides n_hits (the schema's BIGINT slots); integer-ratio Jaccard
+    # makes the scores division-exact cross-engine
+    from bigdata_quality_assessment_spark.operators.text import (
+        fuzzy_decontaminate,
+    )
+
+    fz = fuzzy_decontaminate(
+        docs, bench, k=3, min_jaccard=0.8, lane_params=_MINHASH_LANES
+    ).select(
+        F.lit("fdecon").alias("part"),
+        "doc_id",
+        F.col("matched_bench_id").alias("fp"),
+        F.round(F.col("jaccard") * 1_000_000).cast("bigint").alias("n_hits"),
+        F.lit(1).cast("bigint").alias("contaminated"),
+        *_span_nulls,
+    )
     dec = decontaminate(docs, bench, k=5, hash_grams=False).select(
         F.lit("decon").alias("part"),
         "doc_id",
@@ -2810,7 +2888,12 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_tokens_removed",
     )
-    return fp.unionByName(dec).unionByName(spd).unionByName(sub)
+    return (
+        fp.unionByName(dec)
+        .unionByName(spd)
+        .unionByName(sub)
+        .unionByName(fz)
+    )
 
 
 # Pinned PQ codebooks (round-7): m=4 subspaces × 16 centroids × 16
