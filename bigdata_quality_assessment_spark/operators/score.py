@@ -79,7 +79,8 @@ def regression_metrics(
 
 
 def inverse_density_weights(
-    df: DataFrame, pdf_col: str = "pdf", weight_col: str = "w"
+    df: DataFrame, pdf_col: str = "pdf", weight_col: str = "w",
+    normalize: bool = True,
 ) -> DataFrame:
     """P12: sampling weights ∝ 1/pdf(y), normalized to sum to 1
     (rare-event up-weighting, BigDataQualityAssessment_ActiveSampling.py:51-54).
@@ -91,6 +92,14 @@ def inverse_density_weights(
     difference between a narrow pass and a single-executor bottleneck
     at scale.
 
+    ``normalize=False`` returns the raw 1/pdf weights (one projection,
+    no aggregate). The inverse-CDF sampler downstream is
+    scale-invariant (draw targets are ``u·Σw``), so consumers that
+    only sample may skip the normalizer — that global float sum is the
+    one summation-order-dependent value in the chain (its result can
+    differ in ulps across partition layouts), and the oracle-graded
+    sampling path uses raw weights for exactly that reason.
+
     ANSI guard: the pdf is floored at 1e-300 — a Gaussian-kernel KDE is
     strictly positive at every data point, so the floor never fires on
     real densities (oracle values unchanged), but a literal zero pdf
@@ -98,6 +107,8 @@ def inverse_density_weights(
     with the floor it degenerates to a dominating (≈inf) weight, the
     closest finite analog of numpy's inf/inf behavior."""
     raw = 1.0 / F.greatest(F.col(pdf_col), F.lit(1e-300))
+    if not normalize:
+        return df.withColumn(weight_col, raw)
     total = df.agg(F.sum(raw).alias("__w_tot"))
     return (
         df.crossJoin(F.broadcast(total))

@@ -974,17 +974,27 @@ def fuzzy_decontaminate(
     training corpus's banded keys never shuffle.
 
     Size ``bands`` to the threshold: candidate recall for a pair at
-    jaccard j is 1-(1-j^r)^bands with r = 128/bands. The default 16
-    bands (r=8) holds recall > 99% only for j >= 0.8; for thresholds
-    near 0.5 use bands=32 (r=4, recall ~97% at j=0.57) — the
-    curation pipeline's fuzzy tier defaults there.
+    jaccard j is 1-(1-j^r)^bands with r = n_lanes/bands, where n_lanes
+    is ``n_hashes`` (default 128) or, when ``lane_params`` is given,
+    ``len(lane_params)`` — lane_params OVERRIDES n_hashes, exactly as
+    in :func:`near_dedup_minhash`. With the default n_hashes=128 and
+    16 bands, r=8 holds recall > 99% only for j >= 0.8; for thresholds
+    near 0.5 use bands=32 (r=4, recall ~97% at j=0.57) — the curation
+    pipeline's fuzzy tier defaults there. The pinned 64-lane oracle
+    family at the default bands=16 therefore runs at r=4: much hotter
+    band recall (>99.9% at j=0.8, ~86% single-band j^4 at j=0.96) and
+    correspondingly more false candidates for the exact-Jaccard verify
+    to reject — fine for tiny benchmark sides, but size bands down
+    (e.g. bands=8, r=8) if a large bench side makes the candidate join
+    expensive.
 
     ``lane_params`` pins the signature family exactly as in
     :func:`near_dedup_minhash` (48-bit md5 shingle hash + linear
-    lanes) — the ORACLE-graded variant (part='fdecon' of
-    x_doc_fingerprints); since the Jaccard verify intersects STRING
-    shingles and the ratio is integer-derived, the flagged set and
-    best-match scores are integer-exact cross-engine."""
+    lanes; n_hashes is ignored in lane mode) — the ORACLE-graded
+    variant (part='fdecon' of x_doc_fingerprints); since the Jaccard
+    verify intersects STRING shingles and the ratio is
+    integer-derived, the flagged set and best-match scores are
+    integer-exact cross-engine."""
 
     def _sigs(frame: DataFrame) -> DataFrame:
         if lane_params is None:

@@ -1127,9 +1127,12 @@ def _t3_sql() -> str:
     """DuckDB twin of the counter-RNG inverse-CDF sampler: mirrors the
     TWO-LEVEL distributed prefix sum (bucket-local running sums +
     bucket offsets, operators/select.py weighted_sample_with_
-    replacement) addition-for-addition, so the cumulative-weight
-    intervals and the k draw targets are reproduced at full float64
-    precision — the drawn multiset is a pure corpus function."""
+    replacement) addition-for-addition over RAW 1/pdf weights
+    (normalize=False): inverse-CDF draws are scale-invariant, and
+    skipping the global normalizer removes the only
+    summation-order-dependent float op in the chain — every remaining
+    sum runs in the pinned (bucket, lid) order in both engines, so the
+    drawn multiset is a pure corpus function."""
     from bigdata_quality_assessment_spark.functions.counter_rng import (
         sql_counter_hash,
         sql_counter_uniform,
@@ -1143,8 +1146,7 @@ def _t3_sql() -> str:
       raw AS (SELECT lid, l_quantity,
                      {_r(1.0)} / greatest(l_quantity, {_r(1e-300)}) AS rw
               FROM li),
-      w AS (SELECT lid, l_quantity,
-                   rw / (SELECT sum(rw) FROM raw) AS w, {bsql} % 8 AS b
+      w AS (SELECT lid, l_quantity, rw AS w, {bsql} % 8 AS b
             FROM raw),
       lc AS (SELECT *, sum(w) OVER (PARTITION BY b ORDER BY lid
                                     ROWS UNBOUNDED PRECEDING) AS lcum
@@ -1175,9 +1177,14 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights — ORACLE-GRADED since the counter-RNG default: draws,
     buckets and both prefix-sum levels are pure md5-derived functions
     of the rows, so the DuckDB twin reproduces the exact drawn
-    multiset (see _t3_sql). n_parts pinned to 8 for the oracle."""
+    multiset (see _t3_sql). n_parts pinned to 8 for the oracle.
+    Weights stay UNNORMALIZED (normalize=False): the sampler is
+    scale-invariant, and the global normalizer sum was the one
+    summation-order-dependent float op between the engines."""
     li = _lineitem_id(_t(spark, sf_dir, "lineitem")).filter(F.col("l_orderkey") <= 200)
-    w = inverse_density_weights(li, pdf_col="l_quantity", weight_col="w")
+    w = inverse_density_weights(
+        li, pdf_col="l_quantity", weight_col="w", normalize=False
+    )
     return weighted_sample_with_replacement(
         w, "w", 100, seed=42, id_col="lid", n_parts=8
     ).select("draw_id", "lid", "l_quantity")
@@ -2936,11 +2943,14 @@ def _pq_sql_parts() -> str:
     return f"""cb(j, cc, cv) AS (SELECT * FROM (VALUES
           {rows}) z(j, cc, cv)),
        pqv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       pqc AS (SELECT vec_id, e FROM pqv
+               WHERE e IS NOT NULL AND len(e) = 64
+                 AND len(list_filter(e, x -> isnan(x) OR isinf(x))) = 0),
        enc AS (SELECT v.vec_id, s.j,
                 (SELECT cc FROM cb WHERE cb.j = s.j
                  ORDER BY list_distance(v.e[s.j*{_PQ_DSUB}+1 : s.j*{_PQ_DSUB}+{_PQ_DSUB}], cb.cv), cc
                  LIMIT 1) AS code
-               FROM pqv v CROSS JOIN (SELECT unnest(range({_PQ_M})) AS j) s),
+               FROM pqc v CROSS JOIN (SELECT unnest(range({_PQ_M})) AS j) s),
        pqq AS (SELECT vec_id AS query_id, e AS qe,
                       sqrt(list_dot_product(e, e)) AS qn
                FROM pqv WHERE vec_id < 5),
@@ -2998,13 +3008,15 @@ def _pq_sql_parts() -> str:
                 list_max(list_transform(
                   list_filter(cv, x -> NOT (isnan(x) OR isinf(x))),
                   x -> abs(x))) AS amax
-               FROM c),
+               FROM c
+               WHERE cv IS NOT NULL AND len(cv) = 64
+                 AND len(list_filter(cv, x -> isnan(x) OR isinf(x))) = 0),
        codes AS (SELECT vec_id, e,
                   list_transform(e, x ->
                     CASE WHEN NOT (isnan(x) OR isinf(x)) AND amax > 0
                          THEN round(x / (amax / 127.0)) ELSE 0.0 END) AS qv8
                  FROM sc8),
-       q8 AS (SELECT vec_id AS query_id, e AS qe FROM sc8 WHERE vec_id < 5),
+       q8 AS (SELECT vec_id AS query_id, cv AS qe FROM c WHERE vec_id < 5),
        s8 AS (SELECT q8.query_id, co.vec_id,
                CASE WHEN sqrt(list_dot_product(q8.qe, q8.qe))
                          * sqrt(list_dot_product(co.qv8, co.qv8)) > 0
@@ -3073,7 +3085,24 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.lit(None).cast("bigint").alias("rank"),
     )
-    i8 = knn_quantized(emb, q, k=5, rescore_factor=4).select(
+    # corpus-side validity gate for the quantized tiers, mirrored in
+    # the SQL twins' c8/pqc CTEs: the Spark operators pass NULL/invalid
+    # vectors through as NULL-cosine rows (sorted last), the SQL CASE
+    # scores them 0.0 — on a fixture with null embeddings and < 20
+    # positive-cosine candidates the coarse sets would diverge. Exclude
+    # them identically in both engines instead (same predicate as the
+    # part='cells' vv CTE). Fixtures are clean today, so values are
+    # unchanged; this pins the contract against future fixture churn.
+    vvalid = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == _ANN_DIM)
+        & ~F.exists(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.isnan(x) | x.isin(float("inf"), float("-inf")),
+        )
+    )
+    vemb = emb.filter(vvalid)
+    i8 = knn_quantized(vemb, q, k=5, rescore_factor=4).select(
         F.lit("int8").alias("part"),
         F.col("query_id").alias("id_a"),
         F.col("vec_id").alias("id_b"),
@@ -3081,7 +3110,7 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"),
     )
     pq = knn_pq(
-        emb, q, dim=_ANN_DIM, k=5, m=_PQ_M, n_centroids=_PQ_NCENT,
+        vemb, q, dim=_ANN_DIM, k=5, m=_PQ_M, n_centroids=_PQ_NCENT,
         rescore_factor=4, codebooks=_PQ_BOOKS,
     ).select(
         F.lit("pq").alias("part"),
