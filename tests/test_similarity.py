@@ -444,3 +444,121 @@ def test_quantizer_training_sample_is_deterministic(corpus, vectors):
     _, c1 = cluster_embeddings(corpus, dim=DIM, n_clusters=4, n_train=50, seed=5)
     _, c2 = cluster_embeddings(shuffled, dim=DIM, n_clusters=4, n_train=50, seed=5)
     assert c1 == c2
+
+
+# ------------------------------------------------------------------
+# Arrow-gemm vs Catalyst-fold parity (round 8): the production
+# projection paths moved to one BLAS matmul per Arrow batch; the fold
+# stays as the oracle-replayable impl. Both must agree on every
+# bucket / cell / code for well-separated inputs, and the arrow path
+# must null out invalid vectors instead of crashing np.stack.
+# ------------------------------------------------------------------
+
+
+def test_hyperplane_buckets_arrow_matches_sql(corpus):
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    a = hyperplane_buckets(
+        corpus, DIM, n_planes=8, n_tables=3, seed=7, impl="arrow"
+    )
+    s = hyperplane_buckets(
+        corpus, DIM, n_planes=8, n_tables=3, seed=7, impl="sql"
+    )
+    cols = ["vec_id", "bucket_0", "bucket_1", "bucket_2"]
+    ra = {r["vec_id"]: r for r in a.select(cols).collect()}
+    rs = {r["vec_id"]: r for r in s.select(cols).collect()}
+    assert set(ra) == set(rs) and len(ra) == 120
+    for vid, row in rs.items():
+        for c in cols[1:]:
+            assert ra[vid][c] == row[c], (vid, c)
+    # keep_dots: the margin arrays must match to float tolerance
+    ad = hyperplane_buckets(
+        corpus, DIM, n_planes=8, n_tables=1, seed=7, keep_dots=True, impl="arrow"
+    ).select("vec_id", "dots_0").collect()
+    sd = {
+        r["vec_id"]: r["dots_0"]
+        for r in hyperplane_buckets(
+            corpus, DIM, n_planes=8, n_tables=1, seed=7, keep_dots=True, impl="sql"
+        ).select("vec_id", "dots_0").collect()
+    }
+    for r in ad:
+        assert np.allclose(r["dots_0"], sd[r["vec_id"]], atol=1e-9)
+
+
+def test_hyperplane_buckets_arrow_nulls_invalid(spark):
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    rows = [
+        (0, [1.0] * 8),
+        (1, None),
+        (2, [1.0, 2.0]),  # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = {
+        r["vec_id"]: r
+        for r in hyperplane_buckets(
+            df, 8, n_planes=4, n_tables=2, seed=1, impl="arrow"
+        ).collect()
+    }
+    assert got[0]["bucket_0"] is not None and got[0]["bucket_1"] is not None
+    for vid in (1, 2):
+        assert got[vid]["bucket_0"] is None and got[vid]["bucket_1"] is None
+
+
+def test_ivf_and_ann_arrow_match_sql_end_to_end(corpus):
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        ann_hyperplane_knn,
+        ivf_knn,
+    )
+
+    q = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"]) for r in df.collect()
+        )
+
+    assert key(
+        ann_hyperplane_knn(corpus, q, DIM, k=5, n_planes=6, n_tables=4,
+                           n_probes=2, impl="arrow")
+    ) == key(
+        ann_hyperplane_knn(corpus, q, DIM, k=5, n_planes=6, n_tables=4,
+                           n_probes=2, impl="sql")
+    )
+    assert key(
+        ivf_knn(corpus, q, DIM, k=5, n_centroids=8, n_probe=3, impl="arrow")
+    ) == key(
+        ivf_knn(corpus, q, DIM, k=5, n_centroids=8, n_probe=3, impl="sql")
+    )
+
+
+def test_knn_pq_arrow_encode_matches_fold(corpus):
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        _pq_encode_gemm,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(corpus, dim=DIM, m=4, n_centroids=8, n_train=60, seed=3)
+    a = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in _pq_encode_gemm(corpus, books, "vec_id", "embedding").collect()
+    }
+    s = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(corpus, books).select("vec_id", "pq_code").collect()
+    }
+    assert a == s
+    # invalid vectors -> NULL code on the arrow path
+    bad = corpus.sparkSession.createDataFrame(
+        [(0, [0.5] * DIM), (1, None), (2, [1.0])],
+        f"vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = {r["vec_id"]: r["pq_code"] for r in _pq_encode_gemm(bad, books, "vec_id", "embedding").collect()}
+    assert got[0] is not None and got[1] is None and got[2] is None
