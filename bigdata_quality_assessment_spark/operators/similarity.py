@@ -1214,6 +1214,76 @@ def _train_quantizer(
     return _kmeans_centroids(train, n_clusters, n_iter=n_kmeans_iter, seed=seed)
 
 
+def _cluster_assign_gemm(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    dim: int,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow path of :func:`cluster_embeddings`: one gemm per batch
+    yields every centroid distance AND the prototypicality dot in the
+    same pass (cosine = dot/(‖v‖·‖c‖), argmin over ‖v‖²−2·dot+‖c‖²).
+    All input columns pass through unchanged; invalid vectors (NULL,
+    wrong length, non-finite elements) get NULL cluster/cosine — the
+    same contract as the fold path."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.asarray(cents, dtype="float64")
+    cn2 = (C * C).sum(1)
+    cn = np.sqrt(cn2)
+    out_schema = StructType(
+        corpus.schema.fields
+        + [
+            StructField("cluster", IntegerType()),
+            StructField("centroid_cosine", DoubleType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            cl = pd.array([None] * n, dtype="Int32")
+            cc = [None] * n
+            ok, arrs = [], []
+            for i, v in enumerate(pdf[vec_col]):
+                if v is None or len(v) != dim:
+                    continue
+                a = np.asarray(v, dtype="float64")
+                if not np.isfinite(a).all():
+                    continue
+                ok.append(i)
+                arrs.append(a)
+            if ok:
+                V = np.stack(arrs)
+                dots = V @ C.T
+                vn2 = (V * V).sum(1)
+                a_ = (vn2[:, None] - 2.0 * dots + cn2[None, :]).argmin(1)
+                denom = np.sqrt(vn2) * cn[a_]
+                cos = np.where(
+                    denom > 0,
+                    dots[np.arange(len(ok)), a_] / np.where(denom > 0, denom, 1.0),
+                    0.0,
+                )
+                for r, i in enumerate(ok):
+                    cl[i] = int(a_[r])
+                    cc[i] = float(cos[r])
+            out = pdf.copy()
+            out["cluster"] = cl
+            out["centroid_cosine"] = cc
+            yield out[names]
+
+    return corpus.mapInPandas(gen, out_schema)
+
+
 def cluster_embeddings(
     corpus: DataFrame,
     dim: int,
@@ -1224,6 +1294,7 @@ def cluster_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    impl: str = "auto",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Corpus organization by embedding cluster — the grouping
     primitive behind domain-balanced mixtures (cluster the corpus,
@@ -1279,6 +1350,9 @@ def cluster_embeddings(
             "centroid_cosine", F.lit(None).cast("double")
         )
         return out, []
+
+    if _resolve_impl(impl, pinned=centroids is not None) == "arrow":
+        return _cluster_assign_gemm(corpus, cents, dim, vec_col), cents
 
     cd = _centroid_dists(F.col("__v"), cents)
     cluster = (F.array_position(cd, F.array_min(cd)) - 1).cast("int")

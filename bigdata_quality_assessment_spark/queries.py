@@ -3409,7 +3409,7 @@ def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("centroid_cosine"),
     )
     assigned, _cents = cluster_embeddings(
-        emb, dim=_ANN_DIM, centroids=_EDD_CELL_CENTROIDS
+        emb, dim=_ANN_DIM, centroids=_EDD_CELL_CENTROIDS, impl="sql"
     )
     cells = assigned.select(
         F.lit("cells").alias("part"), "vec_id",
