@@ -406,6 +406,7 @@ def main() -> None:
     from bigdata_quality_assessment_spark.operators.similarity import (
         ann_hyperplane_knn,
         ivf_knn,
+        ivfpq_knn,
     )
 
     timed_extra("ann_hyperplane_knn",
@@ -415,6 +416,13 @@ def main() -> None:
     timed_extra("knn_ivf",
                 lambda: ivf_knn(
                     emb, q, dim=64, k=5, n_centroids=16, n_probe=4
+                ).collect())
+    # round-8: the composed billion-vector tier (coarse cells +
+    # residual PQ, ADC scoring) — cold index build + query
+    timed_extra("knn_ivfpq",
+                lambda: ivfpq_knn(
+                    emb, q, dim=64, k=5, n_centroids=16, n_probe=4, m=8,
+                    rescore_factor=8,
                 ).collect())
 
     # streaming-ingest state evidence (round 6: per-batch flatness;

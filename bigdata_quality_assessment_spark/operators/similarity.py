@@ -1002,7 +1002,20 @@ def ivf_knn(
     if centroids is not None:
         cents = [[float(x) for x in cc] for cc in centroids]
     else:
-        sample = c
+        # _train_quantizer expects a pre-validated __v column: NULL or
+        # wrong-dimension vectors in the bottom-k sample would hand
+        # driver-side k-means a ragged array (real corpora have them;
+        # a validity no-op on clean data, so trained centroids are
+        # unchanged there)
+        sample = c.filter(
+            F.col("__v").isNotNull()
+            & (F.size("__v") == dim)
+            & ~F.exists(
+                F.col("__v"),
+                lambda x: F.isnan(x.cast("double"))
+                | x.isin(float("inf"), float("-inf")),
+            )
+        )
         if train_fraction < 1.0:
             sample = sample.sample(fraction=train_fraction, seed=seed)
         cents = _train_quantizer(
@@ -2115,3 +2128,445 @@ def cluster_embeddings(
         .drop("__v")
     )
     return assigned, cents
+
+
+# --------------------------------------------------------------------
+# IVF-PQ — the composed billion-vector tier (coarse cells + residual
+# product quantization, ADC inner-product scoring)
+# --------------------------------------------------------------------
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 4,
+    pq_ncent: int = 16,
+    n_train: int = 2048,
+    n_kmeans_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVF-PQ index model (Jégou et al. 2011 §IV): a coarse
+    k-means quantizer over the vectors, then per-subspace codebooks
+    over the RESIDUALS ``v − c(v)`` of the same bounded training
+    sample. Residual encoding is what makes the composition worth
+    having: residual magnitudes are a cell-diameter fraction of the
+    raw vectors, so the same m bytes quantize far more precisely than
+    raw-vector PQ. Returns ``(centroids k×dim, codebooks m×pq_ncent×
+    dim/m)`` — model parameters (KBs); the corpus never leaves the
+    executors (same train-small/apply-wide contract as the other
+    quantizers)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    import numpy as np
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    # _train_quantizer expects a pre-validated __v column (NULL /
+    # wrong-dim rows would hand driver k-means a ragged array)
+    cv = c.filter(F.col("__v").isNotNull() & (F.size("__v") == dim))
+    cents = _train_quantizer(
+        cv, n_centroids, n_train, n_kmeans_iter, seed, id_col=id_col
+    )
+    if not cents:
+        raise ValueError("IVF-PQ training sample is empty")
+    # residuals of the SAME sample (deterministic bottom-k, so the
+    # second scan picks identical rows)
+    from bigdata_quality_assessment_spark.operators.select import hash_sample_k
+
+    rows = hash_sample_k(cv, n_train, id_col, seed=seed).select("__v").collect()
+    V = np.asarray([r[0] for r in rows], dtype="float64")
+    V = V[np.isfinite(V).all(1)]
+    C = np.asarray(cents, dtype="float64")
+    cells = ((V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]).argmin(1)
+    R = V - C[cells]
+    dsub = dim // m
+    books = [
+        _kmeans_centroids(
+            R[:, j * dsub:(j + 1) * dsub].tolist(), pq_ncent,
+            n_iter=n_kmeans_iter, seed=seed + 31 * j,
+        )
+        for j in range(m)
+    ]
+    return cents, books
+
+
+def _ivfpq_index_gemm(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow index pass: ONE mapInPandas computes cell assignment
+    (centroid-distance gemm + argmin) AND the residual PQ codes (per-
+    subspace gemm + argmin) per batch. Output is the coarse-scan
+    projection ``(id, __cell, __code)`` — 4 + m bytes of index per
+    vector. NULL / wrong-length vectors get NULL cell+code (they
+    probe-match nothing), mirroring the fold path."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype="float64")
+    cn2 = (C * C).sum(1)
+    dim = C.shape[1]
+    B = [np.asarray(b, dtype="float64") for b in books]
+    bn2 = [(b * b).sum(1) for b in B]
+    m = len(B)
+    dsub = B[0].shape[1]
+    code_type = "tinyint" if max(len(b) for b in books) <= 128 else "smallint"
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, __cell int, __code array<{code_type}>"
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            vecs = pdf[vec_col]
+            cells = pd.array([None] * n, dtype="Int32")
+            codes: list = [None] * n
+            ok = [
+                i for i, v in enumerate(vecs)
+                if v is not None and len(v) == dim
+            ]
+            if ok:
+                V = np.stack(
+                    [np.asarray(vecs.iloc[i], dtype="float64") for i in ok]
+                )
+                with np.errstate(invalid="ignore", over="ignore"):
+                    a_ = (
+                        (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + cn2[None, :]
+                    ).argmin(1)
+                    R = V - C[a_]
+                    cd = np.empty((len(ok), m), dtype="int64")
+                    for j in range(m):
+                        S = R[:, j * dsub:(j + 1) * dsub]
+                        cd[:, j] = (-2.0 * (S @ B[j].T) + bn2[j][None, :]).argmin(1)
+                for r, i in enumerate(ok):
+                    cells[i] = int(a_[r])
+                    codes[i] = cd[r].astype(code_type.replace("tinyint", "int8").replace("smallint", "int16"))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "__cell": cells, "__code": codes}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    pq_ncent: int = 16,
+    rescore_factor: int = 4,
+    n_train: int = 2048,
+    n_kmeans_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    impl: str = "auto",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed tier (FAISS ``IVFx,PQy``
+    shape) that the billion-vector deployments actually run: the coarse
+    quantizer prunes the CANDIDATE SET (probe ``n_probe`` of
+    ``n_centroids`` cells, as :func:`ivf_knn`) and residual product
+    quantization prunes the BYTES (m codes per vector, as
+    :func:`knn_pq` — but over residuals ``v − c(v)``, which are a
+    cell-diameter fraction of the raw vectors and so quantize far more
+    precisely at the same m). The index is ``4 + m`` bytes/vector; a
+    query touches ``corpus·n_probe/n_centroids`` candidates and scores
+    each with m table lookups.
+
+    ADC inner-product scoring with the per-cell correction: with
+    ``v̂ = c + r̂`` (decoded residual),
+
+        dot(q, v̂)  = dot(q, c)  +  Σⱼ lut_q[j][codeⱼ]
+        ‖v̂‖²       = ‖c‖² + 2·Σⱼ xc[cell][j][codeⱼ] + Σⱼ ‖Bⱼ[codeⱼ]‖²
+
+    where ``lut_q[j] = Bⱼ·q_j`` is per-query (m·pq_ncent dots) and
+    ``xc[cell][j][code] = <c_subj, Bⱼ[code]>`` is a query-INDEPENDENT
+    model constant computed lazily per cell — never a k·m·pq_ncent
+    table in the plan. Approximate cosine = dot/(‖q‖·‖v̂‖) ranks the
+    coarse pass; the top ``k·rescore_factor`` rescore exactly.
+
+    ``impl``: the production default indexes and scores per Arrow
+    batch (gemm + fancy-index gathers); ``impl="sql"`` keeps the whole
+    chain as Catalyst folds over pinned literals for DuckDB-replayable
+    grading (requires ``centroids`` AND ``codebooks``)."""
+    path = _resolve_impl(impl, pinned=centroids is not None)
+    if centroids is None or codebooks is None:
+        if path == "sql":
+            raise ValueError(
+                "impl='sql' needs pinned centroids and codebooks"
+            )
+        cents, books = train_ivfpq(
+            corpus, dim, n_centroids=n_centroids, m=m, pq_ncent=pq_ncent,
+            n_train=n_train, n_kmeans_iter=n_kmeans_iter, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cents = [[float(x) for x in cc] for cc in centroids]
+        books = [[[float(x) for x in cc] for cc in bb] for bb in codebooks]
+    m = len(books)
+    dsub = len(books[0][0])
+
+    # ---- index (corpus side): (id, cell, code) ----
+    narrow = _widen_for_fanout(corpus.select(id_col, vec_col))
+    if path == "arrow":
+        index = _ivfpq_index_gemm(narrow, cents, books, id_col, vec_col)
+    else:
+        v = _as_double(F.col(vec_col))
+        cd = _centroid_dists(v, cents)
+        cell = (F.array_position(cd, F.array_min(cd)) - 1).cast("int")
+        cvec = F.element_at(F.lit(cents), cell + 1)
+        resid = F.zip_with(v, cvec, lambda a, b: a - b)
+        code_type = "tinyint" if max(len(b) for b in books) <= 128 else "smallint"
+        parts = []
+        for j, book in enumerate(books):
+            sub = F.slice(resid, j * dsub + 1, dsub)
+            d = _centroid_dists(sub, book)
+            parts.append(
+                (F.array_position(d, F.array_min(d)) - 1).cast(code_type)
+            )
+        index = narrow.select(
+            F.col(id_col),
+            cell.alias("__cell"),
+            F.array(*parts).alias("__code"),
+        )
+
+    # ---- query side: probe list (same shape as ivf_knn) ----
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    qd = _centroid_dists(F.col("__qv"), cents)
+    ranked_cells = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: F.struct(
+                F.element_at(qd, i).alias("d"), (i - 1).cast("int").alias("cell")
+            ),
+        )
+    )
+    probes = F.transform(
+        F.slice(ranked_cells, 1, n_probe), lambda s: s.getField("cell")
+    )
+
+    # ---- ADC coarse scoring over probed candidates ----
+    if path == "arrow":
+        q_rows = queries.select(query_id_col, vec_col).collect()
+        qe = q.select(query_id_col, F.explode(probes).alias("__cell"))
+        cands = index.join(F.broadcast(qe), "__cell").filter(
+            F.col(id_col) != F.col(query_id_col)
+        )
+        scored = _ivfpq_score_gemm(
+            cands, cents, books, q_rows, id_col, query_id_col
+        )
+        coarse = _topk_per_query(
+            scored, query_id_col, id_col, k * rescore_factor
+        ).select(query_id_col, id_col)
+        full = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        rescored = _cosine_vs_queries(
+            coarse.join(full, id_col), "__cv", query_id_col, q_rows,
+            [query_id_col, id_col],
+        )
+        return _topk_per_query(rescored, query_id_col, id_col, k)
+
+    # fold scoring: every constant rides the plan as a literal
+    import numpy as np
+
+    Cnp = np.asarray(cents, dtype="float64")
+    Bnp = [np.asarray(b, dtype="float64") for b in books]
+    cn2 = [float(sum(x * x for x in cc)) for cc in cents]
+    bn2 = [[float(sum(x * x for x in cc)) for cc in book] for book in books]
+    # xc[cell][j][code] = <c_subj, B_j[code]> — plain sequential sums,
+    # embedded identically in the SQL twin (no cross-engine float risk)
+    xc = [
+        [
+            [
+                float(
+                    sum(
+                        cents[ci][j * dsub + t] * books[j][code][t]
+                        for t in range(dsub)
+                    )
+                )
+                for code in range(len(books[j]))
+            ]
+            for j in range(m)
+        ]
+        for ci in range(len(cents))
+    ]
+
+    def _sub_dot(j: int):
+        return lambda c: F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__qv"), j * dsub + 1, dsub), c,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    lut = F.array(*[F.transform(F.lit(books[j]), _sub_dot(j)) for j in range(m)])
+    qnorm = F.sqrt(
+        F.aggregate(F.col("__qv"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    qe = q.select(
+        query_id_col, "__qv",
+        lut.alias("__lut"), qnorm.alias("__qn"),
+        F.explode(probes).alias("__cell"),
+    )
+    joined = index.join(F.broadcast(qe), "__cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    idxs = F.sequence(F.lit(0), F.lit(m - 1))
+    code_at = lambda j: F.element_at(F.col("__code"), (j + 1).cast("int")).cast("int")  # noqa: E731
+    qdotc = F.aggregate(
+        F.zip_with(
+            F.col("__qv"), F.element_at(F.lit(cents), F.col("__cell") + 1),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = F.aggregate(
+        idxs, F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at(F.col("__lut"), (j + 1).cast("int")), code_at(j) + 1),
+    )
+    xsum = F.aggregate(
+        idxs, F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(
+                F.element_at(F.lit(xc), F.col("__cell") + 1), (j + 1).cast("int")
+            ),
+            code_at(j) + 1,
+        ),
+    )
+    bsum = F.aggregate(
+        idxs, F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at(F.lit(bn2), (j + 1).cast("int")), code_at(j) + 1),
+    )
+    vn2 = F.element_at(F.lit(cn2), F.col("__cell") + 1) + 2.0 * xsum + bsum
+    denom = F.col("__qn") * F.sqrt(F.greatest(vn2, F.lit(0.0)))
+    scored = joined.withColumn(
+        "cosine",
+        F.when(denom > 0, (qdotc + adc) / denom).otherwise(F.lit(0.0)),
+    )
+    coarse = _topk_per_query(
+        scored, query_id_col, id_col, k * rescore_factor
+    ).select(query_id_col, id_col)
+    full = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    rescored = (
+        coarse.join(full, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    )
+    return _topk_per_query(rescored, query_id_col, id_col, k)
+
+
+def _ivfpq_score_gemm(
+    cands: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    q_rows,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Arrow ADC scorer for :func:`ivfpq_knn`: per batch, rows group
+    by (cell, query); each group's approximate cosines are two
+    fancy-index gathers over the code matrix plus the per-(query,cell)
+    ``dot(q, c)`` constant. The per-cell correction tables compute
+    lazily for the cells present in the batch — the k·m·pq_ncent
+    cross table never materializes."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype="float64")
+    cn2 = (C * C).sum(1)
+    B = [np.asarray(b, dtype="float64") for b in books]
+    bn = np.stack([(b * b).sum(1) for b in B])  # (m, ncent)
+    m = len(B)
+    dsub = B[0].shape[1]
+    dim = m * dsub
+    qmap = {}
+    for r in q_rows:
+        if r[1] is None or len(r[1]) != dim:
+            continue  # no probes were generated for it anyway
+        qv = np.asarray(r[1], dtype="float64")
+        L = np.stack([B[j] @ qv[j * dsub:(j + 1) * dsub] for j in range(m)])
+        qmap[r[0]] = (qv, np.sqrt((qv * qv).sum()), L)
+    dtypes = dict(cands.dtypes)
+    schema = (
+        f"{query_id_col} {dtypes[query_id_col]}, {id_col} {dtypes[id_col]}, "
+        "cosine double"
+    )
+    jj = np.arange(m)[:, None]
+
+    def gen(it):
+        import pandas as pd
+
+        xc_cache: dict = {}
+        for pdf in it:
+            n = len(pdf)
+            out_cos = np.zeros(n)
+            if n:
+                groups: dict = {}
+                cells = pdf["__cell"]
+                qids = pdf[query_id_col]
+                for i in range(n):
+                    groups.setdefault(
+                        (int(cells.iloc[i]), qids.iloc[i]), []
+                    ).append(i)
+                codes_col = pdf["__code"]
+                for (cell, qid), idx in groups.items():
+                    qm = qmap.get(qid)
+                    if qm is None:
+                        continue
+                    qv, qn, L = qm
+                    if cell not in xc_cache:
+                        c = C[cell]
+                        xc_cache[cell] = np.stack(
+                            [
+                                B[j] @ c[j * dsub:(j + 1) * dsub]
+                                for j in range(m)
+                            ]
+                        )
+                    xcm = xc_cache[cell]
+                    Cd = np.stack(
+                        [
+                            np.asarray(codes_col.iloc[i], dtype="int64")
+                            for i in idx
+                        ]
+                    ).T  # (m, g)
+                    with np.errstate(invalid="ignore", over="ignore"):
+                        dot = float(qv @ C[cell]) + L[jj, Cd].sum(0)
+                        vn2 = np.maximum(
+                            cn2[cell] + 2.0 * xcm[jj, Cd].sum(0)
+                            + bn[jj, Cd].sum(0),
+                            0.0,
+                        )
+                        denom = qn * np.sqrt(vn2)
+                        cos = np.divide(
+                            dot, denom,
+                            out=np.zeros_like(dot), where=denom > 0,
+                        )
+                    out_cos[idx] = np.where(np.isnan(cos), 0.0, cos)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    id_col: pdf[id_col],
+                    "cosine": out_cos,
+                }
+            )
+
+    return cands.select(query_id_col, id_col, "__cell", "__code").mapInPandas(
+        gen, schema
+    )

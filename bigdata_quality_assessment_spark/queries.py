@@ -3220,6 +3220,36 @@ def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pinned residual codebooks for the ORACLE-GRADED IVF-PQ part: m=4
+# subspaces × 16 codes × 16 dims of ±0.25 md5 bits (same construction
+# family as _PQ_BOOKS, distinct tag). With the axis-unit _IVF_CENTROIDS
+# every derived ADC constant is float-EXACT: ‖c‖²=1, ‖B_j[code]‖²=1
+# (16·0.0625), and the cross term <c_subj, B_j[code]> is ±0.25 in
+# subspace 0 / 0 elsewhere — so the per-cell norm correction carries
+# zero cross-engine float risk.
+_IVFPQ_M = 4
+_IVFPQ_DSUB = _ANN_DIM // _IVFPQ_M
+
+
+def _ivfpq_pinned_codebooks() -> list[list[list[float]]]:
+    import hashlib
+
+    books = []
+    for j in range(_IVFPQ_M):
+        book = []
+        for c in range(16):
+            dig = hashlib.md5(f"ivfpq-book:{j}:{c}".encode()).digest()
+            bits = int.from_bytes(dig, "big")
+            book.append(
+                [0.25 if (bits >> i) & 1 else -0.25 for i in range(_IVFPQ_DSUB)]
+            )
+        books.append(book)
+    return books
+
+
+_IVFPQ_BOOKS = _ivfpq_pinned_codebooks()
+
+
 def _ann_ivf_sql() -> str:
     cents = ",\n          ".join(
         "({}, [{}]::DOUBLE[])".format(
@@ -3227,6 +3257,15 @@ def _ann_ivf_sql() -> str:
         )
         for i, c in enumerate(_IVF_CENTROIDS)
     )
+    books = ",\n          ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            j, c,
+            ", ".join("0.25" if x > 0 else "-0.25" for x in _IVFPQ_BOOKS[j][c]),
+        )
+        for j in range(_IVFPQ_M)
+        for c in range(16)
+    )
+    d = _IVFPQ_DSUB
     return f"""WITH cent AS (SELECT * FROM (VALUES
           {cents}) x(cell, cv)),
       v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -3244,11 +3283,51 @@ def _ann_ivf_sql() -> str:
              WHERE rn <= {_IVF_NPROBE}),
       s AS (SELECT qp.query_id, a.vec_id,
                    list_cosine_similarity(qp.qe, a.e) AS cosine
-            FROM qp JOIN a ON qp.cell = a.cell AND a.vec_id <> qp.query_id)
-      SELECT query_id, vec_id, round(cosine, 6) AS cosine,
-             CAST(row_number() OVER (PARTITION BY query_id
-                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
-      FROM s QUALIFY rank <= 5"""
+            FROM qp JOIN a ON qp.cell = a.cell AND a.vec_id <> qp.query_id),
+      ivf AS (SELECT 'ivf' AS part, query_id, vec_id,
+                     round(cosine, 6) AS cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM s QUALIFY rank <= 5),
+      ipqcb AS (SELECT * FROM (VALUES
+          {books}) z(j, cc, cv)),
+      enc2 AS (SELECT a.vec_id, s.j,
+                 (SELECT cc FROM ipqcb b WHERE b.j = s.j
+                  ORDER BY list_distance(
+                    list_transform(a.e, (x, i) -> x - c2.cv[i])
+                      [s.j*{d}+1 : s.j*{d}+{d}],
+                    b.cv), cc LIMIT 1) AS code
+               FROM a JOIN cent c2 ON c2.cell = a.cell
+               CROSS JOIN (SELECT unnest(range({_IVFPQ_M})) AS j) s),
+      adc2 AS (SELECT qp.query_id, a.vec_id,
+                 sum(list_dot_product(
+                       qp.qe[e.j*{d}+1 : e.j*{d}+{d}], b.cv)) AS lsum,
+                 sum(CASE WHEN e.j = 0 THEN b.cv[a.cell + 1]
+                          ELSE 0.0 END) AS xcs,
+                 any_value(qp.qe[a.cell + 1]) AS qdotc,
+                 any_value(sqrt(list_dot_product(qp.qe, qp.qe))) AS qn
+               FROM qp JOIN a ON qp.cell = a.cell AND a.vec_id <> qp.query_id
+                    JOIN enc2 e ON e.vec_id = a.vec_id
+                    JOIN ipqcb b ON b.j = e.j AND b.cc = e.code
+               GROUP BY qp.query_id, a.vec_id),
+      coarse2 AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                     (CASE WHEN qn * sqrt(1.0 + 2*xcs + 4.0) > 0
+                           THEN (qdotc + lsum) / (qn * sqrt(1.0 + 2*xcs + 4.0))
+                           ELSE 0.0 END) DESC,
+                     vec_id ASC) AS rn
+            FROM adc2) WHERE rn <= 20),
+      res2 AS (SELECT co.query_id, co.vec_id,
+                      list_cosine_similarity(qv.e, cv.e) AS cosine
+               FROM coarse2 co JOIN v cv ON cv.vec_id = co.vec_id
+                               JOIN v qv ON qv.vec_id = co.query_id),
+      ipq AS (SELECT 'ivfpq' AS part, query_id, vec_id,
+                     round(cosine, 6) AS cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM res2 QUALIFY rank <= 5)
+      SELECT * FROM ivf UNION ALL SELECT * FROM ipq"""
 
 
 @_register("x_ann_ivf_knn", _ann_ivf_sql())
@@ -3261,19 +3340,41 @@ def q_xann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trained-k-means production path (driver-side bounded-sample
     Lloyd's) stays recall-checked in tests/test_similarity.py; the
     Spark plan is the production plan — only the centroid source
-    differs."""
-    from bigdata_quality_assessment_spark.operators.similarity import ivf_knn
+    differs.
+
+    part='ivfpq' (round 8): the COMPOSED tier — same pinned coarse
+    cells, residual PQ codes from the pinned ±0.25 ``_IVFPQ_BOOKS``,
+    ADC inner-product coarse scoring with the per-cell correction
+    (every correction constant is a float-exact quarter — see the
+    books comment), top-20 coarse → exact rescore → top-5. The DuckDB
+    twin replays encode, LUT scoring, correction, both rankings."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        ivf_knn,
+        ivfpq_knn,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_knn(
+    ivf = ivf_knn(
         emb, q, dim=_ANN_DIM, k=5, n_centroids=_IVF_K, n_probe=_IVF_NPROBE,
         centroids=_IVF_CENTROIDS, impl="sql",
     ).select(
+        F.lit("ivf").alias("part"),
         "query_id", "vec_id",
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+    ipq = ivfpq_knn(
+        emb, q, dim=_ANN_DIM, k=5, n_centroids=_IVF_K, n_probe=_IVF_NPROBE,
+        m=_IVFPQ_M, rescore_factor=4,
+        centroids=_IVF_CENTROIDS, codebooks=_IVFPQ_BOOKS, impl="sql",
+    ).select(
+        F.lit("ivfpq").alias("part"),
+        "query_id", "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    return ivf.unionByName(ipq)
 
 
 # Pinned Rademacher planes for the oracle-graded LSH near-dedup (same

@@ -707,3 +707,108 @@ def test_int8_and_pq_arrow_match_sql_end_to_end(corpus):
         knn_pq(corpus, q, dim=DIM, k=5, m=4, rescore_factor=6,
                codebooks=books, impl="sql")
     )
+
+
+# ------------------------------------------------------------------
+# IVF-PQ composed tier (round 8): coarse cells + residual PQ codes,
+# ADC inner-product scoring with the per-cell correction.
+# ------------------------------------------------------------------
+
+
+def test_ivfpq_recall(corpus, vectors):
+    from bigdata_quality_assessment_spark.operators.similarity import ivfpq_knn
+
+    q = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_knn(
+        corpus, q, dim=DIM, k=5, n_centroids=8, n_probe=4, m=4,
+        pq_ncent=16, rescore_factor=6, seed=5,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qi in range(10):
+        expect, _ = _np_topk(vectors, qi, 5)
+        hits += len(got.get(qi, set()) & {int(e) for e in expect})
+        total += 5
+    # probing half the cells with residual codes + exact rescore
+    assert hits / total > 0.5, hits / total
+
+
+def test_ivfpq_residuals_beat_raw_pq_reconstruction(vectors):
+    """The reason the composition exists: residual codebooks quantize
+    with lower reconstruction error than raw-vector codebooks at the
+    same m (residuals span a cell-diameter, not the data diameter)."""
+    import numpy as np
+
+    V = vectors  # (120, DIM)
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        _kmeans_centroids,
+    )
+
+    m, dsub = 4, DIM // 4
+    C = np.asarray(_kmeans_centroids(V.tolist(), 8, seed=3))
+    cells = ((V * V).sum(1)[:, None] - 2 * V @ C.T + (C * C).sum(1)).argmin(1)
+    R = V - C[cells]
+
+    def recon_err(X, base):
+        err = 0.0
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            Bj = np.asarray(_kmeans_centroids(S.tolist(), 16, seed=7 + j))
+            code = ((S * S).sum(1)[:, None] - 2 * S @ Bj.T + (Bj * Bj).sum(1)).argmin(1)
+            err += ((S - Bj[code]) ** 2).sum()
+        return err
+
+    raw_err = recon_err(V, V)
+    res_err = recon_err(R, R)  # reconstructing v = c + r̂: same residual error
+    assert res_err < raw_err
+
+
+def test_ivfpq_arrow_matches_sql_pinned(corpus):
+    """With pinned centroids AND codebooks, the arrow and fold paths
+    must return the same final top-k (exact rescore makes the result
+    robust to coarse-pass float noise)."""
+    import numpy as np
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        ivfpq_knn,
+        train_ivfpq,
+    )
+
+    cents, books = train_ivfpq(
+        corpus, DIM, n_centroids=8, m=4, pq_ncent=8, n_train=120, seed=11
+    )
+    q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"]) for r in df.collect()
+        )
+
+    a = key(ivfpq_knn(corpus, q, dim=DIM, k=5, n_probe=4, rescore_factor=6,
+                      centroids=cents, codebooks=books, impl="arrow"))
+    s = key(ivfpq_knn(corpus, q, dim=DIM, k=5, n_probe=4, rescore_factor=6,
+                      centroids=cents, codebooks=books, impl="sql"))
+    assert a == s
+
+
+def test_ivfpq_survives_degenerate_vectors(spark):
+    from bigdata_quality_assessment_spark.operators.similarity import ivfpq_knn
+    import random
+
+    random.seed(4)
+    rows = [(i, [random.random() for _ in range(8)]) for i in range(30)]
+    rows += [(100, None), (101, [1.0, 2.0]), (102, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_knn(df, q, dim=8, k=3, n_centroids=4, n_probe=4, m=2,
+                    pq_ncent=8, seed=9)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["vec_id"] not in (100, 101) for r in rows)
