@@ -1,16 +1,23 @@
 """Similarity search over embedding columns (engine extension;
 SURVEY.md §7.4 item 3).
 
-Two tiers, same contract:
+The tier ladder, cheapest index to heaviest, same (query_id, id,
+cosine, rank) contract throughout:
 
-  * ``knn_brute_force`` — exact cosine top-k with a BROADCAST query
-    side: one narrow pass over the corpus per query batch, a per-query
-    top-k (TakeOrderedAndProject-shaped window). The oracle path.
-  * ``ann_hyperplane_knn`` — LSH-bucketed approximate top-k: random
-    hyperplane sign bits (driver-seeded literals) bucket the corpus;
-    only same-bucket candidates are scored. The 100 TB path: the
-    cross product never materializes; each probe touches
-    corpus/2^bits rows per table in expectation.
+  * ``knn_brute_force`` — exact cosine top-k, one gemm pass over the
+    corpus per query batch; no index. Fastest below ~10⁶ vectors.
+  * ``ann_hyperplane_knn`` — LSH sign-bit buckets (+ multi-probe);
+    candidates = same-bucket rows, corpus/2^bits per probe.
+  * ``ivf_knn`` — k-means cells, probe the n_probe nearest.
+  * ``knn_quantized`` — int8 scalar codes, exact ranking at 1/4-1/8
+    the scan bytes, bounded rescore.
+  * ``knn_pq`` — m-byte product-quantized codes, ADC lookups.
+  * ``ivfpq_knn`` — the composed billion-vector tier: IVF cells prune
+    the candidate SET, residual PQ prunes the BYTES (4 + m per
+    vector), ADC scoring with the per-cell correction.
+  * ``semantic_dedup`` / ``embedding_near_dedup`` /
+    ``cluster_embeddings`` — the dedup/curation consumers of the same
+    machinery.
 
 Vector math runs on one of two physical paths:
 

@@ -35,6 +35,7 @@ def main() -> None:
     from bigdata_quality_assessment_spark.operators.similarity import (
         ann_hyperplane_knn,
         ivf_knn,
+        ivfpq_knn,
         knn_brute_force,
     )
     from bigdata_quality_assessment_spark.session import build_session
@@ -82,6 +83,11 @@ def main() -> None:
         ).collect(),
         # brute force at the same SF: the speedup denominator
         "knn_brute_force": lambda: knn_brute_force(emb, q, k=5).collect(),
+        # round-8: the composed tier (cold index build + query)
+        "knn_ivfpq": lambda: ivfpq_knn(
+            emb, q, dim=64, k=5, n_centroids=16, n_probe=4, m=8,
+            rescore_factor=8,
+        ).collect(),
     }
     meds: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
