@@ -46,7 +46,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 EXPECTED_MAX = {
     "x_text_stats": 5,  # stats/repetition/pii/html/redact tagged parts, one scan each
-    "x_quality_score": 2,  # quality + chunking tagged parts
+    "x_quality_score": 4,  # quality + chunking parts; +2 round-7: part='cls' pinned-classifier scan and the per-source filter leg
     # fp part 1 scan; decon part 3: the eval-set filter (different
     # predicate), the gram explode (id+text), and the id-universe
     # join-back (id-only, column-pruned — cheaper than a barrier that
@@ -54,7 +54,10 @@ EXPECTED_MAX = {
     # +2 round-5.2: spandedup and substr parts — each reassembly join
     # scans docs once (their key frames are barriered; those scans ran
     # at sizing)
-    "x_doc_fingerprints": 6,
+    # +6 round-7: part='fz' fuzzy decontamination — corpus shingle/
+    # band scans, bench-side band keys, and the exact-Jaccard verify
+    # legs each re-project (id, text)
+    "x_doc_fingerprints": 12,
     # lang part 1 scan; lm part 1: outer-explode pair scan covers the
     # whole id universe (token-less docs ride as NULL sentinels), LM
     # tables barriered; tfidf consumes its barrier — no scan
@@ -68,7 +71,9 @@ EXPECTED_MAX = {
     # countDistinct Expand with the exact-percentile buffers in one
     # agg measured ~7x slower (the expanded copies stream through the
     # sort buffers); split = one scan per pass, each map-side combined
-    "x_profile_table": 3,  # + pairwise-correlation agg pass (round 6)
+    "x_profile_table": 7,  # + pairwise-correlation agg pass (round 6)
+    # + dataset-card part (round 7): per-SECTION aggs (counts/mix/
+    # dedup-rate/PII) each scan their own pruned projection
     # validity part 1 scan (lineitem); expectations part 4: the fused
     # row-rule agg, the unique groupBy, and the ref anti-join each
     # scan a DIFFERENT 1-2 column projection of orders (column-pruned
@@ -76,16 +81,29 @@ EXPECTED_MAX = {
     # the broadcast customer dim
     "x_validity_rates": 8,  # + expect_by per-group ref leg: orders group agg, orders anti-join side, filtered customer dim (round 6)
     "x_ann_knn": 2,
-    "x_ann_ivf_knn": 2,
+    # ivf part 2 (corpus assign + query probes); +4 round-8
+    # part='ivfpq': index scan, probe-query scan, and the exact
+    # rescore's (full-vector + query) scans — the pinned ORACLE fold
+    # path re-scans per part by design (the production arrow path
+    # collects the query batch once and scans the corpus twice)
+    "x_ann_ivf_knn": 6,
     "p1_p13_pointwise_fields": 4,
     "j2_pool_remove": 2,
     "j3_interp": 2,
     "j4_j5_index_aligned": 2,
     "t1_u1_selection_set_ops": 6,
-    "x_knn_cosine": 4,  # knn (corpus+query) + pairs slice self-join, merged round 6
+    # knn (corpus+query) + pairs slice self-join, merged round 6;
+    # +8 round-7: int8 part (quantize scan, validity-gated corpus,
+    # rescore full+query) and pq part (encode, rescore full+query,
+    # query-LUT) — unioned oracle parts scan independently
+    "x_knn_cosine": 12,
     "x_semdedup_core": 2,
     "x_blob_stats": 2,
     "x_asof_join": 2,
+    # survivor 1 + round-7 parts 'sample'/'strat' (hash_sample_k,
+    # stratified_sample_exact) one scan each; closure edges are
+    # synthetic and the pipeline part consumes stage checkpoints
+    "x_exact_dedup": 3,
 }
 DEFAULT_MAX = 1
 SKIP_PREFIXES = ("st_",)  # streaming drains; m4 is minutes-long
