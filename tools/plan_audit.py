@@ -205,6 +205,17 @@ def main() -> int:
     if "BroadcastNestedLoopJoin" in arrow_plan:
         bad.append("knn arrow path reintroduced the crossJoin fanout")
     bad += audit("ivf_knn", ivf_knn(emb, q, dim=64, k=5, n_centroids=8, n_probe=2))
+    from bigdata_quality_assessment_spark.operators.similarity import ivfpq_knn
+
+    ipq = ivfpq_knn(emb, q, dim=64, k=5, n_centroids=8, n_probe=2, m=4)
+    bad += audit("ivfpq_knn", ipq)
+    ipq_plan = ipq._sc._jvm.PythonSQLUtils.explainString(
+        ipq._jdf.queryExecution(), "formatted"
+    )
+    if "CartesianProduct" in ipq_plan or "BroadcastNestedLoopJoin" in ipq_plan:
+        bad.append("ivfpq degenerated to a product join")
+    if "MapInPandas" not in ipq_plan:
+        bad.append("ivfpq missing the Arrow index/scoring stages")
 
     # as-of join: one hash exchange on the key, no cartesian/range blowup
     from bigdata_quality_assessment_spark.operators.asof import asof_join, time_rollup
