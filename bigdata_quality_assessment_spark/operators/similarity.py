@@ -187,6 +187,7 @@ def _brute_knn_gemm(
     vec_col: str,
     query_id_col: str,
     q_id_type: str,
+    codes8: bool = False,
 ) -> DataFrame:
     """Arrow phase-1 of :func:`knn_brute_force`: per batch, one
     ``V @ Qᵀ`` gemm scores every (row, query) pair and numpy selects
@@ -195,6 +196,13 @@ def _brute_knn_gemm(
     (matrix winners plus the k lowest-id representatives of each
     constant-cosine class), which the k-bounded merge window then
     ranks exactly.
+
+    ``codes8=True`` fuses :func:`quantize_embeddings` into the same
+    pass (the :func:`knn_quantized` coarse stage): each batch row is
+    int8-quantized in place before scoring, so the codes never
+    round-trip through Arrow between two Python stages and the whole
+    coarse pass is ONE stage. Identical math to quantize-then-score
+    (same HALF_UP rounding, nonfinite→0, scale-from-finite-max).
 
     Degenerate classes mirror the fold path per (row, query) pair:
     NULL vector either side → 0.0; length mismatch → NULL; zero norm
@@ -291,6 +299,15 @@ def _brute_knn_gemm(
                                 for i in ok
                             ]
                         )
+                        if codes8:
+                            fin = np.isfinite(V)
+                            amax = np.where(fin, np.abs(V), 0.0).max(1)
+                            scale = np.where(amax > 0, amax / 127.0, 0.0)
+                            s = np.where(scale > 0, scale, 1.0)[:, None]
+                            X = np.where(
+                                fin & (scale[:, None] > 0), V / s, 0.0
+                            )
+                            V = np.copysign(np.floor(np.abs(X) + 0.5), X)
                         denom = (
                             np.sqrt((V * V).sum(1))[:, None]
                             * np.sqrt((Q * Q).sum(1))[None, :]
@@ -1468,19 +1485,22 @@ def knn_quantized(
     :func:`_rowwise_cosine`; ``impl="sql"`` keeps the crossJoin+fold
     shape the graded ``x_knn_cosine`` part='int8' twin replays."""
     path = _resolve_impl(impl, pinned=False)
-    cq = quantize_embeddings(
-        _widen_for_fanout(corpus.select(id_col, vec_col)),
-        vec_col=vec_col, keep_vec=True, impl=path,
-    )
     q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv"))
     if path == "arrow":
         q_rows = queries.select(query_id_col, vec_col).collect()
         q_id_type = dict(queries.dtypes)[query_id_col]
+        # quantize + score + batch-local top-k fuse into ONE Arrow
+        # stage (codes8): the codes never round-trip between stages
         coarse = _brute_knn_gemm(
-            cq.select(id_col, "qvec"), q_rows, k * rescore_factor,
-            id_col, "qvec", query_id_col, q_id_type,
+            _widen_for_fanout(corpus.select(id_col, vec_col)),
+            q_rows, k * rescore_factor,
+            id_col, vec_col, query_id_col, q_id_type, codes8=True,
         ).select(query_id_col, id_col)
     else:
+        cq = quantize_embeddings(
+            _widen_for_fanout(corpus.select(id_col, vec_col)),
+            vec_col=vec_col, keep_vec=True, impl=path,
+        )
         codes = cq.select(
             id_col,
             F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("__cv"),
