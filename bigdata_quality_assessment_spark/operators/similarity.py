@@ -2597,3 +2597,70 @@ def _ivfpq_score_gemm(
     return cands.select(query_id_col, id_col, "__cell", "__code").mapInPandas(
         gen, schema
     )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[list[float]]] | None = None,
+    impl: str = "auto",
+) -> DataFrame:
+    """Approximate kNN JOIN: for every LEFT row, the top-k cosine
+    neighbors among the RIGHT rows — the similarity join where BOTH
+    sides are corpus-sized, which none of the query-batch tiers cover
+    (their contract is a driver-sized query side). The standard
+    dataset-enrichment shape: nearest reference example per training
+    document, cross-corpus duplicate candidates, retrieval labels.
+
+    Spark shape: both sides bucket through the SAME hyperplane tables
+    (one gemm pass each, ``hyperplane_buckets``); candidates come from
+    ONE equi-join on (table, bucket) — never a cross product — and are
+    scored row-wise (:func:`_rowwise_cosine`: both vectors are
+    corpus-sided, so neither can ride a closure); the per-left-row
+    top-k is the two-phase ranking (no corpus-sized sort partition).
+    Expected candidates per left row ≈ |right|·n_tables/2^n_planes.
+    Recall rises with n_tables exactly as :func:`ann_hyperplane_knn`.
+
+    Output: ``(left_id, right_id, cosine, rank)`` with rank 1..k per
+    left row (rows with no same-bucket candidate produce nothing —
+    count them by anti-joining the output back). Self-pairs are kept
+    unless the two id columns share a name AND value — pass disjoint
+    id spaces or filter afterward for self-join dedup semantics."""
+    out_left = left_id if left_id != right_id else f"{left_id}_left"
+    out_right = right_id if left_id != right_id else f"{right_id}_right"
+    lb = hyperplane_buckets(
+        _widen_for_fanout(left.select(F.col(left_id).alias(out_left), vec_col)),
+        dim, n_planes, n_tables, seed, out_left, vec_col,
+        planes=planes, impl=impl,
+    )
+    rb = hyperplane_buckets(
+        _widen_for_fanout(right.select(F.col(right_id).alias(out_right), vec_col)),
+        dim, n_planes, n_tables, seed, out_right, vec_col,
+        planes=planes, impl=impl,
+    )
+    buckets = [F.col(f"bucket_{t}") for t in range(n_tables)]
+    le = lb.select(
+        out_left, F.col("__v").alias("__lv"),
+        F.posexplode(F.array(*buckets)).alias("__t", "__b"),
+    )
+    re_ = rb.select(
+        out_right, F.col("__v").alias("__rv"),
+        F.posexplode(F.array(*buckets)).alias("__t", "__b"),
+    )
+    cands = (
+        le.join(re_, ["__t", "__b"])
+        .dropDuplicates([out_left, out_right])
+    )
+    scored = _rowwise_cosine(
+        cands, "__lv", "__rv", [out_left, out_right],
+        impl=_resolve_impl(impl, pinned=planes is not None),
+    )
+    return _topk_per_query(scored, out_left, out_right, k)

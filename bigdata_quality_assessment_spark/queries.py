@@ -3190,11 +3190,25 @@ def _ann_knn_sql() -> str:
       s AS (SELECT c.query_id, c.vec_id,
                    list_cosine_similarity(qv.e, cv.e) AS cosine
             FROM cand c JOIN v qv ON qv.vec_id = c.query_id
-                        JOIN v cv ON cv.vec_id = c.vec_id)
-      SELECT query_id, vec_id, round(cosine, 6) AS cosine,
-             CAST(row_number() OVER (PARTITION BY query_id
-                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
-      FROM s QUALIFY rank <= 5"""
+                        JOIN v cv ON cv.vec_id = c.vec_id),
+      lsh AS (SELECT 'lsh' AS part, query_id, vec_id,
+                     round(cosine, 6) AS cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM s QUALIFY rank <= 5),
+      candj AS (SELECT DISTINCT lb.vec_id AS id_a, rb.vec_id AS id_b
+                FROM bk lb JOIN bk rb ON lb.t = rb.t AND lb.b = rb.b
+                WHERE lb.vec_id < 20 AND rb.vec_id BETWEEN 20 AND 519),
+      sj AS (SELECT c.id_a, c.id_b,
+                    list_cosine_similarity(lv.e, rv.e) AS cosine
+             FROM candj c JOIN v lv ON lv.vec_id = c.id_a
+                          JOIN v rv ON rv.vec_id = c.id_b),
+      joinp AS (SELECT 'join' AS part, id_a AS query_id, id_b AS vec_id,
+                       round(cosine, 6) AS cosine,
+                       CAST(row_number() OVER (PARTITION BY id_a
+                            ORDER BY cosine DESC, id_b ASC) AS BIGINT) AS rank
+                FROM sj QUALIFY rank <= 5)
+      SELECT * FROM lsh UNION ALL SELECT * FROM joinp"""
 
 
 @_register("x_ann_knn", _ann_knn_sql())
@@ -3207,17 +3221,39 @@ def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded-Gaussian planes and multi-probe recall are pytest-checked
     in tests/test_similarity.py; the Spark plan here is IDENTICAL to
     the production path (same posexplode + bucket equi-join + two-phase
-    top-k), only the plane literals differ."""
+    top-k), only the plane literals differ.
+
+    part='join' (round 8): :func:`knn_join` — the kNN SIMILARITY JOIN
+    where BOTH sides are corpus-sized (disjoint id slices here), top-5
+    right-side neighbors per left row through the same pinned-plane
+    buckets; the twin replays the two-sided bucket equi-join and both
+    rankings."""
+    from bigdata_quality_assessment_spark.operators.similarity import knn_join
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ann_hyperplane_knn(
+    lsh = ann_hyperplane_knn(
         emb, q, dim=_ANN_DIM, k=5, n_planes=_ANN_PLANES_N,
         n_tables=_ANN_TABLES, planes=_ANN_PLANES, impl="sql",
     ).select(
+        F.lit("lsh").alias("part"),
         "query_id", "vec_id",
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+    jn = knn_join(
+        emb.filter(F.col("vec_id") < 20),
+        emb.filter(F.col("vec_id").between(20, 519)),
+        dim=_ANN_DIM, k=5, n_planes=_ANN_PLANES_N, n_tables=_ANN_TABLES,
+        planes=_ANN_PLANES, impl="sql",
+    ).select(
+        F.lit("join").alias("part"),
+        F.col("vec_id_left").alias("query_id"),
+        F.col("vec_id_right").alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    return lsh.unionByName(jn)
 
 
 # Pinned residual codebooks for the ORACLE-GRADED IVF-PQ part: m=4

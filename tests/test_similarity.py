@@ -812,3 +812,63 @@ def test_ivfpq_survives_degenerate_vectors(spark):
     rows = out.collect()
     assert len(rows) == 3
     assert all(r["vec_id"] not in (100, 101) for r in rows)
+
+
+# ------------------------------------------------------------------
+# kNN similarity join (round 8): both sides corpus-sized.
+# ------------------------------------------------------------------
+
+
+def test_knn_join_recall_and_exact_cosines(corpus, vectors):
+    from bigdata_quality_assessment_spark.operators.similarity import knn_join
+
+    left = corpus.filter(F.col("vec_id") < 20)
+    right = corpus.filter(F.col("vec_id") >= 20)
+    out = knn_join(left, right, dim=DIM, k=3, n_planes=6, n_tables=8, seed=7)
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["vec_id_left"], []).append(r)
+    import numpy as np
+
+    U = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    hits = total = 0
+    for li in range(20):
+        sims = U[20:] @ U[li]
+        expect = {int(20 + i) for i in np.argsort(-sims, kind="stable")[:3]}
+        found = {r["vec_id_right"] for r in got.get(li, [])}
+        hits += len(found & expect)
+        total += 3
+        # every reported cosine is the exact value
+        for r in got.get(li, []):
+            assert abs(r["cosine"] - float(U[r["vec_id_right"]] @ U[li])) < 1e-9
+    assert hits / total > 0.5, hits / total
+    # rank contract: 1..k per left row, ordered by cosine desc
+    for li, rs in got.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+
+
+def test_knn_join_arrow_matches_sql(corpus):
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        _hyperplanes,
+        knn_join,
+    )
+
+    planes = [_hyperplanes(DIM, 6, 7 + 1000 * t) for t in range(4)]
+    left = corpus.filter(F.col("vec_id") < 10)
+    right = corpus.filter(F.col("vec_id") >= 10)
+
+    def key(df):
+        return sorted(
+            (r["vec_id_left"], r["rank"], r["vec_id_right"])
+            for r in df.collect()
+        )
+
+    assert key(
+        knn_join(left, right, dim=DIM, k=4, n_planes=6, n_tables=4,
+                 planes=planes, impl="arrow")
+    ) == key(
+        knn_join(left, right, dim=DIM, k=4, n_planes=6, n_tables=4,
+                 planes=planes, impl="sql")
+    )

@@ -80,7 +80,10 @@ EXPECTED_MAX = {
     # — cheaper than one barrier storing all projected columns), plus
     # the broadcast customer dim
     "x_validity_rates": 8,  # + expect_by per-group ref leg: orders group agg, orders anti-join side, filtered customer dim (round 6)
-    "x_ann_knn": 2,
+    # lsh part 2 (corpus buckets + query buckets); +2 round-8
+    # part='join' (knn_join): each SIDE of the two-corpus bucket
+    # equi-join scans its own slice once
+    "x_ann_knn": 4,
     # ivf part 2 (corpus assign + query probes); +4 round-8
     # part='ivfpq': index scan, probe-query scan, and the exact
     # rescore's (full-vector + query) scans — the pinned ORACLE fold
