@@ -2664,3 +2664,108 @@ def knn_join(
         impl=_resolve_impl(impl, pinned=planes is not None),
     )
     return _topk_per_query(scored, out_left, out_right, k)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 4,
+    pq_ncent: int = 16,
+    n_train: int = 2048,
+    n_kmeans_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """Build the persistable IVF-PQ index: returns ``(index, centroids,
+    codebooks)`` where ``index`` is ``(id, __cell int, __code
+    array<tinyint>)`` — 4 + m bytes/vector from ONE Arrow pass over the
+    corpus. Persist it CELL-PARTITIONED::
+
+        index.write.partitionBy("__cell").parquet(path)
+
+    and :func:`ivfpq_search` over the read-back frame prunes the scan
+    to the probed cells (static ``isin`` predicate → partition pruning;
+    at 100 TB a query batch reads n_probe/n_centroids of the index
+    FILES, not just of the rows). The model (centroids + codebooks,
+    KBs) is the caller's to store beside the index; building is one
+    corpus scan, amortized over every future query batch."""
+    if centroids is None or codebooks is None:
+        cents, books = train_ivfpq(
+            corpus, dim, n_centroids=n_centroids, m=m, pq_ncent=pq_ncent,
+            n_train=n_train, n_kmeans_iter=n_kmeans_iter, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cents = [[float(x) for x in cc] for cc in centroids]
+        books = [[[float(x) for x in cc] for cc in bb] for bb in codebooks]
+    index = _ivfpq_index_gemm(
+        _widen_for_fanout(corpus.select(id_col, vec_col)),
+        cents, books, id_col, vec_col,
+    )
+    return index, cents, books
+
+
+def ivfpq_search(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    rescore_with: DataFrame | None = None,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a PREBUILT IVF-PQ index (:func:`build_ivfpq_index`, often
+    read back from a cell-partitioned lake path). Probe cells compute
+    driver-side from the query batch (same argmin-L2, ties to the
+    lower cell, as the inline path) and land as a static
+    ``__cell IN (...)`` predicate — on a ``partitionBy("__cell")``
+    index that prunes whole files before the ADC scan. ``rescore_with``
+    (the raw-vector corpus) enables the exact top-``k·rescore_factor``
+    rescore; without it the ADC-approximate cosines rank directly
+    (pure index-only search — nothing but the index is read)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    probe_pairs = []
+    dim = C.shape[1]
+    for r in q_rows:
+        if r[1] is None or len(r[1]) != dim:
+            continue
+        qv = np.asarray(r[1], dtype="float64")
+        d = ((C - qv) ** 2).sum(1)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_pairs.append((r[0], int(cell)))
+    spark = index.sparkSession
+    q_id_type = dict(queries.dtypes)[query_id_col]
+    qe = spark.createDataFrame(
+        probe_pairs, f"{query_id_col} {q_id_type}, __cell int"
+    )
+    cells = sorted({c for _, c in probe_pairs})
+    cands = (
+        index.filter(F.col("__cell").isin(cells))
+        .join(F.broadcast(qe), "__cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    scored = _ivfpq_score_gemm(
+        cands, centroids, codebooks, q_rows, id_col, query_id_col
+    )
+    if rescore_with is None:
+        return _topk_per_query(scored, query_id_col, id_col, k)
+    coarse = _topk_per_query(
+        scored, query_id_col, id_col, k * rescore_factor
+    ).select(query_id_col, id_col)
+    full = rescore_with.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    rescored = _cosine_vs_queries(
+        coarse.join(full, id_col), "__cv", query_id_col, q_rows,
+        [query_id_col, id_col],
+    )
+    return _topk_per_query(rescored, query_id_col, id_col, k)

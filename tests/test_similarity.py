@@ -872,3 +872,55 @@ def test_knn_join_arrow_matches_sql(corpus):
         knn_join(left, right, dim=DIM, k=4, n_planes=6, n_tables=4,
                  planes=planes, impl="sql")
     )
+
+
+def test_ivfpq_index_persist_and_search(corpus, tmp_path):
+    """Build → write cell-partitioned → read → search must equal the
+    inline ivfpq_knn with the same model, and the probe predicate must
+    reach the scan as a PARTITION filter (pruned index files)."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_knn,
+        ivfpq_search,
+        train_ivfpq,
+    )
+
+    cents, books = train_ivfpq(
+        corpus, DIM, n_centroids=8, m=4, pq_ncent=8, n_train=120, seed=11
+    )
+    index, cents2, books2 = build_ivfpq_index(
+        corpus, DIM, centroids=cents, codebooks=books
+    )
+    assert cents2 == cents and books2 == books
+    path = str(tmp_path / "ivfpq_index")
+    index.write.partitionBy("__cell").parquet(path)
+    stored = corpus.sparkSession.read.parquet(path)
+    q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"]) for r in df.collect()
+        )
+
+    searched = ivfpq_search(
+        stored, q, cents, books, k=5, n_probe=4,
+        rescore_with=corpus, rescore_factor=6,
+    )
+    inline = ivfpq_knn(
+        corpus, q, dim=DIM, k=5, n_probe=4, rescore_factor=6,
+        centroids=cents, codebooks=books,
+    )
+    assert key(searched) == key(inline)
+    # index-only search (no rescore corpus) still returns ranked rows
+    assert ivfpq_search(stored, q, cents, books, k=5, n_probe=4).count() > 0
+    # partition pruning: the probe cells land as a partition filter
+    plan = searched._sc._jvm.PythonSQLUtils.explainString(
+        searched._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("__cell" in ln for ln in pf), pf
