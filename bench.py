@@ -424,6 +424,16 @@ def main() -> None:
                     emb, q, dim=64, k=5, n_centroids=16, n_probe=4, m=8,
                     rescore_factor=8,
                 ).collect())
+    # round-8: the two-corpus-sided similarity join (top-3 right
+    # neighbors per left row through shared LSH buckets)
+    from bigdata_quality_assessment_spark.operators.similarity import knn_join
+
+    timed_extra("knn_join",
+                lambda: knn_join(
+                    emb.filter(F.col("vec_id") % 2 == 0),
+                    emb.filter(F.col("vec_id") % 2 == 1),
+                    dim=64, k=3, n_planes=10, n_tables=6,
+                ).collect())
 
     # streaming-ingest state evidence (round 6: per-batch flatness;
     # round 7, verdict ask #7: compaction). 20 equal batches in two
