@@ -213,18 +213,23 @@ def _brute_knn_gemm(
 
     groups: dict[int, list] = {}
     null_q: list = []
+    zero_q: list = []
     for r in q_rows:
         qid, v = r[0], r[1]
-        if v is None:
+        if v is None or len(v) == 0:
+            # NULL vector — or empty: zero norm, so denom == 0 and the
+            # fold scores EVERY pair 0.0 before the length check bites
             null_q.append(qid)
         else:
-            groups.setdefault(len(v), []).append(
-                (qid, np.asarray(v, dtype="float64"))
-            )
+            qv = np.asarray(v, dtype="float64")
+            if float((qv * qv).sum()) == 0.0:
+                zero_q.append(qid)  # zero norm: 0.0 against everything
+            groups.setdefault(len(v), []).append((qid, qv))
     gmats = [
         (d, [qid for qid, _ in g], np.stack([vec for _, vec in g]))
         for d, g in groups.items()
     ]
+    zero_q_set = set(zero_q)
     id_type = dict(corpus.dtypes)[id_col]
     schema = (
         f"{query_id_col} {q_id_type}, {id_col} {id_type}, "
@@ -267,29 +272,47 @@ def _brute_knn_gemm(
                 rank = np.empty(n, dtype="int64")
                 rank[order] = np.arange(n)
                 ids_sorted = ids[order]
-                lens = np.fromiter(
-                    (-1 if v is None else len(v) for v in vecs),
-                    dtype="int64", count=n,
-                )
-                null_rows_sorted = [
-                    cid for cid in ids_sorted[lens[order] == -1]
-                ]
-                # null corpus vectors: cosine 0.0 against every real query
-                for _, qids_g, _ in gmats:
-                    for qid in qids_g:
-                        for cid in k_smallest(null_rows_sorted, qid):
-                            emit(qid, cid, 0.0)
-                # null queries: cosine 0.0 against every corpus row
+                # a row's zero-norm status dominates its length: the
+                # fold's `denom > 0` guard fires BEFORE the mismatch
+                # NULL can (cosine([], x) = cosine([0,0], x) = 0.0).
+                # Under codes8 zero-ness is judged on the quantized
+                # values (a nonfinite-only vector codes to all-zero).
+                lens = np.empty(n, dtype="int64")
+                zerom = np.zeros(n, dtype=bool)
+                for i in range(n):
+                    v = vecs.iloc[i]
+                    if v is None:
+                        lens[i] = -1
+                        zerom[i] = True
+                        continue
+                    lens[i] = len(v)
+                    if lens[i] == 0:
+                        zerom[i] = True
+                        continue
+                    a = np.asarray(v, dtype="float64")
+                    if codes8:
+                        # integer-valued codes cannot underflow
+                        zerom[i] = not np.any(
+                            np.where(np.isfinite(a), a, 0.0)
+                        )
+                    else:
+                        # judged on the COMPUTED norm: squares of
+                        # subnormals underflow to 0.0 exactly as the
+                        # fold's sum-of-squares does
+                        zerom[i] = float((a * a).sum()) == 0.0
+                # null/empty queries: cosine 0.0 against every corpus row
                 for qid in null_q:
                     for cid in k_smallest(ids_sorted, qid):
                         emit(qid, cid, 0.0)
                 for d, qids_g, Q in gmats:
                     ok = np.where(lens == d)[0]
-                    mism_sorted = [
-                        cid
-                        for cid in ids_sorted[
-                            (lens[order] != d) & (lens[order] != -1)
-                        ]
+                    other = lens[order] != d
+                    other_sorted = [cid for cid in ids_sorted[other]]
+                    other_zero_sorted = [
+                        cid for cid in ids_sorted[other & zerom[order]]
+                    ]
+                    other_pos_sorted = [
+                        cid for cid in ids_sorted[other & ~zerom[order]]
                     ]
                     cos = None
                     if len(ok):
@@ -323,9 +346,20 @@ def _brute_knn_gemm(
                     ids_ok = ids[ok]
                     rank_ok = rank[ok]
                     for j, qid in enumerate(qids_g):
-                        # length-mismatched rows: cosine NULL, k lowest ids
-                        for cid in k_smallest(mism_sorted, qid):
-                            emit(qid, cid, 0.0, isnull=True)
+                        if qid in zero_q_set:
+                            # zero-norm query: denom 0 everywhere; the
+                            # matrix covers matched rows, the rest are
+                            # all in the 0.0 class
+                            for cid in k_smallest(other_sorted, qid):
+                                emit(qid, cid, 0.0)
+                        else:
+                            # zero-norm rows score 0.0 regardless of
+                            # length; positive-norm length-mismatched
+                            # rows score NULL (sorted last)
+                            for cid in k_smallest(other_zero_sorted, qid):
+                                emit(qid, cid, 0.0)
+                            for cid in k_smallest(other_pos_sorted, qid):
+                                emit(qid, cid, 0.0, isnull=True)
                         if cos is None:
                             continue
                         _emit_col_topk(
@@ -598,6 +632,16 @@ def _rowwise_cosine(
                 if x is None or y is None:
                     continue  # cosine 0.0
                 if len(x) != len(y):
+                    # zero norm on either side dominates the length
+                    # mismatch (the fold's denom > 0 guard fires first)
+                    xa = np.asarray(x, dtype="float64")
+                    ya = np.asarray(y, dtype="float64")
+                    if (
+                        float((xa * xa).sum()) == 0.0
+                        or float((ya * ya).sum()) == 0.0
+                    ):
+                        continue  # cosine 0.0 (subnormal squares
+                        # underflow to 0.0, matching the fold's sum)
                     isnull[i] = True
                     continue
                 groups.setdefault(len(x), []).append(i)
@@ -689,6 +733,12 @@ def _cosine_vs_queries(
                 if q is None or v is None:
                     continue  # cosine 0.0
                 if len(v) != len(q[0]):
+                    # zero norm on either side dominates the length
+                    # mismatch (the fold's denom > 0 guard fires first)
+                    va_ = np.asarray(v, dtype="float64")
+                    if q[1] == 0.0 or float((va_ * va_).sum()) == 0.0:
+                        continue  # cosine 0.0 (subnormal squares
+                        # underflow to 0.0, matching the fold's sum)
                     isnull[i] = True
                     continue
                 groups.setdefault(len(v), []).append(i)
@@ -1844,7 +1894,11 @@ def _pq_coarse_topk_gemm(
         if v is None:
             null_q.append(qid)
         elif len(v) < dim:
-            short_q.append(qid)
+            # (qid, qnorm): a zero-norm short query nulls the
+            # denominator, so it scores 0.0 everywhere — the fold's
+            # denom > 0 guard fires before the NULL LUT can
+            qv = np.asarray(v, dtype="float64")
+            short_q.append((qid, float(np.sqrt((qv * qv).sum()))))
         else:
             qv = np.asarray(v, dtype="float64")
             L = np.stack(
@@ -1913,11 +1967,11 @@ def _pq_coarse_topk_gemm(
                 ok_sorted = [
                     cid for cid in ids_sorted[~bad_mask[order]]
                 ]
-                for qid in short_q:
+                for qid, qn in short_q:
                     for cid in k_smallest(bad_sorted, qid):
                         emit(qid, cid, 0.0)
                     for cid in k_smallest(ok_sorted, qid):
-                        emit(qid, cid, 0.0, isnull=True)
+                        emit(qid, cid, 0.0, isnull=qn > 0.0)
                 if len(ok) and luts:
                     C = np.stack(
                         [

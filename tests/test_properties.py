@@ -286,3 +286,52 @@ def test_dedup_substrings_matches_python_reference(spark, texts):
         assert r["n_tokens_removed"] == len(removed[i])
         expect = " ".join(kept) if ws else None
         assert r["text_deduped"] == expect, (i, texts)
+
+
+# ------------------------------------------------------------------
+# Round-8 Arrow scoring paths: property fuzz — the gemm brute-force
+# kNN must agree with the Catalyst fold on ARBITRARY degenerate
+# corpora (null vectors, ragged dims, zero norms, duplicate values).
+# ------------------------------------------------------------------
+
+_vec = st.one_of(
+    st.none(),
+    st.lists(floats, min_size=0, max_size=6),
+)
+
+
+@given(vecs=st.lists(_vec, min_size=2, max_size=14))
+@SET
+def test_brute_knn_gemm_matches_fold_on_degenerate_corpora(spark, vecs):
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        knn_brute_force,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    q = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def key(df):
+        out = {}
+        for r in df.collect():
+            c = r["cosine"]
+            out[(r["query_id"], r["rank"])] = (
+                r["vec_id"],
+                None if c is None else round(c, 9),
+            )
+        return out
+
+    a = key(knn_brute_force(corpus, q, k=4, impl="arrow"))
+    s = key(knn_brute_force(corpus, q, k=4, impl="sql"))
+    assert set(a) == set(s)
+    for kk, (vid, cos) in s.items():
+        avid, acos = a[kk]
+        # identical candidate at every rank; cosine equal up to
+        # accumulation-order float noise (gemm vs strict fold)
+        assert avid == vid, (kk, avid, vid, vecs)
+        if cos is None:
+            assert acos is None, (kk, vecs)
+        else:
+            assert acos is not None and abs(acos - cos) < 1e-9, (kk, vecs)
