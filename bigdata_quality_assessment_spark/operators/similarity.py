@@ -832,6 +832,12 @@ def hyperplane_buckets(
     v = _as_double(F.col(vec_col))
     out = df.select(id_col, v.alias("__v"))
     bit_weights = [float(1 << p_i) for p_i in range(n_planes)]
+    # NULL / wrong-length vectors must get NULL buckets on THIS path
+    # too: the unguarded fold's `when(dot > 0)` treats the NULL dots
+    # as false and packs every invalid row into bucket 0 — at scale a
+    # skew bomb where all invalid rows candidate-match each other
+    # (caught by the arrow-vs-sql hypothesis fuzz)
+    valid = F.col("__v").isNotNull() & (F.size("__v") == dim)
     for t in range(n_tables):
         tp = planes[t] if planes is not None else _hyperplanes(dim, n_planes, seed + 1000 * t)
         dots = F.transform(
@@ -852,7 +858,10 @@ def hyperplane_buckets(
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).cast("bigint")
-        out = out.withColumn(f"bucket_{t}", key)
+        out = out.withColumn(
+            f"bucket_{t}",
+            F.when(valid, key).otherwise(F.lit(None).cast("bigint")),
+        )
         if not keep_dots:
             out = out.drop(f"dots_{t}")
     return out

@@ -335,3 +335,38 @@ def test_brute_knn_gemm_matches_fold_on_degenerate_corpora(spark, vecs):
             assert acos is None, (kk, vecs)
         else:
             assert acos is not None and abs(acos - cos) < 1e-9, (kk, vecs)
+
+
+@given(vecs=st.lists(_vec, min_size=3, max_size=10))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ann_candidate_scoring_arrow_matches_sql_on_degenerate(spark, vecs):
+    """The bucketed tiers' Arrow candidate scorer (query vectors in
+    the closure) must agree with the fold on arbitrary degenerate
+    corpora too — same (id, rank) sets; buckets drop invalid vectors
+    identically on both paths."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        _hyperplanes,
+        ann_hyperplane_knn,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    q = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = [_hyperplanes(4, 3, 5 + t) for t in range(2)]
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"]) for r in df.collect()
+        )
+
+    a = key(ann_hyperplane_knn(corpus, q, dim=4, k=3, n_planes=3,
+                               n_tables=2, planes=planes, impl="arrow"))
+    s = key(ann_hyperplane_knn(corpus, q, dim=4, k=3, n_planes=3,
+                               n_tables=2, planes=planes, impl="sql"))
+    assert a == s, (a, s, vecs)
