@@ -2832,3 +2832,81 @@ def ivfpq_search(
         [query_id_col, id_col],
     )
     return _topk_per_query(rescored, query_id_col, id_col, k)
+
+
+def knn_label(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    weighted: bool = True,
+    planes: list[list[list[float]]] | None = None,
+    impl: str = "auto",
+) -> DataFrame:
+    """kNN label propagation: each unlabeled row takes the
+    cosine-weighted (or plain-count) vote of its k nearest LABELED
+    neighbors — the semi-supervised labeling step of a curation
+    pipeline (domain/quality/language labels from a small curated
+    reference set, fanned out over the full corpus).
+
+    Built on :func:`knn_join` (both sides corpus-sized); the vote is
+    one groupBy over the ≤ k·|unlabeled| join rows — label strings
+    never touch the neighbor search. Returns ``(id, label_pred,
+    confidence, n_votes)`` where confidence is the winning label's
+    share of the (weighted) vote; rows with no same-bucket labeled
+    neighbor are absent (left-join the output to find them). Negative
+    cosines clamp to 0 weight (an anti-correlated neighbor should not
+    cast a negative vote); ties break to the lexicographically
+    smallest label — deterministic."""
+    nn = knn_join(
+        unlabeled, labeled.select(id_col, vec_col), dim, k=k,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
+        left_id=id_col, right_id=id_col, vec_col=vec_col,
+        planes=planes, impl=impl,
+    )
+    # knn_join renames the colliding id columns
+    left_c, right_c = f"{id_col}_left", f"{id_col}_right"
+    w = (
+        F.greatest(F.col("cosine"), F.lit(0.0))
+        if weighted
+        else F.lit(1.0)
+    )
+    votes = (
+        nn.join(
+            labeled.select(
+                F.col(id_col).alias(right_c), F.col(label_col)
+            ),
+            right_c,
+        )
+        .withColumn("__w", w)
+        .groupBy(left_c, label_col)
+        .agg(F.sum("__w").alias("__lw"), F.count(F.lit(1)).alias("__lc"))
+    )
+    tot = Window.partitionBy(left_c)
+    ranked = (
+        votes.withColumn("__tw", F.sum("__lw").over(tot))
+        .withColumn("__tc", F.sum("__lc").over(tot))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(left_c).orderBy(
+                    F.col("__lw").desc(), F.col(label_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    return ranked.select(
+        F.col(left_c).alias(id_col),
+        F.col(label_col).alias("label_pred"),
+        F.when(F.col("__tw") > 0, F.col("__lw") / F.col("__tw"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("confidence"),
+        F.col("__tc").alias("n_votes"),
+    )

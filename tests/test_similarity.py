@@ -924,3 +924,47 @@ def test_ivfpq_index_persist_and_search(corpus, tmp_path):
 
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("__cell" in ln for ln in pf), pf
+
+
+def test_knn_label_propagates_planted_clusters(spark):
+    """Two well-separated clusters, a handful labeled: every unlabeled
+    row must take its own cluster's label, weighted confidence ≈ 1."""
+    import numpy as np
+    from bigdata_quality_assessment_spark.operators.similarity import knn_label
+
+    rng = np.random.RandomState(3)
+    a = rng.normal(loc=0.0, scale=0.05, size=(30, 8)) + np.array([1.0] + [0.0] * 7)
+    b = rng.normal(loc=0.0, scale=0.05, size=(30, 8)) + np.array([0.0] * 7 + [1.0])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    labeled = emb.filter((F.col("vec_id") < 5) | (F.col("vec_id") >= 55)).withColumn(
+        "label", F.when(F.col("vec_id") < 30, F.lit("alpha")).otherwise(F.lit("beta"))
+    )
+    unlabeled = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 55))
+    out = {r["vec_id"]: r for r in knn_label(
+        unlabeled, labeled, dim=8, k=3, n_planes=4, n_tables=6, seed=2
+    ).collect()}
+    assert len(out) >= 45  # LSH recall: nearly all rows find neighbors
+    for vid, r in out.items():
+        want = "alpha" if vid < 30 else "beta"
+        assert r["label_pred"] == want, (vid, r)
+        assert r["confidence"] > 0.9, (vid, r)
+        assert 1 <= r["n_votes"] <= 3
+
+
+def test_knn_label_tie_breaks_to_smallest_label(spark):
+    from bigdata_quality_assessment_spark.operators.similarity import knn_label
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    labeled = emb.filter(F.col("vec_id") > 0).withColumn(
+        "label", F.when(F.col("vec_id") == 1, F.lit("zzz")).otherwise(F.lit("aaa"))
+    )
+    out = knn_label(
+        emb.filter(F.col("vec_id") == 0), labeled, dim=2, k=2,
+        n_planes=2, n_tables=2, weighted=False,
+    ).collect()
+    assert len(out) == 1 and out[0]["label_pred"] == "aaa"
+    assert out[0]["confidence"] == 0.5 and out[0]["n_votes"] == 2
