@@ -52,6 +52,37 @@ def _as_double(col):
     return F.transform(col, lambda v: v.cast("double"))
 
 
+#: Fail-fast ceiling on the driver-collected query batch. Every kNN
+#: tier's ``impl="arrow"`` path ships the query matrix to executors
+#: inside the Arrow closure, which requires an EAGER ``collect()`` of
+#: the query side at plan-build time (the API is not lazy on that
+#: side). The contract is "queries are driver-sized"; this cap turns a
+#: contract violation (a corpus passed as the query side) into an
+#: immediate ValueError instead of a driver OOM. Raise it deliberately
+#: if a genuinely huge query batch is intended — or use
+#: :func:`knn_join`, whose contract is corpus-sized on BOTH sides.
+QUERY_BATCH_CAP = 65536
+
+
+def _collect_query_batch(queries: DataFrame, query_id_col: str, vec_col: str):
+    """Eagerly collect the (id, vector) query batch, failing fast past
+    :data:`QUERY_BATCH_CAP` rows. ``limit(cap+1)`` bounds what ever
+    reaches the driver, so the violation surfaces as an error, not an
+    OOM. NOTE: this triggers a Spark job at call time — the arrow-impl
+    kNN entry points are eager on the query side by design."""
+    rows = queries.select(query_id_col, vec_col).limit(
+        QUERY_BATCH_CAP + 1
+    ).collect()
+    if len(rows) > QUERY_BATCH_CAP:
+        raise ValueError(
+            f"query batch exceeds QUERY_BATCH_CAP={QUERY_BATCH_CAP} rows; "
+            "the query side of the kNN tiers is driver-sized by contract "
+            "— for a corpus-sized query side use knn_join, or raise "
+            "similarity.QUERY_BATCH_CAP deliberately"
+        )
+    return rows
+
+
 def _widen_for_fanout(df: DataFrame) -> DataFrame:
     """Ensure the corpus side of a row-multiplying broadcast join has at
     least ``defaultParallelism`` partitions.
@@ -127,9 +158,15 @@ def knn_brute_force(
     contracts of ``cosine_similarity``: NULL vector on either side →
     cosine 0.0; length-mismatched pair → cosine NULL (sorts last);
     zero norm → 0.0; NaN values propagate (Spark orders NaN first
-    under ``desc``)."""
+    under ``desc``).
+
+    NOTE (applies to every arrow-impl tier: this, ``knn_quantized``,
+    ``knn_pq``, ``ivfpq_knn``, ``ivfpq_search``): the query batch is
+    collected EAGERLY at call time — building the plan triggers a
+    Spark job — and is capped at :data:`QUERY_BATCH_CAP` rows with a
+    fail-fast ValueError (see :func:`_collect_query_batch`)."""
     if _resolve_impl(impl, pinned=False) == "arrow":
-        q_rows = queries.select(query_id_col, vec_col).collect()
+        q_rows = _collect_query_batch(queries, query_id_col, vec_col)
         q_id_type = dict(queries.dtypes)[query_id_col]
         return _brute_knn_gemm(
             _widen_for_fanout(corpus.select(id_col, vec_col)), q_rows, k,
@@ -972,7 +1009,7 @@ def ann_hyperplane_knn(
         )
         scored = _cosine_vs_queries(
             cands, "__v", query_id_col,
-            queries.select(query_id_col, vec_col).collect(),
+            _collect_query_batch(queries, query_id_col, vec_col),
             [query_id_col, id_col],
         )
     else:
@@ -1142,7 +1179,7 @@ def ivf_knn(
                 F.col(id_col) != F.col(query_id_col)
             ),
             "__v", query_id_col,
-            queries.select(query_id_col, vec_col).collect(),
+            _collect_query_batch(queries, query_id_col, vec_col),
             [query_id_col, id_col],
         )
     else:
@@ -1546,7 +1583,7 @@ def knn_quantized(
     path = _resolve_impl(impl, pinned=False)
     q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv"))
     if path == "arrow":
-        q_rows = queries.select(query_id_col, vec_col).collect()
+        q_rows = _collect_query_batch(queries, query_id_col, vec_col)
         q_id_type = dict(queries.dtypes)[query_id_col]
         # quantize + score + batch-local top-k fuse into ONE Arrow
         # stage (codes8): the codes never round-trip between stages
@@ -1787,7 +1824,7 @@ def knn_pq(
         ).select(id_col, "pq_code")
 
     if path == "arrow":
-        q_rows = queries.select(query_id_col, vec_col).collect()
+        q_rows = _collect_query_batch(queries, query_id_col, vec_col)
         q_id_type = dict(queries.dtypes)[query_id_col]
         coarse = _pq_coarse_topk_gemm(
             codes, q_rows, codebooks, k * rescore_factor,
@@ -2450,7 +2487,7 @@ def ivfpq_knn(
 
     # ---- ADC coarse scoring over probed candidates ----
     if path == "arrow":
-        q_rows = queries.select(query_id_col, vec_col).collect()
+        q_rows = _collect_query_batch(queries, query_id_col, vec_col)
         qe = q.select(query_id_col, F.explode(probes).alias("__cell"))
         cands = index.join(F.broadcast(qe), "__cell").filter(
             F.col(id_col) != F.col(query_id_col)
@@ -2675,6 +2712,7 @@ def knn_join(
     vec_col: str = "embedding",
     planes: list[list[list[float]]] | None = None,
     impl: str = "auto",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate kNN JOIN: for every LEFT row, the top-k cosine
     neighbors among the RIGHT rows — the similarity join where BOTH
@@ -2694,9 +2732,12 @@ def knn_join(
 
     Output: ``(left_id, right_id, cosine, rank)`` with rank 1..k per
     left row (rows with no same-bucket candidate produce nothing —
-    count them by anti-joining the output back). Self-pairs are kept
-    unless the two id columns share a name AND value — pass disjoint
-    id spaces or filter afterward for self-join dedup semantics."""
+    count them by anti-joining the output back). Self-pairs are ALWAYS
+    kept by default — colliding id column names are renamed, never
+    used to drop pairs. Pass ``exclude_self=True`` to drop candidates
+    whose two id VALUES are equal (the self-join / overlapping-corpus
+    dedup semantics) BEFORE the top-k, so a self-match never consumes
+    a rank slot."""
     out_left = left_id if left_id != right_id else f"{left_id}_left"
     out_right = right_id if left_id != right_id else f"{right_id}_right"
     lb = hyperplane_buckets(
@@ -2722,6 +2763,8 @@ def knn_join(
         le.join(re_, ["__t", "__b"])
         .dropDuplicates([out_left, out_right])
     )
+    if exclude_self:
+        cands = cands.filter(F.col(out_left) != F.col(out_right))
     scored = _rowwise_cosine(
         cands, "__lv", "__rv", [out_left, out_right],
         impl=_resolve_impl(impl, pinned=planes is not None),
@@ -2797,7 +2840,7 @@ def ivfpq_search(
     import numpy as np
 
     C = np.asarray(centroids, dtype="float64")
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_query_batch(queries, query_id_col, vec_col)
     probe_pairs = []
     dim = C.shape[1]
     for r in q_rows:
@@ -2863,12 +2906,17 @@ def knn_label(
     neighbor are absent (left-join the output to find them). Negative
     cosines clamp to 0 weight (an anti-correlated neighbor should not
     cast a negative vote); ties break to the lexicographically
-    smallest label — deterministic."""
+    smallest NON-NULL label — rows whose ``label_col`` is NULL are
+    dropped from the labeled side before the neighbor search (an
+    unlabeled row can neither vote nor consume a rank slot), and a row
+    present in both sets never votes for itself
+    (``knn_join(exclude_self=True)`` on the id values)."""
+    lab = labeled.filter(F.col(label_col).isNotNull())
     nn = knn_join(
-        unlabeled, labeled.select(id_col, vec_col), dim, k=k,
+        unlabeled, lab.select(id_col, vec_col), dim, k=k,
         n_planes=n_planes, n_tables=n_tables, seed=seed,
         left_id=id_col, right_id=id_col, vec_col=vec_col,
-        planes=planes, impl=impl,
+        planes=planes, impl=impl, exclude_self=True,
     )
     # knn_join renames the colliding id columns
     left_c, right_c = f"{id_col}_left", f"{id_col}_right"
@@ -2879,7 +2927,7 @@ def knn_label(
     )
     votes = (
         nn.join(
-            labeled.select(
+            lab.select(
                 F.col(id_col).alias(right_c), F.col(label_col)
             ),
             right_c,

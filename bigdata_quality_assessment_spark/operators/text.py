@@ -107,6 +107,17 @@ def stopword_ratio(text_col: Column, lexicon: tuple[str, ...]) -> Column:
     never misses a neighbor."""
     import re as _re
 
+    # Contract: lexicon entries are lowercase single words. The
+    # regexp_count pass matches case-insensitively against the lowered
+    # text and an entry containing a space would match ACROSS token
+    # boundaries — neither is what the per-token semantics promise, so
+    # reject such lexicons instead of silently changing meaning.
+    bad = [w for w in lexicon if w != w.lower() or " " in w or not w]
+    if bad:
+        raise ValueError(
+            "stopword_ratio lexicon entries must be non-empty, lowercase, "
+            f"and single-word (no spaces); offending entries: {bad[:5]}"
+        )
     pat = (
         "(?:^| )(?:"
         + "|".join(_re.escape(w.lower()) for w in lexicon)
