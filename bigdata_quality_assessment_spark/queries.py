@@ -3203,12 +3203,33 @@ def _ann_knn_sql() -> str:
                     list_cosine_similarity(lv.e, rv.e) AS cosine
              FROM candj c JOIN v lv ON lv.vec_id = c.id_a
                           JOIN v rv ON rv.vec_id = c.id_b),
+      jrk AS (SELECT id_a, id_b, cosine,
+                     CAST(row_number() OVER (PARTITION BY id_a
+                          ORDER BY cosine DESC, id_b ASC) AS BIGINT) AS rank
+              FROM sj QUALIFY rank <= 5),
       joinp AS (SELECT 'join' AS part, id_a AS query_id, id_b AS vec_id,
-                       round(cosine, 6) AS cosine,
-                       CAST(row_number() OVER (PARTITION BY id_a
-                            ORDER BY cosine DESC, id_b ASC) AS BIGINT) AS rank
-                FROM sj QUALIFY rank <= 5)
-      SELECT * FROM lsh UNION ALL SELECT * FROM joinp"""
+                       round(cosine, 6) AS cosine, rank
+                FROM jrk),
+      lab AS (SELECT vec_id, label FROM embeddings
+              WHERE vec_id BETWEEN 20 AND 519 AND label IS NOT NULL),
+      vote AS (SELECT j.id_a AS id, lab.label,
+                      sum(greatest(COALESCE(j.cosine, 0), 0)) AS lw,
+                      count(*) AS lc
+               FROM jrk j JOIN lab ON lab.vec_id = j.id_b
+               GROUP BY j.id_a, lab.label),
+      win AS (SELECT id, label, lw,
+                     sum(lw) OVER (PARTITION BY id) AS tw,
+                     sum(lc) OVER (PARTITION BY id) AS tc,
+                     row_number() OVER (PARTITION BY id
+                          ORDER BY lw DESC, label ASC) AS rn
+              FROM vote),
+      labp AS (SELECT 'label_' || CAST(label AS VARCHAR) AS part,
+                      id AS query_id, CAST(NULL AS BIGINT) AS vec_id,
+                      round(CASE WHEN tw > 0 THEN lw / tw END, 6) AS cosine,
+                      CAST(tc AS BIGINT) AS rank
+               FROM win WHERE rn = 1)
+      SELECT * FROM lsh UNION ALL SELECT * FROM joinp
+      UNION ALL SELECT * FROM labp"""
 
 
 @_register("x_ann_knn", _ann_knn_sql())
@@ -3227,8 +3248,21 @@ def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
     where BOTH sides are corpus-sized (disjoint id slices here), top-5
     right-side neighbors per left row through the same pinned-plane
     buckets; the twin replays the two-sided bucket equi-join and both
-    rankings."""
-    from bigdata_quality_assessment_spark.operators.similarity import knn_join
+    rankings.
+
+    part='label_<L>' (round 9, verdict ask #1): :func:`knn_label` —
+    cosine-weighted kNN label propagation over the SAME neighbor
+    search as part='join' (the fixture's real integer ``label`` column
+    on the 20..519 labeled slice, vec_id<20 unlabeled). The twin
+    replays the full semantics: clamp-at-0 weighted vote over the jrk
+    neighbors, total-weight share as confidence, total-count as
+    n_votes, (weight DESC, label ASC) winner — the predicted label
+    rides the ``part`` string, confidence rides ``cosine``, n_votes
+    rides ``rank``, so the union schema is unchanged."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        knn_join,
+        knn_label,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -3253,7 +3287,23 @@ def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("bigint").alias("rank"),
     )
-    return lsh.unionByName(jn)
+    lp = knn_label(
+        emb.filter(F.col("vec_id") < 20),
+        emb.filter(F.col("vec_id").between(20, 519)).select(
+            "vec_id", "embedding", "label"
+        ),
+        dim=_ANN_DIM, k=5, n_planes=_ANN_PLANES_N, n_tables=_ANN_TABLES,
+        planes=_ANN_PLANES, impl="sql",
+    ).select(
+        F.concat(
+            F.lit("label_"), F.col("label_pred").cast("string")
+        ).alias("part"),
+        F.col("vec_id").alias("query_id"),
+        F.lit(None).cast("bigint").alias("vec_id"),
+        F.round("confidence", 6).alias("cosine"),
+        F.col("n_votes").cast("bigint").alias("rank"),
+    )
+    return lsh.unionByName(jn).unionByName(lp)
 
 
 # Pinned residual codebooks for the ORACLE-GRADED IVF-PQ part: m=4
