@@ -918,6 +918,7 @@ def ann_hyperplane_knn(
     n_probes: int = 0,
     planes: list[list[list[float]]] | None = None,
     impl: str = "auto",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: a candidate is any corpus vector sharing at
     least one table's bucket with the query; candidates are scored
@@ -936,7 +937,12 @@ def ann_hyperplane_knn(
     once per table, and the (table, bucket) join just sees
     ``1 + n_probes`` keys per query per table. At 100 TB the corpus
     index is the expensive artifact; multi-probe is the knob that
-    trades a few extra broadcast-side keys for fewer stored tables."""
+    trades a few extra broadcast-side keys for fewer stored tables.
+
+    ``max_bucket`` (:func:`_cap_bucket_fanout`) bounds the corpus-side
+    per-(table, bucket) fan-out against natural hot clusters — each
+    query then scores at most ~n_tables·(1+n_probes)·max_bucket
+    candidates regardless of corpus skew. Off by default."""
     cb = hyperplane_buckets(
         _widen_for_fanout(corpus.select(id_col, vec_col)),
         dim, n_planes, n_tables, seed, id_col, vec_col, planes=planes,
@@ -952,6 +958,8 @@ def ann_hyperplane_knn(
     cbe = cb.select(
         id_col, "__v", F.posexplode(F.array(*buckets)).alias("__t", "__b")
     )
+    if max_bucket is not None:
+        cbe = _cap_bucket_fanout(cbe, ["__t", "__b"], id_col, max_bucket, seed)
     if n_probes > 0:
         # per table: [base] ++ [base XOR 2^i for the n_probes bits
         # with the smallest |dot| margin] — all Catalyst, no UDF
@@ -2699,6 +2707,56 @@ def _ivfpq_score_gemm(
     )
 
 
+def _cap_bucket_fanout(
+    exploded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Bound the per-(table, bucket) fan-out of an exploded LSH bucket
+    frame — the NATURAL-skew guard. Real embeddings cluster, so at web
+    scale a few hot (table, bucket) keys can own millions of rows; the
+    downstream equi-join then materializes |L_b|·|R_b| candidate pairs
+    for those keys (AQE's skew split parallelizes the partition, but
+    nothing bounds the CANDIDATE COUNT, which is the real cost).
+
+    Mechanics (no per-bucket sort, nothing driver-sized): ONE map-side-
+    combined count over the bucket keys keeps only the over-cap buckets
+    (a tiny frame — broadcast), and rows in those buckets pass a
+    deterministic hash threshold ``xxhash64(id, seed) % M < M·cap/n`` —
+    a uniform, seed-stable subsample with EXPECTED size ``max_bucket``
+    per hot bucket. Rows in buckets at or under the cap are untouched,
+    so recall only degrades inside hot buckets, proportionally to
+    cap/|bucket| — the documented trade (a hot bucket is exactly where
+    LSH's "sharing a bucket is evidence of similarity" signal is
+    weakest, so the dropped candidates are the lowest-value ones).
+    NULL bucket keys never join (invalid-vector rows) and are left
+    alone here."""
+    M = 1 << 20
+    sizes = (
+        exploded.filter(F.col(key_cols[-1]).isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_bucket)
+        .select(
+            *key_cols,
+            (F.lit(max_bucket) * M / F.col("__bn")).cast("long").alias("__thr"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(sizes), key_cols, "left")
+        .filter(
+            F.col("__thr").isNull()
+            | (
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(M))
+                < F.col("__thr")
+            )
+        )
+        .drop("__thr")
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -2713,6 +2771,7 @@ def knn_join(
     planes: list[list[list[float]]] | None = None,
     impl: str = "auto",
     exclude_self: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate kNN JOIN: for every LEFT row, the top-k cosine
     neighbors among the RIGHT rows — the similarity join where BOTH
@@ -2737,7 +2796,15 @@ def knn_join(
     used to drop pairs. Pass ``exclude_self=True`` to drop candidates
     whose two id VALUES are equal (the self-join / overlapping-corpus
     dedup semantics) BEFORE the top-k, so a self-match never consumes
-    a rank slot."""
+    a rank slot.
+
+    ``max_bucket`` (the natural-skew guard, :func:`_cap_bucket_fanout`)
+    caps the RIGHT side's per-(table, bucket) fan-out: hot buckets keep
+    a deterministic ~max_bucket-expected hash subsample, bounding
+    candidates per left row at ~n_tables·max_bucket regardless of how
+    hard the corpus clusters. Off by default (exact LSH semantics);
+    recommended at web scale where one hot cluster key would otherwise
+    materialize |L_b|·|R_b| pairs."""
     out_left = left_id if left_id != right_id else f"{left_id}_left"
     out_right = right_id if left_id != right_id else f"{right_id}_right"
     lb = hyperplane_buckets(
@@ -2759,6 +2826,8 @@ def knn_join(
         out_right, F.col("__v").alias("__rv"),
         F.posexplode(F.array(*buckets)).alias("__t", "__b"),
     )
+    if max_bucket is not None:
+        re_ = _cap_bucket_fanout(re_, ["__t", "__b"], out_right, max_bucket, seed)
     cands = (
         le.join(re_, ["__t", "__b"])
         .dropDuplicates([out_left, out_right])
@@ -2891,6 +2960,7 @@ def knn_label(
     weighted: bool = True,
     planes: list[list[list[float]]] | None = None,
     impl: str = "auto",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """kNN label propagation: each unlabeled row takes the
     cosine-weighted (or plain-count) vote of its k nearest LABELED
@@ -2917,6 +2987,7 @@ def knn_label(
         n_planes=n_planes, n_tables=n_tables, seed=seed,
         left_id=id_col, right_id=id_col, vec_col=vec_col,
         planes=planes, impl=impl, exclude_self=True,
+        max_bucket=max_bucket,
     )
     # knn_join renames the colliding id columns
     left_c, right_c = f"{id_col}_left", f"{id_col}_right"
