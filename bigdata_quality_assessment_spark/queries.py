@@ -3824,28 +3824,172 @@ def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.unionByName(corr).unionByName(card)
 
 
-@_register("x_approx_profile")  # sketch values engine-specific → rows-only
+@_register(
+    "x_approx_profile",
+    # Contract oracle (round 9, verdict ask #7): sketch STATE is
+    # engine-specific, but the sketches' documented ERROR BOUNDS are
+    # not — grade those. The Spark side checks each bound against
+    # exact aggregates computed in the same plan and emits ok=1; the
+    # twin recomputes every `exact` column from scratch in DuckDB and
+    # asserts ok=1. A sketch that ever violates its contract (or a
+    # Spark exact aggregate that diverges from DuckDB's) hash-fails.
+    """WITH ex AS (
+      SELECT count(l_quantity) AS c_q, count(l_extendedprice) AS c_e,
+             count(l_returnflag) AS c_r,
+             count(DISTINCT l_quantity) AS d_q,
+             count(DISTINCT l_extendedprice) AS d_e,
+             count(DISTINCT l_returnflag) AS d_r
+      FROM lineitem)
+    SELECT 'sketch' AS part, 'l_quantity' AS "column",
+           'approx_distinct_bound' AS metric,
+           CAST(d_q AS DOUBLE) AS exact, CAST(1 AS BIGINT) AS ok FROM ex
+    UNION ALL SELECT 'sketch', 'l_extendedprice', 'approx_distinct_bound',
+           CAST(d_e AS DOUBLE), 1 FROM ex
+    UNION ALL SELECT 'sketch', 'l_returnflag', 'approx_distinct_bound',
+           CAST(d_r AS DOUBLE), 1 FROM ex
+    UNION ALL SELECT 'sketch', 'l_quantity', 'p25_rank_bound',
+           CAST(floor(0.25 * c_q) AS DOUBLE), 1 FROM ex
+    UNION ALL SELECT 'sketch', 'l_quantity', 'p50_rank_bound',
+           CAST(floor(0.50 * c_q) AS DOUBLE), 1 FROM ex
+    UNION ALL SELECT 'sketch', 'l_quantity', 'p75_rank_bound',
+           CAST(floor(0.75 * c_q) AS DOUBLE), 1 FROM ex
+    UNION ALL SELECT 'sketch', 'l_quantity', 'p95_rank_bound',
+           CAST(floor(0.95 * c_q) AS DOUBLE), 1 FROM ex
+    UNION ALL SELECT 'sketch', 'l_extendedprice', 'p25_rank_bound',
+           CAST(floor(0.25 * c_e) AS DOUBLE), 1 FROM ex
+    UNION ALL SELECT 'sketch', 'l_extendedprice', 'p50_rank_bound',
+           CAST(floor(0.50 * c_e) AS DOUBLE), 1 FROM ex
+    UNION ALL SELECT 'sketch', 'l_extendedprice', 'p75_rank_bound',
+           CAST(floor(0.75 * c_e) AS DOUBLE), 1 FROM ex
+    UNION ALL SELECT 'sketch', 'l_extendedprice', 'p95_rank_bound',
+           CAST(floor(0.95 * c_e) AS DOUBLE), 1 FROM ex
+    UNION ALL
+    SELECT 'freq', 'l_returnflag', 'freq_' || l_returnflag,
+           CAST(count(*) AS DOUBLE), 1
+    FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'freq', 'l_returnflag', 'heavy_hitters_present',
+           CAST((SELECT count(*) FROM
+                   (SELECT count(*) AS c FROM lineitem
+                    WHERE l_returnflag IS NOT NULL
+                    GROUP BY l_returnflag) t
+                 WHERE t.c > (SELECT count(l_returnflag) FROM lineitem)
+                             / 64.0) AS DOUBLE),
+           1""",
+)
 def q_xapprox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch family as one tagged union: part='sketch' is the
-    HLL/KLL approx profile; part='freq' (round-5 continuation) is the
-    Misra-Gries frequent-items summary over l_returnflag (operators/
-    sketch.py) — est_count rides the `value` column, max_error in
-    `metric`-suffix form. Both rows-only (sketch internals are
-    engine-specific); the MG heavy-hitter guarantee and count bounds
-    are pinned against exact groupBy counts in tests/test_sketch.py."""
+    """Sketch family, CONTRACT-GRADED (round 9, verdict ask #7 — the
+    values are engine-specific, the error bounds are not):
+
+    - part='sketch' / approx_distinct_bound: HLL estimate within
+      3·rsd (15%) of the exact distinct count (rsd=0.05 — 3σ of the
+      documented relative standard deviation).
+    - part='sketch' / p{25,50,75,95}_rank_bound: the value returned by
+      percentile_approx has TRUE RANK within n/accuracy (+1 slack) of
+      the target rank floor(p·n) — the KLL/GK guarantee, checked via
+      exact <=/<-counts of the returned value in the same plan
+      (``exact`` carries the target rank, recomputed by the twin).
+    - part='freq' / freq_<item>: Misra-Gries est_count <= true <=
+      est_count + max_error (``exact`` = the true count — a real
+      cross-engine groupBy comparison, not just the bound bit).
+    - part='freq' / heavy_hitters_present: every item with true count
+      > n/capacity appears in the summary (the classic guarantee).
+
+    ``ok`` rides as BIGINT 1/0 so a violated bound hash-fails."""
     from bigdata_quality_assessment_spark.operators.sketch import frequent_items
 
     li = _t(spark, sf_dir, "lineitem")
-    ap = approx_profile(li, ["l_quantity", "l_extendedprice", "l_returnflag"]).select(
-        F.lit("sketch").alias("part"), "column", "metric", "value"
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag"]
+    ap = approx_profile(li, cols)
+    ex = li.agg(
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
+        *[F.count(c).alias(f"c_{c}") for c in cols],
     )
-    fi = frequent_items(li, "l_returnflag", k=3, capacity=64).select(
+
+    def _case(prefix):
+        c0, c1, c2 = cols
+        return (
+            F.when(F.col("column") == c0, F.col(f"{prefix}_{c0}"))
+            .when(F.col("column") == c1, F.col(f"{prefix}_{c1}"))
+            .otherwise(F.col(f"{prefix}_{c2}"))
+        )
+
+    hll = (
+        ap.filter(F.col("metric") == "approx_distinct")
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit("sketch").alias("part"),
+            "column",
+            F.lit("approx_distinct_bound").alias("metric"),
+            _case("d").cast("double").alias("exact"),
+            (F.abs(F.col("value") - _case("d")) <= 0.15 * _case("d"))
+            .cast("bigint")
+            .alias("ok"),
+        )
+    )
+    pct = ap.filter(F.col("metric").rlike("^p[0-9]+$"))
+    valcol = F.when(
+        F.col("column") == "l_quantity", F.col("l_quantity")
+    ).otherwise(F.col("l_extendedprice"))
+    rk = (
+        li.crossJoin(F.broadcast(pct))
+        .groupBy("column", "metric")
+        .agg(
+            F.sum(F.when(valcol <= F.col("value"), 1).otherwise(0)).alias("le"),
+            F.sum(F.when(valcol < F.col("value"), 1).otherwise(0)).alias("lt"),
+        )
+    )
+    p_frac = F.regexp_extract("metric", "p([0-9]+)", 1).cast("double") / 100.0
+    cnt = _case("c")
+    target = F.floor(p_frac * cnt)
+    err = F.ceil(cnt / F.lit(10000)) + 1  # percentile_approx default accuracy
+    pr = (
+        rk.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit("sketch").alias("part"),
+            "column",
+            F.concat(F.col("metric"), F.lit("_rank_bound")).alias("metric"),
+            target.cast("double").alias("exact"),
+            ((F.col("le") >= target - err) & (F.col("lt") <= target + err))
+            .cast("bigint")
+            .alias("ok"),
+        )
+    )
+    fi = frequent_items(li, "l_returnflag", k=8, capacity=64)
+    tc = (
+        li.filter(F.col("l_returnflag").isNotNull())
+        .groupBy(F.col("l_returnflag").alias("item"))
+        .agg(F.count(F.lit(1)).alias("true_c"))
+    )
+    fr = fi.join(tc, "item").select(
         F.lit("freq").alias("part"),
         F.lit("l_returnflag").alias("column"),
         F.concat(F.lit("freq_"), F.col("item")).alias("metric"),
-        F.col("est_count").cast("double").alias("value"),
+        F.col("true_c").cast("double").alias("exact"),
+        (
+            (F.col("est_count") <= F.col("true_c"))
+            & (F.col("true_c") <= F.col("est_count") + F.col("max_error"))
+        )
+        .cast("bigint")
+        .alias("ok"),
     )
-    return ap.unionByName(fi)
+    hh = (
+        tc.crossJoin(F.broadcast(ex))
+        .filter(F.col("true_c") > F.col("c_l_returnflag") / 64)
+        .join(fi.select("item", F.lit(1).alias("__in")), "item", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_heavy"),
+            F.coalesce(F.sum("__in"), F.lit(0)).alias("n_in"),
+        )
+        .select(
+            F.lit("freq").alias("part"),
+            F.lit("l_returnflag").alias("column"),
+            F.lit("heavy_hitters_present").alias("metric"),
+            F.col("n_heavy").cast("double").alias("exact"),
+            (F.col("n_heavy") == F.col("n_in")).cast("bigint").alias("ok"),
+        )
+    )
+    return hll.unionByName(pr).unionByName(fr).unionByName(hh)
 
 
 @_register(
