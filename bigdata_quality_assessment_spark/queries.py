@@ -4018,17 +4018,145 @@ def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(chunks, "media_id")
 
 
-@_register("x_decode_media")  # stub codec (content-seeded features) → rows-only
+def _decode_fixture_blobs() -> list[tuple[int, bytes]]:
+    """Deterministic synthesized media blobs covering every decoder
+    tier of :func:`...operators.multimodal.decode_media`: real PNG
+    decode (zlib inflate + filter reconstruction), real PCM WAV, real
+    MP3 frame-header walks (CBR + true-VBR), header-metadata stubs
+    (JPEG/GIF/MP4), and the content-seeded fallback. Pure functions of
+    the byte patterns below — no RNG, no files, no image libraries —
+    so the decoded metadata golden in the oracle SQL is stable by
+    construction (compressed-byte differences across zlib versions
+    cannot change the DECODED pixels the features derive from)."""
+    import struct
+    import zlib
+
+    def png(w, h, ch, color, pix):
+        stride = w * ch
+        raw = b"".join(
+            b"\x00" + bytes(pix(y, i) for i in range(stride)) for y in range(h)
+        )
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    def wav(channels, rate, n):
+        pcm = struct.pack(
+            f"<{n * channels}h",
+            *[(37 * i * i + 11 * i) % 20000 - 10000 for i in range(n * channels)],
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack(
+                "<IHHIIHH", 16, 1, channels, rate,
+                rate * channels * 2, channels * 2, 16,
+            )
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+
+    # MPEG-1 L3 44.1k 128k stereo: 417 B frames; MPEG-2 L3 22.05k mono
+    # alternating 64/96 kbps — true VBR, duration from the full walk
+    mp3_cbr = (
+        b"ID3\x03\x00\x00" + bytes([0, 0, 0, 40]) + b"\x00" * 40
+        + (bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413) * 25
+    )
+    mp3_vbr = (
+        bytes([0xFF, 0xF3, 0x80, 0xC0]) + b"\x00" * 204
+        + bytes([0xFF, 0xF3, 0xA0, 0xC0]) + b"\x00" * 309
+    ) * 8
+
+    def jpeg_hdr(w, h):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        sof0 = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03" + bytes(2)
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    def mp4(w, h):
+        def box(typ, payload):
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        tkhd = bytes([0, 0, 0, 7]) + b"\x00" * 72 + struct.pack(
+            ">II", w << 16, h << 16
+        )
+        mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + struct.pack(
+            ">II", 1000, 5000
+        ) + b"\x00" * 80
+        moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+        return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+    return [
+        (0, png(4, 3, 3, 2, lambda y, i: (y * 50 + i * 7) % 256)),  # RGB
+        (1, png(3, 3, 1, 0, lambda y, i: 100)),  # constant grayscale
+        (2, wav(2, 8000, 16)),
+        (3, wav(1, 44100, 441)),
+        (4, mp3_cbr),
+        (5, mp3_vbr),
+        (6, jpeg_hdr(1920, 1080)),
+        (7, b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(20)),
+        (8, mp4(640, 360)),
+        (9, b"\xffplain bytes, no container at all" * 8),
+        (10, b""),
+    ]
+
+
+@_register(
+    "x_decode_media",
+    # Committed golden for the deterministic fixture blobs: every value
+    # is hand-derivable from the construction (PNG luminance means from
+    # the byte patterns, WAV duration = n_samples/rate: 16/8000 and
+    # 441/44100, MP3 walk 25·1152/44100 and 16·576/22050, MP4 mvhd
+    # 5000/1000; stub f0 is the content-seeded feature, a pure function
+    # of the blob bytes). Regenerate by running the Spark side and
+    # re-pinning if decode semantics deliberately change.
+    """SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'png', CAST(4 AS INT), CAST(3 AS INT),
+       CAST(3 AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), 0.347059),
+      (1, 'png', 3, 3, 1, NULL, NULL, 0.392157),
+      (2, 'wav', NULL, NULL, 2, 8000, 0.002, 0.457489),
+      (3, 'wav', NULL, NULL, 1, 44100, 0.01, 0.489073),
+      (4, 'mp3', NULL, NULL, 2, 44100, 0.653061, 0.001088),
+      (5, 'mp3', NULL, NULL, 1, 22050, 0.417959, 0.000697),
+      (6, 'stub', 1920, 1080, 3, NULL, NULL, 0.671078),
+      (7, 'stub', 320, 200, NULL, NULL, NULL, 0.853236),
+      (8, 'stub', 640, 360, NULL, NULL, 5.0, 0.117681),
+      (9, 'stub', NULL, NULL, NULL, NULL, NULL, 0.892291),
+      (10, 'stub', NULL, NULL, NULL, NULL, NULL, 0.548814)
+    ) g(media_id, decoder, width, height, channels, sample_rate, dur, f0)""",
+)
 def q_xdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode, GOLDEN-GRADED (round 9, verdict ask #7): the
+    deterministic fixture blobs (:func:`_decode_fixture_blobs`) run
+    through the REAL decode_media plan — Arrow-batched mapInPandas,
+    zlib/PCM/frame-walk decoders — and the decoded metadata + first
+    feature hash-match the committed golden VALUES in the twin
+    (hand-checkable: WAV duration = n/rate, MP3 = frames·1152/44100,
+    PNG luminance mean from the byte pattern)."""
     from bigdata_quality_assessment_spark.operators.multimodal import decode_media
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    media = spark.createDataFrame(
+        _decode_fixture_blobs(), "media_id long, content binary"
     )
     out = decode_media(media)
     return out.select(
-        "media_id", "width", "channels", F.round(F.col("features")[0], 6).alias("f0")
+        "media_id",
+        "decoder",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        F.round("duration_s", 6).alias("dur"),
+        F.round(F.col("features")[0], 6).alias("f0"),
     )
 
 
