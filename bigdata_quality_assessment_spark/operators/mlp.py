@@ -16,6 +16,13 @@ inference over the pool. Same contract as the polynomial members in
 ``models.py``; exact numeric parity with TF is impossible anyway (TF's
 RNG differs), so the poly family remains the deterministic-oracle path
 while this family reproduces the reference's model CLASS.
+
+``train_mlp_ensemble_grouped`` is the distributed variant — one
+``applyInPandas`` group per member trains ON THE EXECUTORS (the
+reference's per-member independent-fit shape), with an OPT-IN
+``backend='tf'`` that runs the reference's actual Keras compile/fit
+where tensorflow is installed; numpy stays the default and the only
+bit-reproducible path.
 """
 
 from __future__ import annotations
@@ -180,6 +187,126 @@ def train_mlp_ensemble(
         )
         for mid in range(n_models)
     ]
+
+
+def _fit_member_tf(X, y, model_id, hidden, lr, epochs, batch_size, seed):
+    """The OPTIONAL TensorFlow/Keras member fit — the reference's
+    actual training call (core/ensemble_model.py:44-57:
+    ``keras.optimizers.Adam(learning_rate=lr)`` + ``MeanSquaredError``
+    + ``Model.fit``), same architecture as the numpy twin
+    (Dense(swish)×len(hidden) → Dense(1), ref ActiveSampling.py:95-103).
+    Raises ImportError when tensorflow is absent (this container);
+    returns params in the numpy twin's [(W, b), ...] format so
+    :func:`predict_mlp` and the Arrow inference closure consume either
+    backend's output identically. NOT bit-pinned — TF's RNG and
+    reduction order differ — the parity contract is fit QUALITY
+    (tests/test_mlp.py, skipped without TF)."""
+    try:
+        import tensorflow as tf
+        from tensorflow import keras
+    except ImportError as e:  # pragma: no cover - exercised via skip
+        raise ImportError(
+            "backend='tf' requires tensorflow; use the default "
+            "backend='numpy' (the bit-reproducible Adam twin)"
+        ) from e
+    import numpy as np
+
+    tf.keras.utils.set_random_seed(seed + 7919 * model_id)
+    model = keras.Sequential(
+        [keras.layers.Input(shape=(X.shape[1],))]
+        + [keras.layers.Dense(h, activation="swish") for h in hidden]
+        + [keras.layers.Dense(1)]
+    )
+    model.compile(
+        optimizer=keras.optimizers.Adam(learning_rate=lr),
+        loss=keras.losses.MeanSquaredError(),
+        metrics=["mse"],
+    )
+    model.fit(
+        np.asarray(X, dtype="float64"),
+        np.asarray(y, dtype="float64"),
+        epochs=epochs,
+        batch_size=batch_size or len(y),
+        verbose=0,
+    )
+    out = []
+    for layer in model.layers:
+        W, b = layer.get_weights()
+        out.append((np.asarray(W, dtype="float64"), np.asarray(b, dtype="float64")))
+    return out
+
+
+def train_mlp_ensemble_grouped(
+    train: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    n_models: int = 2,
+    hidden: tuple[int, ...] = (8, 8, 8),
+    lr: float = 1e-3,
+    epochs: int = 300,
+    batch_size: int | None = None,
+    seed: int = 42,
+    backend: str = "numpy",
+) -> list:
+    """M1 as the reference's PER-MEMBER grouped-map training
+    (core/ensemble_model.py:44-57 — one independent ``fit`` per
+    member): the (driver-sized) training frame replicates once per
+    member id and one ``applyInPandas`` group trains each member ON AN
+    EXECUTOR — members train in parallel across the cluster instead of
+    sequentially on the driver, the shape that matters when members
+    are expensive (real epochs budgets) rather than many.
+
+    ``backend='numpy'`` (default) runs the bit-reproducible Adam twin
+    (:func:`fit_mlp_member`); ``backend='tf'`` runs the reference's
+    actual Keras compile/fit when tensorflow is importable
+    (:func:`_fit_member_tf`) — the opt-in reference-parity path.
+    Either way the return value matches :func:`train_mlp_ensemble`'s
+    weight-list format.
+
+    Reproducibility: rows are sorted canonically (by feature tuple,
+    then y) INSIDE each group before fitting — applyInPandas delivers
+    groups in partition-arrival order, and a float fit is only
+    deterministic given a pinned row order. The numpy backend is then
+    bit-identical to :func:`fit_mlp_member` on the same sorted arrays
+    (pinned in tests/test_mlp.py)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    spark = train.sparkSession
+    members = spark.range(n_models).select(F.col("id").cast("int").alias("__mid"))
+    rep = train.select(*feature_cols, y_col).crossJoin(F.broadcast(members))
+
+    def fit_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        mid = int(pdf["__mid"].iloc[0])
+        pdf = pdf.sort_values(by=[*feature_cols, y_col], kind="mergesort")
+        X = pdf[feature_cols].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        if backend == "tf":
+            params = _fit_member_tf(X, y, mid, hidden, lr, epochs, batch_size, seed)
+        elif backend == "numpy":
+            params = fit_mlp_member(
+                X, y, mid, hidden=hidden, lr=lr, epochs=epochs,
+                batch_size=batch_size, seed=seed,
+            )
+        else:
+            raise ValueError(f"backend must be 'numpy' or 'tf', got {backend!r}")
+        return pd.DataFrame(
+            {"__mid": [mid], "params": [_json.dumps(_params_to_lists(params))]}
+        )
+
+    out = rep.groupBy("__mid").applyInPandas(
+        fit_group, schema="__mid int, params string"
+    )
+    rows = sorted(out.collect(), key=lambda r: r["__mid"])
+    if len(rows) != n_models:
+        raise ValueError(
+            "grouped training returned fewer members than requested — "
+            "is the training frame empty?"
+        )
+    return [_json.loads(r["params"]) for r in rows]
 
 
 def predict_ensemble_stats_mlp(

@@ -88,3 +88,64 @@ def test_mlp_loop_smoke(spark):
             init_train=init, member_family="mlp",
         )
     pts.unpersist()
+
+
+def test_grouped_training_matches_driver_twin(spark):
+    """The per-member grouped-map trainer (reference shape: one
+    independent fit per member on an executor) must be BIT-IDENTICAL
+    to fit_mlp_member on the same canonically-sorted arrays."""
+    from bigdata_quality_assessment_spark.operators.mlp import (
+        _params_from_lists,
+        train_mlp_ensemble_grouped,
+    )
+
+    X, y = _toy(n=60)
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)]
+    train = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = train_mlp_ensemble_grouped(
+        train, ["x1", "x2"], "y", n_models=2, epochs=40, seed=5
+    )
+    order = np.lexsort((y, X[:, 1], X[:, 0]))
+    Xs, ys = X[order], y[order]
+    for mid in range(2):
+        want = fit_mlp_member(Xs, ys, mid, epochs=40, seed=5)
+        have = _params_from_lists(got[mid])
+        for (Ww, bw), (Wh, bh) in zip(want, have):
+            assert np.array_equal(Ww, Wh) and np.array_equal(bw, bh)
+    # and the output format feeds the shared inference path
+    pred = predict_mlp(_params_from_lists(got[0]), Xs)
+    assert pred.shape == (60,)
+
+
+def test_grouped_training_rejects_unknown_backend(spark):
+    from bigdata_quality_assessment_spark.operators.mlp import (
+        train_mlp_ensemble_grouped,
+    )
+
+    train = spark.createDataFrame([(0.0, 0.0, 0.0)], "x1 double, x2 double, y double")
+    with pytest.raises(Exception, match="backend"):
+        train_mlp_ensemble_grouped(
+            train, ["x1", "x2"], "y", n_models=1, epochs=1, backend="jax"
+        )
+
+
+def test_tf_backend_member_parity(spark):
+    """Opt-in reference-parity path: Keras Adam+MSE members must fit
+    the toy surface comparably to the numpy twin. Skipped where
+    tensorflow is not installed (this container)."""
+    pytest.importorskip("tensorflow")
+    from bigdata_quality_assessment_spark.operators.mlp import (
+        _params_from_lists,
+        train_mlp_ensemble_grouped,
+    )
+
+    X, y = _toy(n=120)
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)]
+    train = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = train_mlp_ensemble_grouped(
+        train, ["x1", "x2"], "y", n_models=1, epochs=400, lr=5e-3,
+        seed=3, backend="tf",
+    )
+    pred = predict_mlp(_params_from_lists(got[0]), X)
+    mse = float(((pred - y) ** 2).mean())
+    assert mse < 0.25 * float(y.var()), mse
