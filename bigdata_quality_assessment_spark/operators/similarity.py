@@ -2741,7 +2741,10 @@ def _cap_bucket_fanout(
         .filter(F.col("__bn") > max_bucket)
         .select(
             *key_cols,
-            (F.lit(max_bucket) * M / F.col("__bn")).cast("long").alias("__thr"),
+            # bigint arithmetic: cap * M overflows int32 under ANSI
+            (F.lit(max_bucket).cast("bigint") * F.lit(M) / F.col("__bn"))
+            .cast("long")
+            .alias("__thr"),
         )
     )
     return (

@@ -904,3 +904,31 @@ def test_redact_pii_idempotent_on_fuzz(spark):
     a = {r.doc_id: r.text for r in once.collect()}
     b = {r.doc_id: r.text for r in twice.collect()}
     assert a == b
+
+
+def test_doc_fingerprints_arrow_matches_fold(spark):
+    """The round-9 Arrow migration of the rolling-hash fingerprints is
+    pure integer arithmetic — bit-identical to the Catalyst fold on
+    ASCII, non-ASCII (codepoints, not UTF-8 bytes), short (< k), empty,
+    and NULL documents."""
+    from bigdata_quality_assessment_spark.operators.text import doc_fingerprints
+
+    rows = [
+        (0, "hello world, rolling hashes roll along the rolling text"),
+        (1, "héllo wörld — ünïcode codepoints über alles, naïve café"),
+        (2, "short"),          # < k -> no grams
+        (3, ""),               # empty
+        (4, None),             # NULL
+        (5, "hello world, rolling hashes roll along the rolling text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for mod_p in (1, 4):  # mod_p=1 keeps EVERY hash -> strongest check
+        a = {
+            (r["doc_id"], r["fp"])
+            for r in doc_fingerprints(docs, k=8, mod_p=mod_p, impl="arrow").collect()
+        }
+        s = {
+            (r["doc_id"], r["fp"])
+            for r in doc_fingerprints(docs, k=8, mod_p=mod_p, impl="sql").collect()
+        }
+        assert a == s and len(a) > 0

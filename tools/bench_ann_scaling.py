@@ -89,6 +89,34 @@ def main() -> None:
             rescore_factor=8,
         ).collect(),
     }
+
+    # round-9 (verdict ask #5): the two-corpus-sided tiers — the most
+    # scale-sensitive shape in the repo. Planes scale with the corpus
+    # (p = log2(|right|·tables/64), the knob a production deployment
+    # turns) so expected candidates per left row stay ~64 and total
+    # pair work grows LINEARLY with the corpus — fixed planes would
+    # measure a quadratic candidate blowup no one would run. max_bucket
+    # engages the round-9 natural-skew guard at its advisory setting.
+    import math
+
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        knn_join,
+        knn_label,
+    )
+
+    half = max(n_vec // 2, 2)
+    jp = max(10, math.ceil(math.log2(half * 6 / 64)))
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    lab = right.withColumn("label", (F.col("vec_id") % 10).cast("int"))
+    queries["knn_join"] = lambda: knn_join(
+        left, right, dim=64, k=3, n_planes=jp, n_tables=6,
+        max_bucket=4096,
+    ).count()
+    queries["knn_label"] = lambda: knn_label(
+        left, lab, dim=64, k=3, n_planes=jp, n_tables=6,
+        max_bucket=4096,
+    ).count()
     meds: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
     for name, fn in queries.items():
