@@ -932,3 +932,32 @@ def test_doc_fingerprints_arrow_matches_fold(spark):
             for r in doc_fingerprints(docs, k=8, mod_p=mod_p, impl="sql").collect()
         }
         assert a == s and len(a) > 0
+
+
+def test_ngram_repetition_arrow_matches_catalyst(spark):
+    """The round-9 Arrow migration: Counter-based tallies must be
+    value-identical to the tagged-explode Catalyst shape — integer
+    ratios, same division — including empty text (one empty token),
+    multi-space runs (empty tokens preserved), short docs, repeated
+    content, and NULL text (no output row on either path)."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        ngram_repetition_stats,
+    )
+
+    rows = [
+        (0, "a b a b a b a b"),           # heavy bigram repetition
+        (1, "the quick brown fox jumps"),  # all distinct
+        (2, "x x x"),
+        (3, ""),                           # one empty token
+        (4, "a  b   c"),                   # empty tokens from runs
+        (5, "one"),                        # no bigrams
+        (6, "two words"),                  # no trigrams
+        (7, None),                         # dropped by both paths
+        (8, "r s t r s t r s t u v"),      # trigram dups
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r for r in ngram_repetition_stats(docs, impl="arrow").collect()}
+    s = {r["doc_id"]: r for r in ngram_repetition_stats(docs, impl="sql").collect()}
+    assert set(a) == set(s) and 7 not in a
+    for k in a:
+        assert tuple(a[k]) == tuple(s[k]), (k, a[k], s[k])

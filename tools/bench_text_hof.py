@@ -60,9 +60,9 @@ def main() -> None:
         "ngram_repetition_stats": lambda: ngram_repetition_stats(docs)
         .agg(F.sum("dup_word_frac"), F.sum("top_bigram_frac")).collect(),
         "minhash_signatures": lambda: minhash_signatures(docs, n_hashes=128)
-        .select(F.sum(F.element_at("sig", 1))).collect(),
+        .select(F.min(F.element_at("sig", 1)), F.count(F.lit(1))).collect(),
         "simhash": lambda: simhash(docs)
-        .agg(F.sum("simhash")).collect(),
+        .agg(F.min("simhash"), F.count(F.lit(1))).collect(),
         "bigram_lm_score": lambda: ngram_lm_score(docs)
         .agg(F.sum("n_lm_tokens")).collect(),
         "dedup_substrings": lambda: dedup_substrings(docs, 10)
