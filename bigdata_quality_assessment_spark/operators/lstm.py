@@ -287,6 +287,74 @@ def _params_from_lists(d: dict) -> dict:
     }
 
 
+def fit_lstm_tf(
+    X,
+    Y,
+    lr: float = 1e-2,
+    epochs: int = 100,
+    batch_size: int = 16,
+    seed: int = 42,
+):
+    """The OPTIONAL TensorFlow/Keras M6 fit — the reference's actual
+    model (SDE_forecast_ActiveSampling.py:153-171: per-timestep linear
+    Dense 4→8→16, LSTM(32), linear head 16→16→pred, Adam + MSE),
+    built and trained in Keras where tensorflow is importable, then
+    EXPORTED into the numpy twin's weight dict so :func:`predict_lstm`
+    and the Arrow inference closure consume either backend's output.
+    Keras stores LSTM weights as (kernel, recurrent_kernel, bias) with
+    gate order (i, f, c, o) — exactly the twin's (Wx, Wh, b) layout,
+    so the export is a reshape-free copy. Raises ImportError without
+    tensorflow (this container); NOT bit-pinned — the parity contract
+    is fit quality (tests/test_lstm.py, skipped without TF)."""
+    try:
+        from tensorflow import keras
+        from tensorflow.keras.utils import set_random_seed
+    except ImportError as e:  # pragma: no cover - exercised via skip
+        raise ImportError(
+            "backend='tf' requires tensorflow; use the default numpy "
+            "BPTT twin (fit_lstm)"
+        ) from e
+    import numpy as np
+
+    X = np.asarray(X, dtype="float64")
+    Y = np.asarray(Y, dtype="float64")
+    n, T = X.shape
+    pred = Y.shape[1]
+    set_random_seed(seed)
+    model = keras.Sequential(
+        [keras.layers.Input(shape=(T, 1))]
+        + [keras.layers.Dense(u) for u in (4, 8, 16)]  # linear, per-step
+        + [keras.layers.LSTM(32)]
+        + [keras.layers.Dense(u) for u in (16, 16)]
+        + [keras.layers.Dense(pred)]
+    )
+    model.compile(
+        optimizer=keras.optimizers.Adam(learning_rate=lr),
+        loss=keras.losses.MeanSquaredError(),
+    )
+    model.fit(
+        X[:, :, None], Y, epochs=epochs, batch_size=batch_size, verbose=0
+    )
+    layers = model.layers
+    embed = [
+        (np.asarray(W, dtype="float64"), np.asarray(b, dtype="float64"))
+        for W, b in (lyr.get_weights() for lyr in layers[:3])
+    ]
+    Wx, Wh, b = (np.asarray(a, dtype="float64") for a in layers[3].get_weights())
+    head = [
+        (np.asarray(W, dtype="float64"), np.asarray(b_, dtype="float64"))
+        for W, b_ in (lyr.get_weights() for lyr in layers[4:])
+    ]
+    return {
+        "meta": (T, pred, (4, 8, 16), 32, (16, 16)),
+        "embed": embed,
+        "head": head,
+        "Wx": Wx,
+        "Wh": Wh,
+        "b": b,
+    }
+
+
 def fit_lstm_forecaster_df(
     windows: DataFrame,
     lr: float = 1e-2,
@@ -294,13 +362,29 @@ def fit_lstm_forecaster_df(
     batch_size: int = 16,
     seed: int = 42,
     params: dict | None = None,
+    backend: str = "numpy",
 ) -> dict:
     """M6 train on a windows frame (``history``/``target`` array
     columns; driver-sized distilled set by design). Returns a
-    serializable weight dict."""
+    serializable weight dict. ``backend='tf'`` (opt-in, requires
+    tensorflow) runs the reference's Keras fit via :func:`fit_lstm_tf`
+    — continuation training (``params``) stays numpy-only."""
     rows = windows.select("history", "target").collect()
     X = [list(r["history"]) for r in rows]
     Y = [list(r["target"]) for r in rows]
+    if backend == "tf":
+        if params is not None:
+            raise ValueError(
+                "continuation training (params) is numpy-only — the TF "
+                "export drops optimizer state"
+            )
+        return _params_to_lists(
+            fit_lstm_tf(
+                X, Y, lr=lr, epochs=epochs, batch_size=batch_size, seed=seed
+            )
+        )
+    if backend != "numpy":
+        raise ValueError(f"backend must be 'numpy' or 'tf', got {backend!r}")
     fitted = fit_lstm(
         X, Y, lr=lr, epochs=epochs, batch_size=batch_size, seed=seed,
         params=_params_from_lists(params) if params is not None else None,

@@ -140,3 +140,48 @@ def test_sde_loop_lstm_family(spark):
             series, value_col="y", order_col="step", n_iter=1,
             init_train=init, forecaster_family="gru",
         )
+
+
+def test_lstm_backend_validation(spark):
+    """The DF trainer rejects unknown backends and TF continuation."""
+    import pytest as _pytest
+
+    from bigdata_quality_assessment_spark.operators.lstm import (
+        fit_lstm_forecaster_df,
+    )
+
+    w = spark.createDataFrame(
+        [([0.1, 0.2, 0.3], [0.4])], "history array<double>, target array<double>"
+    )
+    with _pytest.raises(ValueError, match="backend"):
+        fit_lstm_forecaster_df(w, epochs=1, backend="jax")
+    with _pytest.raises((ValueError, ImportError)):
+        # TF absent -> ImportError; TF present + params -> ValueError
+        fit_lstm_forecaster_df(w, epochs=1, backend="tf", params={"x": 1})
+
+
+def test_lstm_tf_backend_parity(spark):
+    """Opt-in Keras M6 fit: exported weights must drive the numpy
+    forward pass to a reasonable fit. Skipped without tensorflow."""
+    import numpy as np
+    import pytest as _pytest
+
+    _pytest.importorskip("tensorflow")
+    from bigdata_quality_assessment_spark.operators.lstm import (
+        _params_from_lists,
+        fit_lstm_forecaster_df,
+        predict_lstm,
+    )
+
+    rng = np.random.RandomState(0)
+    base = np.cumsum(rng.randn(300) * 0.1)
+    X = np.stack([base[i : i + 10] for i in range(200)])
+    Y = np.stack([base[i + 10 : i + 12] for i in range(200)])
+    w = spark.createDataFrame(
+        [(x.tolist(), y.tolist()) for x, y in zip(X, Y)],
+        "history array<double>, target array<double>",
+    )
+    got = fit_lstm_forecaster_df(w, epochs=150, backend="tf", seed=1)
+    pred = predict_lstm(_params_from_lists(got), X)
+    mse = float(((pred - Y) ** 2).mean())
+    assert mse < 0.5 * float(Y.var()), mse
