@@ -370,3 +370,49 @@ def test_ann_candidate_scoring_arrow_matches_sql_on_degenerate(spark, vecs):
     s = key(ann_hyperplane_knn(corpus, q, dim=4, k=3, n_planes=3,
                                n_tables=2, planes=planes, impl="sql"))
     assert a == s, (a, s, vecs)
+
+
+# ---- round-9 Arrow/Catalyst equivalence fuzz (text family) -----------
+
+# texts exercising the token-boundary edge cases: space runs, leading/
+# trailing spaces, unicode, repetition — the shapes the per-doc Counter
+# and the tagged-explode must agree on exactly
+_text_alpha = st.text(
+    alphabet=st.sampled_from(list("ab c") + ["é", "世", " "]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(texts=st.lists(st.one_of(st.none(), _text_alpha), min_size=1, max_size=8))
+@SET
+def test_ngram_repetition_arrow_sql_fuzz(spark, texts):
+    from bigdata_quality_assessment_spark.operators.text import (
+        ngram_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: tuple(r) for r in ngram_repetition_stats(docs, impl="arrow").collect()}
+    s = {r["doc_id"]: tuple(r) for r in ngram_repetition_stats(docs, impl="sql").collect()}
+    assert a == s
+
+
+@given(texts=st.lists(st.one_of(st.none(), _text_alpha), min_size=1, max_size=8))
+@SET
+def test_doc_fingerprints_arrow_sql_fuzz(spark, texts):
+    from bigdata_quality_assessment_spark.operators.text import doc_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {
+        (r["doc_id"], r["fp"])
+        for r in doc_fingerprints(docs, k=4, mod_p=1, impl="arrow").collect()
+    }
+    s = {
+        (r["doc_id"], r["fp"])
+        for r in doc_fingerprints(docs, k=4, mod_p=1, impl="sql").collect()
+    }
+    assert a == s
