@@ -3211,11 +3211,24 @@ def _ann_knn_sql() -> str:
                        round(cosine, 6) AS cosine, rank
                 FROM jrk),
       lab AS (SELECT vec_id, label FROM embeddings
-              WHERE vec_id BETWEEN 20 AND 519 AND label IS NOT NULL),
+              WHERE vec_id BETWEEN 20 AND 519 AND vec_id % 7 <> 3
+                AND label IS NOT NULL),
+      candl AS (SELECT DISTINCT lb.vec_id AS id_a, rb.vec_id AS id_b
+                FROM bk lb JOIN bk rb ON lb.t = rb.t AND lb.b = rb.b
+                JOIN lab ON lab.vec_id = rb.vec_id
+                WHERE lb.vec_id < 20),
+      sl AS (SELECT c.id_a, c.id_b,
+                    list_cosine_similarity(lv.e, rv.e) AS cosine
+             FROM candl c JOIN v lv ON lv.vec_id = c.id_a
+                          JOIN v rv ON rv.vec_id = c.id_b),
+      lrk AS (SELECT id_a, id_b, cosine,
+                     CAST(row_number() OVER (PARTITION BY id_a
+                          ORDER BY cosine DESC, id_b ASC) AS BIGINT) AS rank
+              FROM sl QUALIFY rank <= 5),
       vote AS (SELECT j.id_a AS id, lab.label,
                       sum(greatest(COALESCE(j.cosine, 0), 0)) AS lw,
                       count(*) AS lc
-               FROM jrk j JOIN lab ON lab.vec_id = j.id_b
+               FROM lrk j JOIN lab ON lab.vec_id = j.id_b
                GROUP BY j.id_a, lab.label),
       win AS (SELECT id, label, lw,
                      sum(lw) OVER (PARTITION BY id) AS tw,
@@ -3251,14 +3264,17 @@ def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings.
 
     part='label_<L>' (round 9, verdict ask #1): :func:`knn_label` —
-    cosine-weighted kNN label propagation over the SAME neighbor
-    search as part='join' (the fixture's real integer ``label`` column
-    on the 20..519 labeled slice, vec_id<20 unlabeled). The twin
-    replays the full semantics: clamp-at-0 weighted vote over the jrk
-    neighbors, total-weight share as confidence, total-count as
-    n_votes, (weight DESC, label ASC) winner — the predicted label
-    rides the ``part`` string, confidence rides ``cosine``, n_votes
-    rides ``rank``, so the union schema is unchanged."""
+    cosine-weighted kNN label propagation through the same pinned
+    planes (the fixture's real integer ``label`` column on the 20..519
+    labeled slice, vec_id<20 unlabeled, with vec_id%7==3 labels NULLED
+    so the round-9 drop-before-search semantics are themselves graded:
+    the twin's lab/candl/lrk CTEs exclude NULL-label rows BEFORE the
+    top-k, exactly like the operator). The twin replays the full
+    semantics: clamp-at-0 weighted vote over the lrk neighbors,
+    total-weight share as confidence, total-count as n_votes,
+    (weight DESC, label ASC) winner — the predicted label rides the
+    ``part`` string, confidence rides ``cosine``, n_votes rides
+    ``rank``, so the union schema is unchanged."""
     from bigdata_quality_assessment_spark.operators.similarity import (
         knn_join,
         knn_label,
@@ -3289,8 +3305,13 @@ def q_xann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lp = knn_label(
         emb.filter(F.col("vec_id") < 20),
+        # vec_id % 7 == 3 rows get NULL labels — knn_label must DROP
+        # them before the neighbor search (they neither vote nor
+        # consume rank slots); the twin's lab CTE filters identically,
+        # so the round-9 NULL-label semantics are themselves graded
         emb.filter(F.col("vec_id").between(20, 519)).select(
-            "vec_id", "embedding", "label"
+            "vec_id", "embedding",
+            F.when(F.col("vec_id") % 7 != 3, F.col("label")).alias("label"),
         ),
         dim=_ANN_DIM, k=5, n_planes=_ANN_PLANES_N, n_tables=_ANN_TABLES,
         planes=_ANN_PLANES, impl="sql",
