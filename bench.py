@@ -502,6 +502,18 @@ def main() -> None:
                     emb.filter(F.col("vec_id") % 2 == 1),
                     dim=64, k=3, n_planes=10, n_tables=6,
                 ).collect())
+    # round-9: label propagation over the same two-corpus shape (vote
+    # rides the join; labels from the fixture's integer label column)
+    from bigdata_quality_assessment_spark.operators.similarity import knn_label
+
+    timed_extra("knn_label",
+                lambda: knn_label(
+                    emb.filter(F.col("vec_id") % 2 == 0),
+                    emb.filter(F.col("vec_id") % 2 == 1).select(
+                        "vec_id", "embedding", "label"
+                    ),
+                    dim=64, k=3, n_planes=10, n_tables=6,
+                ).collect())
 
     # streaming-ingest state evidence (round 6: per-batch flatness;
     # round 7, verdict ask #7: compaction). 20 equal batches in two
