@@ -24,7 +24,11 @@ def test_every_oracle_has_a_query(entry_mod):
     # the registry must stay within that window (operators share
     # composite queries; see queries.py registry discipline note).
     assert len(qs) <= 50
-    assert len(oracles) >= 30
+    # Round 9 closed the rows-only tail: EVERY registry entry carries
+    # an oracle (contract-graded or golden-graded where raw values are
+    # engine-specific). Pin full coverage against regression — a new
+    # entry must ship with its twin.
+    assert set(oracles) == set(qs)
 
 
 def test_query_callables_signature(entry_mod):
