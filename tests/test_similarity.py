@@ -968,3 +968,47 @@ def test_knn_label_tie_breaks_to_smallest_label(spark):
     ).collect()
     assert len(out) == 1 and out[0]["label_pred"] == "aaa"
     assert out[0]["confidence"] == 0.5 and out[0]["n_votes"] == 2
+
+
+def test_ivfpq_incremental_append(corpus, tmp_path):
+    """Index MAINTENANCE at 100 TB: new arrivals encode against the
+    FROZEN model (build_ivfpq_index with supplied centroids/codebooks)
+    and append cell-partitioned beside the existing index — the read-
+    back union must equal one cold build over the combined corpus,
+    and searches must surface appended vectors."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+        train_ivfpq,
+    )
+
+    base = corpus.filter(F.col("vec_id") < 60)
+    delta = corpus.filter(F.col("vec_id") >= 60)
+    cents, books = train_ivfpq(
+        base, DIM, n_centroids=8, m=4, pq_ncent=8, n_train=60, seed=11
+    )
+    path = str(tmp_path / "ivfpq_index")
+    idx0, _, _ = build_ivfpq_index(base, DIM, centroids=cents, codebooks=books)
+    idx0.write.partitionBy("__cell").parquet(path)
+    # the delta encodes against the SAME frozen model and appends
+    idx1, _, _ = build_ivfpq_index(delta, DIM, centroids=cents, codebooks=books)
+    idx1.write.mode("append").partitionBy("__cell").parquet(path)
+
+    spark = corpus.sparkSession
+    stored = spark.read.parquet(path)
+    cold, _, _ = build_ivfpq_index(corpus, DIM, centroids=cents, codebooks=books)
+
+    def key(df):
+        return sorted(
+            (r["vec_id"], r["__cell"], tuple(r["__code"])) for r in df.collect()
+        )
+
+    assert key(stored) == key(cold)  # append == one cold build
+
+    # a query placed exactly at an appended vector must retrieve it
+    target = corpus.filter(F.col("vec_id") == 70)
+    q = target.select(F.lit(9999).cast("long").alias("query_id"), "embedding")
+    hits = ivfpq_search(
+        stored, q, cents, books, k=3, n_probe=8, rescore_with=corpus
+    ).collect()
+    assert any(r["vec_id"] == 70 and r["rank"] == 1 for r in hits)
