@@ -1,0 +1,150 @@
+"""Streaming embedding ingest (round 9): the vector twin of the text
+curation tier — per-batch LSH dedup against accumulated state,
+first-arrival-wins, verify tier, forget propagation, compaction."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.streaming.embedding_ingest import (
+    compact_embedding_state,
+    forget_embeddings,
+    init_embedding_store,
+    read_embedding_corpus,
+    streaming_embedding_ingest,
+)
+
+DIM = 16
+
+
+def _vec(seed, jitter=0.0):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(DIM)
+    if jitter:
+        v = v + np.random.RandomState(seed + 1000).randn(DIM) * jitter
+    return [float(x) for x in v]
+
+
+def _stage_and_drain(spark, tmp_path, batches, root, ck="ckpt", **kw):
+    stage = tmp_path / "arrivals"
+    stage.mkdir(exist_ok=True)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, f"vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage / f"b{i}"))
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    q = streaming_embedding_ingest(
+        stream, root, checkpoint=str(tmp_path / ck), **kw
+    )
+    q.awaitTermination()
+
+
+def test_embedding_ingest_first_arrival_wins(spark, tmp_path):
+    root = str(tmp_path / "store")
+    init_embedding_store(spark, root, DIM, n_planes=10, n_tables=4, seed=7)
+    batches = [
+        [(0, _vec(1)), (1, _vec(2))],
+        # near-dup of 0 (tiny jitter -> same buckets), new vec, invalid rows
+        [(10, _vec(1, 1e-4)), (11, _vec(3)), (12, None), (13, [0.0] * 4)],
+        # exact replay of id 1 (duplicate delivery), near-dup of 3,
+        # within-batch pair: 21 first, 22 its near-dup
+        [(1, _vec(2)), (20, _vec(3, 1e-4)), (21, _vec(4)), (22, _vec(4, 1e-4))],
+    ]
+    _stage_and_drain(spark, tmp_path, batches, root)
+    ids = sorted(r.vec_id for r in read_embedding_corpus(spark, root).collect())
+    assert ids == [0, 1, 11, 21], ids
+    buckets = spark.read.parquet(root + "/buckets")
+    assert buckets.select("vec_id").distinct().count() == 4
+    assert buckets.count() == 4 * 4  # n_tables keys per accepted vector
+
+
+def test_embedding_ingest_verify_threshold_keeps_band_collisions(spark, tmp_path):
+    """With exact verification, a band collision between genuinely
+    dissimilar vectors must NOT drop the arrival (the band-level path
+    would); a true near-dup above threshold still drops."""
+    root = str(tmp_path / "store")
+    # 2 planes -> frequent random collisions
+    init_embedding_store(spark, root, DIM, n_planes=2, n_tables=2, seed=3)
+    vecs = [(i, _vec(100 + i)) for i in range(12)]
+    dup = [(50, _vec(100, 1e-5))]  # near-dup of vec_id 0
+    _stage_and_drain(
+        spark, tmp_path, [vecs, dup], root, verify_threshold=0.95
+    )
+    ids = sorted(r.vec_id for r in read_embedding_corpus(spark, root).collect())
+    # all 12 dissimilar vectors survive despite 2-plane collisions;
+    # the true near-dup is dropped
+    assert ids == list(range(12)), ids
+
+
+def test_embedding_ingest_replay_idempotent(spark, tmp_path):
+    root = str(tmp_path / "store")
+    init_embedding_store(spark, root, DIM, seed=5)
+    batches = [[(0, _vec(1)), (1, _vec(2))]]
+    _stage_and_drain(spark, tmp_path, batches, root, ck="ck1")
+    n1 = read_embedding_corpus(spark, root).count()
+    # fresh checkpoint, same files: the id replay gate (not the
+    # marker) must keep the corpus unchanged
+    _stage_and_drain(spark, tmp_path, batches, root, ck="ck2")
+    assert read_embedding_corpus(spark, root).count() == n1 == 2
+
+
+def test_forget_embeddings_propagates(spark, tmp_path):
+    root = str(tmp_path / "store")
+    init_embedding_store(spark, root, DIM, seed=9)
+    _stage_and_drain(
+        spark, tmp_path, [[(i, _vec(10 + i)) for i in range(4)]], root
+    )
+    removed = forget_embeddings(spark, root, [1, 3])
+    assert removed == 2
+    ids = sorted(r.vec_id for r in read_embedding_corpus(spark, root).collect())
+    assert ids == [0, 2]
+    # state rebuilt from the surviving corpus: forgotten ids gone, so
+    # a re-arrival of id 1's vector is ACCEPTED (no phantom suppression)
+    b = spark.read.parquet(root + "/buckets")
+    assert sorted(
+        r.vec_id for r in b.select("vec_id").distinct().collect()
+    ) == [0, 2]
+    stage2 = tmp_path / "re"
+    stage2.mkdir()
+    spark.createDataFrame(
+        [(99, _vec(11))], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(str(stage2 / "b0"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(str(stage2 / "*"))
+    )
+    q = streaming_embedding_ingest(stream, root, checkpoint=str(tmp_path / "ck3"))
+    q.awaitTermination()
+    ids = sorted(r.vec_id for r in read_embedding_corpus(spark, root).collect())
+    assert ids == [0, 2, 99], ids
+
+
+def test_compact_embedding_state(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "store")
+    init_embedding_store(spark, root, DIM, seed=11)
+    _stage_and_drain(
+        spark, tmp_path,
+        [[(i, _vec(200 + i))] for i in range(5)],  # 5 one-row batches
+        root,
+    )
+    def nfiles(p):
+        return sum(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(os.path.join(root, p))
+            for f in fs
+        )
+    pre = nfiles("buckets")
+    out = compact_embedding_state(spark, root)
+    assert out["buckets"] < pre
+    assert read_embedding_corpus(spark, root).count() == 5
