@@ -733,14 +733,12 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
     return out.reshape(h, w, ch).astype(np.uint8)
 
 
-def _decode_png(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
-    """Full PNG decode with stdlib ``zlib``: walk chunks, inflate IDAT,
-    unfilter, emit pixel statistics. Supports 8-bit depth, color types
-    0/2/4/6, non-interlaced — returns None (caller falls back to
-    header-only + stub features) for anything else or on corruption."""
+def _png_pixels(b: bytes):
+    """Full PNG decode with stdlib ``zlib`` to an (h, w, ch) uint8
+    array: walk chunks, inflate IDAT, unfilter. Supports 8-bit depth,
+    color types 0/2/4/6, non-interlaced — None for anything else or on
+    corruption (callers fall back to header metadata / stub)."""
     import zlib
-
-    import numpy as np
 
     if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
@@ -768,14 +766,53 @@ def _decode_png(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
             return None
         if w < 1 or h < 1:  # structurally valid but empty — stub path
             return None
-        px = _png_unfilter(zlib.decompress(bytes(idat)), h, w, ch)
+        return _png_unfilter(zlib.decompress(bytes(idat)), h, w, ch)
+    except Exception:
+        # ANY malformed-but-plausible blob must fall back, never fail
+        # the Spark task
+        return None
+
+
+def _decode_png(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
+    """Full PNG decode (:func:`_png_pixels`) → pixel statistics."""
+    px = _png_pixels(b)
+    if px is None:
+        return None
+    try:
         feats = _image_features(px)
     except Exception:
-        # stats stay inside the guard: ANY malformed-but-plausible blob
-        # must fall back to the stub, never fail the Spark task
         return None
+    h, w, ch = px.shape
     meta = {"width": int(w), "height": int(h), "channels": int(ch), "sample_rate": None}
     return meta, _fit_features(feats, n_features)
+
+
+def _encode_png(px) -> bytes:
+    """Encode an (h, w, ch) uint8 array as a minimal valid PNG
+    (filter-0 scanlines, one zlib IDAT). ch ∈ {1, 2, 3, 4} map to PNG
+    color types 0/4/2/6. The inverse of :func:`_png_pixels` up to
+    compression bytes — decoded pixels round-trip exactly."""
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    rows = px.reshape(h, w * ch)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+    )
 
 
 def _image_features(px) -> list[float]:
@@ -1017,6 +1054,94 @@ def frame_sample(
             f"substring(__content, cast(frame_id * greatest(length(__content) - "
             f"{frame_bytes}, 0) / {stride} as int) + 1, {frame_bytes})"
         ).alias("frame"),
+    )
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image resize over a binary column — the preprocessing step a
+    multimodal training pipeline runs before feature extraction /
+    tiling. One Arrow-batched ``mapInPandas`` pass: each blob decodes
+    through the REAL pixel tier (PNG zlib+unfilter, JPEG
+    Huffman+IDCT, GIF LZW — operators/imagecodec.py), resamples with
+    deterministic nearest-neighbor center mapping
+    (``src = floor((i+0.5)·src_dim/out_dim)``), and re-encodes as a
+    minimal PNG (:func:`_encode_png` — decoded pixels round-trip
+    exactly, so downstream decode sees the resampled array
+    bit-for-bit). Blobs outside the pixel-decodable tier (audio,
+    containers, corrupt) pass through with ``content=NULL`` and
+    ``resizer='unsupported'`` — never a task failure.
+
+    Output: ``(id, content BINARY — PNG, width, height, channels,
+    resizer)``. Blobs stay on the executors; per-row output is
+    O(out_w·out_h·ch)."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("out_w and out_h must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        from .imagecodec import decode_gif, decode_jpeg
+
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col],
+                "content": [], "width": [], "height": [],
+                "channels": [], "resizer": [],
+            }
+            for blob in pdf[content_col]:
+                b = bytes(blob) if blob is not None else b""
+                px = _png_pixels(b)
+                if px is None:
+                    px = decode_jpeg(b)
+                if px is None:
+                    px = decode_gif(b)
+                if px is None:
+                    out["content"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["resizer"].append("unsupported")
+                    continue
+                h, w, ch = px.shape
+                yi = np.minimum(
+                    ((np.arange(out_h) + 0.5) * h / out_h).astype("int64"),
+                    h - 1,
+                )
+                xi = np.minimum(
+                    ((np.arange(out_w) + 0.5) * w / out_w).astype("int64"),
+                    w - 1,
+                )
+                rs = px[yi][:, xi]
+                out["content"].append(_encode_png(rs))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["channels"].append(int(ch))
+                out["resizer"].append("nearest")
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col],
+                    "content": pd.Series(out["content"], dtype=object),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "channels": pd.Series(out["channels"], dtype="Int32"),
+                    "resizer": pd.Series(out["resizer"], dtype=object),
+                }
+            )
+
+    base = ensure_min_parallelism(media.select(id_col, content_col))
+    return base.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, content binary, width int, height int, "
+            "channels int, resizer string"
+        ),
     )
 
 

@@ -883,3 +883,56 @@ def test_flac_bmp_webp_parsers_never_crash_on_garbage():
     assert _parse_bmp_header(b"BMW parts catalogue, 2024 edition ok") is None
     assert _parse_webp_header(b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00") is None
     assert _parse_flac_header(b"fLaC is a lossless audio format spec") is None
+
+
+def test_resize_media_png_roundtrip(spark):
+    """Resize a REAL PNG: output is a valid PNG whose decoded pixels
+    equal the numpy nearest-neighbor reference exactly; unsupported
+    blobs pass through NULL with a marker, never a task failure."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _png_pixels,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    rows = [
+        (0, _real_png(px, color=2, filters=[0, 1, 2, 3, 4, 0, 1, 2, 3, 4])),
+        (1, b"not an image at all" * 10),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    got = {r["media_id"]: r for r in resize_media(df, 4, 5).collect()}
+    r0 = got[0]
+    assert (r0["width"], r0["height"], r0["channels"], r0["resizer"]) == (4, 5, 3, "nearest")
+    dec = _png_pixels(bytes(r0["content"]))
+    yi = np.minimum(((np.arange(5) + 0.5) * 10 / 5).astype(int), 9)
+    xi = np.minimum(((np.arange(4) + 0.5) * 8 / 4).astype(int), 7)
+    assert np.array_equal(dec, px[yi][:, xi])
+    assert got[1]["resizer"] == "unsupported" and got[1]["content"] is None
+    assert got[2]["resizer"] == "unsupported"
+
+
+def test_resize_media_grayscale_and_upscale(spark):
+    """Grayscale stays 1-channel; upscaling replicates pixels under
+    the same center mapping; GIF input decodes through the LZW tier."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _encode_png,
+        _png_pixels,
+        resize_media,
+    )
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4, 1) * 20
+    df = spark.createDataFrame(
+        [(0, _encode_png(g))], "media_id BIGINT, content BINARY"
+    )
+    r = resize_media(df, 8, 6).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (8, 6, 1)
+    dec = _png_pixels(bytes(r["content"]))
+    yi = np.minimum(((np.arange(6) + 0.5) * 3 / 6).astype(int), 2)
+    xi = np.minimum(((np.arange(8) + 0.5) * 4 / 8).astype(int), 3)
+    assert np.array_equal(dec, g[yi][:, xi])
