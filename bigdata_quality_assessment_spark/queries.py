@@ -4152,7 +4152,13 @@ def _decode_fixture_blobs() -> list[tuple[int, bytes]]:
       (7, 'stub', 320, 200, NULL, NULL, NULL, 0.853236),
       (8, 'stub', 640, 360, NULL, NULL, 5.0, 0.117681),
       (9, 'stub', NULL, NULL, NULL, NULL, NULL, 0.892291),
-      (10, 'stub', NULL, NULL, NULL, NULL, NULL, 0.548814)
+      (10, 'stub', NULL, NULL, NULL, NULL, NULL, 0.548814),
+      -- round-9 resize tier: the two real PNGs resampled 3x2 and
+      -- RE-DECODED (id+100). The constant-gray fixture (101) must
+      -- keep f0 = 100/255 = 0.392157 under ANY correct resampling --
+      -- a self-checking invariant, not just a pinned number.
+      (100, 'png', 3, 2, 3, NULL, NULL, 0.360784),
+      (101, 'png', 3, 2, 1, NULL, NULL, 0.392157)
     ) g(media_id, decoder, width, height, channels, sample_rate, dur, f0)""",
 )
 def q_xdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4163,22 +4169,37 @@ def q_xdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature hash-match the committed golden VALUES in the twin
     (hand-checkable: WAV duration = n/rate, MP3 = frames·1152/44100,
     PNG luminance mean from the byte pattern)."""
-    from bigdata_quality_assessment_spark.operators.multimodal import decode_media
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+    )
 
     media = spark.createDataFrame(
         _decode_fixture_blobs(), "media_id long, content binary"
     )
-    out = decode_media(media)
-    return out.select(
-        "media_id",
-        "decoder",
-        "width",
-        "height",
-        "channels",
-        "sample_rate",
-        F.round("duration_s", 6).alias("dur"),
-        F.round(F.col("features")[0], 6).alias("f0"),
+
+    def proj(df):
+        return df.select(
+            "media_id",
+            "decoder",
+            "width",
+            "height",
+            "channels",
+            "sample_rate",
+            F.round("duration_s", 6).alias("dur"),
+            F.round(F.col("features")[0], 6).alias("f0"),
+        )
+
+    # round-9 resize tier: the pixel-decodable fixtures resample 3×2
+    # and RE-DECODE — grading the whole resample+PNG-re-encode loop
+    # (media_id+100 rows; non-decodable blobs emit nothing)
+    rs = resize_media(media, 3, 2)
+    rs_dec = decode_media(
+        rs.filter(F.col("content").isNotNull()).select(
+            (F.col("media_id") + 100).alias("media_id"), "content"
+        )
     )
+    return proj(decode_media(media)).unionByName(proj(rs_dec))
 
 
 _RULES = {
