@@ -1012,3 +1012,14 @@ def test_ivfpq_incremental_append(corpus, tmp_path):
         stored, q, cents, books, k=3, n_probe=8, rescore_with=corpus
     ).collect()
     assert any(r["vec_id"] == 70 and r["rank"] == 1 for r in hits)
+
+
+def test_query_batch_cap_fails_fast(corpus, monkeypatch):
+    """A contract-violating corpus-sized query side must raise at plan
+    build, not OOM the driver (the limit-guarded eager collect)."""
+    import bigdata_quality_assessment_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "QUERY_BATCH_CAP", 10)
+    q = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="QUERY_BATCH_CAP"):
+        sim.knn_brute_force(corpus, q, k=3, impl="arrow")

@@ -961,3 +961,20 @@ def test_ngram_repetition_arrow_matches_catalyst(spark):
     assert set(a) == set(s) and 7 not in a
     for k in a:
         assert tuple(a[k]) == tuple(s[k]), (k, a[k], s[k])
+
+
+def test_stopword_ratio_rejects_bad_lexicons(spark):
+    """Non-lowercase / multi-word / empty lexicon entries would
+    silently change match semantics under the regexp_count pass —
+    they must raise instead."""
+    import pytest as _pytest
+
+    from bigdata_quality_assessment_spark.operators.text import stopword_ratio
+
+    for bad in (("The",), ("of course",), ("",)):
+        with _pytest.raises(ValueError, match="lexicon"):
+            stopword_ratio(F.col("text"), bad)
+    # lowercase single words still work
+    df = spark.createDataFrame([("the cat the",)], "text string")
+    got = df.select(stopword_ratio(F.col("text"), ("the",)).alias("r")).first()["r"]
+    assert got == pytest.approx(2 / 3)
