@@ -37,6 +37,17 @@ rows); appends are per-batch files — compact with
 :func:`compact_embedding_state` on a maintenance schedule. Replay
 idempotence via checkpoint-scoped commit markers, exactly the text
 tier's contract (:func:`.ingest.streaming_ingest_curated`).
+
+Batch-parity semantics: streaming drops GREEDILY (an arrival with
+duplicate-evidence against any earlier row drops, whether or not that
+earlier row itself survived), while batch
+``embedding_near_dedup(cluster=True)`` drops by connected-components
+closure. On clique-shaped duplicate clusters (every pair mutually
+similar — the common near-dup shape) the two agree exactly
+(pytest-pinned); on hub topologies (x~hub, hub~min, x≁min) a later
+arrival can survive streaming where the batch closure would drop it —
+the defensible online-causal choice, since at drop time the evidence
+linking x to the kept representative does not exist in the store.
 """
 
 from __future__ import annotations

@@ -148,3 +148,41 @@ def test_compact_embedding_state(spark, tmp_path):
     out = compact_embedding_state(spark, root)
     assert out["buckets"] < pre
     assert read_embedding_corpus(spark, root).count() == 5
+
+
+def test_embedding_ingest_single_batch_matches_batch_dedup(spark, tmp_path):
+    """Batch parity on clique-shaped duplicate clusters: one streamed
+    batch with exact-cosine verification must keep exactly the rows
+    batch embedding_near_dedup (same LSH family, same threshold)
+    keeps — greedy first-arrival-drop equals closure min-id when every
+    duplicate cluster is a mutual-similarity clique."""
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        embedding_near_dedup,
+    )
+
+    rows = []
+    vid = 0
+    for cluster_seed in range(4):  # 4 cliques of 3 near-identical vecs
+        for j in range(3):
+            rows.append((vid, _vec(300 + cluster_seed, jitter=1e-5 * j)))
+            vid += 1
+    for s in range(5):  # 5 singletons
+        rows.append((vid, _vec(400 + s)))
+        vid += 1
+
+    root = str(tmp_path / "store")
+    init_embedding_store(spark, root, DIM, n_planes=8, n_tables=4, seed=21)
+    _stage_and_drain(
+        spark, tmp_path, [rows], root, verify_threshold=0.95
+    )
+    streamed = sorted(
+        r.vec_id for r in read_embedding_corpus(spark, root).collect()
+    )
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = sorted(
+        r.vec_id
+        for r in embedding_near_dedup(
+            batch, threshold=0.95, dim=DIM, n_planes=8, n_tables=4, seed=21
+        ).collect()
+    )
+    assert streamed == want and len(streamed) <= 4 + 5
