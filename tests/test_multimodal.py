@@ -917,7 +917,8 @@ def test_resize_media_png_roundtrip(spark):
 
 def test_resize_media_grayscale_and_upscale(spark):
     """Grayscale stays 1-channel; upscaling replicates pixels under
-    the same center mapping; GIF input decodes through the LZW tier."""
+    the same center mapping (JPEG/GIF inputs ride the same pixel tier
+    via imagecodec — decode covered in test_imagecodec.py)."""
     import numpy as np
 
     from bigdata_quality_assessment_spark.operators.multimodal import (
