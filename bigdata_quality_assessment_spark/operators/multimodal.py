@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .partitioning import ensure_min_parallelism
+from .partitioning import ensure_min_parallelism, id_ddl_type
 
 # magic-byte prefixes, hex-encoded (JVM-side sniffing — no UDF)
 _MAGIC = {
@@ -1017,9 +1017,9 @@ def decode_media(
             yield pd.DataFrame(out)
 
     schema = (
-        f"{id_col} BIGINT, width INT, height INT, channels INT, "
-        "sample_rate INT, duration_s DOUBLE, features ARRAY<DOUBLE>, "
-        "decoder STRING"
+        f"{id_col} {id_ddl_type(media, id_col)}, width INT, height INT, "
+        "channels INT, sample_rate INT, duration_s DOUBLE, "
+        "features ARRAY<DOUBLE>, decoder STRING"
     )
     # the per-blob Python decode is the heaviest per-row work in the
     # repo — an under-split local input must not serialize it onto one
@@ -1139,8 +1139,8 @@ def resize_media(
     return base.mapInPandas(
         run,
         schema=(
-            f"{id_col} long, content binary, width int, height int, "
-            "channels int, resizer string"
+            f"{id_col} {id_ddl_type(media, id_col)}, content binary, "
+            "width int, height int, channels int, resizer string"
         ),
     )
 

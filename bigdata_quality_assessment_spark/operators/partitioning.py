@@ -38,3 +38,11 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def id_ddl_type(df: DataFrame, col: str) -> str:
+    """The DDL type string of ``df[col]`` — used by Arrow operators to
+    carry the caller's id column through a ``mapInPandas`` schema
+    unchanged (a hardcoded ``long`` would silently miscast string or
+    int ids on the Arrow path while the Catalyst path preserves them)."""
+    return df.schema[col].dataType.simpleString()

@@ -2724,9 +2724,13 @@ def _cap_bucket_fanout(
     Mechanics (no per-bucket sort, nothing driver-sized): ONE map-side-
     combined count over the bucket keys keeps only the over-cap buckets
     (a tiny frame — broadcast), and rows in those buckets pass a
-    deterministic hash threshold ``xxhash64(id, seed) % M < M·cap/n`` —
-    a uniform, seed-stable subsample with EXPECTED size ``max_bucket``
-    per hot bucket. Rows in buckets at or under the cap are untouched,
+    deterministic hash threshold
+    ``xxhash64(id, <bucket keys>, seed) % M < M·cap/n`` — a uniform,
+    seed-stable subsample with EXPECTED size ``max_bucket`` per hot
+    bucket. Hashing the COMPOSITE (id, table, bucket) rather than the
+    id alone makes each hot bucket draw an independent subsample: an
+    unlucky id loses SOME hot buckets, not all of them, so its recall
+    in dense regions degrades proportionally instead of zeroing out. Rows in buckets at or under the cap are untouched,
     so recall only degrades inside hot buckets, proportionally to
     cap/|bucket| — the documented trade (a hot bucket is exactly where
     LSH's "sharing a bucket is evidence of similarity" signal is
@@ -2752,7 +2756,14 @@ def _cap_bucket_fanout(
         .filter(
             F.col("__thr").isNull()
             | (
-                F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(M))
+                F.pmod(
+                    F.xxhash64(
+                        F.col(id_col),
+                        *[F.col(c) for c in key_cols],
+                        F.lit(seed),
+                    ),
+                    F.lit(M),
+                )
                 < F.col("__thr")
             )
         )

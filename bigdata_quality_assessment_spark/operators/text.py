@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .partitioning import ensure_min_parallelism
+from .partitioning import ensure_min_parallelism, id_ddl_type
 
 # A deliberately tiny multilingual stopword lexicon — enough for a
 # deterministic n-gram-free language heuristic that both Spark and the
@@ -281,7 +281,7 @@ def ngram_repetition_stats(
     if impl not in ("auto", "arrow", "sql"):
         raise ValueError(f"impl must be auto|arrow|sql, got {impl!r}")
     if impl != "sql":
-        from .partitioning import ensure_min_parallelism
+        from .partitioning import ensure_min_parallelism, id_ddl_type
 
         def gen(batches):
             from collections import Counter
@@ -320,7 +320,7 @@ def ngram_repetition_stats(
                     )
                 yield pd.DataFrame(
                     {
-                        id_col: pd.Series(out[id_col], dtype="int64"),
+                        id_col: pd.Series(out[id_col], dtype=pdf[id_col].dtype),
                         "n_words": pd.Series(out["n_words"], dtype="int64"),
                         "dup_word_frac": pd.Series(
                             out["dup_word_frac"], dtype="float64"
@@ -338,8 +338,9 @@ def ngram_repetition_stats(
         return base.mapInPandas(
             gen,
             schema=(
-                f"{id_col} long, n_words long, dup_word_frac double, "
-                "top_bigram_frac double, dup_trigram_frac double"
+                f"{id_col} {id_ddl_type(docs, id_col)}, n_words long, "
+                "dup_word_frac double, top_bigram_frac double, "
+                "dup_trigram_frac double"
             ),
         )
     words = F.split(F.col(text_col), " ")
@@ -468,9 +469,9 @@ def doc_fingerprints(
 
     ``impl`` (round 9, the text-family HOF sweep): the production
     default is ONE Arrow pass — per document, the polynomial hash of
-    every char k-gram as a sliding-window matmul mod 1e9+7, with the
-    0-mod-p filter applied numpy-side so only surviving (id, fp) rows
-    materialize. The Catalyst form (:func:`rolling_hashes`,
+    every char k-gram as a vectorized Horner fold with a per-step mod
+    (exact in int64 for any k), with the 0-mod-p filter applied
+    numpy-side so only surviving (id, fp) rows materialize. The Catalyst form (:func:`rolling_hashes`,
     ``impl="sql"``) evaluates an interpreted k-step fold lambda PER
     CHARACTER (~8·n_chars lambda dispatches/row — measured 22× slower
     at sf1, PLANS.md). The hash is pure INTEGER arithmetic, so the two
@@ -488,32 +489,36 @@ def doc_fingerprints(
             .distinct()
         )
 
-    from .partitioning import ensure_min_parallelism
+    from .partitioning import ensure_min_parallelism, id_ddl_type
 
     def gen(batches):
         import numpy as np
         import pandas as pd
 
-        # 31^(k-1-j) weights: max term codepoint(0x10FFFF)·31^7 ≈ 2^56,
-        # k terms < 2^59 — the full dot fits int64 before the mod, so
-        # one matmul replaces the per-step mod of the fold EXACTLY
-        w = np.array([31 ** (k - 1 - j) for j in range(k)], dtype="int64")
+        # Horner fold with a per-step mod, vectorized across all
+        # windows (k passes of multiply-add-mod over a length-(n-k+1)
+        # vector). Intermediate max is (1e9+6)·31 + 0x10FFFF < 2^35,
+        # so the arithmetic is exact in int64 for ANY k — bit-identical
+        # to the SQL fold (a single matmul-then-mod overflows int64
+        # once k·log2(31)+log2(maxcp) exceeds 63, i.e. k>=10 for high
+        # codepoints).
         for pdf in batches:
             ids, fps = [], []
             for did, txt in zip(pdf["doc_id"], pdf[text_col]):
                 if txt is None or len(txt) < k:
                     continue
                 arr = np.fromiter(map(ord, txt), dtype="int64", count=len(txt))
-                h = (
-                    np.lib.stride_tricks.sliding_window_view(arr, k) @ w
-                ) % _FP_MOD
+                m = len(arr) - k + 1
+                h = np.zeros(m, dtype="int64")
+                for j in range(k):
+                    h = (h * 31 + arr[j : j + m]) % _FP_MOD
                 keep = np.unique(h[h % mod_p == 0])
                 if len(keep):
                     ids.extend([did] * len(keep))
                     fps.append(keep)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
                     "fp": np.concatenate(fps)
                     if fps
                     else pd.Series([], dtype="int64"),
@@ -521,10 +526,11 @@ def doc_fingerprints(
             )
 
     base = ensure_min_parallelism(docs.select("doc_id", text_col))
+    id_t = id_ddl_type(docs, "doc_id")
     # np.unique dedups within each doc and a doc never splits across
     # batches — no distinct() shuffle needed (the fold path explodes
     # duplicate hashes and must dedup)
-    return base.mapInPandas(gen, schema="doc_id long, fp long")
+    return base.mapInPandas(gen, schema=f"doc_id {id_t}, fp long")
 
 
 # --------------------------------------------------------------------

@@ -11,7 +11,13 @@ Per micro-batch (``foreachBatch`` — multi-pass batch semantics):
    never candidate-match, and a NULL bucket key would silently pass
    every screen and re-append each batch);
 2. id replay gate: a ``vec_id`` already accepted is dropped (duplicate
-   delivery), keeping corpus ids unique;
+   delivery), keeping corpus ids unique — the gate anti-joins the ids
+   of BOTH stores, and a redelivered batch first HEALS the crash
+   window between the two appends of step 4 (ids corpus-present but
+   bucket-absent get their band keys recomputed from the batch's own
+   vectors and re-appended), so a crash at any point between the
+   corpus append and the commit marker replays to the exact
+   no-crash state;
 3. near-dup screen against the accumulated BUCKET store: the batch's
    hyperplane-LSH band keys (seeded planes pinned in the store's meta
    file, so every batch — and any rebuild — buckets identically)
@@ -31,7 +37,8 @@ false-collide at ~n_tables/2^n_planes; verification buys exactness
 for the price of reading the colliding stored vectors.
 
 Scale shape: the state the per-batch join touches is ``(table,
-bucket, vec_id)`` — 20 bytes per accepted vector per table, NEVER the
+bucket, vec_id)`` — 20 bytes per accepted vector per table — plus the
+corpus's ID COLUMN (8 bytes/vector, for the replay gate), NEVER the
 vectors themselves (the verify tier reads only same-bucket corpus
 rows); appends are per-batch files — compact with
 :func:`compact_embedding_state` on a maintenance schedule. Replay
@@ -154,16 +161,46 @@ def streaming_embedding_ingest(
         if not batch.take(1):
             return
         spark = batch.sparkSession
-        cur = batch.filter(
+        valid = batch.filter(
             F.col(id_col).isNotNull()
             & F.col(vec_col).isNotNull()
             & (F.size(vec_col) == meta["dim"])
         )
-        # duplicate-delivery gate: ids already accepted drop (the
-        # bucket store carries every accepted id — no extra state)
         stored = spark.read.parquet(os.path.join(root, "buckets"))
-        cur = cur.join(
-            stored.select(id_col).distinct(), id_col, "left_anti"
+        bucket_ids = stored.select(id_col).distinct()
+        corpus_ids = spark.read.parquet(
+            os.path.join(root, "corpus")
+        ).select(id_col)
+        # crash-window heal: a crash between the corpus append and the
+        # bucket append leaves accepted ids corpus-present but
+        # bucket-absent; the crashed batch is redelivered (no commit
+        # marker), so its ids in that state get their band keys
+        # recomputed FROM THE BATCH'S OWN VECTORS and re-appended —
+        # completing the interrupted commit before anything else runs
+        heal = (
+            valid.join(corpus_ids, id_col, "left_semi")
+            .join(bucket_ids, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if heal.take(1):
+            heal_keys = _band_keys(heal, meta, id_col, vec_col).select(
+                "__t", "__b", id_col
+            ).localCheckpoint(eager=True)
+            heal_keys.write.mode("append").parquet(
+                os.path.join(root, "buckets")
+            )
+            # healed keys must screen the REST of this batch exactly as
+            # if the crash had never happened
+            stored = stored.unionByName(heal_keys)
+        # duplicate-delivery gate reads BOTH stores' ids: the bucket
+        # store alone would re-accept an id whose corpus append
+        # committed but whose bucket append crashed, duplicating the
+        # corpus row on replay (the heal above makes the two id sets
+        # converge, but the union keeps the invariant even mid-heal)
+        cur = valid.join(
+            bucket_ids.unionByName(corpus_ids).distinct(),
+            id_col,
+            "left_anti",
         ).localCheckpoint(eager=False)
         bb = _band_keys(cur, meta, id_col, vec_col).localCheckpoint(
             eager=False

@@ -186,3 +186,36 @@ def test_embedding_ingest_single_batch_matches_batch_dedup(spark, tmp_path):
         ).collect()
     )
     assert streamed == want and len(streamed) <= 4 + 5
+
+
+def test_embedding_ingest_crash_window_heals_on_replay(spark, tmp_path):
+    """Round-10 ADVICE fix: a crash BETWEEN the corpus append and the
+    bucket append (id corpus-present, bucket-absent, no commit marker)
+    must replay to the exact no-crash state — the id is NOT
+    re-accepted (no duplicate corpus rows) and its band keys are
+    healed into the bucket store so it screens future near-dups."""
+    root = str(tmp_path / "store")
+    init_embedding_store(spark, root, DIM, n_planes=10, n_tables=4, seed=7)
+
+    # simulate the crash: id 0 lands in the corpus only (the state the
+    # old code left behind when the bucket append never ran)
+    spark.createDataFrame(
+        [(0, _vec(1))], "vec_id long, embedding array<float>"
+    ).write.mode("append").parquet(root + "/corpus")
+    assert spark.read.parquet(root + "/buckets").count() == 0
+
+    # redeliver the crashed batch (0 plus a new id), then a batch with
+    # a near-dup of 0 that only the healed bucket keys can screen
+    batches = [
+        [(0, _vec(1)), (1, _vec(2))],
+        [(10, _vec(1, 1e-4)), (11, _vec(3))],
+    ]
+    _stage_and_drain(spark, tmp_path, batches, root)
+
+    corpus = read_embedding_corpus(spark, root)
+    ids = sorted(r.vec_id for r in corpus.collect())
+    assert ids == [0, 1, 11], ids  # no duplicate 0; near-dup 10 screened
+    assert corpus.count() == corpus.select("vec_id").distinct().count()
+    buckets = spark.read.parquet(root + "/buckets")
+    assert buckets.select("vec_id").distinct().count() == 3
+    assert buckets.filter(F.col("vec_id") == 0).count() == 4  # healed keys

@@ -937,3 +937,29 @@ def test_resize_media_grayscale_and_upscale(spark):
     yi = np.minimum(((np.arange(6) + 0.5) * 3 / 6).astype(int), 2)
     xi = np.minimum(((np.arange(8) + 0.5) * 4 / 8).astype(int), 3)
     assert np.array_equal(dec, g[yi][:, xi])
+
+
+def test_arrow_operators_preserve_string_ids(spark):
+    """Round-10 ADVICE fix: the Arrow mapInPandas schemas derive the
+    id field's type from the input — a STRING media/doc id must come
+    through decode_media and resize_media unchanged (hardcoding `long`
+    narrowed the Catalyst paths' contract)."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _encode_png,
+        decode_media,
+        resize_media,
+    )
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    df = spark.createDataFrame(
+        [("m-a", _encode_png(px)), ("m-b", b"junk")],
+        "media_id STRING, content BINARY",
+    )
+    dec = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert set(dec) == {"m-a", "m-b"}
+    assert dec["m-a"]["decoder"] == "png"
+    rs = {r["media_id"]: r for r in resize_media(df, 2, 2).collect()}
+    assert set(rs) == {"m-a", "m-b"}
+    assert rs["m-a"]["resizer"] == "nearest"

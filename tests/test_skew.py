@@ -139,6 +139,19 @@ def test_cap_bucket_fanout_bounds_hot_bucket(spark):
     }
     first = {(r["vec_id"], r["__t"], r["__b"]) for r in capped.collect()}
     assert first == again
+    # independent subsamples per hot bucket (round-10 ADVICE fix): the
+    # keep decision hashes the composite (id, table, bucket), so the
+    # kept id-sets of two hot buckets must differ — and no id in a hot
+    # bucket is dropped from EVERY hot bucket (with >=2 hot buckets of
+    # ~1500 cluster members at cap 100, a fully-correlated hash keeps
+    # the same ~100 ids everywhere; independent draws overlap ~7%)
+    hot_keys = [k for k, n in pre.items() if n > cap]
+    assert len(hot_keys) >= 2
+    kept_per_hot = {
+        k: {vid for vid, t, b in first if (t, b) == k} for k in hot_keys
+    }
+    sets = list(kept_per_hot.values())
+    assert any(sets[0] != s for s in sets[1:]), "hot-bucket subsamples correlated"
 
 
 def test_knn_join_max_bucket_bounds_candidates_and_keeps_k(spark):

@@ -934,6 +934,32 @@ def test_doc_fingerprints_arrow_matches_fold(spark):
         assert a == s and len(a) > 0
 
 
+def test_doc_fingerprints_large_k_high_codepoints(spark):
+    """Overflow guard (round-10): a single matmul-then-mod overflows
+    int64 once k·log2(31) + log2(max codepoint) > 63 — k>=10 with high
+    codepoints, k>=14 even for ASCII. The per-step-mod Horner fold must
+    stay bit-identical to the SQL fold there."""
+    from bigdata_quality_assessment_spark.operators.text import doc_fingerprints
+
+    high = chr(0x10FFFF)  # max codepoint — worst case for overflow
+    rows = [
+        (0, high * 40),
+        (1, (high + "平仮名カタカナ漢字テスト") * 4),
+        (2, "plain ascii text long enough for every k we try " * 2),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (10, 14, 20):
+        a = {
+            (r["doc_id"], r["fp"])
+            for r in doc_fingerprints(docs, k=k, mod_p=1, impl="arrow").collect()
+        }
+        s = {
+            (r["doc_id"], r["fp"])
+            for r in doc_fingerprints(docs, k=k, mod_p=1, impl="sql").collect()
+        }
+        assert a == s and len(a) > 0, k
+
+
 def test_ngram_repetition_arrow_matches_catalyst(spark):
     """The round-9 Arrow migration: Counter-based tallies must be
     value-identical to the tagged-explode Catalyst shape — integer
@@ -978,3 +1004,28 @@ def test_stopword_ratio_rejects_bad_lexicons(spark):
     df = spark.createDataFrame([("the cat the",)], "text string")
     got = df.select(stopword_ratio(F.col("text"), ("the",)).alias("r")).first()["r"]
     assert got == pytest.approx(2 / 3)
+
+
+def test_text_arrow_operators_preserve_string_ids(spark):
+    """Round-10 ADVICE fix: ngram_repetition_stats and
+    doc_fingerprints carry a STRING doc id through their Arrow
+    mapInPandas schemas instead of miscasting to long."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        doc_fingerprints,
+        ngram_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [("d-1", "alpha beta alpha beta gamma alpha beta"),
+         ("d-2", "one two three four five six seven eight nine ten")],
+        "doc_id STRING, text STRING",
+    )
+    st = {r["doc_id"]: r for r in ngram_repetition_stats(docs).collect()}
+    assert set(st) == {"d-1", "d-2"} and st["d-1"]["n_words"] == 7
+    fp = doc_fingerprints(docs, k=4, mod_p=1)
+    ids = {r["doc_id"] for r in fp.collect()}
+    assert ids == {"d-1", "d-2"}
+    # arrow and sql agree on string ids too
+    a = {(r["doc_id"], r["fp"]) for r in doc_fingerprints(docs, k=4, mod_p=1, impl="arrow").collect()}
+    s = {(r["doc_id"], r["fp"]) for r in doc_fingerprints(docs, k=4, mod_p=1, impl="sql").collect()}
+    assert a == s
