@@ -3921,11 +3921,18 @@ def q_xapprox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_returnflag"]
-    ap = approx_profile(li, cols)
+    # ap (~15 rows) feeds TWO branches (hll filter + pct broadcast) and
+    # ex (1 row) feeds THREE broadcasts (hll/pr/hh) — without a barrier
+    # each reference re-executes its lineitem scan (8 scans total,
+    # caught by the round-9 scan sweep). Barriering these contract-tiny
+    # frames costs nothing and leaves exactly one scan per GENUINE
+    # pass: sketch (ap), exact aggs (ex), rank check, Misra-Gries, true
+    # counts — see tools/scan_sweep.py budget.
+    ap = approx_profile(li, cols).localCheckpoint(eager=False)
     ex = li.agg(
         *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
         *[F.count(c).alias(f"c_{c}") for c in cols],
-    )
+    ).localCheckpoint(eager=False)
 
     def _case(prefix):
         c0, c1, c2 = cols

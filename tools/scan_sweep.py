@@ -82,8 +82,13 @@ EXPECTED_MAX = {
     "x_validity_rates": 8,  # + expect_by per-group ref leg: orders group agg, orders anti-join side, filtered customer dim (round 6)
     # lsh part 2 (corpus buckets + query buckets); +2 round-8
     # part='join' (knn_join): each SIDE of the two-corpus bucket
-    # equi-join scans its own slice once
-    "x_ann_knn": 4,
+    # equi-join scans its own slice once; +3 round-10 re-attribution
+    # for the round-9 part='label_*' (knn_label): its inner knn_join
+    # scans both slices (unlabeled + labeled, same as 'join'), and the
+    # vote joins the (id, label) projection back — column-pruned, 2
+    # int columns; a barrier would have to store the labeled side's
+    # EMBEDDING column verbatim to save it
+    "x_ann_knn": 7,
     # ivf part 2 (corpus assign + query probes); +4 round-8
     # part='ivfpq': index scan, probe-query scan, and the exact
     # rescore's (full-vector + query) scans — the pinned ORACLE fold
@@ -107,36 +112,63 @@ EXPECTED_MAX = {
     # stratified_sample_exact) one scan each; closure edges are
     # synthetic and the pipeline part consumes stage checkpoints
     "x_exact_dedup": 3,
+    # round-10 re-attribution for the round-9 contract oracle: the
+    # CONSUMING action runs the three contract-inherent verification
+    # passes — the percentile rank check, the Misra-Gries pass, and
+    # the true-count groupBy (you cannot verify an error bound without
+    # recomputing the truth). The production sketch pass (ap, ~15
+    # rows) and the exact-agg pass (ex, 1 row) are barriered — each
+    # was re-executing per broadcast reference (8 scans total before
+    # the fix, queries.py q_xapprox) — so their 2 scans run once in
+    # the sizing jobs this sweep cannot see (see LIMITATION above):
+    # 5 genuine passes total, 3 visible here.
+    "x_approx_profile": 3,
 }
 DEFAULT_MAX = 1
 SKIP_PREFIXES = ("st_",)  # streaming drains; m4 is minutes-long
 SKIP = {"m4_loop_metrics"}
 
 
-def main() -> int:
-    from bigdata_quality_assessment_spark.session import build_session
-
+def load_entry():
     spec = importlib.util.spec_from_file_location("entry", REPO / "__spark_entry__.py")
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
+    return m
+
+
+def sweep(spark, sf_dir: str, verbose: bool = True) -> list[tuple[str, int, int]]:
+    """Run every non-streaming registry query at ``sf_dir``, count
+    FileScan nodes in the executed plan, return the over-budget
+    entries as ``(name, filescans, limit)``. Importable from pytest
+    (tests/test_scan_sweep.py) so a registry widening cannot ship past
+    a stale budget."""
+    m = load_entry()
+    bad = []
+    for name, fn in m.queries().items():
+        if name.startswith(SKIP_PREFIXES) or name in SKIP:
+            continue
+        df = fn(spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("FileScan parquet")
+        limit = EXPECTED_MAX.get(name, DEFAULT_MAX)
+        if verbose:
+            marker = "OK " if n <= limit else "BAD"
+            print(f"{marker} {name:28s} filescans={n} (limit {limit})")
+        if n > limit:
+            bad.append((name, n, limit))
+    return bad
+
+
+def main() -> int:
+    from bigdata_quality_assessment_spark.session import build_session
+
     spark = build_session(
         master="local[8]", shuffle_partitions=8,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    bad = []
-    for name, fn in m.queries().items():
-        if name.startswith(SKIP_PREFIXES) or name in SKIP:
-            continue
-        df = fn(spark, SF_DIR)
-        df.count()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        n = plan.count("FileScan parquet")
-        limit = EXPECTED_MAX.get(name, DEFAULT_MAX)
-        marker = "OK " if n <= limit else "BAD"
-        print(f"{marker} {name:28s} filescans={n} (limit {limit})")
-        if n > limit:
-            bad.append(name)
+    bad = sweep(spark, SF_DIR)
     print("\n" + ("SWEEP FAIL: " + str(bad) if bad else "SWEEP CLEAN"))
     spark.stop()
     return 1 if bad else 0
