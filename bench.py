@@ -322,6 +322,26 @@ def main() -> None:
     calibrate()
     cal_samples = [calibrate()]
 
+    # Arrow cold-vs-warm accounting (round-10 verdict ask #4): the
+    # FIRST Arrow stage per python worker pays the pandas-import cold
+    # start (~2-2.5 s/worker; PLANS.md round-8 measured 117.8 s
+    # executor-time cold vs 18.9 s warm on a real query). Measure it
+    # explicitly on a trivial mapInPandas probe — the delta is what a
+    # reader subtracts from any first-Arrow-run sample — and running
+    # it HERE keeps the headline loop warm, so the cold start no
+    # longer hides inside the first Arrow headline query's first
+    # sample (it used to be amortized by the median, but inflated
+    # that query's recorded spread).
+    def _arrow_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 32, 1, 32).mapInPandas(
+            lambda it: iter(it), "id long"
+        ).count()
+        return time.perf_counter() - t0
+
+    arrow_cold = round(_arrow_probe(), 3)
+    arrow_warm = round(min(_arrow_probe() for _ in range(3)), 3)
+
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     bests: dict[str, float] = {}
@@ -626,6 +646,11 @@ def main() -> None:
         "queries_best": bests,
         "query_stats": stats,
         "ratio_vs_r3_steal_normalized": ratios,
+        "arrow_cold_start": {
+            "cold": arrow_cold,
+            "warm": arrow_warm,
+            "delta": round(arrow_cold - arrow_warm, 3),
+        },
         "extras": {
             "active_loop_20iter": round(loop20, 3),
             "active_loop_20iter_s_per_iter": round(loop20 / 20, 3),

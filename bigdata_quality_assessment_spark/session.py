@@ -41,6 +41,11 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pinned explicitly (it is the default, but a regression here
+        # re-pays the ~2-2.5 s/worker pandas-import cold start on EVERY
+        # Arrow stage instead of once per executor — PLANS.md round-8
+        # measured 117.8 s executor-time cold vs 18.9 s warm)
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )

@@ -132,6 +132,29 @@ def _band_keys(df: DataFrame, meta: dict, id_col: str, vec_col: str) -> DataFram
     )
 
 
+def _read_watermark(root: str) -> float | None:
+    p = os.path.join(root, "watermark.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)["max_event_ts"]
+
+
+def _advance_watermark(root: str, new_max: float | None) -> None:
+    """Monotone max-event-time advance, atomic rename — idempotent
+    under batch replay (max is commutative), never moves backward."""
+    if new_max is None:
+        return
+    cur = _read_watermark(root)
+    if cur is not None and cur >= new_max:
+        return
+    p = os.path.join(root, "watermark.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"max_event_ts": float(new_max)}, fh)
+    os.rename(tmp, p)
+
+
 def streaming_embedding_ingest(
     emb_stream: DataFrame,
     root: str,
@@ -139,12 +162,29 @@ def streaming_embedding_ingest(
     vec_col: str = "embedding",
     verify_threshold: float | None = None,
     checkpoint: str | None = None,
+    event_time_col: str | None = None,
+    late_delay_s: float = 600.0,
 ):
     """Start the incremental embedding-dedup sink over ``emb_stream``
     (schema ``vec_id long, embedding array<float>``). Returns the
     StreamingQuery (drain with availableNow). See the module docstring
     for semantics; the store must exist (:func:`init_embedding_store`).
-    """
+
+    Event-time tier (round 10 — the text tier's watermark contract for
+    the vector store): pass ``event_time_col`` (timestamp or numeric
+    epoch) to enforce a LATENESS BOUND. The store tracks the maximum
+    event time ever observed (``watermark.json``, monotone, atomic
+    rename, idempotent under batch replay); an arrival whose event
+    time is older than ``max_observed − late_delay_s`` at the START of
+    its batch is dropped before every other gate — exactly Spark's
+    ``withWatermark`` placement rule, where the watermark used by a
+    trigger is computed from PRIOR triggers, so an in-batch mix of old
+    and new rows is judged against the previous batch's horizon. NULL
+    event times drop at the validity gate (they cannot be placed in
+    event time). All observed rows — including late-dropped ones —
+    advance the watermark, matching the engine's semantics. Batch
+    parity: the accepted set equals pre-filtering the late rows and
+    running the same fold without event time (pytest-pinned)."""
     from bigdata_quality_assessment_spark.functions.arrays import (
         cosine_similarity,
     )
@@ -161,6 +201,16 @@ def streaming_embedding_ingest(
         if not batch.take(1):
             return
         spark = batch.sparkSession
+        new_max = None
+        if event_time_col is not None:
+            ts_d = F.col(event_time_col).cast("double")
+            # watermark from PRIOR batches (Spark's trigger rule);
+            # every observed row advances it, late ones included
+            new_max = batch.agg(F.max(ts_d)).first()[0]
+            horizon = _read_watermark(root)
+            if horizon is not None:
+                batch = batch.filter(ts_d >= horizon - late_delay_s)
+            batch = batch.filter(ts_d.isNotNull())
         valid = batch.filter(
             F.col(id_col).isNotNull()
             & F.col(vec_col).isNotNull()
@@ -288,6 +338,7 @@ def streaming_embedding_ingest(
         bb.join(survivors.select(id_col), id_col, "left_semi").select(
             "__t", "__b", id_col
         ).write.mode("append").parquet(os.path.join(root, "buckets"))
+        _advance_watermark(root, new_max)
         if marker:
             os.makedirs(marker_dir, exist_ok=True)
             with open(marker, "w") as fh:

@@ -219,3 +219,67 @@ def test_embedding_ingest_crash_window_heals_on_replay(spark, tmp_path):
     buckets = spark.read.parquet(root + "/buckets")
     assert buckets.select("vec_id").distinct().count() == 3
     assert buckets.filter(F.col("vec_id") == 0).count() == 4  # healed keys
+
+
+def test_embedding_ingest_event_time_watermark(spark, tmp_path):
+    """Round-10: the vector tier's event-time lateness bound. Arrivals
+    older than (max observed event time from PRIOR batches − delay)
+    drop before every other gate; fresh rows advance the watermark;
+    NULL event times drop; and the accepted set has BATCH PARITY with
+    pre-filtering the late rows under the same horizon rule and
+    running the fold without event time."""
+    import json as _json
+    import time as _time
+
+    root = str(tmp_path / "store")
+    init_embedding_store(spark, root, DIM, n_planes=10, n_tables=4, seed=7)
+    schema = "vec_id long, embedding array<float>, ts double"
+    batches = [
+        [(0, _vec(10), 1000.0), (1, _vec(11), 1100.0)],
+        # horizon = 1100 - 600 = 500: id 2 late (450), id 3 on the
+        # boundary-accept side (600), id 4 fresh (2000), id 5 NULL ts
+        [(2, _vec(12), 450.0), (3, _vec(13), 600.0),
+         (4, _vec(14), 2000.0), (5, _vec(15), None)],
+        # horizon = 2000 - 600 = 1400: id 6 late (1300), id 7 ok (1500)
+        [(6, _vec(16), 1300.0), (7, _vec(17), 1500.0)],
+    ]
+    stage = tmp_path / "arrivals"
+    stage.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage / f"b{i}"))
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    q = streaming_embedding_ingest(
+        stream, root, checkpoint=str(tmp_path / "ck"),
+        event_time_col="ts", late_delay_s=600.0,
+    )
+    q.awaitTermination()
+    ids = sorted(r.vec_id for r in read_embedding_corpus(spark, root).collect())
+    assert ids == [0, 1, 3, 4, 7], ids
+    with open(root + "/watermark.json") as fh:
+        assert _json.load(fh)["max_event_ts"] == 2000.0
+
+    # batch parity: replay the same horizon rule eagerly, feed the
+    # surviving rows through the fold WITHOUT event time — same set
+    root2 = str(tmp_path / "store2")
+    init_embedding_store(spark, root2, DIM, n_planes=10, n_tables=4, seed=7)
+    horizon = None
+    kept_batches = []
+    for rows in batches:
+        kept = [
+            (i, v) for (i, v, ts) in rows
+            if ts is not None and (horizon is None or ts >= horizon - 600.0)
+        ]
+        kept_batches.append(kept)
+        mx = max((ts for (_, _, ts) in rows if ts is not None), default=None)
+        if mx is not None:
+            horizon = mx if horizon is None else max(horizon, mx)
+    _stage_and_drain(spark, tmp_path, kept_batches, root2, ck="ck2")
+    ids2 = sorted(r.vec_id for r in read_embedding_corpus(spark, root2).collect())
+    assert ids2 == ids

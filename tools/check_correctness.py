@@ -119,6 +119,23 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: {msg}  [spark {t_spark:.1f}s, duck {t_duck:.1f}s]")
+            # per-part attribution (round-10 verdict ask #7): several
+            # registry entries pack 3-8 operator facets under one name
+            # as a tagged union on a `part` column — localize the FAIL
+            # to the offending part(s) instead of a union-wide verdict
+            if "part" in sdf.columns and "part" in odf.columns:
+                parts = sorted(
+                    set(sdf["part"].unique()) | set(odf["part"].unique())
+                )
+                for p in parts:
+                    sp = sdf[sdf["part"] == p].reset_index(drop=True)
+                    op = odf[odf["part"] == p].reset_index(drop=True)
+                    pok, pmsg = _compare(sp, op)
+                    tag = "ok  " if pok else "BAD "
+                    print(
+                        f"      part {tag}{p}: {len(sp)}/{len(op)} rows"
+                        + ("" if pok else f" — {pmsg}")
+                    )
 
     print(
         f"\n== {n_pass} oracle-pass, {n_rows_only} rows-only, {n_fail} FAIL"
