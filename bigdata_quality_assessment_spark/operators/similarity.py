@@ -2898,6 +2898,119 @@ def build_ivfpq_index(
     return index, cents, books
 
 
+def ivfpq_index_stats(
+    index: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+) -> dict:
+    """Maintenance statistics for a (possibly appended) IVF-PQ index —
+    the cheap numbers a rebuild policy is stated in:
+
+    * ``rel_residual`` — mean squared ADC reconstruction error
+      ``‖v − (c_cell + ⊕_j B_j[code_j])‖²`` over the indexed vectors,
+      normalized by mean ``‖v‖²``. A FROZEN model encodes drifted
+      arrivals with growing residual (the quantizer no longer covers
+      the data), which directly degrades ADC ranking quality.
+    * ``occupancy_skew`` — max/mean cell population. Drift funnels new
+      arrivals into few cells, eroding the n_probe/n_centroids scan
+      pruning that makes IVF cheap.
+    * ``n_vectors`` — indexed (non-NULL-cell) count.
+
+    One groupBy over the 4+m-byte index + one Arrow residual pass over
+    the index⋈corpus vectors (``sample_mod`` > 1 hash-samples 1/mod of
+    the ids — at 100 TB the residual is a statistic, not a census).
+    Compare against the build-time stats with
+    :func:`ivfpq_needs_rebuild`."""
+    import numpy as np
+
+    occ = (
+        index.filter(F.col("__cell").isNotNull())
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.avg("n").alias("mn"),
+            F.sum("n").alias("tot"),
+        )
+        .first()
+    )
+    C = np.asarray(centroids, dtype="float64")
+    B = [np.asarray(b, dtype="float64") for b in codebooks]
+    m, dsub = len(B), B[0].shape[1]
+    joined = index.filter(F.col("__cell").isNotNull()).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    if sample_mod > 1:
+        joined = joined.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            ) if len(pdf) else np.zeros((0, C.shape[1]))
+            cells = pdf["__cell"].to_numpy(dtype="int64") if len(pdf) else []
+            recon = C[cells].copy() if len(pdf) else V
+            if len(pdf):
+                codes = np.stack(
+                    [np.asarray(c, dtype="int64") for c in pdf["__code"]]
+                )
+                for j in range(m):
+                    recon[:, j * dsub:(j + 1) * dsub] += B[j][codes[:, j]]
+            r2 = ((V - recon) ** 2).sum(1)
+            n2 = (V * V).sum(1)
+            yield pd.DataFrame(
+                {
+                    "r2": [float(r2.sum())],
+                    "n2": [float(n2.sum())],
+                    "cnt": [len(pdf)],
+                }
+            )
+
+    agg = (
+        joined.select("__cell", "__code", vec_col)
+        .mapInPandas(gen, "r2 double, n2 double, cnt long")
+        .agg(F.sum("r2").alias("r2"), F.sum("n2").alias("n2"))
+        .first()
+    )
+    rel = float(agg["r2"] / agg["n2"]) if agg["n2"] else 0.0
+    return {
+        "n_vectors": int(occ["tot"] or 0),
+        "occupancy_skew": float(occ["mx"] / occ["mn"]) if occ["mn"] else 0.0,
+        "rel_residual": rel,
+    }
+
+
+def ivfpq_needs_rebuild(
+    build_stats: dict,
+    current_stats: dict,
+    residual_factor: float = 1.5,
+    skew_factor: float = 2.0,
+) -> bool:
+    """The rebuild trigger of the index maintenance contract
+    (:func:`build_ivfpq_index` incremental appends encode against a
+    FROZEN model — fine under stationary arrivals, silently lossy
+    under drift): retrain + rebuild when the appended index's relative
+    ADC residual grew ``residual_factor``× over build time (the
+    quantizer stopped covering the data) or its cell-occupancy skew
+    grew ``skew_factor``× (the coarse partitioner stopped pruning).
+    Both statistics come from :func:`ivfpq_index_stats`; thresholds
+    are policy, the defaults are conservative."""
+    r0 = max(build_stats["rel_residual"], 1e-12)
+    s0 = max(build_stats["occupancy_skew"], 1e-12)
+    return (
+        current_stats["rel_residual"] > residual_factor * r0
+        or current_stats["occupancy_skew"] > skew_factor * s0
+    )
+
+
 def ivfpq_search(
     index: DataFrame,
     queries: DataFrame,

@@ -1023,3 +1023,88 @@ def test_query_batch_cap_fails_fast(corpus, monkeypatch):
     q = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="QUERY_BATCH_CAP"):
         sim.knn_brute_force(corpus, q, k=3, impl="arrow")
+
+
+def test_ivfpq_rebuild_trigger_under_drift(spark):
+    """Round-10: the maintenance contract's missing half. Appending a
+    DRIFTED corpus (a shifted cluster the frozen quantizer never saw)
+    must trip ivfpq_needs_rebuild via the residual/occupancy
+    statistics; retraining on the combined corpus restores the
+    residual and the drifted queries' recall."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_stats,
+        ivfpq_needs_rebuild,
+        ivfpq_search,
+        train_ivfpq,
+    )
+
+    rng = np.random.RandomState(3)
+    base_v = rng.normal(size=(200, DIM))
+    drift_v = rng.normal(size=(200, DIM)) * 0.3 + 8.0  # far-off cluster
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base_v)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    delta = spark.createDataFrame(
+        [(200 + i, [float(x) for x in v]) for i, v in enumerate(drift_v)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cents, books = train_ivfpq(
+        base, DIM, n_centroids=8, m=4, pq_ncent=8, n_train=200, seed=5
+    )
+    idx0, _, _ = build_ivfpq_index(base, DIM, centroids=cents, codebooks=books)
+    s0 = ivfpq_index_stats(idx0, base, cents, books)
+    assert not ivfpq_needs_rebuild(s0, s0)
+
+    # frozen-model append of the drifted delta
+    idx1, _, _ = build_ivfpq_index(delta, DIM, centroids=cents, codebooks=books)
+    both = base.unionByName(delta)
+    appended = idx0.unionByName(idx1)
+    s1 = ivfpq_index_stats(appended, both, cents, books)
+    assert s1["rel_residual"] > s0["rel_residual"]
+    assert ivfpq_needs_rebuild(s0, s1), (s0, s1)
+
+    # rebuild: retrain on the combined corpus -> trigger resets and a
+    # drifted query's true neighbor ranks first again
+    c2, b2 = train_ivfpq(
+        both, DIM, n_centroids=8, m=4, pq_ncent=8, n_train=400, seed=5
+    )
+    idx2, _, _ = build_ivfpq_index(both, DIM, centroids=c2, codebooks=b2)
+    s2 = ivfpq_index_stats(idx2, both, c2, b2)
+    assert s2["rel_residual"] < s1["rel_residual"]
+    assert not ivfpq_needs_rebuild(s2, s2)
+    target = delta.filter(F.col("vec_id") == 250)
+    q = target.select(F.lit(9999).cast("long").alias("query_id"), "embedding")
+    hits = ivfpq_search(idx2, q, c2, b2, k=3, n_probe=4, rescore_with=both).collect()
+    assert any(r["vec_id"] == 250 and r["rank"] == 1 for r in hits)
+
+
+def test_ivfpq_index_stats_sampling_and_nulls(spark):
+    """sample_mod hash-samples the residual census; NULL-cell rows
+    (invalid vectors) are excluded from both statistics."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_stats,
+        train_ivfpq,
+    )
+
+    rng = np.random.RandomState(4)
+    rows = [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(150)]
+    rows.append((150, None))
+    rows.append((151, [0.0] * 4))  # wrong dim -> NULL cell
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents, books = train_ivfpq(
+        emb, DIM, n_centroids=4, m=4, pq_ncent=8, n_train=150, seed=9
+    )
+    idx, _, _ = build_ivfpq_index(emb, DIM, centroids=cents, codebooks=books)
+    full = ivfpq_index_stats(idx, emb, cents, books)
+    assert full["n_vectors"] == 150
+    assert 0.0 < full["rel_residual"] < 1.0
+    sampled = ivfpq_index_stats(idx, emb, cents, books, sample_mod=4)
+    # a hash sample estimates the same statistic, loosely
+    assert abs(sampled["rel_residual"] - full["rel_residual"]) < 0.5 * full["rel_residual"] + 0.05
