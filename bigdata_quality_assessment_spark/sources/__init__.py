@@ -14,6 +14,10 @@ from bigdata_quality_assessment_spark.sources.generators import (
     uniform_samples,
 )
 from bigdata_quality_assessment_spark.sources.tables import TABLES, load_table, load_tables
+from bigdata_quality_assessment_spark.sources.textgen import (
+    eval_spans,
+    realistic_documents,
+)
 
 __all__ = [
     "TABLES",
@@ -24,4 +28,6 @@ __all__ = [
     "ou_process",
     "stub_predictions",
     "uniform_samples",
+    "eval_spans",
+    "realistic_documents",
 ]
