@@ -856,3 +856,115 @@ def decode_gif(b: bytes) -> np.ndarray | None:
         return None
     except Exception:
         return None
+
+
+def decode_gif_frames(b: bytes, max_frames: int = 64) -> list[np.ndarray] | None:
+    """Decode ALL composed frames of a (possibly animated) GIF — the
+    real frame-content walk behind the multimodal frame sampler. Each
+    image descriptor's LZW-decoded patch composes onto the running
+    logical-screen canvas under GIF89a animation semantics: graphic-
+    control-extension DISPOSAL (0/1 leave, 2 restore-to-background,
+    3 restore-previous) and TRANSPARENCY (transparent-index pixels
+    leave the canvas unchanged). Returns a list of (sh, sw, 3) uint8
+    RGB canvases, one per frame, capped at ``max_frames``; ``None``
+    outside scope / on corruption before the first frame (a truncated
+    tail returns the frames decoded so far). Kept separate from
+    :func:`decode_gif` (the golden-graded first-frame path) by
+    design."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw, sh = struct.unpack("<HH", b[6:10])
+        flags = b[10]
+        bg_idx = b[11]
+        pos = 13
+        global_pal = None
+        if flags & 0x80:
+            gsize = 2 << (flags & 7)
+            global_pal = np.frombuffer(
+                b[pos : pos + gsize * 3], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += gsize * 3
+        if sw < 1 or sh < 1:
+            return None
+        bg = (
+            global_pal[min(bg_idx, len(global_pal) - 1)]
+            if global_pal is not None and len(global_pal)
+            else np.zeros(3, dtype=np.uint8)
+        )
+        canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+        frames: list[np.ndarray] = []
+        disposal, transp = 0, None
+        while pos < len(b) and len(frames) < max_frames:
+            block = b[pos]
+            if block == 0x21:  # extension
+                label = b[pos + 1] if pos + 1 < len(b) else 0
+                pos += 2
+                if label == 0xF9 and pos + 4 < len(b) and b[pos] >= 4:
+                    packed = b[pos + 1]
+                    disposal = (packed >> 2) & 7
+                    transp = b[pos + 4] if packed & 1 else None
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                left, top, iw, ih = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+                iflags = b[pos + 9]
+                pos += 10
+                pal = global_pal
+                if iflags & 0x80:
+                    lsize = 2 << (iflags & 7)
+                    pal = np.frombuffer(
+                        b[pos : pos + lsize * 3], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    pos += lsize * 3
+                if pal is None or iw < 1 or ih < 1:
+                    return frames or None
+                min_code = b[pos]
+                pos += 1
+                if not 2 <= min_code <= 11:
+                    return frames or None
+                lzw = bytearray()
+                while pos < len(b) and b[pos] != 0:
+                    sz = b[pos]
+                    lzw += b[pos + 1 : pos + 1 + sz]
+                    pos += 1 + sz
+                pos += 1  # the 0 sub-block terminator
+                idx = _gif_lzw_decode(min_code, bytes(lzw), iw * ih)
+                if idx is None or len(idx) < iw * ih:
+                    return frames or None
+                raw = np.frombuffer(
+                    bytes(idx[: iw * ih]), dtype=np.uint8
+                ).reshape(ih, iw)
+                if iflags & 0x40:  # interlaced
+                    de = np.empty_like(raw)
+                    src = 0
+                    for start, step in _GIF_INTERLACE_PASSES:
+                        for row in range(start, ih, step):
+                            de[row] = raw[src]
+                            src += 1
+                    raw = de
+                patch = pal[np.minimum(raw, len(pal) - 1)]
+                prev = canvas.copy()
+                y0, x0 = min(top, sh), min(left, sw)
+                y1, x1 = min(top + ih, sh), min(left + iw, sw)
+                sub = patch[: y1 - y0, : x1 - x0]
+                if transp is not None:
+                    m = raw[: y1 - y0, : x1 - x0] != transp
+                    region = canvas[y0:y1, x0:x1]
+                    region[m] = sub[m]
+                else:
+                    canvas[y0:y1, x0:x1] = sub
+                frames.append(canvas.copy())
+                if disposal == 2:
+                    canvas[y0:y1, x0:x1] = bg
+                elif disposal == 3:
+                    canvas = prev
+                disposal, transp = 0, None
+            elif block == 0x3B:  # trailer
+                break
+            else:
+                break
+        return frames or None
+    except Exception:
+        return None

@@ -1057,6 +1057,90 @@ def frame_sample(
     )
 
 
+def frame_decode(
+    media: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 256,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL frame-content sampling (round 10 — closes the 'no frame-
+    content decode' tier gap for the one animated container this
+    engine fully decodes): animated/single-frame GIF blobs walk EVERY
+    image descriptor through the full LZW + disposal + transparency
+    composition (:func:`..imagecodec.decode_gif_frames`), sample up to
+    ``n_frames`` evenly across the animation, and re-encode each
+    composed canvas as a minimal PNG (:func:`_encode_png` — downstream
+    decode sees the composed pixels bit-for-bit, the resize_media
+    convention). Non-GIF / undecodable blobs fall back to
+    :func:`frame_sample`'s byte-slice windows (the documented stub
+    tier for codecs this container lacks), same slicing rule, so the
+    two tiers are directly comparable. ``decoder`` records which path
+    ran ('gif' | 'bytes'). One Arrow pass; blobs stay on executors;
+    per-row output is O(w·h) for the GIF tier, O(frame_bytes)
+    otherwise."""
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    stride = max(n_frames - 1, 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import decode_gif_frames
+
+        for pdf in batches:
+            out = {
+                id_col: [], "frame_id": [], "frame": [],
+                "width": [], "height": [], "decoder": [],
+            }
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob) if blob is not None else b""
+                frames = decode_gif_frames(b)
+                if frames:
+                    nf = len(frames)
+                    if nf <= n_frames or n_frames == 1:
+                        picks = list(range(nf if n_frames > 1 else 1))
+                    else:  # even spread, first and last always included
+                        picks = [
+                            (i * (nf - 1)) // (n_frames - 1)
+                            for i in range(n_frames)
+                        ]
+                    for fid, fi in enumerate(picks):
+                        fr = frames[fi]
+                        out[id_col].append(mid)
+                        out["frame_id"].append(fid)
+                        out["frame"].append(_encode_png(fr))
+                        out["height"].append(fr.shape[0])
+                        out["width"].append(fr.shape[1])
+                        out["decoder"].append("gif")
+                else:
+                    for fid in range(n_frames):
+                        start = fid * max(len(b) - frame_bytes, 0) // stride
+                        out[id_col].append(mid)
+                        out["frame_id"].append(fid)
+                        out["frame"].append(b[start : start + frame_bytes])
+                        out["height"].append(None)
+                        out["width"].append(None)
+                        out["decoder"].append("bytes")
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col],
+                    "frame_id": pd.Series(out["frame_id"], dtype="int32"),
+                    "frame": pd.Series(out["frame"], dtype=object),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "decoder": pd.Series(out["decoder"], dtype=object),
+                }
+            )
+
+    base = ensure_min_parallelism(media.select(id_col, content_col))
+    return base.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_ddl_type(media, id_col)}, frame_id int, "
+            "frame binary, width int, height int, decoder string"
+        ),
+    )
+
+
 def resize_media(
     media: DataFrame,
     out_w: int,

@@ -737,3 +737,143 @@ def test_jpeg_progressive_smooth_image_eob_paths():
     )
     assert base is not None and prog is not None
     assert np.array_equal(base, prog)
+
+
+def _encode_animated_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    disposals: list[int] | None = None,
+    transparents: list[int | None] | None = None,
+    screen: tuple[int, int] | None = None,
+    offsets: list[tuple[int, int]] | None = None,
+    bg: int = 0,
+) -> bytes:
+    """Multi-frame GIF89a: the _encode_gif literal-LZW scheme per
+    image descriptor, with a graphic control extension (disposal,
+    optional transparent index) ahead of each."""
+    h, w = frames[0].shape
+    sw, sh = screen or (w, h)
+    ncol = len(palette)
+    bits = max(2, int(np.ceil(np.log2(max(ncol, 2)))))
+    psize = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (bits - 1), bg, 0])
+    pal = np.zeros((psize, 3), dtype=np.uint8)
+    pal[:ncol] = palette
+    out += pal.tobytes()
+    for fi, indices in enumerate(frames):
+        fh, fw = indices.shape
+        disp = (disposals or [0] * len(frames))[fi]
+        tr = (transparents or [None] * len(frames))[fi]
+        packed = (disp & 7) << 2 | (1 if tr is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed, 0, 0, tr or 0, 0])
+        ox, oy = (offsets or [(0, 0)] * len(frames))[fi]
+        out += b"\x2c" + struct.pack("<HHHH", ox, oy, fw, fh) + b"\x00"
+        min_code = bits
+        clear = 1 << min_code
+        out += bytes([min_code])
+        acc = nbits = 0
+        data = bytearray()
+        width = min_code + 1
+        next_code = clear + 2
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        for v in indices.reshape(-1):
+            emit(int(v))
+            next_code += 1
+            if next_code == (1 << width):
+                emit(clear)
+                width = min_code + 1
+                next_code = clear + 2
+        emit(clear + 1)
+        if nbits:
+            data.append(acc & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_frames_multi_and_disposal():
+    """decode_gif_frames: all frames composed; disposal 2 restores the
+    patch region to background before the next frame; transparency
+    leaves the underlying canvas."""
+    from bigdata_quality_assessment_spark.operators.imagecodec import (
+        decode_gif_frames,
+    )
+
+    palette = np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], dtype=np.uint8
+    )
+    f0 = np.full((4, 4), 1, dtype=np.uint8)  # red full-screen
+    f1 = np.full((2, 2), 2, dtype=np.uint8)  # green patch at (1,1)
+    f2 = np.full((4, 4), 3, dtype=np.uint8)  # blue full-screen
+    blob = _encode_animated_gif(
+        [f0, f1, f2], palette,
+        disposals=[1, 2, 0],            # f1's region restores to bg after
+        offsets=[(0, 0), (1, 1), (0, 0)],
+        screen=(4, 4),
+    )
+    frames = decode_gif_frames(blob)
+    assert frames is not None and len(frames) == 3
+    assert np.array_equal(frames[0][0, 0], [200, 0, 0])
+    # frame 1: red canvas with green patch composed at (1,1)
+    assert np.array_equal(frames[1][1, 1], [0, 200, 0])
+    assert np.array_equal(frames[1][0, 0], [200, 0, 0])
+    assert np.array_equal(frames[2][2, 2], [0, 0, 200])
+    # single-frame GIF still works and equals decode_gif
+    from bigdata_quality_assessment_spark.operators.imagecodec import decode_gif
+
+    single = _encode_gif(f0, palette)
+    fr = decode_gif_frames(single)
+    assert fr is not None and len(fr) == 1
+    assert np.array_equal(fr[0], decode_gif(single))
+
+
+def test_gif_frames_transparency_keeps_canvas():
+    from bigdata_quality_assessment_spark.operators.imagecodec import (
+        decode_gif_frames,
+    )
+
+    palette = np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0]], dtype=np.uint8
+    )
+    f0 = np.full((3, 3), 1, dtype=np.uint8)
+    f1 = np.array([[2, 0, 2], [0, 2, 0], [2, 0, 2]], dtype=np.uint8)
+    blob = _encode_animated_gif(
+        [f0, f1], palette, transparents=[None, 0]
+    )
+    frames = decode_gif_frames(blob)
+    assert frames is not None and len(frames) == 2
+    # index-0 pixels are transparent in f1 -> red shows through
+    assert np.array_equal(frames[1][0, 1], [200, 0, 0])
+    assert np.array_equal(frames[1][0, 0], [0, 200, 0])
+
+
+def test_gif_frames_rejects_and_truncates():
+    from bigdata_quality_assessment_spark.operators.imagecodec import (
+        decode_gif_frames,
+    )
+
+    assert decode_gif_frames(b"NOTGIF") is None
+    assert decode_gif_frames(b"") is None
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    f0 = np.full((3, 3), 1, dtype=np.uint8)
+    blob = _encode_animated_gif([f0, f0], palette)
+    # truncate inside the second descriptor: first frame still decodes
+    frames = decode_gif_frames(blob[: len(blob) - 8])
+    assert frames is not None and len(frames) >= 1
+    # max_frames cap
+    assert len(decode_gif_frames(blob, max_frames=1)) == 1

@@ -963,3 +963,70 @@ def test_arrow_operators_preserve_string_ids(spark):
     rs = {r["media_id"]: r for r in resize_media(df, 2, 2).collect()}
     assert set(rs) == {"m-a", "m-b"}
     assert rs["m-a"]["resizer"] == "nearest"
+
+
+def test_frame_decode_gif_tier_and_byte_fallback(spark):
+    """frame_decode: an animated GIF yields REAL composed frames (PNG
+    round-trip pins pixels), even sampling caps at n_frames with first
+    and last included; non-GIF blobs ride the byte-slice tier with
+    frame_sample-identical windows."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.imagecodec import (
+        decode_gif_frames,
+    )
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _png_pixels,
+        frame_decode,
+        frame_sample,
+    )
+    from tests.test_imagecodec import _encode_animated_gif
+
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    gif6 = _encode_animated_gif(
+        [np.full((3, 4), 1 + (i % 3), dtype=np.uint8) for i in range(6)],
+        palette,
+    )
+    raw = b"not an image, just bytes " * 40
+    df = spark.createDataFrame(
+        [(0, gif6), (1, raw)], "media_id BIGINT, content BINARY"
+    )
+    rows = frame_decode(df, n_frames=4, frame_bytes=64).collect()
+    gif_rows = sorted(
+        (r for r in rows if r["media_id"] == 0), key=lambda r: r["frame_id"]
+    )
+    assert len(gif_rows) == 4 and all(r["decoder"] == "gif" for r in gif_rows)
+    truth = decode_gif_frames(gif6)
+    # even sampling over 6 frames at n=4 -> indices 0,1,3,5
+    for r, fi in zip(gif_rows, [0, 1, 3, 5]):
+        assert (r["width"], r["height"]) == (4, 3)
+        assert np.array_equal(_png_pixels(bytes(r["frame"])), truth[fi])
+    byte_rows = sorted(
+        (r for r in rows if r["media_id"] == 1), key=lambda r: r["frame_id"]
+    )
+    assert len(byte_rows) == 4 and all(r["decoder"] == "bytes" for r in byte_rows)
+    legacy = {
+        r["frame_id"]: bytes(r["frame"])
+        for r in frame_sample(
+            df.filter("media_id = 1"), n_frames=4, frame_bytes=64
+        ).collect()
+    }
+    for r in byte_rows:
+        assert bytes(r["frame"]) == legacy[r["frame_id"]]
+
+
+def test_frame_decode_short_gif_takes_all_frames(spark):
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import frame_decode
+    from tests.test_imagecodec import _encode_animated_gif
+
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    gif2 = _encode_animated_gif(
+        [np.full((2, 2), i % 2, dtype=np.uint8) for i in range(2)], palette
+    )
+    df = spark.createDataFrame([(7, gif2)], "media_id BIGINT, content BINARY")
+    rows = frame_decode(df, n_frames=4).collect()
+    assert len(rows) == 2  # fewer real frames than requested -> all of them
