@@ -4046,6 +4046,70 @@ def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(chunks, "media_id")
 
 
+def _animated_gif_blob() -> bytes:
+    """Deterministic 3-frame 4×3 GIF89a for the part='frames' tier of
+    x_decode_media: literal-LZW codes (CLEAR re-emitted before the
+    decoder's dictionary outgrows the code width — valid output every
+    decoder must accept), grayscale palette so the decoded feature
+    mean is channel-weighting-agnostic and hand-derivable:
+
+      frame 0: full-screen gray 60          → mean 60/255  = 0.235294
+      frame 1: 2×2 gray-180 patch at (1,1)  → (8·60+4·180)/12 = 100
+               composed over frame 0          → 100/255    = 0.392157
+      frame 2: full-screen white            → mean 255/255 = 1.0
+    """
+    import struct as _struct
+
+    palette = [(60, 60, 60), (180, 180, 180), (255, 255, 255), (0, 0, 0)]
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", 4, 3)
+    out += bytes([0x80 | 1, 0, 0])  # 4-entry global palette, bg=0
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+
+    def add_frame(indices, w, h, left, top):
+        out.extend(bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0]))  # GCE, leave
+        out.extend(b"\x2c" + _struct.pack("<HHHH", left, top, w, h) + b"\x00")
+        min_code = 2
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        out.append(min_code)
+        acc = nbits = 0
+        data = bytearray()
+        width = min_code + 1
+        next_code = clear + 2
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        for v in indices:
+            emit(v)
+            next_code += 1
+            if next_code == (1 << width):
+                emit(clear)
+                width = min_code + 1
+                next_code = clear + 2
+        emit(eoi)
+        if nbits:
+            data.append(acc & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.extend(bytes([len(chunk)]) + chunk)
+        out.append(0)
+
+    add_frame([0] * 12, 4, 3, 0, 0)
+    add_frame([1] * 4, 2, 2, 1, 1)
+    add_frame([2] * 12, 4, 3, 0, 0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _decode_fixture_blobs() -> list[tuple[int, bytes]]:
     """Deterministic synthesized media blobs covering every decoder
     tier of :func:`...operators.multimodal.decode_media`: real PNG
@@ -4165,7 +4229,15 @@ def _decode_fixture_blobs() -> list[tuple[int, bytes]]:
       -- keep f0 = 100/255 = 0.392157 under ANY correct resampling --
       -- a self-checking invariant, not just a pinned number.
       (100, 'png', 3, 2, 3, NULL, NULL, 0.360784),
-      (101, 'png', 3, 2, 1, NULL, NULL, 0.392157)
+      (101, 'png', 3, 2, 1, NULL, NULL, 0.392157),
+      -- round-10 frames tier: the 3-frame animated GIF fixture walks
+      -- frame_decode (full LZW + composition) and each composed
+      -- canvas RE-DECODES via the graded PNG path (id 200+frame_id).
+      -- Grayscale by construction, so f0 is hand-derivable:
+      -- 60/255, (8*60+4*180)/12/255, 255/255.
+      (200, 'png', 4, 3, 3, NULL, NULL, 0.235294),
+      (201, 'png', 4, 3, 3, NULL, NULL, 0.392157),
+      (202, 'png', 4, 3, 3, NULL, NULL, 1.0)
     ) g(media_id, decoder, width, height, channels, sample_rate, dur, f0)""",
 )
 def q_xdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4178,6 +4250,7 @@ def q_xdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
     PNG luminance mean from the byte pattern)."""
     from bigdata_quality_assessment_spark.operators.multimodal import (
         decode_media,
+        frame_decode,
         resize_media,
     )
 
@@ -4206,7 +4279,25 @@ def q_xdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("media_id") + 100).alias("media_id"), "content"
         )
     )
-    return proj(decode_media(media)).unionByName(proj(rs_dec))
+    # round-10 frames tier: the animated-GIF fixture walks the REAL
+    # frame composition (frame_decode: LZW + disposal/transparency)
+    # and every composed canvas re-decodes through the graded PNG
+    # path — grading the whole decode→compose→PNG-re-encode loop
+    # against hand-derived grayscale means (media_id 200+frame_id)
+    gif = spark.createDataFrame(
+        [(0, _animated_gif_blob())], "media_id long, content binary"
+    )
+    fr_dec = decode_media(
+        frame_decode(gif, n_frames=3).select(
+            (F.col("frame_id") + 200).cast("long").alias("media_id"),
+            F.col("frame").alias("content"),
+        )
+    )
+    return (
+        proj(decode_media(media))
+        .unionByName(proj(rs_dec))
+        .unionByName(proj(fr_dec))
+    )
 
 
 _RULES = {
