@@ -125,3 +125,24 @@ def test_vocabulary_and_language_signal(spark, corpus):
         .first()[0]
     )
     assert hit > 0.9  # stopword interspersal carries a real signal
+
+
+def test_textgen_edge_cases(spark):
+    """Tiny corpora are all-original (ids < 16 never draw dup roles);
+    rate validation fails fast; zero rates yield only originals."""
+    tiny = realistic_documents(spark, 10, seed=3).collect()
+    assert len(tiny) == 10
+    assert all(r["role"] == "orig" and r["src_id"] is None for r in tiny)
+    zero = realistic_documents(
+        spark, 200, dup_rate=0.0, near_rate=0.0, contam_rate=0.0, seed=3
+    )
+    assert zero.filter(F.col("role") != "orig").count() == 0
+    with pytest.raises(ValueError):
+        realistic_documents(spark, 10, dup_rate=0.6, near_rate=0.5)
+
+
+def test_eval_spans_deterministic(spark):
+    a = {r["eval_id"]: r["text"] for r in eval_spans(spark, seed=7).collect()}
+    b = {r["eval_id"]: r["text"] for r in eval_spans(spark, seed=7).collect()}
+    assert a == b and len(a) == 64
+    assert all(len(t.split(" ")) == 24 for t in a.values())

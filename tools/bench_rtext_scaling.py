@@ -67,6 +67,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     jvm = spark.sparkContext._jvm
 
+    def calibrate() -> float:
+        """bench.py's fixed pure-CPU steal probe (median-of-3) — the
+        500k samples spread up to 2× run-to-run on this host, so every
+        scale row carries its own steal context."""
+        import statistics as _st
+
+        xs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 768_000_000, 1, 32).selectExpr(
+                "sum(sin(id * 1.0e-6) + cos(id * 1.0e-6)) as s"
+            ).collect()
+            xs.append(time.perf_counter() - t0)
+        return round(_st.median(xs), 3)
+
+    calibrate()  # discard codegen warmup
+
     ev = eval_spans(spark, seed=7).cache()
     ev.count()
     results = {}
@@ -113,6 +130,7 @@ def main() -> None:
         )
         stats = {
             "n_docs": n,
+            "cal_start": calibrate(),
             "distinct_5grams": int(gs["distinct_5grams"]),
             "shared_5gram_frac": round(float(gs["shared_5gram_frac"]), 5),
         }
@@ -173,6 +191,7 @@ def main() -> None:
         stats["decon_flagged"] = int(
             decontaminate(docs, ev, k=5).filter("contaminated").count()
         )
+        stats["cal_end"] = calibrate()
         results[n] = stats
         print(json.dumps(stats))
 
