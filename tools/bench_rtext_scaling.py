@@ -135,20 +135,34 @@ def main() -> None:
             "shared_5gram_frac": round(float(gs["shared_5gram_frac"]), 5),
         }
 
-        # planted-structure quality (cheap; run once, not timed)
-        truth = {r["doc_id"]: r["role"] for r in
-                 docs.select("doc_id", "role").collect()}
-        kept = {r["doc_id"] for r in
-                near_dedup_minhash(docs, k=3, n_hashes=64, bands=16,
-                                   min_jaccard=0.6).collect()}
-        planted = [d for d, r in truth.items() if r in ("dup", "near")]
-        origs = [d for d, r in truth.items() if r == "orig"]
-        stats["planted_recall"] = round(
-            sum(1 for d in planted if d not in kept) / len(planted), 4
+        # planted-structure quality (run once, not timed) — computed
+        # DISTRIBUTED: a driver-side id census collects n_docs rows
+        # and broke spark.driver.maxResultSize at 5M docs, the exact
+        # collect-loop anti-pattern the engine bans
+        kept_ids = near_dedup_minhash(
+            docs, k=3, n_hashes=64, bands=16, min_jaccard=0.6
+        ).select("doc_id", F.lit(1).alias("__kept"))
+        qual = (
+            docs.select("doc_id", "role")
+            .join(kept_ids, "doc_id", "left")
+            .agg(
+                F.avg(
+                    F.when(
+                        F.col("role").isin("dup", "near"),
+                        F.col("__kept").isNull().cast("double"),
+                    )
+                ).alias("recall"),
+                F.avg(
+                    F.when(
+                        F.col("role") == "orig",
+                        F.col("__kept").isNotNull().cast("double"),
+                    )
+                ).alias("survival"),
+            )
+            .first()
         )
-        stats["orig_survival"] = round(
-            sum(1 for d in origs if d in kept) / len(origs), 4
-        )
+        stats["planted_recall"] = round(float(qual["recall"]), 4)
+        stats["orig_survival"] = round(float(qual["survival"]), 4)
 
         def timed(name, fn):
             samples = []
