@@ -868,9 +868,10 @@ def decode_gif_frames(b: bytes, max_frames: int = 64) -> list[np.ndarray] | None
     leave the canvas unchanged). Returns a list of (sh, sw, 3) uint8
     RGB canvases, one per frame, capped at ``max_frames``; ``None``
     outside scope / on corruption before the first frame (a truncated
-    tail returns the frames decoded so far). Kept separate from
-    :func:`decode_gif` (the golden-graded first-frame path) by
-    design."""
+    tail — at ANY truncation point, including mid-palette, mid-
+    descriptor, or mid-GCE — returns the frames decoded so far). Kept
+    separate from :func:`decode_gif` (the golden-graded first-frame
+    path) by design."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     try:
@@ -893,8 +894,11 @@ def decode_gif_frames(b: bytes, max_frames: int = 64) -> list[np.ndarray] | None
             else np.zeros(3, dtype=np.uint8)
         )
         canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
-        frames: list[np.ndarray] = []
-        disposal, transp = 0, None
+    except Exception:
+        return None
+    frames: list[np.ndarray] = []
+    disposal, transp = 0, None
+    try:
         while pos < len(b) and len(frames) < max_frames:
             block = b[pos]
             if block == 0x21:  # extension
@@ -967,4 +971,7 @@ def decode_gif_frames(b: bytes, max_frames: int = 64) -> list[np.ndarray] | None
                 break
         return frames or None
     except Exception:
-        return None
+        # mid-stream corruption/truncation: keep whatever composed
+        # cleanly before it (the docstring's truncated-tail contract);
+        # None only when not even the first frame survived
+        return frames or None

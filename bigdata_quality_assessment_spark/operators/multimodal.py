@@ -1063,6 +1063,7 @@ def frame_decode(
     frame_bytes: int = 256,
     content_col: str = "content",
     id_col: str = "media_id",
+    max_frames: int = 256,
 ) -> DataFrame:
     """REAL frame-content sampling (round 10 — closes the 'no frame-
     content decode' tier gap for the one animated container this
@@ -1078,9 +1079,19 @@ def frame_decode(
     two tiers are directly comparable. ``decoder`` records which path
     ran ('gif' | 'bytes'). One Arrow pass; blobs stay on executors;
     per-row output is O(w·h) for the GIF tier, O(frame_bytes)
-    otherwise."""
+    otherwise.
+
+    ``max_frames`` bounds how deep into an animation the decoder
+    walks (memory/CPU guard — each decoded frame is a full composed
+    canvas). Animations longer than ``max_frames`` are sampled over
+    their first ``max_frames`` frames only, so 'last frame' means
+    frame ``max_frames - 1``; raise the cap (must be ≥ ``n_frames``)
+    when true full-animation spread matters more than the decode
+    bound."""
     if n_frames < 1:
         raise ValueError("n_frames must be >= 1")
+    if max_frames < n_frames:
+        raise ValueError("max_frames must be >= n_frames")
     stride = max(n_frames - 1, 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1093,7 +1104,7 @@ def frame_decode(
             }
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(blob) if blob is not None else b""
-                frames = decode_gif_frames(b)
+                frames = decode_gif_frames(b, max_frames=max_frames)
                 if frames:
                     nf = len(frames)
                     if nf <= n_frames or n_frames == 1:

@@ -2915,9 +2915,13 @@ def ivfpq_index_stats(
       normalized by mean ``‖v‖²``. A FROZEN model encodes drifted
       arrivals with growing residual (the quantizer no longer covers
       the data), which directly degrades ADC ranking quality.
-    * ``occupancy_skew`` — max/mean cell population. Drift funnels new
-      arrivals into few cells, eroding the n_probe/n_centroids scan
-      pruning that makes IVF cheap.
+    * ``occupancy_skew`` — max cell population over the ALL-cells mean
+      ``n_vectors / len(centroids)`` (empty cells count toward the
+      denominator: in the degenerate drift case where everything
+      funnels into one cell, an occupied-only mean would read ~1.0 —
+      "balanced" — exactly when pruning is most eroded). Drift funnels
+      new arrivals into few cells, eroding the n_probe/n_centroids
+      scan pruning that makes IVF cheap.
     * ``n_vectors`` — indexed (non-NULL-cell) count.
 
     One groupBy over the 4+m-byte index + one Arrow residual pass over
@@ -2933,7 +2937,6 @@ def ivfpq_index_stats(
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
             F.max("n").alias("mx"),
-            F.avg("n").alias("mn"),
             F.sum("n").alias("tot"),
         )
         .first()
@@ -2983,7 +2986,9 @@ def ivfpq_index_stats(
     rel = float(agg["r2"] / agg["n2"]) if agg["n2"] else 0.0
     return {
         "n_vectors": int(occ["tot"] or 0),
-        "occupancy_skew": float(occ["mx"] / occ["mn"]) if occ["mn"] else 0.0,
+        "occupancy_skew": (
+            float(occ["mx"] * len(centroids) / occ["tot"]) if occ["tot"] else 0.0
+        ),
         "rel_residual": rel,
     }
 

@@ -877,3 +877,41 @@ def test_gif_frames_rejects_and_truncates():
     assert frames is not None and len(frames) >= 1
     # max_frames cap
     assert len(decode_gif_frames(blob, max_frames=1)) == 1
+
+
+def test_gif_frames_truncation_sweep_monotone():
+    """Round-11 ADVICE fix: EVERY truncation point honors the
+    truncated-tail contract — once the first frame has composed,
+    decode_gif_frames never discards it, no matter whether the cut
+    lands mid-palette, mid-descriptor, mid-GCE, or mid-LZW (the old
+    blanket except returned None for struct/reshape raises, so some
+    cut points kept frames and others dropped them)."""
+    from bigdata_quality_assessment_spark.operators.imagecodec import (
+        decode_gif_frames,
+    )
+
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    f0 = np.full((3, 3), 1, dtype=np.uint8)
+    f1 = np.full((2, 2), 2, dtype=np.uint8)
+    f2 = np.full((3, 3), 3, dtype=np.uint8)
+    # second frame carries a LOCAL palette + GCE so cuts land inside
+    # palette reads and extension structs, not just LZW sub-blocks
+    blob = _encode_animated_gif(
+        [f0, f1, f2], palette,
+        disposals=[1, 2, 0], transparents=[None, 0, None],
+        offsets=[(0, 0), (1, 1), (0, 0)], screen=(3, 3),
+    )
+    first_ok = None
+    for cut in range(len(blob) + 1):
+        res = decode_gif_frames(blob[:cut])
+        assert res is None or (isinstance(res, list) and len(res) >= 1)
+        if res is not None and first_ok is None:
+            first_ok = cut
+        if first_ok is not None:
+            # monotone: once the first frame survives a prefix, every
+            # longer prefix keeps at least that frame
+            assert res is not None, f"cut={cut} dropped decoded frames"
+    assert first_ok is not None and first_ok < len(blob)
+    assert len(decode_gif_frames(blob)) == 3

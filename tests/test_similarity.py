@@ -1082,6 +1082,51 @@ def test_ivfpq_rebuild_trigger_under_drift(spark):
     assert any(r["vec_id"] == 250 and r["rank"] == 1 for r in hits)
 
 
+def test_ivfpq_occupancy_skew_counts_empty_cells(spark):
+    """Round-11 ADVICE fix: occupancy_skew normalizes by the ALL-cells
+    mean (n_vectors / len(centroids)), not the occupied-cells mean. In
+    the degenerate drift case — every arrival funneled into one cell,
+    the rest empty — the occupied-only mean reads ~1.0 ("balanced")
+    exactly when IVF pruning is most eroded; the all-cells mean reads
+    len(centroids), so the skew trigger fires."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_stats,
+        ivfpq_needs_rebuild,
+        train_ivfpq,
+    )
+
+    rng = np.random.RandomState(11)
+    base_v = rng.normal(size=(160, DIM))
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base_v)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cents, books = train_ivfpq(
+        base, DIM, n_centroids=8, m=4, pq_ncent=8, n_train=160, seed=7
+    )
+    idx0, _, _ = build_ivfpq_index(base, DIM, centroids=cents, codebooks=books)
+    s0 = ivfpq_index_stats(idx0, base, cents, books)
+
+    # a tight far-off cluster: the frozen quantizer funnels ALL of it
+    # into its single nearest cell
+    drift_v = rng.normal(size=(160, DIM)) * 0.01 + 50.0
+    delta = spark.createDataFrame(
+        [(160 + i, [float(x) for x in v]) for i, v in enumerate(drift_v)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    idx1, _, _ = build_ivfpq_index(delta, DIM, centroids=cents, codebooks=books)
+    s1 = ivfpq_index_stats(idx1, delta, cents, books)
+    n_cells = int(idx1.filter(F.col("__cell").isNotNull())
+                  .select("__cell").distinct().count())
+    assert n_cells == 1
+    # old occupied-only semantics would read 1.0 here; all-cells reads 8.0
+    assert s1["occupancy_skew"] == pytest.approx(8.0)
+    assert ivfpq_needs_rebuild(s0, s1)
+
+
 def test_ivfpq_index_stats_sampling_and_nulls(spark):
     """sample_mod hash-samples the residual census; NULL-cell rows
     (invalid vectors) are excluded from both statistics."""

@@ -124,12 +124,18 @@ def main() -> int:
             # as a tagged union on a `part` column — localize the FAIL
             # to the offending part(s) instead of a union-wide verdict
             if "part" in sdf.columns and "part" in odf.columns:
+                # null-safe sort: a NaN part on either side would make
+                # sorted() raise TypeError on mixed float/str — crashing
+                # the diagnosis path itself
                 parts = sorted(
-                    set(sdf["part"].unique()) | set(odf["part"].unique())
+                    set(sdf["part"].unique()) | set(odf["part"].unique()),
+                    key=lambda p: (p != p, str(p)),
                 )
                 for p in parts:
-                    sp = sdf[sdf["part"] == p].reset_index(drop=True)
-                    op = odf[odf["part"] == p].reset_index(drop=True)
+                    smask = sdf["part"].isna() if p != p else sdf["part"] == p
+                    omask = odf["part"].isna() if p != p else odf["part"] == p
+                    sp = sdf[smask].reset_index(drop=True)
+                    op = odf[omask].reset_index(drop=True)
                     pok, pmsg = _compare(sp, op)
                     tag = "ok  " if pok else "BAD "
                     print(
