@@ -146,3 +146,41 @@ def test_eval_spans_deterministic(spark):
     b = {r["eval_id"]: r["text"] for r in eval_spans(spark, seed=7).collect()}
     assert a == b and len(a) == 64
     assert all(len(t.split(" ")) == 24 for t in a.values())
+
+
+def test_recall_fixture_matches_generator(spark):
+    """The committed planted-recall fixture (fixtures/textgen_recall.
+    parquet — the corpus part='recall' of x_minhash_near_dedup grades
+    on) must stay byte-equal to what tools/gen_recall_fixture.py
+    regenerates from the code: any textgen change that silently
+    shifts the corpus fails HERE, not as an opaque oracle mismatch."""
+    from tools.gen_recall_fixture import N_DOCS, SEED
+
+    from bigdata_quality_assessment_spark.queries import _RECALL_FIXTURE
+
+    fixture = {
+        r["doc_id"]: (r["text"], r["role"], r["src_id"])
+        for r in spark.read.parquet(_RECALL_FIXTURE).collect()
+    }
+    regen = {
+        r["doc_id"]: (r["text"], r["role"], r["src_id"])
+        for r in realistic_documents(spark, N_DOCS, seed=SEED).collect()
+    }
+    assert fixture == regen
+
+
+def test_recall_part_semantics(spark):
+    """The graded recall metrics hold their semantic floor on the
+    committed fixture: every original survives (zero false drops),
+    every exact-dup pair collapses, and near-pair recall stays high
+    (the 3% substitutions sit near the 0.8 Jaccard threshold, so 100%
+    is not expected — but a banding/verify regression would crater
+    this)."""
+    from bigdata_quality_assessment_spark.queries import (
+        _minhash_recall_metrics,
+    )
+
+    m = {r["metric"]: r["n"] for r in _minhash_recall_metrics(spark).collect()}
+    assert m["orig_survived"] == m["orig_total"]
+    assert m["dup_pairs_collapsed"] == m["dup_total"]
+    assert m["near_pairs_collapsed"] >= 0.8 * m["near_total"]
