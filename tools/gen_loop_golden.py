@@ -38,7 +38,7 @@ def main() -> None:
     from bigdata_quality_assessment_spark import queries as Q
     from bigdata_quality_assessment_spark.session import build_session
 
-    active_ref: list[tuple[int, str, float]] | None = None
+    active_ref: dict[str, list[tuple[int, str, float]]] = {}
     sde_by_count: dict[int, list[tuple[int, str, float]]] = {}
 
     for sf_dir in SF_DIRS:
@@ -60,21 +60,23 @@ def main() -> None:
         assert runs[0] == runs[1], (
             f"{sf_dir}: loop metrics are parallelism-dependent — do NOT commit"
         )
-        active = [(i, k, v) for p, i, k, v in runs[0] if p == "active"]
+        for tag in ("active", "active2"):
+            active = [(i, k, v) for p, i, k, v in runs[0] if p == tag]
+            if tag not in active_ref:
+                active_ref[tag] = active
+            else:
+                assert active == active_ref[tag], (
+                    f"{sf_dir}: {tag} branch is NOT sf-independent — do NOT commit"
+                )
         sde = [(i, k, v) for p, i, k, v in runs[0] if p == "sde"]
-        if active_ref is None:
-            active_ref = active
-        else:
-            assert active == active_ref, (
-                f"{sf_dir}: active branch is NOT sf-independent — do NOT commit"
-            )
         sde_by_count[int(n_events)] = sde
         print(f"# {sf_dir}: events={n_events}, ok", file=sys.stderr)
 
-    print("_M4_GOLDEN_ACTIVE: list[tuple[int, str, float]] = [")
-    for i, k, v in active_ref or []:
-        print(f"    ({i}, {k!r}, {v!r}),")
-    print("]")
+    for tag, suffix in (("active", ""), ("active2", "2")):
+        print(f"_M4_GOLDEN_ACTIVE{suffix}: list[tuple[int, str, float]] = [")
+        for i, k, v in active_ref.get(tag, []):
+            print(f"    ({i}, {k!r}, {v!r}),")
+        print("]")
     print("_M4_GOLDEN_SDE: dict[int, list[tuple[int, str, float]]] = {")
     for n in sorted(sde_by_count):
         print(f"    {n}: [")
