@@ -107,9 +107,27 @@ def streaming_ingest_curated(
     checkpoint: str | None = None,
     span_dedup: bool = False,
     span_tokens: int = 5,
+    event_time_col: str | None = None,
+    late_delay_s: float = 600.0,
 ):
     """Start the incremental-curation sink over ``docs_stream``.
     Returns the StreamingQuery (drain with availableNow).
+
+    Event-time tier (round 11 — contract parity with
+    :func:`.embedding_ingest.streaming_embedding_ingest`): pass
+    ``event_time_col`` (timestamp or numeric epoch) to enforce a
+    LATENESS BOUND. The store tracks the maximum event time ever
+    observed (``watermark.json`` under ``root`` — monotone, atomic
+    rename, idempotent under batch replay); an arrival whose event
+    time is older than ``max_observed − late_delay_s`` at the START of
+    its batch is dropped before every other gate — Spark's
+    ``withWatermark`` placement rule, where a trigger's watermark
+    comes from PRIOR triggers, so an in-batch mix of old and new rows
+    is judged against the previous batch's horizon. NULL event times
+    drop (they cannot be placed in event time). All observed rows —
+    including late-dropped ones — advance the watermark. Batch parity:
+    the accepted corpus equals pre-filtering the late rows and running
+    the same fold without event time (pytest-pinned).
 
     Replay idempotence: foreachBatch REDELIVERS the in-flight batch
     after a restart; a per-batch commit marker makes the re-run a
@@ -155,6 +173,20 @@ def streaming_ingest_curated(
         if not batch.take(1):
             return
         spark = batch.sparkSession
+        new_max = None
+        if event_time_col is not None:
+            from bigdata_quality_assessment_spark.streaming.embedding_ingest import (
+                _read_watermark,
+            )
+
+            ts_d = F.col(event_time_col).cast("double")
+            # watermark from PRIOR batches (Spark's trigger rule);
+            # every observed row advances it, late ones included
+            new_max = batch.agg(F.max(ts_d)).first()[0]
+            horizon = _read_watermark(root)
+            if horizon is not None:
+                batch = batch.filter(ts_d >= horizon - late_delay_s)
+            batch = batch.filter(ts_d.isNotNull())
         # null/empty text cannot be deduplicated (md5(NULL) is NULL and
         # a NULL key never matches the digest anti-join, so such rows
         # would re-append every batch) — route them out up front
@@ -296,6 +328,12 @@ def streaming_ingest_curated(
         ).write.mode("append").parquet(os.path.join(root, "buckets"))
         if new_spans is not None:
             new_spans.write.mode("append").parquet(os.path.join(root, "spans"))
+        if event_time_col is not None:
+            from bigdata_quality_assessment_spark.streaming.embedding_ingest import (
+                _advance_watermark,
+            )
+
+            _advance_watermark(root, new_max)
         if marker:
             os.makedirs(marker_dir, exist_ok=True)
             with open(marker, "w") as fh:

@@ -538,6 +538,87 @@ def test_streaming_ingest_curated(spark, tmp_path):
     assert buckets.select("doc_id").distinct().count() == 4
 
 
+def test_streaming_ingest_event_time_watermark(spark, tmp_path):
+    """Round-11 (verdict ask #7): the TEXT ingest's event-time
+    lateness bound — contract parity with the round-10 embedding tier.
+    Arrivals older than (max observed event time from PRIOR batches −
+    delay) drop before every other gate; fresh rows advance the
+    persisted watermark; NULL event times drop; and the accepted
+    corpus has BATCH PARITY with pre-filtering the late rows under the
+    same horizon rule and running the fold without event time."""
+    import json as _json
+    import time
+
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        init_ingest_store,
+        read_corpus,
+        streaming_ingest_curated,
+    )
+
+    def doc(i):
+        return f"unique passage number {i} " + " ".join(
+            f"tok{i}x{j}" for j in range(12)
+        )
+
+    schema = "doc_id long, text string, ts double"
+    batches = [
+        [(0, doc(0), 1000.0), (1, doc(1), 1100.0)],
+        # horizon = 1100 - 600 = 500: id 2 late (450), id 3 boundary-
+        # accept (500), id 4 fresh (2000), id 5 NULL ts
+        [(2, doc(2), 450.0), (3, doc(3), 500.0),
+         (4, doc(4), 2000.0), (5, doc(5), None)],
+        # horizon = 2000 - 600 = 1400: id 6 late (1300), id 7 ok (1500)
+        [(6, doc(6), 1300.0), (7, doc(7), 1500.0)],
+    ]
+
+    def drain(root, ck, rows_batches, with_ts):
+        stage = tmp_path / f"arr_{ck}"
+        stage.mkdir()
+        for i, rows in enumerate(rows_batches):
+            sch = schema if with_ts else "doc_id long, text string"
+            spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(stage / f"b{i}"))
+            time.sleep(0.05)
+        sch = schema if with_ts else "doc_id long, text string"
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage / "*"))
+        )
+        q = streaming_ingest_curated(
+            stream, root, checkpoint=str(tmp_path / f"ck_{ck}"),
+            event_time_col="ts" if with_ts else None, late_delay_s=600.0,
+        )
+        q.awaitTermination()
+
+    root = str(tmp_path / "store")
+    init_ingest_store(spark, root)
+    drain(root, "a", batches, with_ts=True)
+    ids = sorted(r.doc_id for r in read_corpus(spark, root).collect())
+    assert ids == [0, 1, 3, 4, 7], ids
+    with open(root + "/watermark.json") as fh:
+        assert _json.load(fh)["max_event_ts"] == 2000.0
+
+    # batch parity: apply the horizon rule eagerly, run without ts
+    root2 = str(tmp_path / "store2")
+    init_ingest_store(spark, root2)
+    horizon = None
+    kept_batches = []
+    for rows in batches:
+        kept = [
+            (i, t) for (i, t, ts) in rows
+            if ts is not None and (horizon is None or ts >= horizon - 600.0)
+        ]
+        kept_batches.append(kept)
+        mx = max((ts for (_, _, ts) in rows if ts is not None), default=None)
+        if mx is not None:
+            horizon = mx if horizon is None else max(horizon, mx)
+    drain(root2, "b", kept_batches, with_ts=False)
+    ids2 = sorted(r.doc_id for r in read_corpus(spark, root2).collect())
+    assert ids2 == ids
+
+
 def test_streaming_ingest_replay_idempotent(spark, tmp_path):
     """Re-delivering an already-committed batch id must be a no-op."""
     from bigdata_quality_assessment_spark.streaming.ingest import (
