@@ -2517,7 +2517,16 @@ def q_xjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in xxhash64 AND that pair also passes true Jaccard ≥ 0.8 (~2⁻⁶⁴);
 # likewise 48-bit shingle-hash collisions shift a pair's Jaccard by
 # ~|A|·|B|/2⁴⁸ ≈ 1e-11 per pair.
-_MINHASH_LANES_N = 64
+# Round 11: 64→128 pinned lanes. The graded shape previously ran r=4
+# rows/band (64/16) — far more permissive banding than the production
+# default (128/16, r=8), which made the graded candidate set explode
+# quadratically at sf10 on the driver's collision-heavy corpus (78 GB
+# of sort spill on the SPARK side — the round-10 "oracle disk-bound"
+# diagnosis was actually config-bound on both engines). With the
+# DuckDB twin's wide 1-group-by lane rewrite the oracle affords the
+# full production lane count, so the graded configuration now IS the
+# production configuration.
+_MINHASH_LANES_N = 128
 _MINHASH_BANDS = 16
 
 
