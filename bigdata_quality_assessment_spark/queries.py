@@ -2676,7 +2676,10 @@ def _minhash_recall_metrics(spark: SparkSession) -> DataFrame:
     fixture's ground-truth role/src_id columns. A planted pair counts
     as COLLAPSED when the dedup kept at most one of (doc, source) —
     exactly the recall a training-data pipeline cares about."""
-    fx = spark.read.parquet(_RECALL_FIXTURE)
+    # barrier the tiny committed fixture (2k docs): the dedup pipeline,
+    # the per-role totals and both survivor joins all consume it — one
+    # parquet read instead of six rescans
+    fx = spark.read.parquet(_RECALL_FIXTURE).localCheckpoint(eager=False)
     surv = near_dedup_minhash(
         fx.select("doc_id", "text", "lang", "source"),
         k=3, bands=_MINHASH_BANDS, min_jaccard=0.8,
