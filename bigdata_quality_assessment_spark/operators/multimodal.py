@@ -913,6 +913,194 @@ def decode_apng_frames(b: bytes, max_frames: int = 64):
     return frames or None
 
 
+def _jpeg_frame_end(b: bytes, pos: int) -> int | None:
+    """Index one past the EOI of the baseline JPEG starting at ``pos``,
+    or ``None`` if the stream is truncated / structurally broken before
+    its EOI. A light marker walk (no entropy decode): segment lengths
+    skip headers; inside a scan, 0xFF is stuffing (FF 00), a restart
+    marker (FF D0-D7), or a real marker ending the scan — so FF D9 is
+    unambiguous as the frame boundary even when the next frame follows
+    immediately (the MJPEG concatenation case)."""
+    n = len(b)
+    if b[pos : pos + 3] != b"\xff\xd8\xff":
+        return None
+    p = pos + 2
+    in_scan = False
+    while p + 1 < n:
+        if not in_scan:
+            if b[p] != 0xFF:
+                return None
+            while p + 1 < n and b[p + 1] == 0xFF:
+                p += 1
+            m = b[p + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                p += 2
+                continue
+            if m == 0xD9:
+                return p + 2
+            if p + 4 > n:
+                return None
+            seg_len = int.from_bytes(b[p + 2 : p + 4], "big")
+            if m == 0xDA:
+                in_scan = True
+            p += 2 + seg_len
+        else:
+            if b[p] == 0xFF:
+                m = b[p + 1]
+                if m == 0x00 or 0xD0 <= m <= 0xD7:
+                    p += 2
+                    continue
+                if m == 0xD9:
+                    return p + 2
+                in_scan = False  # next scan / trailing segment
+                continue
+            p += 1
+    return None
+
+
+def _avi_chunks(b: bytes, off: int, end: int):
+    """Yield ``(fourcc, body_start, body_end_clamped)`` for every
+    non-LIST chunk in a RIFF range in stream order, recursing into
+    LISTs. Truncation-tolerant: a chunk whose body runs past the blob
+    is clamped; iteration stops when no full header remains."""
+    while off + 8 <= end:
+        fourcc = b[off : off + 4]
+        size = int.from_bytes(b[off + 4 : off + 8], "little")
+        body = off + 8
+        body_end = body + size
+        if fourcc == b"LIST":
+            yield from _avi_chunks(b, body + 4, min(body_end, len(b)))
+        else:
+            yield fourcc, body, min(body_end, len(b))
+        off = body_end + (size & 1)  # RIFF chunks pad to even
+
+
+def decode_mjpeg_frames(b: bytes, max_frames: int = 64):
+    """Decode the frames of an MJPEG stream (round 11 — the third REAL
+    animated tier beside the GIF and APNG walks, built on the existing
+    baseline-JPEG decoder): either an AVI/RIFF container — recursive
+    chunk walk into every LIST, collecting ``##dc``/``##db`` video
+    chunks whose payload is a JPEG — or a bare concatenated-JPEG
+    stream (two or more back-to-back SOI..EOI frames, the HTTP
+    multipart / IP-camera shape), split on the real EOI via
+    :func:`_jpeg_frame_end`.
+
+    Returns a list of (h, w, 3) uint8 RGB frames (grayscale JPEGs
+    widen to RGB so the tier's output shape matches GIF/APNG); frames
+    are independent canvases — MJPEG has no inter-frame composition.
+    ``None`` for non-MJPEG blobs (a single plain JPEG stays on the
+    byte-slice tier, like a plain PNG for the APNG walk) or corruption
+    before the first frame; a truncated tail returns the frames
+    decoded so far (the animated tiers' shared contract). Undecodable
+    individual frames (non-baseline, corrupt) are skipped, not fatal.
+    ``max_frames`` bounds the walk like the GIF/APNG caps."""
+    import numpy as np
+
+    from .imagecodec import decode_jpeg
+
+    def to_rgb(px: "np.ndarray") -> "np.ndarray":
+        return np.repeat(px, 3, axis=2) if px.shape[2] == 1 else px
+
+    frames: list = []
+    if len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        try:
+            for fourcc, body, body_end in _avi_chunks(b, 12, len(b)):
+                if len(frames) >= max_frames:
+                    break
+                if fourcc[2:4] in (b"dc", b"db"):
+                    payload = b[body:body_end]
+                    if payload[:3] == b"\xff\xd8\xff":
+                        px = decode_jpeg(bytes(payload))
+                        if px is not None:
+                            frames.append(to_rgb(px))
+        except Exception:
+            pass  # truncated/corrupt tail: keep the frames walked so far
+        return frames or None
+
+    if len(b) >= 6 and b[:3] == b"\xff\xd8\xff":
+        pos = 0
+        starts = 0
+        try:
+            while (
+                pos + 3 <= len(b)
+                and b[pos : pos + 3] == b"\xff\xd8\xff"
+                and len(frames) < max_frames
+            ):
+                starts += 1
+                end = _jpeg_frame_end(b, pos)
+                if end is None:
+                    break  # truncated tail: keep the frames so far
+                px = decode_jpeg(bytes(b[pos:end]))
+                if px is not None:
+                    frames.append(to_rgb(px))
+                pos = end
+        except Exception:
+            pass
+        if starts < 2:
+            return None  # one plain JPEG is not the animated tier
+        return frames or None
+    return None
+
+
+def decode_rawavi_frames(b: bytes, max_frames: int = 64):
+    """Decode the frames of an UNCOMPRESSED (BI_RGB) AVI — the fourth
+    real frame tier (round 11): walk the container's ``strh``/``strf``
+    pairs to learn each video stream's BITMAPINFOHEADER (dims, bit
+    depth, bottom-up vs top-down), then decode every ``##db``/``##dc``
+    chunk of a BI_RGB stream as raw DIB rows — BGR(A) samples,
+    4-byte-aligned row stride, bottom-up unless biHeight < 0. 24- and
+    32-bit depths are in scope (32-bit alpha is dropped; palettized
+    8-bit stays on the byte tier).
+
+    Returns a list of (h, w, 3) uint8 RGB frames, ``None`` when the
+    blob is not an AVI or no stream is BI_RGB video (an MJPEG AVI
+    belongs to :func:`decode_mjpeg_frames`); a truncated tail returns
+    the frames decoded so far and short final chunks are skipped —
+    the animated tiers' shared contract. ``max_frames`` bounds the
+    walk."""
+    import numpy as np
+
+    if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    frames: list = []
+    try:
+        streams: dict[int, tuple[int, int, int, bool]] = {}  # -> w,h,bpp,topdown
+        stream_idx = -1
+        last_vids = False
+        for fourcc, body, body_end in _avi_chunks(b, 12, len(b)):
+            if len(frames) >= max_frames:
+                break
+            if fourcc == b"strh":
+                stream_idx += 1
+                last_vids = b[body : body + 4] == b"vids"
+            elif fourcc == b"strf" and last_vids and body_end - body >= 20:
+                bw = int.from_bytes(b[body + 4 : body + 8], "little", signed=True)
+                bh = int.from_bytes(b[body + 8 : body + 12], "little", signed=True)
+                bpp = int.from_bytes(b[body + 14 : body + 16], "little")
+                comp = b[body + 16 : body + 20]
+                if comp == b"\x00\x00\x00\x00" and bpp in (24, 32) and bw > 0 and bh != 0:
+                    streams[stream_idx] = (bw, abs(bh), bpp, bh < 0)
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                sid = int(fourcc[:2])
+                if sid not in streams:
+                    continue
+                w, h, bpp, topdown = streams[sid]
+                bypp = bpp // 8
+                stride = ((w * bypp + 3) // 4) * 4
+                if body_end - body < stride * h:
+                    continue  # short/truncated frame chunk: skip
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * h, offset=body
+                ).reshape(h, stride)[:, : w * bypp].reshape(h, w, bypp)
+                rgb = arr[..., 2::-1]  # BGR(A) -> RGB, alpha dropped
+                if not topdown:
+                    rgb = rgb[::-1]
+                frames.append(np.ascontiguousarray(rgb))
+    except Exception:
+        return frames or None  # corrupt tail keeps the walked frames
+    return frames or None
+
+
 def _decode_png(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
     """Full PNG decode (:func:`_png_pixels`) → pixel statistics."""
     px = _png_pixels(b)
@@ -1205,23 +1393,28 @@ def frame_decode(
     id_col: str = "media_id",
     max_frames: int = 256,
 ) -> DataFrame:
-    """REAL frame-content sampling (round 10; round 11 adds APNG) for
-    the animated containers this engine fully decodes: animated/
-    single-frame GIF blobs walk EVERY image descriptor through the
-    full LZW + disposal + transparency composition
+    """REAL frame-content sampling (round 10; round 11 adds APNG and
+    MJPEG) for the animated containers this engine fully decodes:
+    animated/single-frame GIF blobs walk EVERY image descriptor through
+    the full LZW + disposal + transparency composition
     (:func:`..imagecodec.decode_gif_frames`); APNG blobs walk
     acTL/fcTL/fdAT through zlib + unfilter + dispose/blend composition
-    (:func:`decode_apng_frames`). Both sample up to ``n_frames``
+    (:func:`decode_apng_frames`); MJPEG — AVI/RIFF containers and bare
+    concatenated-JPEG streams — walks every video chunk through the
+    baseline JPEG decoder (:func:`decode_mjpeg_frames`). All sample up
+    to ``n_frames``
     evenly across the animation and re-encode each composed canvas as
     a minimal PNG (:func:`_encode_png` — downstream decode sees the
     composed pixels bit-for-bit, the resize_media convention).
     Other / undecodable blobs fall back to :func:`frame_sample`'s
     byte-slice windows (the documented stub tier for codecs this
     container lacks), same slicing rule, so the tiers are directly
-    comparable. ``decoder`` records which path ran
-    ('gif' | 'apng' | 'bytes'). One Arrow pass; blobs stay on executors;
-    per-row output is O(w·h) for the GIF tier, O(frame_bytes)
-    otherwise.
+    comparable. Uncompressed BI_RGB AVI streams decode too
+    (:func:`decode_rawavi_frames` — raw DIB rows, the fourth real
+    tier). ``decoder`` records which path ran
+    ('gif' | 'apng' | 'mjpeg' | 'rawavi' | 'bytes'). One Arrow pass;
+    blobs stay on executors; per-row output is O(w·h) for the decoded
+    tiers, O(frame_bytes) otherwise.
 
     ``max_frames`` bounds how deep into an animation the decoder
     walks (memory/CPU guard — each decoded frame is a full composed
@@ -1251,6 +1444,12 @@ def frame_decode(
                 if not frames:
                     frames = decode_apng_frames(b, max_frames=max_frames)
                     dec_name = "apng"
+                if not frames:
+                    frames = decode_mjpeg_frames(b, max_frames=max_frames)
+                    dec_name = "mjpeg"
+                if not frames:
+                    frames = decode_rawavi_frames(b, max_frames=max_frames)
+                    dec_name = "rawavi"
                 if frames:
                     nf = len(frames)
                     if nf <= n_frames or n_frames == 1:

@@ -4350,6 +4350,136 @@ def _apng_blob() -> bytes:
     return bytes(out)
 
 
+def _flat_gray_jpeg(v: int, w: int = 8, h: int = 8) -> bytes:
+    """Minimal baseline JPEG of a flat-gray ``v`` canvas (``w``/``h``
+    multiples of 8), quantization 1 — DC-only blocks, so the decode is
+    EXACT (the IDCT of a DC-only block is the constant (v-128)+128)
+    and the luminance mean ``v/255`` is hand-derivable. Canonical
+    Huffman layout: 12 DC categories at 4 bits, the single AC EOB
+    symbol at 1 bit."""
+    import struct as _struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    sof = (
+        bytes([8]) + _struct.pack(">HH", h, w) + bytes([1])
+        + bytes([1, 0x11, 0])
+    )
+    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)  # sym k -> code k, len 4
+    out += b"\xff\xc4" + _struct.pack(">H", 2 + 17 + 12) + bytes([0x00])
+    out += dc_counts + bytes(range(12))
+    ac_counts = bytes([1] + [0] * 15)  # EOB (0x00) -> code 0, len 1
+    out += b"\xff\xc4" + _struct.pack(">H", 2 + 17 + 1) + bytes([0x10])
+    out += ac_counts + bytes([0x00])
+    out += b"\xff\xda" + _struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    bits: list[int] = []
+
+    def put(code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    diff = 8 * (v - 128)  # DC of a flat block at quant 1
+    for _ in range((w // 8) * (h // 8)):
+        s = abs(diff).bit_length()
+        put(s, 4)  # DC category, canonical code == symbol
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        put(0, 1)  # AC EOB
+        diff = 0  # later blocks predict from the first
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i : i + 8])), 2)
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)  # byte stuffing
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _mjpeg_avi_blob() -> bytes:
+    """Deterministic 3-frame 8×8 MJPEG-in-AVI for the part='frames'
+    tier of x_decode_media — a structurally honest RIFF/AVI container
+    (hdrl with avih + vids/MJPG strh + BITMAPINFOHEADER strf, movi
+    with three ``00dc`` JPEG chunks, odd-size payloads exercising the
+    RIFF even-padding rule) whose frames are flat-gray baseline JPEGs
+    (:func:`_flat_gray_jpeg` — exact decode), so the composed means
+    are hand-derivable: 50/255, 128/255, 250/255."""
+    import struct as _struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (
+            fourcc + _struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    frames = [_flat_gray_jpeg(v) for v in (50, 128, 250)]
+    avih = _struct.pack(
+        "<IIIIIIIIII4I", 100000, 0, 0, 0x10, len(frames), 0, 1, 0, 8, 8,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG" + _struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10,
+                                   0, len(frames), 0, 0, 0)
+        + _struct.pack("<hhhh", 0, 0, 8, 8)
+    )
+    strf = _struct.pack("<IiiHH4sIiiII", 40, 8, 8, 1, 24, b"MJPG",
+                        8 * 8 * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _rawavi_blob() -> bytes:
+    """Deterministic 3-frame 6×4 uncompressed (BI_RGB, 24-bit,
+    bottom-up) AVI for the part='frames' tier of x_decode_media: flat
+    BGR gray rows with the DIB 4-byte row-stride padding exercised
+    (6·3 = 18 → stride 20), so the decoded means are hand-derivable:
+    30/255, 99/255, 201/255."""
+    import struct as _struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (
+            fourcc + _struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    w, h = 6, 4
+    stride = ((w * 3 + 3) // 4) * 4
+
+    def dib(v: int) -> bytes:
+        row = bytes([v, v, v] * w) + bytes(stride - w * 3)
+        return row * h
+
+    frames = [dib(v) for v in (30, 99, 201)]
+    avih = _struct.pack(
+        "<IIIIIIIIII4I", 100000, 0, 0, 0x10, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsDIB " + _struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10,
+                                   0, len(frames), 0, 0, 0)
+        + _struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                        stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
 def _decode_fixture_blobs() -> list[tuple[int, bytes]]:
     """Deterministic synthesized media blobs covering every decoder
     tier of :func:`...operators.multimodal.decode_media`: real PNG
@@ -4485,7 +4615,24 @@ def _decode_fixture_blobs() -> list[tuple[int, bytes]]:
       -- 60/255, (320/3)/255, 50/255 (see _apng_blob docstring).
       (300, 'png', 4, 3, 3, NULL, NULL, 0.235294),
       (301, 'png', 4, 3, 3, NULL, NULL, 0.418301),
-      (302, 'png', 4, 3, 3, NULL, NULL, 0.196078)
+      (302, 'png', 4, 3, 3, NULL, NULL, 0.196078),
+      -- round-11 MJPEG frames tier: the 3-frame MJPEG-in-AVI fixture
+      -- walks decode_mjpeg_frames (RIFF movi chunk walk, each frame
+      -- through the full baseline-JPEG Huffman+IDCT) and each frame
+      -- re-decodes via the graded PNG path (id 400+frame_id). The
+      -- flat-gray quant-1 frames decode EXACTLY, so f0 is
+      -- hand-derivable: 50/255, 128/255, 250/255.
+      (400, 'png', 8, 8, 3, NULL, NULL, 0.196078),
+      (401, 'png', 8, 8, 3, NULL, NULL, 0.501961),
+      (402, 'png', 8, 8, 3, NULL, NULL, 0.980392),
+      -- round-11 raw-DIB AVI frames tier: the uncompressed BI_RGB
+      -- fixture walks decode_rawavi_frames (strf-driven DIB rows,
+      -- BGR->RGB, bottom-up, 4-byte stride) and re-decodes via the
+      -- graded PNG path (id 500+frame_id). Flat-gray frames decode
+      -- exactly: 30/255, 99/255, 201/255.
+      (500, 'png', 6, 4, 3, NULL, NULL, 0.117647),
+      (501, 'png', 6, 4, 3, NULL, NULL, 0.388235),
+      (502, 'png', 6, 4, 3, NULL, NULL, 0.788235)
     ) g(media_id, decoder, width, height, channels, sample_rate, dur, f0)""",
 )
 def q_xdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4552,11 +4699,36 @@ def q_xdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("frame").alias("content"),
         )
     )
+    # round-11 MJPEG frames tier: the AVI fixture walks the RIFF movi
+    # chunks through the full baseline-JPEG decode and each frame
+    # re-encodes/re-decodes through the graded PNG path (400+frame_id)
+    mj = spark.createDataFrame(
+        [(0, _mjpeg_avi_blob())], "media_id long, content binary"
+    )
+    mj_dec = decode_media(
+        frame_decode(mj, n_frames=3).select(
+            (F.col("frame_id") + 400).cast("long").alias("media_id"),
+            F.col("frame").alias("content"),
+        )
+    )
+    # round-11 raw-DIB AVI frames tier: strf-driven uncompressed DIB
+    # rows through the same re-encode/re-decode loop (500+frame_id)
+    rw = spark.createDataFrame(
+        [(0, _rawavi_blob())], "media_id long, content binary"
+    )
+    rw_dec = decode_media(
+        frame_decode(rw, n_frames=3).select(
+            (F.col("frame_id") + 500).cast("long").alias("media_id"),
+            F.col("frame").alias("content"),
+        )
+    )
     return (
         proj(decode_media(media))
         .unionByName(proj(rs_dec))
         .unionByName(proj(fr_dec))
         .unionByName(proj(ap_dec))
+        .unionByName(proj(mj_dec))
+        .unionByName(proj(rw_dec))
     )
 
 

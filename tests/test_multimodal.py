@@ -1138,3 +1138,202 @@ def test_frame_decode_apng_tier(spark):
         assert np.array_equal(_png_pixels(bytes(r["frame"])), t)
     other = [r for r in rows if r["media_id"] == 1]
     assert len(other) == 3 and all(r["decoder"] == "bytes" for r in other)
+
+
+def test_mjpeg_frames_avi_concat_and_contracts():
+    """decode_mjpeg_frames (round 11): the graded AVI fixture's three
+    flat-gray frames decode EXACTLY (quant-1 DC-only JPEGs); a bare
+    concatenated-JPEG stream splits on the real EOI; a single plain
+    JPEG is NOT the animated tier; non-JPEG video chunks are skipped;
+    max_frames caps the walk; the truncated-tail contract holds on
+    both container shapes."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+    )
+    from bigdata_quality_assessment_spark.queries import (
+        _flat_gray_jpeg,
+        _mjpeg_avi_blob,
+    )
+
+    avi = _mjpeg_avi_blob()
+    fr = decode_mjpeg_frames(avi)
+    assert fr is not None and len(fr) == 3
+    assert all(f.shape == (8, 8, 3) for f in fr)
+    assert [float(f.mean()) for f in fr] == [50.0, 128.0, 250.0]
+
+    # bare concatenated stream (IP-camera shape) splits on the real EOI
+    cat = _flat_gray_jpeg(10) + _flat_gray_jpeg(200) + _flat_gray_jpeg(77)
+    fr2 = decode_mjpeg_frames(cat)
+    assert [float(f.mean()) for f in fr2] == [10.0, 200.0, 77.0]
+    assert decode_mjpeg_frames(cat, max_frames=2) is not None
+    assert len(decode_mjpeg_frames(cat, max_frames=2)) == 2
+
+    # one plain JPEG stays on the byte tier (the plain-PNG convention)
+    assert decode_mjpeg_frames(_flat_gray_jpeg(10)) is None
+    assert decode_mjpeg_frames(b"") is None
+    assert decode_mjpeg_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+    # a non-JPEG 00dc chunk is skipped, not fatal
+    def chunk(fourcc, payload):
+        return (fourcc + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    jp = _flat_gray_jpeg(90)
+    movi = chunk(b"LIST", b"movi"
+                 + chunk(b"00dc", b"not a jpeg frame")
+                 + chunk(b"00dc", jp))
+    body = b"AVI " + movi
+    mixed = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = decode_mjpeg_frames(mixed)
+    assert len(got) == 1 and float(got[0].mean()) == 90.0
+
+    # truncated-tail monotonicity on the AVI container
+    first_ok = None
+    for cut in range(len(avi) + 1):
+        res = decode_mjpeg_frames(avi[:cut])
+        if res is not None and first_ok is None:
+            first_ok = cut
+        if first_ok is not None:
+            assert res is not None and len(res) >= 1, f"cut={cut}"
+    assert first_ok is not None and first_ok < len(avi)
+
+    # concat truncation: a cut inside frame 2 keeps frame 1
+    n0 = len(_flat_gray_jpeg(10))
+    for cut in range(n0 + 3, len(cat)):
+        res = decode_mjpeg_frames(cat[:cut])
+        assert res is not None and len(res) >= 1, f"cut={cut}"
+        assert float(res[0].mean()) == 10.0
+
+
+def test_frame_decode_mjpeg_tier(spark):
+    """frame_decode routes AVI-MJPEG blobs through the real JPEG walk
+    (decoder='mjpeg'); the PNG round-trip pins the decoded pixels."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _png_pixels,
+        decode_mjpeg_frames,
+        frame_decode,
+    )
+    from bigdata_quality_assessment_spark.queries import _mjpeg_avi_blob
+
+    blob = _mjpeg_avi_blob()
+    df = spark.createDataFrame(
+        [(0, blob), (1, b"RIFF????AVI but broken")],
+        "media_id BIGINT, content BINARY",
+    )
+    rows = frame_decode(df, n_frames=3, frame_bytes=16).collect()
+    mj = sorted((r for r in rows if r["media_id"] == 0),
+                key=lambda r: r["frame_id"])
+    assert len(mj) == 3 and all(r["decoder"] == "mjpeg" for r in mj)
+    truth = decode_mjpeg_frames(blob)
+    for r, t in zip(mj, truth):
+        assert (r["width"], r["height"]) == (8, 8)
+        assert np.array_equal(_png_pixels(bytes(r["frame"])), t)
+    other = [r for r in rows if r["media_id"] == 1]
+    assert len(other) == 3 and all(r["decoder"] == "bytes" for r in other)
+
+
+def test_rawavi_frames_dib_semantics():
+    """decode_rawavi_frames (round 11): the graded fixture's flat-gray
+    frames decode exactly; BGR sample order, bottom-up row order, the
+    4-byte row stride, top-down (negative biHeight), and 32-bit BGRA
+    alpha-drop are each pinned with a non-symmetric pattern; MJPEG
+    AVIs and non-BI_RGB streams are not claimed; truncated tails keep
+    the frames decoded so far."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+        decode_rawavi_frames,
+    )
+    from bigdata_quality_assessment_spark.queries import (
+        _mjpeg_avi_blob,
+        _rawavi_blob,
+    )
+
+    fx = _rawavi_blob()
+    fr = decode_rawavi_frames(fx)
+    assert [float(f.mean()) for f in fr] == [30.0, 99.0, 201.0]
+    assert all(f.shape == (4, 6, 3) for f in fr)
+
+    def chunk(fourcc, payload):
+        return (fourcc + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def lst(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    def avi(w, h, bpp, frames_payload, compression=0):
+        strh = (b"vidsDIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+                                          10, 0, len(frames_payload), 0, 0, 0)
+                + struct.pack("<hhhh", 0, 0, w, h))
+        strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                           0, 0, 0, 0, 0)
+        hdrl = lst(b"hdrl", lst(b"strl", chunk(b"strh", strh)
+                                + chunk(b"strf", strf)))
+        movi = lst(b"movi", b"".join(chunk(b"00db", f)
+                                     for f in frames_payload))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 2x2 24-bit bottom-up: rows stored bottom-first, samples BGR.
+    # stored row 0 (bottom) = [B=1,G=2,R=3],[B=4,G=5,R=6]
+    # stored row 1 (top)    = [B=7,G=8,R=9],[B=10,G=11,R=12]
+    dib = (bytes([1, 2, 3, 4, 5, 6]) + b"\x00\x00"
+           + bytes([7, 8, 9, 10, 11, 12]) + b"\x00\x00")
+    got = decode_rawavi_frames(avi(2, 2, 24, [dib]))[0]
+    assert np.array_equal(got[0, 0], [9, 8, 7])    # top-left: RGB of stored row 1
+    assert np.array_equal(got[1, 1], [6, 5, 4])    # bottom-right
+    # top-down (biHeight < 0): stored row 0 IS the top row
+    got_td = decode_rawavi_frames(avi(2, -2, 24, [dib]))[0]
+    assert np.array_equal(got_td[0, 0], [3, 2, 1])
+    # 32-bit BGRA: no stride pad at w=2, alpha dropped
+    dib32 = bytes([1, 2, 3, 255, 4, 5, 6, 0] + [7, 8, 9, 1, 10, 11, 12, 2])
+    got32 = decode_rawavi_frames(avi(2, 2, 32, [dib32]))[0]
+    assert np.array_equal(got32[0, 0], [9, 8, 7])
+
+    # an MJPEG AVI is the other tier's; a non-BI_RGB stream is no tier
+    assert decode_rawavi_frames(_mjpeg_avi_blob()) is None
+    assert decode_mjpeg_frames(fx) is None
+    assert decode_rawavi_frames(avi(2, 2, 24, [dib],
+                                    compression=0x47504A4D)) is None
+
+    # truncated-tail monotonicity
+    first_ok = None
+    for cut in range(len(fx) + 1):
+        res = decode_rawavi_frames(fx[:cut])
+        if res is not None and first_ok is None:
+            first_ok = cut
+        if first_ok is not None:
+            assert res is not None and len(res) >= 1, f"cut={cut}"
+    assert first_ok is not None and first_ok < len(fx)
+
+
+def test_frame_decode_rawavi_tier(spark):
+    """frame_decode routes uncompressed AVIs through the DIB walk
+    (decoder='rawavi'); the PNG round-trip pins the decoded pixels."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _png_pixels,
+        decode_rawavi_frames,
+        frame_decode,
+    )
+    from bigdata_quality_assessment_spark.queries import _rawavi_blob
+
+    blob = _rawavi_blob()
+    df = spark.createDataFrame([(0, blob)], "media_id BIGINT, content BINARY")
+    rows = sorted(frame_decode(df, n_frames=3).collect(),
+                  key=lambda r: r["frame_id"])
+    assert len(rows) == 3 and all(r["decoder"] == "rawavi" for r in rows)
+    truth = decode_rawavi_frames(blob)
+    for r, t in zip(rows, truth):
+        assert (r["width"], r["height"]) == (6, 4)
+        assert np.array_equal(_png_pixels(bytes(r["frame"])), t)
