@@ -732,9 +732,15 @@ def minhash_lsh_candidates(
 
 
 # Mersenne prime modulus for the PINNED MinHash lane family
-# (a·h + b) mod P over 48-bit md5-derived shingle hashes: a < 2^13 and
-# h < 2^48 keep every product inside BIGINT, and the whole pipeline —
-# hash, lanes, min — is exact integer arithmetic both engines can run.
+# (a·(h ⊕ c) + b) mod P over 48-bit md5-derived shingle hashes:
+# a < 2^13 and h ⊕ c < 2^48 keep every product inside BIGINT, and the
+# whole pipeline — hash, xor, lanes, min — is exact integer arithmetic
+# both engines can run. The per-lane XOR constant c is what makes the
+# lanes distinct minwise orders: a·x+b never exceeds P at these
+# operand bounds, so the mod is the identity and the bare affine is
+# MONOTONE in its input — without the xor every lane's min() would
+# select the same argmin(h) shingle, collapsing the family to a
+# single permutation (all-or-nothing band collisions).
 MINHASH_P = (1 << 61) - 1
 
 
@@ -776,11 +782,14 @@ def near_dedup_minhash(
 
     ``lane_params`` pins the signature family for the oracle-graded
     variant (same pattern as the pinned ANN planes): shingles hash via
-    the 48-bit md5 prefix and lane i is ``min((aᵢ·h + bᵢ) mod
+    the 48-bit md5 prefix and lane i is ``min((aᵢ·(h ⊕ cᵢ) + bᵢ) mod
     MINHASH_P)`` — exact integer arithmetic a SQL oracle can recompute
-    (xxhash64, the production default, is not SQL-expressible). Its
-    length overrides ``n_hashes``. Everything downstream (banding,
-    candidate join, Jaccard verify, closure) is byte-identical code.
+    (xxhash64, the production default, is not SQL-expressible). The
+    per-lane xor constant supplies the lane's minwise order (see the
+    MINHASH_P comment — the bare affine never wraps P and would
+    degenerate to one permutation). Its length overrides ``n_hashes``.
+    Everything downstream (banding, candidate join, Jaccard verify,
+    closure) is byte-identical code.
     """
     from bigdata_quality_assessment_spark.operators.graph import duplicate_drop_ids
     # ONE shingling pass feeds everything. Signatures, set sizes, and
@@ -806,9 +815,10 @@ def near_dedup_minhash(
         n_hashes = len(lane_params)
         lanes = [
             F.min(
-                (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)
+                (F.lit(a) * F.col("__h").bitwiseXOR(F.lit(c)) + F.lit(b))
+                % F.lit(MINHASH_P)
             ).alias(f"__s{i}")
-            for i, (a, b) in enumerate(lane_params)
+            for i, (a, b, c) in enumerate(lane_params)
         ]
     else:
         lanes = [
@@ -1144,13 +1154,13 @@ def fuzzy_decontaminate(
     in :func:`near_dedup_minhash`. With the default n_hashes=128 and
     16 bands, r=8 holds recall > 99% only for j >= 0.8; for thresholds
     near 0.5 use bands=32 (r=4, recall ~97% at j=0.57) — the curation
-    pipeline's fuzzy tier defaults there. The pinned 64-lane oracle
-    family at the default bands=16 therefore runs at r=4: much hotter
-    band recall (>99.9% at j=0.8, ~86% single-band j^4 at j=0.96) and
-    correspondingly more false candidates for the exact-Jaccard verify
-    to reject — fine for tiny benchmark sides, but size bands down
-    (e.g. bands=8, r=8) if a large bench side makes the candidate join
-    expensive.
+    pipeline's fuzzy tier defaults there. The ORACLE-graded call
+    (part='fdecon' of x_doc_fingerprints) runs the 128 pinned lanes at
+    bands=32 → r=4, matching its twin's ``lane // 4`` banding: much
+    hotter band recall (>99.9% at j=0.8) and correspondingly more
+    false candidates for the exact-Jaccard verify to reject — fine for
+    tiny benchmark sides, but size bands down (e.g. bands=16, r=8) if
+    a large bench side makes the candidate join expensive.
 
     ``lane_params`` pins the signature family exactly as in
     :func:`near_dedup_minhash` (48-bit md5 shingle hash + linear
@@ -1168,10 +1178,11 @@ def fuzzy_decontaminate(
             id_col, F.explode(F.transform(sh, lambda s: _md5_48(s))).alias("__h")
         )
         lanes = [
-            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
-                f"__s{i}"
-            )
-            for i, (a, b) in enumerate(lane_params)
+            F.min(
+                (F.lit(a) * F.col("__h").bitwiseXOR(F.lit(c)) + F.lit(b))
+                % F.lit(MINHASH_P)
+            ).alias(f"__s{i}")
+            for i, (a, b, c) in enumerate(lane_params)
         ]
         return (
             hashes.groupBy(id_col)

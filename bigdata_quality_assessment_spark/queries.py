@@ -2505,13 +2505,12 @@ def q_xjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # moves from rows-only to oracle-graded). Round 5 established that
 # xxhash64 lanes are NOT SQL-expressible and that a threshold-level
 # oracle would only match if LSH recall were exactly 1.0. Pinning
-# sidesteps BOTH: with lanes ``(aᵢ·h + bᵢ) mod P`` over 48-bit md5
+# sidesteps BOTH: with lanes ``(aᵢ·(h ⊕ cᵢ) + bᵢ) mod P`` over 48-bit md5
 # shingle hashes, the oracle recomputes the ACTUAL signatures, band
 # keys, candidate pairs, Jaccard verification and closure — recall
 # <1.0 is reproduced, not assumed. The xxhash64 production path stays
 # covered by seeded goldens/recall-bound tests (tests/test_text.py).
-# 64 lanes (not 128) bound the oracle's |shingles|×lanes cross join;
-# bands=16 → r=4. Residual divergence risk (documented, accepted):
+# Residual divergence risk (documented, accepted):
 # Spark's band BUCKET is xxhash64(slice) while the oracle joins on
 # slice equality — they differ only if unequal 8-lane slices collide
 # in xxhash64 AND that pair also passes true Jaccard ≥ 0.8 (~2⁻⁶⁴);
@@ -2526,20 +2525,35 @@ def q_xjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB twin's wide 1-group-by lane rewrite the oracle affords the
 # full production lane count, so the graded configuration now IS the
 # production configuration.
+#
+# Round 11 (second fix, found BY the sf10 replicate): the lanes are
+# (a, b, c) triples, lane i = (aᵢ·(h ⊕ cᵢ) + bᵢ) mod P. The per-lane
+# 48-bit XOR is load-bearing: with a < 2^13 and h < 2^48 the affine
+# a·h+b NEVER exceeds P = 2^61-1, so the mod is the identity and the
+# bare affine is MONOTONE in h — min((a·h+b) % P) selects argmin(h)
+# in EVERY lane, collapsing the whole "128-lane" family to one
+# minwise permutation (band keys all-or-nothing functions of the
+# single min hash → one global clique bucket on a collision-heavy
+# corpus: the real cause of the sf10 spill; and per-pair candidate
+# recall ≈ J instead of banded 1-(1-J^r)^b). h ⊕ cᵢ is a bijection of
+# the 48-bit hash space that reorders DIFFERENTLY per lane, restoring
+# independent minwise orders while every intermediate stays exact
+# int64 on both engines (DuckDB: xor(hv, c)).
 _MINHASH_LANES_N = 128
 _MINHASH_BANDS = 16
 
 
-def _minhash_pinned_lanes() -> list[tuple[int, int]]:
+def _minhash_pinned_lanes() -> list[tuple[int, int, int]]:
     import hashlib
 
     out = []
     for i in range(_MINHASH_LANES_N):
         dig = hashlib.md5(f"minhash-lane:{i}".encode()).digest()
         bits = int.from_bytes(dig, "big")
-        a = (bits & ((1 << 13) - 1)) | 1  # odd, < 2^13 → a·h < 2^61
+        a = (bits & ((1 << 13) - 1)) | 1  # odd, < 2^13 → a·(h⊕c) < 2^61
         b = (bits >> 13) & ((1 << 20) - 1)
-        out.append((a, b))
+        c = (bits >> 33) & ((1 << 48) - 1)  # per-lane minwise order
+        out.append((a, b, c))
     return out
 
 
@@ -2548,24 +2562,32 @@ _MINHASH_LANES = _minhash_pinned_lanes()
 
 def _minhash_pipeline_ctes(doc_table: str = "documents") -> str:
     """The shared CTE chain of the MinHash twin — shingles, 48-bit md5
-    hashes, the 64 pinned signature lanes, band keys, candidate join,
+    hashes, the 128 pinned signature lanes, band keys, candidate join,
     exact-Jaccard verification and the recursive cluster closure,
     ending in a ``drops`` CTE of doc_ids the dedup removes.
 
-    Round-11 (verdict ask #3): the lanes compute as 64 ``min()``
+    Round-11 (verdict ask #3): the lanes compute as 128 ``min()``
     aggregates in ONE wide group-by over the shingle-hash rows instead
     of the old ``CROSS JOIN lanes`` long format — identical arithmetic
-    per lane (``min((a·hv + b) % P)``), but the aggregate input stays
-    n_shingles rows instead of n_shingles×64, which is what blew
-    DuckDB's sort buffers past the host's free disk at sf10 (~22 GB,
-    twice reproduced round 9/10). ``mh`` is MATERIALIZED so the 16
-    band branches read it once."""
+    per lane (``min((a·xor(hv, c) + b) % P)``, the per-lane xor
+    supplying the minwise order — see _minhash_pinned_lanes), but the
+    aggregate input stays n_shingles rows instead of n_shingles×lanes,
+    which is what blew DuckDB's sort buffers past the host's free disk
+    at sf10 (~22 GB, twice reproduced round 9/10). ``mh`` is
+    MATERIALIZED so the 16 band branches read it once; ``sh`` is
+    MATERIALIZED so the four consumers (hashing, sizes, both verify
+    legs) tokenize+DISTINCT once; ``verified`` is MATERIALIZED because
+    the recursive ``reach`` re-evaluates its recursive-part subtree
+    PER ITERATION — unmaterialized, each closure step re-ran the whole
+    shingle→minhash→band-join→Jaccard pipeline, which is what actually
+    filled 77 GB of temp at sf10 (measured: the closure itself is
+    ~22k edges in components of size ≤4)."""
     from bigdata_quality_assessment_spark.operators.text import MINHASH_P
 
     r = _MINHASH_LANES_N // _MINHASH_BANDS
     mins = ",\n                   ".join(
-        f"min(({a} * hv + {b}) % {MINHASH_P}) AS s{i}"
-        for i, (a, b) in enumerate(_MINHASH_LANES)
+        f"min(({a} * xor(hv, {c}) + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b, c) in enumerate(_MINHASH_LANES)
     )
     bands = "\n                UNION ALL ".join(
         "SELECT doc_id, {b} AS band, [{cols}] AS key FROM mh".format(
@@ -2574,7 +2596,7 @@ def _minhash_pipeline_ctes(doc_table: str = "documents") -> str:
         for b in range(_MINHASH_BANDS)
     )
     return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {doc_table}),
-      sh AS (SELECT DISTINCT doc_id,
+      sh AS MATERIALIZED (SELECT DISTINCT doc_id,
                     ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
                       || ' ' || ws[CAST(i + 3 AS INT)] AS gram
              FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
@@ -2597,7 +2619,7 @@ def _minhash_pipeline_ctes(doc_table: str = "documents") -> str:
                 JOIN sh a ON a.doc_id = c.doc_a
                 JOIN sh b ON b.doc_id = c.doc_b AND b.gram = a.gram
                 GROUP BY c.doc_a, c.doc_b),
-      verified AS (SELECT i.doc_a, i.doc_b
+      verified AS MATERIALIZED (SELECT i.doc_a, i.doc_b
                    FROM inter i
                    JOIN sz sa ON sa.doc_id = i.doc_a
                    JOIN sz sb ON sb.doc_id = i.doc_b
@@ -2766,7 +2788,7 @@ def q_xminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_sql() -> str:
     return """WITH RECURSIVE
       toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      sh AS (SELECT DISTINCT doc_id,
+      sh AS MATERIALIZED (SELECT DISTINCT doc_id,
                     ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
                       || ' ' || ws[CAST(i + 3 AS INT)] AS gram
              FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
@@ -2778,13 +2800,13 @@ def _simhash_sql() -> str:
       votes AS (SELECT h.doc_id, bits.j,
                        sum(CASE WHEN (h.hv >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
                 FROM h CROSS JOIN bits GROUP BY h.doc_id, bits.j),
-      sig AS (SELECT doc_id,
+      sig AS MATERIALIZED (SELECT doc_id,
                      CAST(sum(CASE WHEN v > 0 THEN power(2.0, j) ELSE 0 END) AS BIGINT) AS simhash
               FROM votes GROUP BY doc_id),
       bt AS (SELECT unnest(range(4)) AS t),
       bk AS (SELECT doc_id, simhash, t, (simhash >> (12 * CAST(t AS INT))) & 4095 AS b
              FROM sig CROSS JOIN bt),
-      verified AS (SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+      verified AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
                    FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b
                     AND a.doc_id < c.doc_id
                    WHERE bit_count(xor(a.simhash, c.simhash)) <= 3),
@@ -2836,15 +2858,16 @@ _FP_POWS = " + ".join(
 def _fdecon_sql() -> str:
     """part='fdecon' oracle: fuzzy (MinHash-band) cross-corpus
     decontamination with the pinned lane family — 3-word shingles →
-    48-bit md5 → 64 linear lanes → 16 bands (r=4) → train×bench
-    band-key candidates → exact STRING-shingle Jaccard ≥ 0.8 → best
-    match per train doc (max j, tie → lowest bench id). The Jaccard is
-    a ratio of integers, so scores are division-exact cross-engine;
-    matched_bench_id rides `fp`, round(j·1e6) rides `n_hits`."""
+    48-bit md5 → the pinned xor-affine lanes (see _minhash_pinned_
+    lanes) → 4-lane bands → train×bench band-key candidates → exact
+    STRING-shingle Jaccard ≥ 0.8 → best match per train doc (max j,
+    tie → lowest bench id). The Jaccard is a ratio of integers, so
+    scores are division-exact cross-engine; matched_bench_id rides
+    `fp`, round(j·1e6) rides `n_hits`."""
     from bigdata_quality_assessment_spark.operators.text import MINHASH_P
 
     lanes = ",\n          ".join(
-        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MINHASH_LANES)
+        f"({i}, {a}, {b}, {c})" for i, (a, b, c) in enumerate(_MINHASH_LANES)
     )
     return f"""
         UNION ALL
@@ -2854,7 +2877,7 @@ def _fdecon_sql() -> str:
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         FROM (
           WITH fzlp AS (SELECT * FROM (VALUES
-              {lanes}) x(lane, a, b)),
+              {lanes}) x(lane, a, b, c)),
           fztk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           fzsh AS (SELECT DISTINCT doc_id,
                         ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
@@ -2865,7 +2888,7 @@ def _fdecon_sql() -> str:
                        ('0x' || substring(md5(gram), 1, 12))::BIGINT AS hv
                   FROM fzsh),
           fzmh AS (SELECT fzh.doc_id, fzlp.lane,
-                        min((fzlp.a * fzh.hv + fzlp.b) % {MINHASH_P}) AS s
+                        min((fzlp.a * xor(fzh.hv, fzlp.c) + fzlp.b) % {MINHASH_P}) AS s
                    FROM fzh CROSS JOIN fzlp GROUP BY fzh.doc_id, fzlp.lane),
           fzbk AS (SELECT doc_id, lane // 4 AS band,
                           list(s ORDER BY lane) AS key
@@ -3035,8 +3058,14 @@ def q_xfp(spark: SparkSession, sf_dir: str) -> DataFrame:
         fuzzy_decontaminate,
     )
 
+    # bands=32 → r=4 with the 128 pinned lanes, matching the twin's
+    # ``lane // 4`` banding (the hotter-recall cross-corpus config).
+    # Pre-xor this didn't matter — the degenerate family made band
+    # grouping irrelevant (all-or-nothing collisions); with real
+    # per-lane orders the r MUST agree or the candidate sets differ.
     fz = fuzzy_decontaminate(
-        docs, bench, k=3, min_jaccard=0.8, lane_params=_MINHASH_LANES
+        docs, bench, k=3, bands=32, min_jaccard=0.8,
+        lane_params=_MINHASH_LANES,
     ).select(
         F.lit("fdecon").alias("part"),
         "doc_id",
