@@ -2757,7 +2757,7 @@ def _minhash_recall_metrics(spark: SparkSession) -> DataFrame:
 def q_xminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup with cluster closure, ORACLE-GRADED via
     the pinned lane family (see _minhash_pinned_lanes): the DuckDB
-    oracle recomputes shingles, 48-bit md5 hashes, all 64 signature
+    oracle recomputes shingles, 48-bit md5 hashes, all 128 signature
     lanes, band keys, the candidate join, exact-Jaccard verification
     and the recursive closure — the survivor set is a pure corpus
     function. The xxhash64-lane production default (same code path,
@@ -2863,11 +2863,24 @@ def _fdecon_sql() -> str:
     STRING-shingle Jaccard ≥ 0.8 → best match per train doc (max j,
     tie → lowest bench id). The Jaccard is a ratio of integers, so
     scores are division-exact cross-engine; matched_bench_id rides
-    `fp`, round(j·1e6) rides `n_hits`."""
+    `fp`, round(j·1e6) rides `n_hits`.
+
+    Round-11: the lanes compute as 128 wide ``min()`` aggregates in
+    one group-by (the _minhash_pipeline_ctes rewrite) instead of the
+    old ``CROSS JOIN fzlp`` long format — 128 lanes × sf10 shingles
+    in long format is a ~3.3B-row aggregate input, which OOMed the
+    oracle at sf10; ``fzsh`` is MATERIALIZED for its four consumers."""
     from bigdata_quality_assessment_spark.operators.text import MINHASH_P
 
-    lanes = ",\n          ".join(
-        f"({i}, {a}, {b}, {c})" for i, (a, b, c) in enumerate(_MINHASH_LANES)
+    mins = ",\n                   ".join(
+        f"min(({a} * xor(hv, {c}) + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b, c) in enumerate(_MINHASH_LANES)
+    )
+    bands = "\n                UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, [{cols}] AS key FROM fzmh".format(
+            b=b, cols=", ".join(f"s{b * 4 + j}" for j in range(4))
+        )
+        for b in range(len(_MINHASH_LANES) // 4)
     )
     return f"""
         UNION ALL
@@ -2876,10 +2889,8 @@ def _fdecon_sql() -> str:
                CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         FROM (
-          WITH fzlp AS (SELECT * FROM (VALUES
-              {lanes}) x(lane, a, b, c)),
-          fztk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-          fzsh AS (SELECT DISTINCT doc_id,
+          WITH fztk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          fzsh AS MATERIALIZED (SELECT DISTINCT doc_id,
                         ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
                           || ' ' || ws[CAST(i + 3 AS INT)] AS gram
                    FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
@@ -2887,12 +2898,11 @@ def _fdecon_sql() -> str:
           fzh AS (SELECT doc_id,
                        ('0x' || substring(md5(gram), 1, 12))::BIGINT AS hv
                   FROM fzsh),
-          fzmh AS (SELECT fzh.doc_id, fzlp.lane,
-                        min((fzlp.a * xor(fzh.hv, fzlp.c) + fzlp.b) % {MINHASH_P}) AS s
-                   FROM fzh CROSS JOIN fzlp GROUP BY fzh.doc_id, fzlp.lane),
-          fzbk AS (SELECT doc_id, lane // 4 AS band,
-                          list(s ORDER BY lane) AS key
-                   FROM fzmh GROUP BY doc_id, lane // 4),
+          fzmh AS MATERIALIZED (
+                   SELECT doc_id,
+                   {mins}
+                   FROM fzh GROUP BY doc_id),
+          fzbk AS ({bands}),
           fzcand AS (SELECT DISTINCT d.doc_id AS did, b.doc_id AS bid
                      FROM fzbk d JOIN fzbk b
                        ON d.band = b.band AND d.key = b.key
