@@ -196,6 +196,49 @@ def _parse_gif_header(b: bytes) -> dict | None:
     return {"width": int(w), "height": int(h), "channels": None, "sample_rate": None}
 
 
+def _parse_avi_header(b: bytes) -> dict | None:
+    """Real metadata from an AVI/RIFF container (round 11, parity with
+    the MP4/WebM walks): video dims + duration from ``avih``
+    (microseconds-per-frame × total frames), audio channels / sample
+    rate from the first ``auds`` stream's WAVEFORMATEX ``strf``. Pure
+    struct parsing over the shared RIFF chunk walk; frame decode is
+    the separate :func:`decode_mjpeg_frames` / :func:`
+    decode_rawavi_frames` tier."""
+    if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    meta = {
+        "width": None, "height": None, "channels": None,
+        "sample_rate": None, "duration": None,
+    }
+    try:
+        last_type = None
+        for fourcc, body, body_end in _avi_chunks(b, 12, len(b)):
+            if fourcc == b"avih" and body_end - body >= 40:
+                us_pf, = struct.unpack("<I", b[body : body + 4])
+                n_frames, = struct.unpack("<I", b[body + 16 : body + 20])
+                w, = struct.unpack("<I", b[body + 32 : body + 36])
+                h, = struct.unpack("<I", b[body + 36 : body + 40])
+                meta["width"] = w or None
+                meta["height"] = h or None
+                if us_pf and n_frames:
+                    meta["duration"] = us_pf * n_frames / 1e6
+            elif fourcc == b"strh":
+                last_type = b[body : body + 4]
+            elif fourcc == b"strf" and last_type == b"auds" and body_end - body >= 8:
+                ch, = struct.unpack("<H", b[body + 2 : body + 4])
+                rate, = struct.unpack("<I", b[body + 4 : body + 8])
+                if meta["channels"] is None:
+                    meta["channels"] = ch or None
+                    meta["sample_rate"] = rate or None
+            elif fourcc[2:4] in (b"db", b"dc", b"wb"):
+                break  # movi data reached — headers are done
+    except Exception:
+        return None
+    if meta["width"] is None and meta["duration"] is None:
+        return None
+    return meta
+
+
 def _parse_mp4_header(b: bytes) -> dict | None:
     """Video dimensions from an ISO-BMFF (MP4/MOV) container: walk the
     top-level boxes to ``moov``, then each ``trak``'s ``tkhd`` for the
@@ -1330,7 +1373,7 @@ def decode_media(
                     meta, feats = decoded
                 else:
                     which = "stub"
-                    meta = _parse_png_header(b) or _parse_wav_header(b) or _parse_webp_header(b) or _parse_jpeg_header(b) or _parse_gif_header(b) or _parse_mp4_header(b) or _parse_webm_header(b) or _parse_flac_header(b) or _parse_bmp_header(b) or {
+                    meta = _parse_png_header(b) or _parse_wav_header(b) or _parse_avi_header(b) or _parse_webp_header(b) or _parse_jpeg_header(b) or _parse_gif_header(b) or _parse_mp4_header(b) or _parse_webm_header(b) or _parse_flac_header(b) or _parse_bmp_header(b) or {
                         "width": None, "height": None, "channels": None, "sample_rate": None
                     }
                     feats = _fake_pixels(b, n_features)

@@ -4596,6 +4596,37 @@ def _decode_fixture_blobs() -> list[tuple[int, bytes]]:
         moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
         return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
 
+    def avi_hdr():
+        # round-11 AVI metadata tier: avih (320x240, 250 frames at
+        # 33367 us/frame -> duration 8.34175 s exactly) + a vids strl
+        # + an auds strl whose WAVEFORMATEX carries mono/8000 Hz; the
+        # single movi chunk is NOT a JPEG, so this is the header walk
+        # only (the frames tier has its own fixtures)
+        def chunk(fourcc, payload):
+            return (fourcc + struct.pack("<I", len(payload)) + payload
+                    + (b"\x00" if len(payload) & 1 else b""))
+
+        def lst(t, p):
+            return chunk(b"LIST", t + p)
+
+        avih = struct.pack("<IIIIIIIIII4I", 33367, 0, 0, 0x10, 250, 0,
+                           2, 0, 320, 240, 0, 0, 0, 0)
+        strh_v = (b"vidsMJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, 30, 0, 250, 0, 0, 0)
+                  + struct.pack("<hhhh", 0, 0, 320, 240))
+        strf_v = struct.pack("<IiiHH4sIiiII", 40, 320, 240, 1, 24,
+                             b"MJPG", 320 * 240 * 3, 0, 0, 0, 0)
+        strh_a = (b"audsNONE" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, 8000, 0, 4000, 0, 0, 0)
+                  + struct.pack("<hhhh", 0, 0, 0, 0))
+        strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        hdrl = lst(b"hdrl", chunk(b"avih", avih)
+                   + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+                   + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)))
+        movi = lst(b"movi", chunk(b"00dc", b"\x00" * 16))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
     return [
         (0, png(4, 3, 3, 2, lambda y, i: (y * 50 + i * 7) % 256)),  # RGB
         (1, png(3, 3, 1, 0, lambda y, i: 100)),  # constant grayscale
@@ -4608,6 +4639,7 @@ def _decode_fixture_blobs() -> list[tuple[int, bytes]]:
         (8, mp4(640, 360)),
         (9, b"\xffplain bytes, no container at all" * 8),
         (10, b""),
+        (11, avi_hdr()),
     ]
 
 
@@ -4633,6 +4665,11 @@ def _decode_fixture_blobs() -> list[tuple[int, bytes]]:
       (8, 'stub', 640, 360, NULL, NULL, 5.0, 0.117681),
       (9, 'stub', NULL, NULL, NULL, NULL, NULL, 0.892291),
       (10, 'stub', NULL, NULL, NULL, NULL, NULL, 0.548814),
+      -- round-11 AVI metadata tier: avih dims + us_per_frame x
+      -- total_frames duration (33367e-6 * 250 = 8.34175 exactly),
+      -- auds WAVEFORMATEX channels/rate; f0 is the content-seeded
+      -- stub feature of the fixture bytes
+      (11, 'stub', 320, 240, 1, 8000, 8.34175, 0.60097),
       -- round-9 resize tier: the two real PNGs resampled 3x2 and
       -- RE-DECODED (id+100). The constant-gray fixture (101) must
       -- keep f0 = 100/255 = 0.392157 under ANY correct resampling --

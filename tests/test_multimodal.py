@@ -1337,3 +1337,30 @@ def test_frame_decode_rawavi_tier(spark):
     for r, t in zip(rows, truth):
         assert (r["width"], r["height"]) == (6, 4)
         assert np.array_equal(_png_pixels(bytes(r["frame"])), t)
+
+
+def test_parse_avi_header_metadata():
+    """_parse_avi_header (round 11): avih dims + exact duration, auds
+    WAVEFORMATEX channels/rate; WAV and truncated RIFF are not
+    claimed; the walk stops at movi data."""
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _parse_avi_header,
+    )
+    from bigdata_quality_assessment_spark.queries import (
+        _decode_fixture_blobs,
+        _mjpeg_avi_blob,
+    )
+
+    b = dict(_decode_fixture_blobs())[11]
+    m = _parse_avi_header(b)
+    assert m == {"width": 320, "height": 240, "channels": 1,
+                 "sample_rate": 8000, "duration": 8.34175}
+    # the frames fixture has no audio stream: video dims + duration only
+    m2 = _parse_avi_header(_mjpeg_avi_blob())
+    assert (m2["width"], m2["height"]) == (8, 8)
+    assert m2["channels"] is None and m2["sample_rate"] is None
+    assert abs(m2["duration"] - 0.3) < 1e-9  # 100000 us x 3 frames
+    # not claimed: WAV RIFF, empty, truncated-before-headers
+    assert _parse_avi_header(b"RIFF\x24\x00\x00\x00WAVEfmt ") is None
+    assert _parse_avi_header(b"") is None
+    assert _parse_avi_header(b"RIFF\x10\x00\x00\x00AVI ") is None
