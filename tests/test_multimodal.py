@@ -1364,3 +1364,70 @@ def test_parse_avi_header_metadata():
     assert _parse_avi_header(b"RIFF\x24\x00\x00\x00WAVEfmt ") is None
     assert _parse_avi_header(b"") is None
     assert _parse_avi_header(b"RIFF\x10\x00\x00\x00AVI ") is None
+
+
+def test_mjpeg_stream_splitting_property():
+    """Property (hypothesis): for ANY concatenation of 2-5 baseline
+    JPEGs spanning the encoder's feature space (gray/RGB, 4:2:0
+    subsampling, restart markers, coarse quant — everything the
+    decoder supports), decode_mjpeg_frames splits the stream on the
+    true EOI and yields exactly the per-frame decode_jpeg results; a
+    cut anywhere past the first frame's EOI keeps a decodable prefix
+    (monotone truncated-tail contract)."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_quality_assessment_spark.operators.imagecodec import (
+        decode_jpeg,
+    )
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+    )
+    from tests.test_imagecodec import _encode_jpeg
+
+    frame_cfg = st.tuples(
+        st.integers(2, 3),          # size selector (8*k pixels square)
+        st.booleans(),              # rgb?
+        st.booleans(),              # 4:2:0 subsampling (rgb only)
+        st.sampled_from([0, 2]),    # restart interval
+        st.sampled_from([1, 16]),   # quant
+        st.integers(0, 255),        # base level
+    )
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(frame_cfg, min_size=2, max_size=5), st.randoms())
+    def run(cfgs, rnd):
+        blobs = []
+        for k, rgb, sub, restart, quant, base in cfgs:
+            n = 8 * k
+            if rgb:
+                img = np.fromfunction(
+                    lambda y, x, c: (base + 11 * y + 7 * x + 31 * c) % 256,
+                    (n, n, 3), dtype=np.int64,
+                ).astype(np.uint8)
+                blobs.append(_encode_jpeg(img, quant=quant,
+                                          subsample_420=sub,
+                                          restart=restart))
+            else:
+                img = np.fromfunction(
+                    lambda y, x: (base + 13 * y + 5 * x) % 256, (n, n),
+                    dtype=np.int64,
+                ).astype(np.uint8)
+                blobs.append(_encode_jpeg(img, quant=quant, restart=restart))
+        stream = b"".join(blobs)
+        got = decode_mjpeg_frames(stream)
+        assert got is not None and len(got) == len(blobs)
+        for fr, blob in zip(got, blobs):
+            solo = decode_jpeg(blob)
+            if solo.shape[2] == 1:
+                solo = np.repeat(solo, 3, axis=2)
+            assert np.array_equal(fr, solo)
+        # truncated tail: any cut past frame 1's EOI keeps >= 1 frame
+        cut = rnd.randrange(len(blobs[0]) + 3, len(stream))
+        res = decode_mjpeg_frames(stream[:cut])
+        assert res is not None and len(res) >= 1
+        assert np.array_equal(res[0], got[0])
+
+    run()
