@@ -975,6 +975,8 @@ def _jpeg_frame_end(b: bytes, pos: int) -> int | None:
                 return None
             while p + 1 < n and b[p + 1] == 0xFF:
                 p += 1
+            if p + 1 >= n:
+                return None
             m = b[p + 1]
             if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
                 p += 2

@@ -761,7 +761,7 @@ def near_dedup_minhash(
     mode: str = "word",
     id_col: str = "doc_id",
     cluster: bool = True,
-    lane_params: list[tuple[int, int]] | None = None,
+    lane_params: list[tuple[int, int, int]] | None = None,
 ) -> DataFrame:
     """Near-dedup: LSH candidates → exact-Jaccard verification on the
     candidate pairs only → connected-components closure over the
@@ -1127,7 +1127,7 @@ def fuzzy_decontaminate(
     bands: int = 16,
     min_jaccard: float = 0.8,
     mode: str = "word",
-    lane_params: list[tuple[int, int]] | None = None,
+    lane_params: list[tuple[int, int, int]] | None = None,
 ) -> DataFrame:
     """Cross-corpus near-duplicate decontamination: flag training
     documents whose shingle-set Jaccard with ANY benchmark/eval
