@@ -1238,10 +1238,14 @@ def _decode_gif(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
     return meta, _fit_features(_image_features(px), n_features)
 
 
-def _decode_wav(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
-    """Full WAV PCM decode with stdlib ``struct`` + numpy: walk RIFF
-    chunks for ``fmt `` and ``data``, decode 8/16-bit PCM samples,
-    emit signal statistics. Returns None for non-PCM or corruption."""
+def _wav_pcm(b: bytes):
+    """Decode a PCM WAV blob to its raw interleaved sample stream:
+    returns ``(x, raw, channels, rate, bits)`` with ``x`` the
+    normalized float64 samples in [-1, 1) and ``raw`` the un-scaled
+    integer samples (int16 / uint8 — what full-scale clipping is
+    defined against), or None for non-PCM / corruption. Shared by
+    :func:`_decode_wav` (feature stats) and
+    :func:`..audio.audio_quality` (quality signals)."""
     import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -1264,15 +1268,29 @@ def _decode_wav(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
         if audio_format != 1 or channels < 1 or bits not in (8, 16):
             return None
         if bits == 16:
-            x = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
-            x = x.astype(np.float64) / 32768.0
+            raw = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+            x = raw.astype(np.float64) / 32768.0
         else:
-            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            raw = np.frombuffer(data, dtype=np.uint8)
+            x = (raw.astype(np.float64) - 128.0) / 128.0
         n_frames = len(x) // channels
-        x = x[: n_frames * channels]
-        mono = x.reshape(-1, channels).mean(axis=1) if n_frames else np.zeros(0)
+        return x[: n_frames * channels], raw[: n_frames * channels], int(channels), int(rate), int(bits)
     except Exception:
         return None
+
+
+def _decode_wav(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
+    """Full WAV PCM decode with stdlib ``struct`` + numpy: walk RIFF
+    chunks for ``fmt `` and ``data``, decode 8/16-bit PCM samples,
+    emit signal statistics. Returns None for non-PCM or corruption."""
+    import numpy as np
+
+    pcm = _wav_pcm(b)
+    if pcm is None:
+        return None
+    x, _raw, channels, rate, _bits = pcm
+    n_frames = len(x) // channels
+    mono = x.reshape(-1, channels).mean(axis=1) if n_frames else np.zeros(0)
     if len(mono):
         zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
         feats = [

