@@ -1882,6 +1882,21 @@ def _lang_sql() -> str:
             FROM prq p LEFT JOIN biq b USING (prev, w)
                        LEFT JOIN ctxq x USING (prev) CROSS JOIN vvq),
     agq AS (SELECT doc_id, count(*) AS n, sum(lp) AS s FROM scq GROUP BY doc_id),
+    dlq AS (SELECT doc_id, sum(tf) AS dl FROM tfq GROUP BY doc_id),
+    bstat AS (SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM dlq),
+    qtq AS (SELECT DISTINCT doc_id AS query_id, term FROM tfq
+            WHERE doc_id % 167 = 0),
+    bsc AS (SELECT q.query_id, t.doc_id,
+                   sum(ln(1 + ((s.n_docs - d.df) + 0.5) / (d.df + 0.5))
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+            FROM qtq q JOIN tfq t USING (term) JOIN dfq d USING (term)
+                 JOIN dlq l ON l.doc_id = t.doc_id CROSS JOIN bstat s
+            GROUP BY q.query_id, t.doc_id),
+    brk AS (SELECT query_id, doc_id, round(score, 6) AS score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+            FROM bsc),
     tgtq AS (SELECT doc_id FROM documents WHERE source IN {_DSIR_TARGET_SQL}),
     prq_t AS (SELECT p.* FROM prq p JOIN tgtq USING (doc_id)),
     biq_t AS (SELECT prev, w, count(*) AS c FROM prq_t GROUP BY prev, w),
@@ -1898,14 +1913,17 @@ def _lang_sql() -> str:
            CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS tf,
            CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS tfidf,
            CAST(NULL AS BIGINT) AS n_lm_tokens, CAST(NULL AS DOUBLE) AS avg_logp,
-           CAST(NULL AS DOUBLE) AS ppl, CAST(NULL AS DOUBLE) AS log_weight
+           CAST(NULL AS DOUBLE) AS ppl, CAST(NULL AS DOUBLE) AS log_weight,
+           CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS bm25,
+           CAST(NULL AS BIGINT) AS rank
     FROM s
     UNION ALL
     SELECT 'tfidf', doc_id,
            {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
            CAST(NULL AS VARCHAR), term, tf, df, round(tfidf, 6),
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           CAST(NULL AS DOUBLE)
+           CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM ti WHERE rn <= 3
     UNION ALL
     SELECT 'lm', d.doc_id,
@@ -1913,7 +1931,8 @@ def _lang_sql() -> str:
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            coalesce(a.n, 0), round(a.s / a.n, 6), round(exp(-a.s / a.n), 6),
-           CAST(NULL AS DOUBLE)
+           CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM documents d LEFT JOIN agq a ON d.doc_id = a.doc_id
     UNION ALL
     SELECT 'dsir', d.doc_id,
@@ -1921,9 +1940,19 @@ def _lang_sql() -> str:
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            coalesce(a2.n, 0), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           round((a2.s / a2.n) * a2.n - (a.s / a.n) * a.n, 6)
+           round((a2.s / a2.n) * a2.n - (a.s / a.n) * a.n, 6),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM documents d LEFT JOIN agq a ON d.doc_id = a.doc_id
-                     LEFT JOIN agq_t a2 ON d.doc_id = a2.doc_id"""
+                     LEFT JOIN agq_t a2 ON d.doc_id = a2.doc_id
+    UNION ALL
+    SELECT 'bm25', doc_id,
+           {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           query_id, score, rn
+    FROM brk WHERE rn <= 5"""
 
 
 @_register("x_language_id", _lang_sql())
@@ -1938,9 +1967,15 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 6) is DSIR importance weighting (text.py dsir_weights, Xie
     et al. 2023) — log p_target(doc) - log p_background(doc) with the
     target LM trained on a fixed source slice and the background LM on
-    the corpus itself. All four hash-matched against the SQL
+    the corpus itself; part='bm25' (round 12) is Okapi BM25 scored
+    retrieval (text.py bm25_retrieve) — each deterministic query doc
+    (doc_id % 167 == 0, the corpus standing in for a benchmark suite)
+    retrieves its top-5 documents by the Lucene-idf BM25 score, ranked
+    on the 6-digit-rounded score so cross-engine float sum-order can
+    never flip a rank. All five hash-matched against the SQL
     formulation."""
     from bigdata_quality_assessment_spark.operators.text import (
+        bm25_retrieve,
         dsir_weights,
         ngram_lm_score,
         tf_idf,
@@ -1955,6 +1990,11 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("ppl"),
         F.lit(None).cast("double").alias("log_weight"),
     ]
+    _bm_nulls = [
+        F.lit(None).cast("bigint").alias("query_id"),
+        F.lit(None).cast("double").alias("bm25"),
+        F.lit(None).cast("bigint").alias("rank"),
+    ]
     lang_part = out.select(
         F.lit("lang").alias("part"),
         "doc_id",
@@ -1965,6 +2005,7 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("df"),
         F.lit(None).cast("double").alias("tfidf"),
         *_lm_nulls,
+        *_bm_nulls,
     )
     ti = tf_idf(docs, top_k=3).select(
         F.lit("tfidf").alias("part"),
@@ -1976,6 +2017,7 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         F.round("tfidf", 6).alias("tfidf"),
         *_lm_nulls,
+        *_bm_nulls,
     )
     lm_raw = ngram_lm_score(docs)
     lm = lm_raw.select(
@@ -1991,6 +2033,7 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_logp", 6).alias("avg_logp"),
         F.round("ppl", 6).alias("ppl"),
         F.lit(None).cast("double").alias("log_weight"),
+        *_bm_nulls,
     )
     tgt = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
     # the background LM is the SAME self-perplexity pass as part='lm'
@@ -2009,8 +2052,39 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_logp"),
         F.lit(None).cast("double").alias("ppl"),
         F.round("log_weight", 6).alias("log_weight"),
+        *_bm_nulls,
     )
-    return lang_part.unionByName(ti).unionByName(lm).unionByName(dsir)
+    from pyspark.sql import Window
+
+    qsel = docs.filter((F.col("doc_id") % 167) == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    bm = (
+        bm25_retrieve(docs, qsel, top_k=None)
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.lit("bm25").alias("part"),
+            "doc_id",
+            *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],
+            F.lit(None).cast("string").alias("lang_pred"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("bigint").alias("tf"),
+            F.lit(None).cast("bigint").alias("df"),
+            F.lit(None).cast("double").alias("tfidf"),
+            *_lm_nulls,
+            "query_id",
+            F.round("score", 6).alias("bm25"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+    return (
+        lang_part.unionByName(ti).unionByName(lm).unionByName(dsir)
+        .unionByName(bm)
+    )
 
 
 # Pinned hashed-logistic classifier (round-7): with the weight vector

@@ -1,0 +1,107 @@
+"""Okapi BM25 scored retrieval (operators/text.py bm25_retrieve) —
+round-12 verdict ask #5."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.text import bm25_retrieve
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_bm25_exact_formula(spark):
+    """Hand-computed score on a 3-doc corpus, one-term query."""
+    docs = _docs(spark, ["a b", "a a b", "c"])
+    q = spark.createDataFrame([(0, "a")], "query_id long, text string")
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in bm25_retrieve(docs, q, top_k=None).collect()
+    }
+    # N=3 docs, df(a)=2, avgdl=(2+3+1)/3=2, idf=ln(1+(3-2+0.5)/2.5)
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def tnorm(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 2.0))
+
+    assert rows.keys() == {0, 1}  # doc 2 shares no term
+    assert rows[0] == pytest.approx(idf * tnorm(1, 2))
+    assert rows[1] == pytest.approx(idf * tnorm(2, 3))
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf in a shorter document scores higher (the b-weighted
+    length penalty BM25 adds over plain tf-idf)."""
+    docs = _docs(spark, ["a b", "a b c d e f g h", "x y z"])
+    q = spark.createDataFrame([(0, "a")], "query_id long, text string")
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in bm25_retrieve(docs, q, top_k=None).collect()
+    }
+    assert rows[0] > rows[1]
+
+
+def test_bm25_self_retrieval_ranks_first(spark):
+    """A query that IS a corpus document retrieves that document at
+    rank 1 — the retrieval-decontamination use case."""
+    docs = _docs(
+        spark,
+        ["alpha beta gamma", "delta epsilon", "alpha delta", "zeta eta"],
+    )
+    q = spark.createDataFrame(
+        [(7, "alpha beta gamma")], "query_id long, text string"
+    )
+    top = bm25_retrieve(docs, q, top_k=2).orderBy("rank").collect()
+    assert top[0]["doc_id"] == 0 and top[0]["rank"] == 1
+
+
+def test_bm25_top_k_and_tiebreak(spark):
+    """Identical documents tie exactly; the rank tie-break is doc id
+    ascending; top_k truncates per query."""
+    docs = _docs(spark, ["a b", "a b", "a b", "c"])
+    q = spark.createDataFrame([(0, "a b")], "query_id long, text string")
+    top = bm25_retrieve(docs, q, top_k=2).orderBy("rank").collect()
+    assert [r["doc_id"] for r in top] == [0, 1]
+    full = bm25_retrieve(docs, q, top_k=None).collect()
+    scores = {r["doc_id"]: r["score"] for r in full}
+    assert scores[0] == scores[1] == scores[2]
+
+
+def test_bm25_multiple_queries_and_dup_terms(spark):
+    """Queries score independently; repeated query terms count once
+    (distinct-term contract)."""
+    docs = _docs(spark, ["a b c", "b c d", "d e f"])
+    q = spark.createDataFrame(
+        [(1, "a"), (2, "a a a"), (3, "f")], "query_id long, text string"
+    )
+    rows = bm25_retrieve(docs, q, top_k=None).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    assert by_q[1] == by_q[2]  # duplicate terms change nothing
+    assert set(by_q[3]) == {2}
+
+
+def test_bm25_empty_docs_excluded_from_stats(spark):
+    """Token-less documents join neither N nor avgdl and are never
+    retrieved."""
+    docs = _docs(spark, ["a b", "", "   ", "a"])
+    q = spark.createDataFrame([(0, "a")], "query_id long, text string")
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in bm25_retrieve(docs, q, top_k=None).collect()
+    }
+    assert set(rows) == {0, 3}
+    # N=2, df(a)=2, avgdl=1.5 — the empty docs are invisible
+    idf = math.log(1 + (2 - 2 + 0.5) / (2 + 0.5))
+    assert rows[3] == pytest.approx(
+        idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0 / 1.5))
+    )
