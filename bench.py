@@ -361,13 +361,19 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
-        # adaptive firm-up (round 7): an n=3 median on a query whose
-        # spread exceeds its median is itself wobbly (r6 recorded a
-        # 9.9 s spread on a 3.6 s flagship median) — two extra runs
-        # make the reported median a 5-sample one on exactly the
-        # queries where host noise was observed
-        if n_runs == 3 and max(samples) - min(samples) > statistics.median(samples):
-            for _ in range(2):
+        # adaptive firm-up (round 7; widened round 12 per verdict
+        # "what's wrong" #2): a 3-run median whose spread exceeds
+        # ~50% of the median is noise-dominated — the committed r11
+        # flagship spread was 5.06 s on n_runs=3 because one polluted
+        # pass becomes the recorded spread. Keep sampling (up to 7)
+        # until the spread settles under the ratio or the cap hits,
+        # for multi-second and sub-second queries alike.
+        if n_runs == 3:
+            while (
+                len(samples) < 7
+                and max(samples) - min(samples)
+                > 0.5 * statistics.median(samples)
+            ):
                 t0 = time.perf_counter()
                 fn()
                 samples.append(time.perf_counter() - t0)
