@@ -3832,6 +3832,26 @@ _EDDR_THRESHOLD = 0.9
 _EDDR_PLANES = _edd_pinned_planes(
     "eddr-plane", _EDDR_TABLES, _EDDR_PLANES_N
 )
+
+# Two-regime pinned family (round-12 verdict ask #4): the 6-plane /
+# 0.4-threshold family is CORRECT at the sf0.01 grading scale (wide
+# threshold so the no-planted-dup synthetic corpus yields a real edge
+# set) but quadratic past sf0.1 — 64 buckets/table put ~3,125 vectors
+# per bucket at sf10 (round-11 BASELINE, the one graded-shape bound
+# left). Above _EDD_SCALE_CUTOFF vectors BOTH engines switch to a
+# corpus-scaled 12-plane family at a production 0.9 threshold (the
+# ×N-replicated scale corpora carry exact-duplicate replicas, so the
+# scale regime grades full replica-clique recovery through banding +
+# verify + closure at volume). Regime choice is a pure corpus
+# function (count ≥ cutoff), so the graded shape stays deterministic
+# at every SF and escapes its sf0.1 ceiling the way the minhash shape
+# did in round 11.
+_EDD_SCALE_CUTOFF = 10_000
+_EDD_SCALE_PLANES_N = 12
+_EDD_SCALE_THRESHOLD = 0.9
+_EDD_SCALE_PLANES = _edd_pinned_planes(
+    "edd12-plane", _EDD_TABLES, _EDD_SCALE_PLANES_N
+)
 _EDDR_FIXTURE = str(
     __import__("pathlib").Path(__file__).resolve().parent.parent
     / "fixtures"
@@ -3852,22 +3872,47 @@ _EDD_CELL_CENTROIDS = [
 def _edd_pipeline_ctes(
     planes: list[list[list[float]]], n_tables: int, n_planes: int,
     threshold: float, src: str = "embeddings",
+    scale: tuple[list[list[list[float]]], int, float, int] | None = None,
 ) -> str:
     """The LSH-dedup CTE chain (plane literals → buckets → candidate
     join → exact-cosine verify → recursive closure → drop ids) over
     ``src``, shared by part='dedup' (driver table, wide synthetic
     threshold) and part='recall' (committed planted fixture,
-    production threshold) — one pipeline, two regimes."""
-    rows = ",\n          ".join(
-        "({}, {}, [{}]::DOUBLE[])".format(
-            t, p, ", ".join("1" if x > 0 else "-1" for x in planes[t][p])
+    production threshold) — one pipeline, two regimes.
+
+    ``scale`` = (planes2, n_planes2, threshold2, cutoff): when given,
+    the pipeline selects the second pinned family + threshold whenever
+    the corpus holds ≥ cutoff vectors (a pure corpus function both
+    engines compute identically — see _EDD_SCALE_CUTOFF)."""
+
+    def plane_rows(pls, n_t, n_p, rg):
+        return ",\n          ".join(
+            "({}, {}, {}, [{}]::DOUBLE[])".format(
+                rg, t, p,
+                ", ".join("1" if x > 0 else "-1" for x in pls[t][p]),
+            )
+            for t in range(n_t)
+            for p in range(n_p)
         )
-        for t in range(n_tables)
-        for p in range(n_planes)
-    )
+
     thresh = repr(threshold)
-    return f"""pl AS (SELECT * FROM (VALUES
-          {rows}) x(t, p, pv)),
+    if scale is None:
+        pl_cte = f"""pl AS (SELECT t, p, pv FROM (VALUES
+          {plane_rows(planes, n_tables, n_planes, 0)}) x(rg, t, p, pv)),"""
+        thresh_expr = thresh
+    else:
+        planes2, n_planes2, threshold2, cutoff = scale
+        pl_cte = f"""nv AS (SELECT count(*) AS nn FROM {src}),
+      pl AS (SELECT t, p, pv FROM (VALUES
+          {plane_rows(planes, n_tables, n_planes, 0)},
+          {plane_rows(planes2, n_tables, n_planes2, 1)}) x(rg, t, p, pv)
+          WHERE rg = CASE WHEN (SELECT nn FROM nv) >= {cutoff}
+                          THEN 1 ELSE 0 END),"""
+        thresh_expr = (
+            f"CASE WHEN (SELECT nn FROM nv) >= {cutoff} "
+            f"THEN {threshold2!r} ELSE {thresh} END"
+        )
+    return f"""{pl_cte}
       v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM {src}),
       bk AS (SELECT v.vec_id, pl.t,
@@ -3880,7 +3925,7 @@ def _edd_pipeline_ctes(
       verified AS (SELECT id_a, id_b
                    FROM cand JOIN v x ON x.vec_id = cand.id_a
                              JOIN v y ON y.vec_id = cand.id_b
-                   WHERE list_cosine_similarity(x.e, y.e) >= {thresh}),
+                   WHERE list_cosine_similarity(x.e, y.e) >= {thresh_expr}),
       edges AS (SELECT id_a AS s, id_b AS t FROM verified
                 UNION ALL SELECT id_b, id_a FROM verified),
       reach AS (
@@ -3916,7 +3961,9 @@ def _edd_sql() -> str:
     return f"""SELECT part, vec_id, label, cluster, centroid_cosine, metric, n
       FROM (
         WITH RECURSIVE
-      {_edd_pipeline_ctes(_EDD_PLANES, _EDD_TABLES, _EDD_PLANES_N, _EDD_THRESHOLD)},
+      {_edd_pipeline_ctes(_EDD_PLANES, _EDD_TABLES, _EDD_PLANES_N, _EDD_THRESHOLD,
+                          scale=(_EDD_SCALE_PLANES, _EDD_SCALE_PLANES_N,
+                                 _EDD_SCALE_THRESHOLD, _EDD_SCALE_CUTOFF))},
       cellc(cell, cv) AS (SELECT * FROM (VALUES
           {cellrows}) y(cell, cv)),
       vv AS (
@@ -4048,9 +4095,19 @@ def q_xembdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # two-regime pinned family (round 12, verdict ask #4): regime is a
+    # pure corpus function — count ≥ cutoff switches both engines to
+    # the corpus-scaled 12-plane family at the production threshold
+    # (see _EDD_SCALE_CUTOFF block comment)
+    if emb.count() >= _EDD_SCALE_CUTOFF:
+        ded_planes, ded_np, ded_th = (
+            _EDD_SCALE_PLANES, _EDD_SCALE_PLANES_N, _EDD_SCALE_THRESHOLD,
+        )
+    else:
+        ded_planes, ded_np, ded_th = _EDD_PLANES, _EDD_PLANES_N, _EDD_THRESHOLD
     ded = embedding_near_dedup(
-        emb, threshold=_EDD_THRESHOLD, dim=_ANN_DIM,
-        n_planes=_EDD_PLANES_N, n_tables=_EDD_TABLES, planes=_EDD_PLANES,
+        emb, threshold=ded_th, dim=_ANN_DIM,
+        n_planes=ded_np, n_tables=_EDD_TABLES, planes=ded_planes,
         impl="sql",
     ).select(
         F.lit("dedup").alias("part"), "vec_id", "label",

@@ -21,6 +21,15 @@ Usage: python tools/bench_rtext_scaling.py [n_docs ...]
 Default scales: 5000 50000 500000. Corpora cache under
 .localdata/rtext/<n>/documents.parquet (delete to regenerate).
 Prints one JSON line per scale plus a final summary line.
+
+``SPARK_GRAFT_RTEXT_OPS`` (round 12, the 5M-doc fifth decade): a
+comma-separated allowlist of timed ops — at 5M docs the full
+seven-op suite is hours of wall clock, while the scaling question on
+the table is the dedup tier; set e.g.
+``SPARK_GRAFT_RTEXT_OPS=exact_dedup,near_dedup_minhash``. The
+collision-statistics pass (distinct-5-gram census over a ~450M-gram
+corpus) is skippable the same way via the pseudo-op ``gram_stats``;
+planted recall/survival always run (they are the point).
 """
 
 from __future__ import annotations
@@ -39,6 +48,8 @@ sys.path.insert(0, str(REPO))
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [5_000, 50_000, 500_000]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    ops_env = os.environ.get("SPARK_GRAFT_RTEXT_OPS", "")
+    ops_filter = {o.strip() for o in ops_env.split(",") if o.strip()} or None
 
     from pyspark.sql import functions as F
 
@@ -100,6 +111,7 @@ def main() -> None:
 
         # corpus collision statistics (original docs only — planted
         # dups share ALL their grams by construction)
+        want_grams = ops_filter is None or "gram_stats" in ops_filter
         toks = F.split("text", " ")
         grams = (
             docs.filter(F.col("role") == "orig")
@@ -117,23 +129,25 @@ def main() -> None:
             )
             .distinct()
         )
-        gs = (
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("nd"))
-            .agg(
-                F.count(F.lit(1)).alias("distinct_5grams"),
-                F.avg((F.col("nd") > 1).cast("double")).alias(
-                    "shared_5gram_frac"
-                ),
+        def gram_census():
+            return (
+                grams.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("nd"))
+                .agg(
+                    F.count(F.lit(1)).alias("distinct_5grams"),
+                    F.avg((F.col("nd") > 1).cast("double")).alias(
+                        "shared_5gram_frac"
+                    ),
+                )
+                .first()
             )
-            .first()
-        )
-        stats = {
-            "n_docs": n,
-            "cal_start": calibrate(),
-            "distinct_5grams": int(gs["distinct_5grams"]),
-            "shared_5gram_frac": round(float(gs["shared_5gram_frac"]), 5),
-        }
+        stats = {"n_docs": n, "cal_start": calibrate()}
+        if want_grams:
+            gs = gram_census()
+            stats["distinct_5grams"] = int(gs["distinct_5grams"])
+            stats["shared_5gram_frac"] = round(
+                float(gs["shared_5gram_frac"]), 5
+            )
 
         # planted-structure quality (run once, not timed) — computed
         # DISTRIBUTED: a driver-side id census collects n_docs rows
@@ -165,6 +179,8 @@ def main() -> None:
         stats["orig_survival"] = round(float(qual["survival"]), 4)
 
         def timed(name, fn):
+            if ops_filter is not None and name not in ops_filter:
+                return
             samples = []
             for _ in range(n_runs):
                 spark.catalog.clearCache()
@@ -199,12 +215,14 @@ def main() -> None:
 
         # span/decon REMOVAL counts — the 30-word corpus blew these up
         # via chance collisions; record the realistic-baseline level
-        stats["spans_removed"] = int(
-            dedup_spans(docs, 5).agg(F.sum("n_spans_removed")).first()[0]
-        )
-        stats["decon_flagged"] = int(
-            decontaminate(docs, ev, k=5).filter("contaminated").count()
-        )
+        if ops_filter is None or "dedup_spans" in ops_filter:
+            stats["spans_removed"] = int(
+                dedup_spans(docs, 5).agg(F.sum("n_spans_removed")).first()[0]
+            )
+        if ops_filter is None or "decontaminate" in ops_filter:
+            stats["decon_flagged"] = int(
+                decontaminate(docs, ev, k=5).filter("contaminated").count()
+            )
         stats["cal_end"] = calibrate()
         results[n] = stats
         print(json.dumps(stats))
