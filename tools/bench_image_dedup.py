@@ -114,7 +114,12 @@ def main() -> None:
 
         timed(
             "image_phash",
-            lambda: image_phash(media).agg(F.sum("dhash")).collect(),
+            # modulo before summing: raw 64-bit hashes overflow an
+            # ANSI-mode long sum (the mapInPandas pass computes every
+            # column regardless, so any dhash-consuming agg works)
+            lambda: image_phash(media)
+            .agg(F.sum(F.col("dhash") % 1000003))
+            .collect(),
         )
         timed(
             "near_dedup_images",
