@@ -587,6 +587,36 @@ def main() -> None:
                     rtext_docs, k=3, n_hashes=128, bands=16, min_jaccard=0.8
                 ).count())
 
+    # round-12: per-round records for the two new retrieval/multimodal
+    # tiers. BM25 scored retrieval on the SAME realistic corpus (the
+    # retrieval-decontamination shape: query set = corpus subset, one
+    # shared tf scan); perceptual image dedup on an SF-matched planted
+    # block-mosaic corpus (decode → dHash → banded Hamming dedup),
+    # cached under .localdata/images like the rtext corpus.
+    from bigdata_quality_assessment_spark.operators.phash import (
+        near_dedup_images,
+    )
+    from bigdata_quality_assessment_spark.operators.text import bm25_retrieve
+    from bigdata_quality_assessment_spark.sources.imagegen import (
+        planted_images,
+    )
+
+    timed_extra("bm25_rtext",
+                lambda: bm25_retrieve(
+                    rtext_docs, top_k=10,
+                    query_filter=(F.col("doc_id") % 167) == 0,
+                ).count())
+    n_img = max(20_000, int(200_000 * sf_val)) if sf_val > 0 else 20_000
+    img_path = REPO / ".localdata" / "images" / str(n_img) / "media.parquet"
+    if not img_path.exists():
+        planted_images(spark, n_img, seed=7).write.mode(
+            "overwrite"
+        ).parquet(str(img_path))
+    img_media = spark.read.parquet(str(img_path))
+    extras["image_dedup_n_images"] = n_img
+    timed_extra("image_dedup",
+                lambda: near_dedup_images(img_media, max_hamming=3).count())
+
     # streaming-ingest state evidence (round 6: per-batch flatness;
     # round 7, verdict ask #7: compaction). 20 equal batches in two
     # availableNow drains with a compact_ingest_state pass between —

@@ -1352,11 +1352,33 @@ def pack_sequences(
     return chunks.mapInPandas(pack, schema=schema)
 
 
+def term_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shared ``(id, term, tf)`` frame of the retrieval family —
+    one explode + one map-side-combined count. :func:`tf_idf` and
+    :func:`bm25_retrieve` both consume it; compute it ONCE (with a
+    lazy ``localCheckpoint``) when a caller feeds several consumers so
+    the corpus scans once (the x_language_id registry entry does
+    exactly this via their ``tf=`` parameters)."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def tf_idf(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """TF-IDF term weights: ``tf = count of term in doc``, ``idf =
     ln((N + 1) / (df + 1)) + 1`` (the smoothed scikit-learn
@@ -1369,17 +1391,17 @@ def tf_idf(
     shuffle is VOCABULARY-shaped (distinct terms × partitions), not
     corpus-shaped, and the df side aggregates to one row per distinct
     term, which broadcasts. The top-k window partitions by document —
-    bounded by the longest single document, never the corpus."""
-    tf = (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # both consumers (df counts + N) derive from tf, which is itself
-    # the product of the corpus scan — barrier it so the scan and the
-    # explode run once
-    tf = tf.localCheckpoint(eager=False)
+    bounded by the longest single document, never the corpus.
+
+    ``tf``: optional precomputed :func:`term_frequencies` frame
+    (barrier it in the caller when shared across consumers)."""
+    if tf is None:
+        # both consumers (df counts + N) derive from tf, which is
+        # itself the product of the corpus scan — barrier it so the
+        # scan and the explode run once
+        tf = term_frequencies(docs, text_col, id_col).localCheckpoint(
+            eager=False
+        )
     n_docs = tf.select(id_col).distinct().count()
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
@@ -1398,7 +1420,7 @@ def tf_idf(
 
 def bm25_retrieve(
     docs: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     query_text_col: str = "text",
@@ -1406,6 +1428,8 @@ def bm25_retrieve(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int | None = 10,
+    tf: DataFrame | None = None,
+    query_filter=None,
 ) -> DataFrame:
     """Okapi BM25 scored retrieval (round-12 verdict ask #5): for each
     query, rank corpus documents by
@@ -1431,28 +1455,43 @@ def bm25_retrieve(
     no shuffle of the corpus at all beyond the tf groupBy; the final
     per-query top-k window partitions on query_id (bounded by matches
     per query). N / avgdl are 1-row frames crossed in via broadcast,
-    the repo's scalar-statistic discipline."""
-    tf = (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)  # df / dl / N / scoring all reuse it
-    )
+    the repo's scalar-statistic discipline.
+
+    ``tf``: optional precomputed :func:`term_frequencies` frame
+    (barrier it in the caller when shared — e.g. with
+    :func:`tf_idf`, as the x_language_id entry does so the corpus
+    scans once for both consumers). ``query_filter``: a Column
+    predicate over ``id_col`` selecting CORPUS documents as the query
+    set (the retrieval-decontamination shape) — query terms then
+    derive from the tf frame itself, zero extra corpus scan; mutually
+    exclusive with ``queries``."""
+    if (queries is None) == (query_filter is None):
+        raise ValueError("pass exactly one of queries / query_filter")
+    if tf is None:
+        tf = term_frequencies(docs, text_col, id_col).localCheckpoint(
+            eager=False
+        )  # df / dl / N / scoring all reuse it
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    qterms = (
-        queries.select(
-            F.col(query_id_col),
-            F.explode(tokens(F.col(query_text_col))).alias("term"),
+    if query_filter is not None:
+        qterms = (
+            tf.filter(query_filter)
+            .select(F.col(id_col).alias(query_id_col), "term")
+            .distinct()
         )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    else:
+        qterms = (
+            queries.select(
+                F.col(query_id_col),
+                F.explode(tokens(F.col(query_text_col))).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .distinct()
+        )
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

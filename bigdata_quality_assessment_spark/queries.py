@@ -1978,6 +1978,7 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_retrieve,
         dsir_weights,
         ngram_lm_score,
+        term_frequencies,
         tf_idf,
     )
 
@@ -2007,7 +2008,11 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_lm_nulls,
         *_bm_nulls,
     )
-    ti = tf_idf(docs, top_k=3).select(
+    # one barriered (doc, term, tf) frame feeds BOTH retrieval-family
+    # consumers (tf_idf + bm25) — the corpus scans once for the pair,
+    # keeping the entry inside its 4-FileScan budget
+    tf_frame = term_frequencies(docs).localCheckpoint(eager=False)
+    ti = tf_idf(docs, top_k=3, tf=tf_frame).select(
         F.lit("tfidf").alias("part"),
         "doc_id",
         *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],
@@ -2056,14 +2061,14 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    qsel = docs.filter((F.col("doc_id") % 167) == 0).select(
-        F.col("doc_id").alias("query_id"), "text"
-    )
     wb = Window.partitionBy("query_id").orderBy(
         F.round("score", 6).desc(), F.col("doc_id").asc()
     )
     bm = (
-        bm25_retrieve(docs, qsel, top_k=None)
+        bm25_retrieve(
+            docs, top_k=None, tf=tf_frame,
+            query_filter=(F.col("doc_id") % 167) == 0,
+        )
         .withColumn("rank", F.row_number().over(wb))
         .filter(F.col("rank") <= 5)
         .select(
