@@ -33,6 +33,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .partitioning import ensure_min_parallelism, id_ddl_type
 
@@ -65,6 +66,115 @@ def _quality_of(b: bytes, silence_amp: float):
         20.0 * math.log10(peak) if peak > 0 else None,
         float(np.mean(np.abs(x) < silence_amp)),
         float(np.mean(x)),
+    )
+
+
+def energy_fingerprint_bits(x, channels: int, n_windows: int = 65) -> int | None:
+    """64-bit energy-profile fingerprint of a normalized sample
+    stream: mix to mono, split into ``n_windows`` equal windows
+    (boundaries ``floor(i·n/65)``), take per-window RMS energy, and
+    set bit ``k`` iff the energy STRICTLY rises from window k to k+1 —
+    the temporal analog of the image dHash (:mod:`..phash`). Uniform
+    gain scales every window energy by the same factor, so the
+    fingerprint is GAIN-INVARIANT (a re-mastered / volume-normalized
+    copy hashes identically — the perceptual-dup case byte dedup can
+    never catch). Returns None when the clip has fewer mono frames
+    than windows (too short to fingerprint)."""
+    import numpy as np
+
+    n = len(x) // channels
+    if n < n_windows:
+        return None
+    mono = x[: n * channels].reshape(-1, channels).mean(axis=1)
+    idx = (np.arange(n_windows + 1) * n) // n_windows
+    e = np.add.reduceat(mono * mono, idx[:-1])
+    counts = np.diff(idx)
+    e = e / counts
+    v = 0
+    for k in range(n_windows - 1):
+        if e[k + 1] > e[k]:
+            v |= 1 << k
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    n_windows: int = 65,
+) -> DataFrame:
+    """Per-blob gain-invariant energy fingerprints (see
+    :func:`energy_fingerprint_bits`): one Arrow pass over the real WAV
+    PCM decode; non-PCM / too-short blobs get NULL fingerprints (they
+    candidate-match nothing downstream). Output:
+    ``(id, afp BIGINT, n_frames, decoder)``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import _wav_pcm
+
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col],
+                "afp": [], "n_frames": [], "decoder": [],
+            }
+            for blob in pdf[content_col]:
+                b = bytes(blob) if blob is not None else b""
+                pcm = _wav_pcm(b)
+                if pcm is None:
+                    out["afp"].append(None)
+                    out["n_frames"].append(None)
+                    out["decoder"].append(None)
+                    continue
+                x, _raw, channels, _rate, _bits = pcm
+                out["afp"].append(
+                    energy_fingerprint_bits(x, channels, n_windows)
+                )
+                out["n_frames"].append(len(x) // channels)
+                out["decoder"].append("wav")
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} {id_ddl_type(media, id_col)}, afp BIGINT, "
+        "n_frames BIGINT, decoder STRING"
+    )
+    return ensure_min_parallelism(
+        media.select(id_col, content_col)
+    ).mapInPandas(run, schema)
+
+
+def near_dedup_audio(
+    media: DataFrame,
+    max_hamming: int = 3,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    cluster: bool = True,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Perceptual audio near-dedup over the energy fingerprints:
+    delegates band/verify/closure to
+    :func:`..text.simhash_near_dedup` (signatures mode — the 64-bit
+    fingerprint is a simhash-shaped signature, so the 4×16-bit
+    pigeonhole-complete banding, Hamming verify and min-id cluster
+    keep apply verbatim, exactly like :func:`..phash.near_dedup_images`).
+    Returns the surviving rows of ``media``; undecodable / too-short
+    clips always survive."""
+    from .text import simhash_near_dedup
+
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else audio_fingerprint(media, content_col, id_col)
+    )
+    sig = fp.filter(F.col("afp").isNotNull()).select(
+        id_col, F.col("afp").alias("simhash")
+    ).localCheckpoint(eager=False)
+    return simhash_near_dedup(
+        media,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        cluster=cluster,
+        signatures=sig,
+        hash_fn="xxhash64",  # 64-bit signature → 16-bit bands
     )
 
 

@@ -4570,6 +4570,26 @@ def _phash_fixture_blobs() -> list[tuple[int, bytes]]:
     ]
 
 
+def _wav_blob(channels: int, rate: int, bits: int, samples) -> bytes:
+    """Minimal valid PCM WAV blob — shared by the part='audio' and
+    part='afp' fixture builders."""
+    import struct as _struct
+
+    pcm = (
+        _struct.pack(f"<{len(samples)}h", *samples)
+        if bits == 16
+        else bytes(samples)
+    )
+    return (
+        b"RIFF" + _struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + _struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        + b"data" + _struct.pack("<I", len(pcm)) + pcm
+    )
+
+
 def _audio_fixture_blobs() -> list[tuple[int, bytes]]:
     """Deterministic PCM WAV fixtures for the part='audio' tier of
     x_blob_stats, every metric hand-derivable from the sample lists:
@@ -4582,29 +4602,12 @@ def _audio_fixture_blobs() -> list[tuple[int, bytes]]:
       4: stereo 8-bit with 255 and 0 hits  → 8-bit clipping rule
       5: non-WAV bytes                     → NULL metrics, decoded 0
     """
-    import struct as _struct
-
-    def wav(channels, rate, bits, samples):
-        pcm = (
-            _struct.pack(f"<{len(samples)}h", *samples)
-            if bits == 16
-            else bytes(samples)
-        )
-        return (
-            b"RIFF" + _struct.pack("<I", 36 + len(pcm)) + b"WAVE"
-            + b"fmt " + _struct.pack(
-                "<IHHIIHH", 16, 1, channels, rate,
-                rate * channels * bits // 8, channels * bits // 8, bits,
-            )
-            + b"data" + _struct.pack("<I", len(pcm)) + pcm
-        )
-
     return [
-        (0, wav(1, 8000, 16, [32767, -32768] * 8)),
-        (1, wav(1, 8000, 16, [0] * 16)),
-        (2, wav(1, 16000, 16, [16384, -16384] * 8)),
-        (3, wav(1, 8000, 16, [32767, 0, 0, 0, -32768, 0, 0, 0])),
-        (4, wav(2, 44100, 8, [255, 128, 0, 128, 128, 128, 200, 56])),
+        (0, _wav_blob(1, 8000, 16, [32767, -32768] * 8)),
+        (1, _wav_blob(1, 8000, 16, [0] * 16)),
+        (2, _wav_blob(1, 16000, 16, [16384, -16384] * 8)),
+        (3, _wav_blob(1, 8000, 16, [32767, 0, 0, 0, -32768, 0, 0, 0])),
+        (4, _wav_blob(2, 44100, 8, [255, 128, 0, 128, 128, 128, 200, 56])),
         (5, b"RIFFxxxxJUNK not audio"),
     ]
 
@@ -4613,6 +4616,50 @@ _AUDIO_METRICS = (
     "n_frames", "channels", "sample_rate", "clipping_rate", "rms_dbfs",
     "peak_dbfs", "silence_fraction", "dc_offset",
 )
+
+
+def _afp_fixture_blobs() -> list[tuple[int, bytes]]:
+    """Deterministic PCM WAV fixtures for the part='afp' tier of
+    x_blob_stats (gain-invariant energy fingerprints +
+    Hamming-banded audio near-dedup). Each blob is 65 two-sample
+    windows ``[a, -a]`` (per-window RMS = a exactly), so every
+    fingerprint bit is hand-derivable from the amplitude list:
+
+      0: alternating 1000/8000 amplitudes → rising at even k
+                                          → 0x5555555555555555
+      1: byte-exact copy of 0             → Hamming 0 (dup)
+      2: 0 at HALF GAIN (500/4000)        → identical fingerprint —
+         the gain-invariant perceptual dup byte dedup cannot catch
+      3: strictly rising ramp 100+100k    → all bits → -1 (0xFF…FF)
+      4: plateaus rising after k=15,31,47 → bits {15,31,47}
+                                          → 140739635871744
+      5: 10-frame clip                    → too short, NULL (survives)
+      6: non-WAV bytes                    → NULL (survives)
+
+    Pairwise Hamming of {0,3,4}: 32/61/35 — so the banded dedup must
+    form exactly the cluster {0,1,2}, keep min id 0, and the survivor
+    set is {0, 3, 4, 5, 6}."""
+    def win(amps):
+        out = []
+        for a in amps:
+            out += [a, -a]
+        return out
+
+    return [
+        (0, _wav_blob(1, 8000, 16, win(
+            [1000 if k % 2 == 0 else 8000 for k in range(65)]))),
+        (1, _wav_blob(1, 8000, 16, win(
+            [1000 if k % 2 == 0 else 8000 for k in range(65)]))),
+        (2, _wav_blob(1, 8000, 16, win(
+            [500 if k % 2 == 0 else 4000 for k in range(65)]))),
+        (3, _wav_blob(1, 8000, 16, win(
+            [100 + 100 * k for k in range(65)]))),
+        (4, _wav_blob(1, 8000, 16, win(
+            [2000 + 1500 * sum(k > t for t in (15, 31, 47))
+             for k in range(65)]))),
+        (5, _wav_blob(1, 8000, 16, [700, -700] * 5)),
+        (6, b"RIFFnope not a wave file"),
+    ]
 
 
 def _blob_sql() -> str:
@@ -4655,19 +4702,20 @@ def _blob_sql() -> str:
       (5, 'rms_dbfs', NULL), (5, 'sample_rate', NULL),
       (5, 'silence_fraction', NULL)"""
     return f"""SELECT part, media_id, media_type, n_bytes, n_chunks,
-             dhash, ahash, survived, metric, value
+             dhash, ahash, afp, survived, metric, value
       FROM (
         SELECT 'blob' AS part, doc_id AS media_id,
                'application/octet-stream' AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks,
                CAST(NULL AS BIGINT) AS dhash, CAST(NULL AS BIGINT) AS ahash,
+               CAST(NULL AS BIGINT) AS afp,
                CAST(NULL AS BIGINT) AS survived,
                CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS DOUBLE) AS value
         FROM documents)
       UNION ALL
       SELECT 'phash', media_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-             CAST(NULL AS BIGINT), dhash, ahash, survived,
+             CAST(NULL AS BIGINT), dhash, ahash, CAST(NULL AS BIGINT), survived,
              CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
       FROM (
         WITH RECURSIVE
@@ -4703,8 +4751,42 @@ def _blob_sql() -> str:
       UNION ALL
       SELECT 'audio', media_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-             CAST(NULL AS BIGINT), metric, value
-      FROM (VALUES{audio_rows}) a(media_id, metric, value)"""
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), metric, value
+      FROM (VALUES{audio_rows}) a(media_id, metric, value)
+      UNION ALL
+      SELECT 'afp', media_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             afp, survived, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      FROM (
+        WITH RECURSIVE
+        fp(media_id, afp) AS (SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), CAST(6148914691236517205 AS BIGINT)),
+          (1, 6148914691236517205),
+          (2, 6148914691236517205),
+          (3, -1),
+          (4, 140739635871744),
+          (5, NULL),
+          (6, NULL)) t(media_id, afp)),
+        bande AS (SELECT media_id, afp, tt.t,
+                         (afp >> (16 * tt.t)) & 65535 AS b
+                  FROM fp, (VALUES (0), (1), (2), (3)) tt(t)
+                  WHERE afp IS NOT NULL),
+        verified AS (SELECT DISTINCT a.media_id AS ia, c.media_id AS ib
+                     FROM bande a JOIN bande c ON a.t = c.t AND a.b = c.b
+                     WHERE a.media_id < c.media_id
+                       AND bit_count(xor(a.afp, c.afp)) <= 3),
+        edges AS (SELECT ia AS s, ib AS t FROM verified
+                  UNION ALL SELECT ib, ia FROM verified),
+        reach AS (SELECT s AS id, t AS peer FROM edges
+                  UNION
+                  SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
+        drops AS (SELECT id FROM (SELECT id, min(peer) AS mn FROM reach
+                                  GROUP BY id)
+                  WHERE mn < id)
+        SELECT fp.media_id, fp.afp,
+               CAST(CASE WHEN fp.media_id IN (SELECT id FROM drops)
+                         THEN 0 ELSE 1 END AS BIGINT) AS survived
+        FROM fp)"""
 
 
 @_register("x_blob_stats", _blob_sql())
@@ -4745,7 +4827,8 @@ def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c, t in (
                     ("media_type", "string"), ("n_bytes", "long"),
                     ("n_chunks", "long"), ("dhash", "long"),
-                    ("ahash", "long"), ("survived", "long"),
+                    ("ahash", "long"), ("afp", "long"),
+                    ("survived", "long"),
                     ("metric", "string"), ("value", "double"),
                 )
             ),
@@ -4797,7 +4880,33 @@ def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric=F.col("metric"),
         value=F.col("value"),
     )
-    return blob.unionByName(phash_part).unionByName(audio_part)
+
+    # part='afp' (round 12, second audio tier): gain-invariant energy
+    # fingerprints + Hamming-banded audio near-dedup over the
+    # hand-derivable WAV fixtures — the audio analog of part='phash',
+    # with the survivor flag recomputed by the oracle the same way
+    from bigdata_quality_assessment_spark.operators.audio import (
+        audio_fingerprint,
+        near_dedup_audio,
+    )
+
+    clips = spark.createDataFrame(
+        _afp_fixture_blobs(), "media_id long, content binary"
+    )
+    fp = audio_fingerprint(clips).localCheckpoint(eager=False)
+    asurv = near_dedup_audio(clips, max_hamming=3, fingerprints=fp).select(
+        "media_id", F.lit(1).alias("__s")
+    )
+    afp_part = widen(
+        fp.join(asurv, "media_id", "left"), "afp",
+        afp=F.col("afp"),
+        survived=F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("survived"),
+    )
+    return (
+        blob.unionByName(phash_part)
+        .unionByName(audio_part)
+        .unionByName(afp_part)
+    )
 
 
 def _animated_gif_blob() -> bytes:

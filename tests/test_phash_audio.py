@@ -181,3 +181,70 @@ def test_audio_fixture_blobs_decode(spark):
     )
     rows = {r["media_id"]: r["decoder"] for r in audio_quality(media).collect()}
     assert rows == {0: "wav", 1: "wav", 2: "wav", 3: "wav", 4: "wav", 5: None}
+
+
+def test_energy_fingerprint_gain_invariance():
+    """Uniform gain scales every window energy equally — fingerprint
+    unchanged (the perceptual-dup case byte dedup cannot catch)."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.audio import (
+        energy_fingerprint_bits,
+    )
+
+    amps = [1000 if k % 2 == 0 else 8000 for k in range(65)]
+    x = np.array(
+        [v for a in amps for v in (a, -a)], dtype=np.float64
+    ) / 32768.0
+    base = energy_fingerprint_bits(x, 1)
+    assert base == 6148914691236517205  # 0x5555... (rising at even k)
+    for g in (0.5, 2.0, 0.013):
+        assert energy_fingerprint_bits(x * g, 1) == base
+
+
+def test_energy_fingerprint_too_short_is_none():
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.operators.audio import (
+        energy_fingerprint_bits,
+    )
+
+    assert energy_fingerprint_bits(np.ones(64), 1) is None
+    assert energy_fingerprint_bits(np.ones(65), 1) is not None
+    # stereo: frames = samples // channels
+    assert energy_fingerprint_bits(np.ones(128), 2) is None
+
+
+def test_audio_fingerprint_operator(spark):
+    from bigdata_quality_assessment_spark.operators.audio import (
+        audio_fingerprint,
+    )
+    from bigdata_quality_assessment_spark.queries import _afp_fixture_blobs
+
+    clips = spark.createDataFrame(
+        _afp_fixture_blobs(), "media_id long, content binary"
+    )
+    rows = {r["media_id"]: r for r in audio_fingerprint(clips).collect()}
+    assert rows[0]["afp"] == rows[1]["afp"] == rows[2]["afp"]
+    assert rows[3]["afp"] == -1
+    assert rows[4]["afp"] == 140739635871744
+    assert rows[5]["afp"] is None  # too short
+    assert rows[6]["afp"] is None and rows[6]["decoder"] is None
+
+
+def test_near_dedup_audio_fixture(spark):
+    """The gain-shifted copy and the byte copy collapse into the
+    source; distinct profiles and undecodable/too-short clips
+    survive."""
+    from bigdata_quality_assessment_spark.operators.audio import (
+        near_dedup_audio,
+    )
+    from bigdata_quality_assessment_spark.queries import _afp_fixture_blobs
+
+    clips = spark.createDataFrame(
+        _afp_fixture_blobs(), "media_id long, content binary"
+    )
+    surv = sorted(
+        r["media_id"] for r in near_dedup_audio(clips, max_hamming=3).collect()
+    )
+    assert surv == [0, 3, 4, 5, 6]
