@@ -1430,6 +1430,7 @@ def bm25_retrieve(
     top_k: int | None = 10,
     tf: DataFrame | None = None,
     query_filter=None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Okapi BM25 scored retrieval (round-12 verdict ask #5): for each
     query, rank corpus documents by
@@ -1464,7 +1465,12 @@ def bm25_retrieve(
     predicate over ``id_col`` selecting CORPUS documents as the query
     set (the retrieval-decontamination shape) — query terms then
     derive from the tf frame itself, zero extra corpus scan; mutually
-    exclusive with ``queries``."""
+    exclusive with ``queries``. ``max_df_frac``: drop query terms with
+    document frequency above this corpus fraction (stopword pruning —
+    the standard retrieval scale guard: such terms carry near-zero idf
+    but match nearly every document, so at corpus scale they turn the
+    score join quadratic; opt-in because dropping them perturbs scores
+    by their tiny idf contribution)."""
     if (queries is None) == (query_filter is None):
         raise ValueError("pass exactly one of queries / query_filter")
     if tf is None:
@@ -1491,6 +1497,13 @@ def bm25_retrieve(
             )
             .filter(F.col("term") != "")
             .distinct()
+        )
+    if max_df_frac is not None:
+        qterms = (
+            qterms.join(F.broadcast(df_counts), "term")
+            .crossJoin(F.broadcast(stats))
+            .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
+            .select(query_id_col, "term")
         )
     idf = F.log(
         1.0

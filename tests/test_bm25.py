@@ -105,3 +105,20 @@ def test_bm25_empty_docs_excluded_from_stats(spark):
     assert rows[3] == pytest.approx(
         idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0 / 1.5))
     )
+
+
+def test_bm25_max_df_frac_prunes_stopwords(spark):
+    """High-df terms are dropped from the query side under
+    max_df_frac (the retrieval scale guard): a query of only such
+    terms retrieves nothing; mixed queries keep their rare terms."""
+    docs = _docs(spark, ["the a", "the b", "the c", "the d b"])
+    q = spark.createDataFrame(
+        [(0, "the"), (1, "the b")], "query_id long, text string"
+    )
+    rows = bm25_retrieve(docs, q, top_k=None, max_df_frac=0.5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # 'the' has df 4/4 > 0.5 -> pruned everywhere
+    assert 0 not in by_q
+    assert by_q[1] == {1, 3}  # only 'b' (df 2/4 <= 0.5) scores
