@@ -400,304 +400,312 @@ def main() -> None:
     # mid-run steal sample: headline queries just finished, extras next
     cal_samples.append(calibrate())
 
-    # plan-depth regression sentinel (round-5): the 20-iteration loop
-    # must stay flat per iteration (eager-checkpoint lineage cuts —
-    # a growing plan shows up here as superlinear s/iter). Recorded
-    # OUTSIDE the headline sum and run once (not best-of-2) so
-    # headline_total stays comparable with pre-round-5 baselines.
-    t0 = time.perf_counter()
-    pts20 = grid_points_2d(spark, 100).cache()
-    pts20.count()
-    active_sampling_loop(
-        pts20, ["x1", "x2"], n_iter=20, n_init=100, n_models=2, ngrid=256, bw=0.1
-    ).train.count()
-    pts20.unpersist()
-    loop20 = time.perf_counter() - t0
+    # headline-only mode (round 12): replicates at big SFs want a
+    # second headline sample without paying the ~20-min extras suite
+    headline_only = os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1"
 
-    # round-5 continuation operators — recorded as extras (outside the
-    # headline sum) so their scaling is tracked per-round. Extras get
-    # the SAME inter-query hygiene as the headline loop: without it, a
-    # heavy neighbor's lingering blocks inflate the next extra's run
-    # (measured at sf1: decontaminate 63.8 s in-bench directly after
-    # the 20-iter loop vs 16-18 s isolated). Round 7: extras now use
-    # the SAME median-of-n protocol as the headline (round-6 verdict
-    # ask #3) and report ``extras_stats`` {median, spread, n_runs} —
-    # the 63.8-vs-17 artifact was a single polluted run becoming the
-    # record; a median with a visible spread can't silently do that.
-    extras_stats: dict[str, dict[str, float]] = {}
-
-    def timed_extra(name, fn):
-        samples: list[float] = []
-        for _ in range(n_runs):
-            spark.catalog.clearCache()
-            jvm.System.gc()
-            t0 = time.perf_counter()
-            fn()
-            samples.append(time.perf_counter() - t0)
-        extras[name] = round(statistics.median(samples), 3)
-        extras_stats[name] = {
-            "median": extras[name],
-            "best": round(min(samples), 3),
-            "spread": round(max(samples) - min(samples), 3),
-            "n_runs": n_runs,
-        }
-
-    from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
-    from bigdata_quality_assessment_spark.operators.text import decontaminate
-    from bigdata_quality_assessment_spark.pipeline import CurationConfig, curate
-
-    extras: dict[str, float] = {}
-    docs = load_table(spark, "documents", SF_DIR)
-    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
-    timed_extra("decontaminate",
-                lambda: decontaminate(docs, bench_docs, k=5).filter("contaminated").count())
-    emb = load_table(spark, "embeddings", SF_DIR)
-    timed_extra("semantic_dedup",
-                lambda: semantic_dedup(emb, dim=64, eps=0.03, n_centroids=16, keep="min_id").count())
-    def run_curate():
-        _clean, report = curate(
-            docs, benchmark=bench_docs,
-            config=CurationConfig(near_dedup=False, decon_k=5, quality_frac=0.3),
-        )
-        report.collect()
-
-    timed_extra("curate_pipeline", run_curate)
-    from bigdata_quality_assessment_spark.operators.bpe import (
-        bpe_token_count,
-        train_bpe,
-    )
-    from bigdata_quality_assessment_spark.operators.similarity import knn_quantized
-
-    def run_bpe():
-        merges = train_bpe(docs, n_merges=200, sample_n=2000)
-        bpe_token_count(docs, merges).agg(F.sum("n_bpe_tokens")).collect()
-
-    timed_extra("bpe_train_encode", run_bpe)
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    timed_extra("knn_quantized", lambda: knn_quantized(emb, q, k=5).collect())
-
-    from bigdata_quality_assessment_spark.operators.classifier import (
-        classify_quality,
-        distill_quality_classifier,
-    )
-    from bigdata_quality_assessment_spark.operators.similarity import knn_pq
-    from bigdata_quality_assessment_spark.operators.text import (
-        dedup_spans,
-        ngram_lm_score,
-    )
-
-    timed_extra("ngram_lm_score",
-                lambda: ngram_lm_score(docs).agg(F.sum("n_lm_tokens")).collect())
-    timed_extra("dedup_spans",
-                lambda: dedup_spans(docs, 5).agg(F.sum("n_spans_removed")).collect())
-    from bigdata_quality_assessment_spark.operators.text import dedup_substrings
-
-    timed_extra("dedup_substrings",
-                lambda: dedup_substrings(docs, 10).agg(F.sum("n_tokens_removed")).collect())
-    def run_classifier():
-        _model = distill_quality_classifier(docs, dim=256, n_train=2000)
-        classify_quality(docs, _model).agg(F.sum("p_good")).collect()
-
-    timed_extra("quality_classifier", run_classifier)
-    timed_extra("knn_pq",
-                lambda: knn_pq(emb, q, dim=64, k=5, m=8, rescore_factor=8).collect())
-
-    # round-7 (verdict ask #5): the ANN family was the only operator
-    # family with no per-round scaling record — time both bucketed
-    # tiers so sf0.1→sf1→sf10 ratios land in BASELINE.md beside the
-    # dedup curves.
-    from bigdata_quality_assessment_spark.operators.similarity import (
-        ann_hyperplane_knn,
-        ivf_knn,
-        ivfpq_knn,
-    )
-
-    timed_extra("ann_hyperplane_knn",
-                lambda: ann_hyperplane_knn(
-                    emb, q, dim=64, k=5, n_planes=12, n_tables=4, n_probes=4
-                ).collect())
-    timed_extra("knn_ivf",
-                lambda: ivf_knn(
-                    emb, q, dim=64, k=5, n_centroids=16, n_probe=4
-                ).collect())
-    # round-8: the composed billion-vector tier (coarse cells +
-    # residual PQ, ADC scoring) — cold index build + query
-    timed_extra("knn_ivfpq",
-                lambda: ivfpq_knn(
-                    emb, q, dim=64, k=5, n_centroids=16, n_probe=4, m=8,
-                    rescore_factor=8,
-                ).collect())
-    # round-8/9: the two-corpus-sided tiers. Round 11 (verdict "what's
-    # wrong" #1): use the PRODUCTION configuration — planes scale with
-    # the corpus (p = log2(|right|·tables/64), as tools/
-    # bench_ann_scaling.py records) and max_bucket engages the skew
-    # guard — instead of fixed 10 planes, which at the sf10 corpus
-    # measured a quadratic candidate blowup no deployment would run
-    # (871 s committed round 10 vs tens of seconds in the production
-    # scaling record). The config is recorded alongside the timing.
-    import math
-
-    from bigdata_quality_assessment_spark.operators.similarity import (
-        knn_join,
-        knn_label,
-    )
-
-    n_vec = emb.count()
-    jp = max(10, math.ceil(math.log2(max(n_vec // 2, 2) * 6 / 64)))
-    extras["knn_join_config"] = f"n_planes={jp},n_tables=6,max_bucket=4096"
-    timed_extra("knn_join",
-                lambda: knn_join(
-                    emb.filter(F.col("vec_id") % 2 == 0),
-                    emb.filter(F.col("vec_id") % 2 == 1),
-                    dim=64, k=3, n_planes=jp, n_tables=6, max_bucket=4096,
-                ).count())
-    timed_extra("knn_label",
-                lambda: knn_label(
-                    emb.filter(F.col("vec_id") % 2 == 0),
-                    emb.filter(F.col("vec_id") % 2 == 1).select(
-                        "vec_id", "embedding", "label"
-                    ),
-                    dim=64, k=3, n_planes=jp, n_tables=6, max_bucket=4096,
-                ).count())
-
-    # round-11 (verdict ask #1, second half): the near-dedup headline
-    # runs on the driver's 30-word-vocabulary documents — the
-    # adversarial chance-collision regime. Time the SAME production
-    # operator on the realistic textgen corpus at the SF-matched doc
-    # count (5k docs ≈ sf0.1's documents table), cached under
-    # .localdata/rtext like tools/bench_rtext_scaling.py, so the
-    # per-round record carries both regimes side by side.
-    from bigdata_quality_assessment_spark.sources.textgen import (
-        realistic_documents,
-    )
-
-    sf_val = _sf_label(SF_DIR)
-    n_rtext = max(5_000, int(50_000 * sf_val)) if sf_val > 0 else 5_000
-    rt_path = REPO / ".localdata" / "rtext" / str(n_rtext) / "documents.parquet"
-    if not rt_path.exists():
-        realistic_documents(spark, n_rtext, seed=7).write.mode(
-            "overwrite"
-        ).parquet(str(rt_path))
-    rtext_docs = spark.read.parquet(str(rt_path))
-    extras["near_dedup_rtext_n_docs"] = n_rtext
-    timed_extra("near_dedup_rtext",
-                lambda: near_dedup_minhash(
-                    rtext_docs, k=3, n_hashes=128, bands=16, min_jaccard=0.8
-                ).count())
-
-    # round-12: per-round records for the two new retrieval/multimodal
-    # tiers. BM25 scored retrieval on the SAME realistic corpus (the
-    # retrieval-decontamination shape: query set = corpus subset, one
-    # shared tf scan); perceptual image dedup on an SF-matched planted
-    # block-mosaic corpus (decode → dHash → banded Hamming dedup),
-    # cached under .localdata/images like the rtext corpus.
-    from bigdata_quality_assessment_spark.operators.phash import (
-        near_dedup_images,
-    )
-    from bigdata_quality_assessment_spark.operators.text import bm25_retrieve
-    from bigdata_quality_assessment_spark.sources.imagegen import (
-        planted_images,
-    )
-
-    # query count held ~30 as the corpus scales (a benchmark suite is
-    # fixed-size, the corpus is not) and high-df stopword terms pruned
-    # — without the df guard every query matches nearly every doc and
-    # the score join turns quadratic at sf10's 500k-doc corpus
-    q_mod = max(167, n_rtext // 30)
-    extras["bm25_rtext_query_mod"] = q_mod
-    timed_extra("bm25_rtext",
-                lambda: bm25_retrieve(
-                    rtext_docs, top_k=10,
-                    query_filter=(F.col("doc_id") % q_mod) == 0,
-                    max_df_frac=0.1,
-                ).count())
-    n_img = max(20_000, int(200_000 * sf_val)) if sf_val > 0 else 20_000
-    img_path = REPO / ".localdata" / "images" / str(n_img) / "media.parquet"
-    if not img_path.exists():
-        planted_images(spark, n_img, seed=7).write.mode(
-            "overwrite"
-        ).parquet(str(img_path))
-    img_media = spark.read.parquet(str(img_path))
-    extras["image_dedup_n_images"] = n_img
-    timed_extra("image_dedup",
-                lambda: near_dedup_images(img_media, max_hamming=3).count())
-
-    # streaming-ingest state evidence (round 6: per-batch flatness;
-    # round 7, verdict ask #7: compaction). 20 equal batches in two
-    # availableNow drains with a compact_ingest_state pass between —
-    # per-batch fold time must stay O(batch) across the whole run, the
-    # compaction must reset the state FILE COUNT (the one cost that
-    # grows with history length, not state size), and post-compaction
-    # per-batch time must not exceed pre-compaction.
-    import shutil
-    import tempfile
-
-    from bigdata_quality_assessment_spark.streaming.ingest import (
-        compact_ingest_state,
-        init_ingest_store,
-        streaming_ingest_curated,
-    )
-
-    def _state_files(root: str) -> tuple[int, int]:
-        n = b = 0
-        for dirpath, _dirs, files in os.walk(root):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n += 1
-                    b += os.path.getsize(os.path.join(dirpath, f))
-        return n, b
-
-    def _drain(batch_ids, stage, store, ck):
-        base = docs.select("doc_id", "text")
-        for b in batch_ids:
-            base.filter(F.col("doc_id") % 20 == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(stage, f"b{b}"))
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(stage, "*"))
-        )
-        qi = streaming_ingest_curated(stream, store, checkpoint=ck)
-        qi.awaitTermination()
-        prog = [p for p in qi.recentProgress if p.get("numInputRows", 0) > 0]
-        return [p["durationMs"]["triggerExecution"] / 1000.0 for p in prog]
-
-    ing_root = tempfile.mkdtemp(prefix="bench_ingest_")
-    try:
-        store = os.path.join(ing_root, "store")
-        stage = os.path.join(ing_root, "arrivals")
-        ck = os.path.join(ing_root, "ck")
-        init_ingest_store(spark, store)
+    loop20 = 0.0
+    extras: dict = {}
+    extras_stats: dict = {}
+    if not headline_only:
+        # plan-depth regression sentinel (round-5): the 20-iteration loop
+        # must stay flat per iteration (eager-checkpoint lineage cuts —
+        # a growing plan shows up here as superlinear s/iter). Recorded
+        # OUTSIDE the headline sum and run once (not best-of-2) so
+        # headline_total stays comparable with pre-round-5 baselines.
         t0 = time.perf_counter()
-        durs_a = _drain(range(10), stage, store, ck)
-        files_pre, bytes_pre = _state_files(store)
-        compact_ingest_state(spark, store)
-        files_post, bytes_post = _state_files(store)
-        # same checkpoint: availableNow resumes and drains ONLY the 10
-        # newly staged files against the compacted store
-        durs_b = _drain(range(10, 20), stage, store, ck)
-        extras["ingest_20batch_total"] = round(time.perf_counter() - t0, 3)
-        if len(durs_a) >= 3 and len(durs_b) >= 3:
-            extras["ingest_batch_first3_mean"] = round(sum(durs_a[:3]) / 3, 3)
-            extras["ingest_batch_last3_mean"] = round(sum(durs_b[-3:]) / 3, 3)
-            extras["ingest_batch_precompact_mean"] = round(
-                sum(durs_a[-3:]) / 3, 3
+        pts20 = grid_points_2d(spark, 100).cache()
+        pts20.count()
+        active_sampling_loop(
+            pts20, ["x1", "x2"], n_iter=20, n_init=100, n_models=2, ngrid=256, bw=0.1
+        ).train.count()
+        pts20.unpersist()
+        loop20 = time.perf_counter() - t0
+
+        # round-5 continuation operators — recorded as extras (outside the
+        # headline sum) so their scaling is tracked per-round. Extras get
+        # the SAME inter-query hygiene as the headline loop: without it, a
+        # heavy neighbor's lingering blocks inflate the next extra's run
+        # (measured at sf1: decontaminate 63.8 s in-bench directly after
+        # the 20-iter loop vs 16-18 s isolated). Round 7: extras now use
+        # the SAME median-of-n protocol as the headline (round-6 verdict
+        # ask #3) and report ``extras_stats`` {median, spread, n_runs} —
+        # the 63.8-vs-17 artifact was a single polluted run becoming the
+        # record; a median with a visible spread can't silently do that.
+        extras_stats: dict[str, dict[str, float]] = {}
+
+        def timed_extra(name, fn):
+            samples: list[float] = []
+            for _ in range(n_runs):
+                spark.catalog.clearCache()
+                jvm.System.gc()
+                t0 = time.perf_counter()
+                fn()
+                samples.append(time.perf_counter() - t0)
+            extras[name] = round(statistics.median(samples), 3)
+            extras_stats[name] = {
+                "median": extras[name],
+                "best": round(min(samples), 3),
+                "spread": round(max(samples) - min(samples), 3),
+                "n_runs": n_runs,
+            }
+
+        from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
+        from bigdata_quality_assessment_spark.operators.text import decontaminate
+        from bigdata_quality_assessment_spark.pipeline import CurationConfig, curate
+
+        extras: dict[str, float] = {}
+        docs = load_table(spark, "documents", SF_DIR)
+        bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+        timed_extra("decontaminate",
+                    lambda: decontaminate(docs, bench_docs, k=5).filter("contaminated").count())
+        emb = load_table(spark, "embeddings", SF_DIR)
+        timed_extra("semantic_dedup",
+                    lambda: semantic_dedup(emb, dim=64, eps=0.03, n_centroids=16, keep="min_id").count())
+        def run_curate():
+            _clean, report = curate(
+                docs, benchmark=bench_docs,
+                config=CurationConfig(near_dedup=False, decon_k=5, quality_frac=0.3),
             )
-            # durs_b[0] carries the second drain's query-start overhead
-            # (stream + checkpoint re-init), not per-batch fold cost —
-            # skip it so the pre/post comparison is steady-state both sides
-            extras["ingest_batch_postcompact_mean"] = round(
-                sum(durs_b[1:4]) / 3, 3
+            report.collect()
+
+        timed_extra("curate_pipeline", run_curate)
+        from bigdata_quality_assessment_spark.operators.bpe import (
+            bpe_token_count,
+            train_bpe,
+        )
+        from bigdata_quality_assessment_spark.operators.similarity import knn_quantized
+
+        def run_bpe():
+            merges = train_bpe(docs, n_merges=200, sample_n=2000)
+            bpe_token_count(docs, merges).agg(F.sum("n_bpe_tokens")).collect()
+
+        timed_extra("bpe_train_encode", run_bpe)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        timed_extra("knn_quantized", lambda: knn_quantized(emb, q, k=5).collect())
+
+        from bigdata_quality_assessment_spark.operators.classifier import (
+            classify_quality,
+            distill_quality_classifier,
+        )
+        from bigdata_quality_assessment_spark.operators.similarity import knn_pq
+        from bigdata_quality_assessment_spark.operators.text import (
+            dedup_spans,
+            ngram_lm_score,
+        )
+
+        timed_extra("ngram_lm_score",
+                    lambda: ngram_lm_score(docs).agg(F.sum("n_lm_tokens")).collect())
+        timed_extra("dedup_spans",
+                    lambda: dedup_spans(docs, 5).agg(F.sum("n_spans_removed")).collect())
+        from bigdata_quality_assessment_spark.operators.text import dedup_substrings
+
+        timed_extra("dedup_substrings",
+                    lambda: dedup_substrings(docs, 10).agg(F.sum("n_tokens_removed")).collect())
+        def run_classifier():
+            _model = distill_quality_classifier(docs, dim=256, n_train=2000)
+            classify_quality(docs, _model).agg(F.sum("p_good")).collect()
+
+        timed_extra("quality_classifier", run_classifier)
+        timed_extra("knn_pq",
+                    lambda: knn_pq(emb, q, dim=64, k=5, m=8, rescore_factor=8).collect())
+
+        # round-7 (verdict ask #5): the ANN family was the only operator
+        # family with no per-round scaling record — time both bucketed
+        # tiers so sf0.1→sf1→sf10 ratios land in BASELINE.md beside the
+        # dedup curves.
+        from bigdata_quality_assessment_spark.operators.similarity import (
+            ann_hyperplane_knn,
+            ivf_knn,
+            ivfpq_knn,
+        )
+
+        timed_extra("ann_hyperplane_knn",
+                    lambda: ann_hyperplane_knn(
+                        emb, q, dim=64, k=5, n_planes=12, n_tables=4, n_probes=4
+                    ).collect())
+        timed_extra("knn_ivf",
+                    lambda: ivf_knn(
+                        emb, q, dim=64, k=5, n_centroids=16, n_probe=4
+                    ).collect())
+        # round-8: the composed billion-vector tier (coarse cells +
+        # residual PQ, ADC scoring) — cold index build + query
+        timed_extra("knn_ivfpq",
+                    lambda: ivfpq_knn(
+                        emb, q, dim=64, k=5, n_centroids=16, n_probe=4, m=8,
+                        rescore_factor=8,
+                    ).collect())
+        # round-8/9: the two-corpus-sided tiers. Round 11 (verdict "what's
+        # wrong" #1): use the PRODUCTION configuration — planes scale with
+        # the corpus (p = log2(|right|·tables/64), as tools/
+        # bench_ann_scaling.py records) and max_bucket engages the skew
+        # guard — instead of fixed 10 planes, which at the sf10 corpus
+        # measured a quadratic candidate blowup no deployment would run
+        # (871 s committed round 10 vs tens of seconds in the production
+        # scaling record). The config is recorded alongside the timing.
+        import math
+
+        from bigdata_quality_assessment_spark.operators.similarity import (
+            knn_join,
+            knn_label,
+        )
+
+        n_vec = emb.count()
+        jp = max(10, math.ceil(math.log2(max(n_vec // 2, 2) * 6 / 64)))
+        extras["knn_join_config"] = f"n_planes={jp},n_tables=6,max_bucket=4096"
+        timed_extra("knn_join",
+                    lambda: knn_join(
+                        emb.filter(F.col("vec_id") % 2 == 0),
+                        emb.filter(F.col("vec_id") % 2 == 1),
+                        dim=64, k=3, n_planes=jp, n_tables=6, max_bucket=4096,
+                    ).count())
+        timed_extra("knn_label",
+                    lambda: knn_label(
+                        emb.filter(F.col("vec_id") % 2 == 0),
+                        emb.filter(F.col("vec_id") % 2 == 1).select(
+                            "vec_id", "embedding", "label"
+                        ),
+                        dim=64, k=3, n_planes=jp, n_tables=6, max_bucket=4096,
+                    ).count())
+
+        # round-11 (verdict ask #1, second half): the near-dedup headline
+        # runs on the driver's 30-word-vocabulary documents — the
+        # adversarial chance-collision regime. Time the SAME production
+        # operator on the realistic textgen corpus at the SF-matched doc
+        # count (5k docs ≈ sf0.1's documents table), cached under
+        # .localdata/rtext like tools/bench_rtext_scaling.py, so the
+        # per-round record carries both regimes side by side.
+        from bigdata_quality_assessment_spark.sources.textgen import (
+            realistic_documents,
+        )
+
+        sf_val = _sf_label(SF_DIR)
+        n_rtext = max(5_000, int(50_000 * sf_val)) if sf_val > 0 else 5_000
+        rt_path = REPO / ".localdata" / "rtext" / str(n_rtext) / "documents.parquet"
+        if not rt_path.exists():
+            realistic_documents(spark, n_rtext, seed=7).write.mode(
+                "overwrite"
+            ).parquet(str(rt_path))
+        rtext_docs = spark.read.parquet(str(rt_path))
+        extras["near_dedup_rtext_n_docs"] = n_rtext
+        timed_extra("near_dedup_rtext",
+                    lambda: near_dedup_minhash(
+                        rtext_docs, k=3, n_hashes=128, bands=16, min_jaccard=0.8
+                    ).count())
+
+        # round-12: per-round records for the two new retrieval/multimodal
+        # tiers. BM25 scored retrieval on the SAME realistic corpus (the
+        # retrieval-decontamination shape: query set = corpus subset, one
+        # shared tf scan); perceptual image dedup on an SF-matched planted
+        # block-mosaic corpus (decode → dHash → banded Hamming dedup),
+        # cached under .localdata/images like the rtext corpus.
+        from bigdata_quality_assessment_spark.operators.phash import (
+            near_dedup_images,
+        )
+        from bigdata_quality_assessment_spark.operators.text import bm25_retrieve
+        from bigdata_quality_assessment_spark.sources.imagegen import (
+            planted_images,
+        )
+
+        # query count held ~30 as the corpus scales (a benchmark suite is
+        # fixed-size, the corpus is not) and high-df stopword terms pruned
+        # — without the df guard every query matches nearly every doc and
+        # the score join turns quadratic at sf10's 500k-doc corpus
+        q_mod = max(167, n_rtext // 30)
+        extras["bm25_rtext_query_mod"] = q_mod
+        timed_extra("bm25_rtext",
+                    lambda: bm25_retrieve(
+                        rtext_docs, top_k=10,
+                        query_filter=(F.col("doc_id") % q_mod) == 0,
+                        max_df_frac=0.1,
+                    ).count())
+        n_img = max(20_000, int(200_000 * sf_val)) if sf_val > 0 else 20_000
+        img_path = REPO / ".localdata" / "images" / str(n_img) / "media.parquet"
+        if not img_path.exists():
+            planted_images(spark, n_img, seed=7).write.mode(
+                "overwrite"
+            ).parquet(str(img_path))
+        img_media = spark.read.parquet(str(img_path))
+        extras["image_dedup_n_images"] = n_img
+        timed_extra("image_dedup",
+                    lambda: near_dedup_images(img_media, max_hamming=3).count())
+
+        # streaming-ingest state evidence (round 6: per-batch flatness;
+        # round 7, verdict ask #7: compaction). 20 equal batches in two
+        # availableNow drains with a compact_ingest_state pass between —
+        # per-batch fold time must stay O(batch) across the whole run, the
+        # compaction must reset the state FILE COUNT (the one cost that
+        # grows with history length, not state size), and post-compaction
+        # per-batch time must not exceed pre-compaction.
+        import shutil
+        import tempfile
+
+        from bigdata_quality_assessment_spark.streaming.ingest import (
+            compact_ingest_state,
+            init_ingest_store,
+            streaming_ingest_curated,
+        )
+
+        def _state_files(root: str) -> tuple[int, int]:
+            n = b = 0
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(dirpath, f))
+            return n, b
+
+        def _drain(batch_ids, stage, store, ck):
+            base = docs.select("doc_id", "text")
+            for b in batch_ids:
+                base.filter(F.col("doc_id") % 20 == b).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(stage, f"b{b}"))
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(stage, "*"))
             )
-        extras["ingest_state_files_precompact"] = files_pre
-        extras["ingest_state_files_postcompact"] = files_post
-        extras["ingest_state_mb_precompact"] = round(bytes_pre / 1e6, 3)
-        extras["ingest_state_mb_postcompact"] = round(bytes_post / 1e6, 3)
-    finally:
-        shutil.rmtree(ing_root, ignore_errors=True)
+            qi = streaming_ingest_curated(stream, store, checkpoint=ck)
+            qi.awaitTermination()
+            prog = [p for p in qi.recentProgress if p.get("numInputRows", 0) > 0]
+            return [p["durationMs"]["triggerExecution"] / 1000.0 for p in prog]
+
+        ing_root = tempfile.mkdtemp(prefix="bench_ingest_")
+        try:
+            store = os.path.join(ing_root, "store")
+            stage = os.path.join(ing_root, "arrivals")
+            ck = os.path.join(ing_root, "ck")
+            init_ingest_store(spark, store)
+            t0 = time.perf_counter()
+            durs_a = _drain(range(10), stage, store, ck)
+            files_pre, bytes_pre = _state_files(store)
+            compact_ingest_state(spark, store)
+            files_post, bytes_post = _state_files(store)
+            # same checkpoint: availableNow resumes and drains ONLY the 10
+            # newly staged files against the compacted store
+            durs_b = _drain(range(10, 20), stage, store, ck)
+            extras["ingest_20batch_total"] = round(time.perf_counter() - t0, 3)
+            if len(durs_a) >= 3 and len(durs_b) >= 3:
+                extras["ingest_batch_first3_mean"] = round(sum(durs_a[:3]) / 3, 3)
+                extras["ingest_batch_last3_mean"] = round(sum(durs_b[-3:]) / 3, 3)
+                extras["ingest_batch_precompact_mean"] = round(
+                    sum(durs_a[-3:]) / 3, 3
+                )
+                # durs_b[0] carries the second drain's query-start overhead
+                # (stream + checkpoint re-init), not per-batch fold cost —
+                # skip it so the pre/post comparison is steady-state both sides
+                extras["ingest_batch_postcompact_mean"] = round(
+                    sum(durs_b[1:4]) / 3, 3
+                )
+            extras["ingest_state_files_precompact"] = files_pre
+            extras["ingest_state_files_postcompact"] = files_post
+            extras["ingest_state_mb_precompact"] = round(bytes_pre / 1e6, 3)
+            extras["ingest_state_mb_postcompact"] = round(bytes_post / 1e6, 3)
+        finally:
+            shutil.rmtree(ing_root, ignore_errors=True)
 
     # end-of-run steal sample, then the factor for this whole run
     cal_samples.append(calibrate())
@@ -740,11 +748,15 @@ def main() -> None:
             "warm": arrow_warm,
             "delta": round(arrow_cold - arrow_warm, 3),
         },
-        "extras": {
-            "active_loop_20iter": round(loop20, 3),
-            "active_loop_20iter_s_per_iter": round(loop20 / 20, 3),
-            **extras,
-        },
+        "extras": (
+            {
+                "active_loop_20iter": round(loop20, 3),
+                "active_loop_20iter_s_per_iter": round(loop20 / 20, 3),
+                **extras,
+            }
+            if not headline_only
+            else {}
+        ),
         "extras_stats": extras_stats,
         "sf": _sf_label(SF_DIR),
     }
