@@ -131,7 +131,17 @@ def audio_fingerprint(
                 )
                 out["n_frames"].append(len(x) // channels)
                 out["decoder"].append("wav")
-            yield pd.DataFrame(out)
+            # nullable Int64: a mixed [int..., None] list coerces to
+            # float64 and silently rounds 64-bit fingerprints (see the
+            # identical hazard comment in phash.image_phash)
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col].to_numpy(),
+                    "afp": pd.array(out["afp"], dtype="Int64"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                    "decoder": out["decoder"],
+                }
+            )
 
     schema = (
         f"{id_col} {id_ddl_type(media, id_col)}, afp BIGINT, "

@@ -4618,6 +4618,102 @@ _AUDIO_METRICS = (
 )
 
 
+_VGIF_PALETTE = (40, 220, 60, 10, 100, 250, 128, 0)  # gray levels
+
+
+def _patterned_gif_blob(frames: list[list[list[int]]]) -> bytes:
+    """Multi-frame 9×8 GIF89a with an 8-entry grayscale palette and
+    full-canvas frames of explicit palette indices (literal LZW codes,
+    CLEAR re-emitted before the code width would grow — the same
+    encoder discipline as _animated_gif_blob, min_code 3 for the
+    8-color palette). The 9×8 canvas matches the dHash grid exactly,
+    so every frame's hash is hand-derivable from its index pattern —
+    the video-dedup fixtures (part='vhash') build on this."""
+    import struct as _struct
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", 9, 8)
+    out += bytes([0x80 | 2, 0, 0])  # 8-entry global palette, bg=0
+    for lv in _VGIF_PALETTE:
+        out += bytes([lv, lv, lv])
+
+    def add_frame(indices):
+        out.extend(bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0]))
+        out.extend(b"\x2c" + _struct.pack("<HHHH", 0, 0, 9, 8) + b"\x00")
+        min_code = 3
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        out.append(min_code)
+        acc = nbits = 0
+        data = bytearray()
+        width = min_code + 1
+        next_code = clear + 2
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        for v in indices:
+            emit(v)
+            next_code += 1
+            if next_code == (1 << width):
+                emit(clear)
+                width = min_code + 1
+                next_code = clear + 2
+        emit(eoi)
+        if nbits:
+            data.append(acc & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.extend(bytes([len(chunk)]) + chunk)
+        out.append(0)
+
+    for rows in frames:
+        add_frame([i for row in rows for i in row])
+    out += b"\x3b"
+    return bytes(out)
+
+
+# 9×8 index patterns (palette indices into _VGIF_PALETTE): the same
+# luma shapes as the still phash fixtures, so the frame hashes are the
+# SAME hand-derived constants (STEP → 0x0808…08, FLAT → 0, double
+# step → 0x2424…24).
+_VF_STEP = [[0] * 4 + [1] * 5] * 8          # 40|220  → 578721382704613384
+_VF_FLAT = [[2] * 9] * 8                    # flat 60 → 0
+_VF_DSTEP = [[3] * 3 + [4] * 3 + [5] * 3] * 8  # 10|100|250 → 2604246222170760228
+
+
+def _vhash_fixture_blobs() -> list[tuple[int, bytes]]:
+    """Animated fixtures for the part='vhash' tier (video-level
+    perceptual dedup, round 12): full-frame patterned GIFs whose
+    per-frame dHashes are the still-fixture constants, exercising the
+    aligned-frame matching rule (≥ half the aligned frames within
+    Hamming 3):
+
+      0: [STEP, FLAT, STEP]
+      1: byte-exact copy of 0            → 3/3 frames match → dup
+      2: [DSTEP, FLAT, DSTEP]            → only frame 1 matches 0
+                                           (1/3 < 1/2) → survives
+      3: [STEP, STEP, STEP]              → frames 0,2 match 0
+                                           (2/3 ≥ 1/2) → near-dup
+      4: undecodable bytes               → no frames → survives
+
+    Survivors {0, 2, 4}; cluster {0, 1, 3} keeps min id 0."""
+    v0 = _patterned_gif_blob([_VF_STEP, _VF_FLAT, _VF_STEP])
+    return [
+        (0, v0),
+        (1, v0),
+        (2, _patterned_gif_blob([_VF_DSTEP, _VF_FLAT, _VF_DSTEP])),
+        (3, _patterned_gif_blob([_VF_STEP, _VF_STEP, _VF_STEP])),
+        (4, b"never a video container"),
+    ]
+
+
 def _afp_fixture_blobs() -> list[tuple[int, bytes]]:
     """Deterministic PCM WAV fixtures for the part='afp' tier of
     x_blob_stats (gain-invariant energy fingerprints +
@@ -4786,7 +4882,57 @@ def _blob_sql() -> str:
         SELECT fp.media_id, fp.afp,
                CAST(CASE WHEN fp.media_id IN (SELECT id FROM drops)
                          THEN 0 ELSE 1 END AS BIGINT) AS survived
-        FROM fp)"""
+        FROM fp)
+      UNION ALL
+      SELECT 'vhash', media_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), dhash, ahash, CAST(NULL AS BIGINT),
+             survived, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      FROM (
+        WITH RECURSIVE
+        vf(vid, frame_id, dhash, ahash) AS (SELECT * FROM (VALUES
+          (0, 0, CAST(578721382704613384 AS BIGINT), CAST(-1085102592571150096 AS BIGINT)),
+          (0, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          (0, 2, CAST(578721382704613384 AS BIGINT), CAST(-1085102592571150096 AS BIGINT)),
+          (1, 0, CAST(578721382704613384 AS BIGINT), CAST(-1085102592571150096 AS BIGINT)),
+          (1, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          (1, 2, CAST(578721382704613384 AS BIGINT), CAST(-1085102592571150096 AS BIGINT)),
+          (2, 0, CAST(2604246222170760228 AS BIGINT), CAST(-4557430888798830400 AS BIGINT)),
+          (2, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          (2, 2, CAST(2604246222170760228 AS BIGINT), CAST(-4557430888798830400 AS BIGINT)),
+          (3, 0, CAST(578721382704613384 AS BIGINT), CAST(-1085102592571150096 AS BIGINT)),
+          (3, 1, CAST(578721382704613384 AS BIGINT), CAST(-1085102592571150096 AS BIGINT)),
+          (3, 2, CAST(578721382704613384 AS BIGINT), CAST(-1085102592571150096 AS BIGINT)),
+          (4, 0, NULL, NULL),
+          (4, 1, NULL, NULL),
+          (4, 2, NULL, NULL),
+          (4, 3, NULL, NULL)) t(vid, frame_id, dhash, ahash)),
+        nf AS (SELECT vid, count(*) AS n FROM vf WHERE dhash IS NOT NULL
+               GROUP BY vid),
+        mt AS (SELECT a.vid AS ia, c.vid AS ib, count(*) AS m
+               FROM vf a JOIN vf c ON a.frame_id = c.frame_id
+               WHERE a.vid < c.vid AND a.dhash IS NOT NULL
+                 AND c.dhash IS NOT NULL
+                 AND bit_count(xor(a.dhash, c.dhash)) <= 3
+               GROUP BY a.vid, c.vid),
+        verified AS (SELECT mt.ia, mt.ib FROM mt
+                     JOIN nf x ON x.vid = mt.ia JOIN nf y ON y.vid = mt.ib
+                     WHERE mt.m >= 0.5 * least(x.n, y.n)),
+        edges AS (SELECT ia AS s, ib AS t FROM verified
+                  UNION ALL SELECT ib, ia FROM verified),
+        reach AS (SELECT s AS id, t AS peer FROM edges
+                  UNION
+                  SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
+        drops AS (SELECT id FROM (SELECT id, min(peer) AS mn FROM reach
+                                  GROUP BY id)
+                  WHERE mn < id)
+        SELECT 100 + vid * 16 + frame_id AS media_id, dhash, ahash,
+               CAST(NULL AS BIGINT) AS survived
+        FROM vf
+        UNION ALL
+        SELECT vid AS media_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(CASE WHEN vid IN (SELECT id FROM drops)
+                         THEN 0 ELSE 1 END AS BIGINT)
+        FROM (SELECT DISTINCT vid FROM vf))"""
 
 
 @_register("x_blob_stats", _blob_sql())
@@ -4902,10 +5048,48 @@ def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
         afp=F.col("afp"),
         survived=F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("survived"),
     )
+
+    # part='vhash' (round 12): video-level perceptual dedup — the
+    # patterned multi-frame GIF fixtures walk the REAL frame tier
+    # (frame_decode -> per-frame dHash/aHash, hash-matched against the
+    # hand-derived still-fixture constants as rows 100+vid*16+frame)
+    # and the aligned-frame dedup decision (>= half the aligned frames
+    # within Hamming 3 -> closure -> min-id keep) is RECOMPUTED by the
+    # oracle from the pinned hashes (rows media_id=vid with survived)
+    from bigdata_quality_assessment_spark.operators.phash import (
+        frame_phash,
+        near_dedup_videos,
+    )
+
+    vids = spark.createDataFrame(
+        _vhash_fixture_blobs(), "media_id long, content binary"
+    )
+    vfh = frame_phash(vids, n_frames=4).localCheckpoint(eager=False)
+    vsurv = near_dedup_videos(
+        vids, n_frames=4, frame_hashes=vfh
+    ).select("media_id", F.lit(1).alias("__s"))
+    vframe_rows = widen(
+        vfh.select(
+            (F.lit(100) + F.col("media_id") * 16 + F.col("frame_id")).alias(
+                "media_id"
+            ),
+            "dhash",
+            "ahash",
+        ),
+        "vhash",
+        dhash=F.col("dhash"),
+        ahash=F.col("ahash"),
+    )
+    vvid_rows = widen(
+        vids.select("media_id").join(vsurv, "media_id", "left"), "vhash",
+        survived=F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("survived"),
+    )
     return (
         blob.unionByName(phash_part)
         .unionByName(audio_part)
         .unionByName(afp_part)
+        .unionByName(vframe_rows)
+        .unionByName(vvid_rows)
     )
 
 

@@ -248,3 +248,79 @@ def test_near_dedup_audio_fixture(spark):
         r["media_id"] for r in near_dedup_audio(clips, max_hamming=3).collect()
     )
     assert surv == [0, 3, 4, 5, 6]
+
+
+def test_frame_phash_animated_gif(spark):
+    """The patterned-GIF fixture frames hash to the hand-derived
+    still-fixture constants through the REAL frame_decode -> PNG ->
+    dHash pipeline; byte-slice fallback frames get NULL hashes."""
+    from bigdata_quality_assessment_spark.operators.phash import frame_phash
+    from bigdata_quality_assessment_spark.queries import _vhash_fixture_blobs
+
+    media = spark.createDataFrame(
+        _vhash_fixture_blobs(), "media_id long, content binary"
+    )
+    rows = {
+        (r["media_id"], r["frame_id"]): r["dhash"]
+        for r in frame_phash(media, n_frames=4).collect()
+    }
+    STEP, DSTEP = 578721382704613384, 2604246222170760228
+    assert rows[(0, 0)] == STEP and rows[(0, 1)] == 0 and rows[(0, 2)] == STEP
+    assert rows[(2, 0)] == DSTEP and rows[(2, 2)] == DSTEP
+    assert rows[(3, 0)] == rows[(3, 1)] == rows[(3, 2)] == STEP
+    assert rows[(4, 0)] is None  # byte-slice fallback
+
+
+def test_near_dedup_videos_aligned_frac(spark):
+    """Aligned-frame matching: the byte copy (3/3) and the 2/3-match
+    variant collapse into video 0; the 1/3-match variant and the
+    undecodable blob survive."""
+    from bigdata_quality_assessment_spark.operators.phash import (
+        near_dedup_videos,
+    )
+    from bigdata_quality_assessment_spark.queries import _vhash_fixture_blobs
+
+    media = spark.createDataFrame(
+        _vhash_fixture_blobs(), "media_id long, content binary"
+    )
+    surv = sorted(
+        r["media_id"]
+        for r in near_dedup_videos(media, n_frames=4).collect()
+    )
+    assert surv == [0, 2, 4]
+    # raising the bar to all-frames-match keeps the 2/3 variant
+    strict = sorted(
+        r["media_id"]
+        for r in near_dedup_videos(
+            media, n_frames=4, min_frame_frac=1.0
+        ).collect()
+    )
+    assert strict == [0, 2, 3, 4]
+
+
+def test_near_dedup_videos_synthetic_hashes(spark):
+    """The decision rule on precomputed frame hashes: videos of
+    different lengths compare over the shorter length."""
+    from bigdata_quality_assessment_spark.operators.phash import (
+        near_dedup_videos,
+    )
+
+    media = spark.createDataFrame(
+        [(0, b"x"), (1, b"y"), (2, b"z")], "media_id long, content binary"
+    )
+    fh = spark.createDataFrame(
+        # video 0: 4 frames; video 1: the same first 2 frames (a
+        # truncated copy); video 2: unrelated
+        [
+            (0, 0, 111, 0), (0, 1, 222, 0), (0, 2, 333, 0), (0, 3, 444, 0),
+            (1, 0, 111, 0), (1, 1, 222, 0),
+            (2, 0, -559038737, 0), (2, 1, 999999999, 0),
+        ],
+        "media_id long, frame_id int, dhash long, ahash long",
+    )
+    surv = sorted(
+        r["media_id"]
+        for r in near_dedup_videos(media, frame_hashes=fh).collect()
+    )
+    # least(4, 2) = 2 aligned frames, both match -> 1 is a dup of 0
+    assert surv == [0, 2]
