@@ -1,0 +1,112 @@
+"""Planted-animation corpus (sources/videogen.py) + video-dedup
+recall over it — the animated sibling of the image/text/embedding
+recall gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_quality_assessment_spark.operators.phash import (
+    frame_phash,
+    near_dedup_videos,
+)
+from bigdata_quality_assessment_spark.sources.videogen import planted_videos
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return planted_videos(spark, 400, seed=13).localCheckpoint()
+
+
+def test_roles_and_structure(corpus):
+    rows = corpus.collect()
+    by_id = {r["media_id"]: r for r in rows}
+    assert {r["role"] for r in rows} == {"orig", "dup", "rebright", "recut"}
+    for r in rows:
+        if r["role"] == "orig":
+            assert r["src_id"] is None
+        else:
+            assert by_id[r["src_id"]]["role"] == "orig"
+
+
+def test_rebright_is_dhash_invariant(corpus, spark):
+    """Palette-shifted copies decode to uniformly shifted luma —
+    every aligned frame hashes identically to its source."""
+    fh = frame_phash(corpus, n_frames=3).select(
+        "media_id", "frame_id", "dhash"
+    )
+    pairs = (
+        corpus.filter(F.col("role") == "rebright")
+        .select("media_id", "src_id")
+        .join(fh, "media_id")
+        .join(
+            fh.select(
+                F.col("media_id").alias("src_id"),
+                F.col("frame_id"),
+                F.col("dhash").alias("src_dhash"),
+            ),
+            ["src_id", "frame_id"],
+        )
+    )
+    rows = pairs.collect()
+    assert rows and all(r["dhash"] == r["src_dhash"] for r in rows)
+
+
+def test_planted_video_recall(corpus, spark):
+    """dups (3/3), rebrights (3/3 by invariance) and recuts (2/3)
+    all collapse at min_frame_frac=0.5; originals survive (≥ 99% —
+    aligned-frame Hamming-3 chance collisions on ~64-bit patterned
+    hashes are vanishing)."""
+    surv = near_dedup_videos(corpus, n_frames=3).select(
+        "media_id", F.lit(1).alias("__kept")
+    )
+    m = (
+        corpus.select("media_id", "role")
+        .join(surv, "media_id", "left")
+        .agg(
+            F.avg(
+                F.when(
+                    F.col("role") != "orig",
+                    F.col("__kept").isNull().cast("double"),
+                )
+            ).alias("recall"),
+            F.avg(
+                F.when(
+                    F.col("role") == "orig",
+                    F.col("__kept").isNotNull().cast("double"),
+                )
+            ).alias("orig_survival"),
+        )
+        .first()
+    )
+    assert m["recall"] == 1.0
+    assert m["orig_survival"] >= 0.99
+
+
+def test_recut_survives_strict_threshold(corpus, spark):
+    """At min_frame_frac=1.0 the recut (one replaced frame) must
+    survive while byte dups and rebrights still collapse."""
+    surv = {
+        r["media_id"]
+        for r in near_dedup_videos(
+            corpus, n_frames=3, min_frame_frac=1.0
+        ).collect()
+    }
+    for r in corpus.collect():
+        if r["role"] == "recut":
+            assert r["media_id"] in surv
+        elif r["role"] in ("dup", "rebright"):
+            assert r["media_id"] not in surv
+
+
+def test_partitioning_invariance(spark):
+    a = {
+        (r["media_id"], bytes(r["content"]), r["role"], r["src_id"])
+        for r in planted_videos(spark, 60, seed=5, num_partitions=1).collect()
+    }
+    b = {
+        (r["media_id"], bytes(r["content"]), r["role"], r["src_id"])
+        for r in planted_videos(spark, 60, seed=5, num_partitions=7).collect()
+    }
+    assert a == b
