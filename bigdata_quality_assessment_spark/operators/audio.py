@@ -79,9 +79,15 @@ def energy_fingerprint_bits(x, channels: int, n_windows: int = 65) -> int | None
     fingerprint is GAIN-INVARIANT (a re-mastered / volume-normalized
     copy hashes identically — the perceptual-dup case byte dedup can
     never catch). Returns None when the clip has fewer mono frames
-    than windows (too short to fingerprint)."""
+    than windows (too short to fingerprint). ``n_windows`` must be in
+    [2, 65]: n_windows − 1 transition bits have to fit the signed
+    64-bit fingerprint (more would exceed BIGINT and break the
+    4×16-bit band-completeness assumption ``near_dedup_audio`` relies
+    on)."""
     import numpy as np
 
+    if not 2 <= n_windows <= 65:
+        raise ValueError("n_windows must be in [2, 65] (64 transition bits max)")
     n = len(x) // channels
     if n < n_windows:
         return None
@@ -107,7 +113,11 @@ def audio_fingerprint(
     :func:`energy_fingerprint_bits`): one Arrow pass over the real WAV
     PCM decode; non-PCM / too-short blobs get NULL fingerprints (they
     candidate-match nothing downstream). Output:
-    ``(id, afp BIGINT, n_frames, decoder)``."""
+    ``(id, afp BIGINT, n_frames, decoder)``. ``n_windows`` is
+    validated once, driver-side (see
+    :func:`energy_fingerprint_bits`)."""
+    if not 2 <= n_windows <= 65:
+        raise ValueError("n_windows must be in [2, 65] (64 transition bits max)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .multimodal import _wav_pcm
@@ -159,6 +169,7 @@ def near_dedup_audio(
     id_col: str = "media_id",
     cluster: bool = True,
     fingerprints: DataFrame | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """Perceptual audio near-dedup over the energy fingerprints:
     delegates band/verify/closure to
@@ -167,7 +178,9 @@ def near_dedup_audio(
     pigeonhole-complete banding, Hamming verify and min-id cluster
     keep apply verbatim, exactly like :func:`..phash.near_dedup_images`).
     Returns the surviving rows of ``media``; undecodable / too-short
-    clips always survive."""
+    clips always survive. ``two_level``: the ≳10⁶-clip scale regime —
+    nested (band, sub-band) keys, identical results (see
+    ``simhash_near_dedup``)."""
     from .text import simhash_near_dedup
 
     fp = (
@@ -185,6 +198,7 @@ def near_dedup_audio(
         cluster=cluster,
         signatures=sig,
         hash_fn="xxhash64",  # 64-bit signature → 16-bit bands
+        two_level=two_level,
     )
 
 

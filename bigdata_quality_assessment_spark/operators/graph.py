@@ -100,6 +100,14 @@ def connected_components(
     behind a lazy barrier — and pick), ``"single"`` (one-task numpy
     closure), or ``"iterative"`` (distributed min-label propagation +
     pointer jumping, early-exit on fixpoint).
+
+    Ids of ANY orderable type work (round-13): the alternating-stars
+    tier is pure ``min``/``least``/``greatest`` Catalyst ops, so
+    string ids (URLs, content hashes) close under LEXICOGRAPHIC min —
+    the same "first id" order the span/substring dedup family
+    documents. Non-integral ids route to that tier unconditionally
+    (the single-task tier is an int64 numpy closure), keeping the
+    whole dedup family's any-id-type contract.
     """
     if strategy not in ("auto", "single", "iterative"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -110,6 +118,11 @@ def connected_components(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .localCheckpoint(eager=False)
     )
+    integral = edges.schema["src"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    if not integral:
+        strategy = "iterative"
     if strategy == "auto":
         # tier on DISTINCT undirected edges so dup-heavy pair lists
         # (e.g. both (a,b) and (b,a) from a symmetric verify join) don't

@@ -125,6 +125,7 @@ def image_phash(
     content_col: str = "content",
     id_col: str = "media_id",
     grid: int = 8,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-image perceptual hashes (see module docstring): one
     Arrow-batched pass decoding each blob with the repo's real
@@ -132,12 +133,20 @@ def image_phash(
     BIGINT two's-complement, so they band/XOR exactly in both Spark
     and ANSI SQL). Undecodable blobs get NULL hashes — they
     candidate-match nothing downstream (the NULL band keys never
-    equi-join), the same contract as ``hyperplane_buckets``."""
+    equi-join), the same contract as ``hyperplane_buckets``.
+
+    ``passthrough_cols``: extra key columns carried through the Arrow
+    pass unchanged, each keeping its incoming type via
+    ``id_ddl_type`` — how :func:`frame_phash` keeps ``(id, frame_id)``
+    as real columns instead of arithmetic-packing them into one long
+    (which would NULL string ids and overflow/collide on 64-bit
+    hash-derived ids)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 id_col: pdf[id_col],
+                **{c: pdf[c] for c in passthrough_cols},
                 "dhash": [],
                 "ahash": [],
                 "width": [],
@@ -170,6 +179,7 @@ def image_phash(
             yield pd.DataFrame(
                 {
                     id_col: out[id_col].to_numpy(),
+                    **{c: out[c].to_numpy() for c in passthrough_cols},
                     "dhash": pd.array(out["dhash"], dtype="Int64"),
                     "ahash": pd.array(out["ahash"], dtype="Int64"),
                     "width": pd.array(out["width"], dtype="Int32"),
@@ -178,12 +188,15 @@ def image_phash(
                 }
             )
 
+    pt_ddl = "".join(
+        f", {c} {id_ddl_type(media, c)}" for c in passthrough_cols
+    )
     schema = (
-        f"{id_col} {id_ddl_type(media, id_col)}, dhash BIGINT, "
+        f"{id_col} {id_ddl_type(media, id_col)}{pt_ddl}, dhash BIGINT, "
         "ahash BIGINT, width INT, height INT, decoder STRING"
     )
     return ensure_min_parallelism(
-        media.select(id_col, content_col)
+        media.select(id_col, *passthrough_cols, content_col)
     ).mapInPandas(run, schema)
 
 
@@ -195,6 +208,7 @@ def near_dedup_images(
     cluster: bool = True,
     grid: int = 8,
     hashes: DataFrame | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """Perceptual near-dedup over the dHash signatures: delegates the
     band/verify/closure pipeline to :func:`..text.simhash_near_dedup`
@@ -203,7 +217,12 @@ def near_dedup_images(
     ``max_hamming ≤ 3``, Hamming verify and min-id cluster keep apply
     verbatim). Returns the surviving rows of ``media``; undecodable
     images always survive. ``hashes``: optional precomputed
-    :func:`image_phash` frame when the caller also consumes it."""
+    :func:`image_phash` frame when the caller also consumes it.
+    ``two_level=True`` is the ≳10⁶-image SCALE regime: nested
+    (band, sub-band) keys cut same-bucket candidate pairs 2¹²× with
+    identical results (completeness argument and the measured 2M-image
+    single-level ceiling: simhash_near_dedup docstring /
+    BASELINE.md)."""
     from .text import simhash_near_dedup
 
     ph = hashes if hashes is not None else image_phash(
@@ -219,6 +238,7 @@ def near_dedup_images(
         cluster=cluster,
         signatures=sig,
         hash_fn="xxhash64",  # 64-bit signature → 16-bit bands
+        two_level=two_level,
     )
 
 
@@ -236,30 +256,24 @@ def frame_phash(
     :func:`image_phash`. Output ``(id, frame_id, dhash, ahash,
     decoder)``; byte-slice fallback windows (non-decodable containers)
     get NULL hashes. Two linear Arrow passes, frames never leave the
-    executors."""
+    executors. ``(id, frame_id)`` ride through as REAL passthrough
+    columns (round-13 — the previous arithmetic key-packing into one
+    long NULLed string ids and overflowed/collided on hash-derived
+    64-bit ids, violating the dedup family's any-id-type contract)."""
     from .multimodal import frame_decode
 
     frames = frame_decode(
         media, n_frames=n_frames, content_col=content_col, id_col=id_col
     )
-    ph = image_phash(
+    return image_phash(
         frames.select(
             F.col(id_col), F.col("frame_id"), F.col("frame").alias("content")
-        ).withColumn(
-            "__fk",
-            F.col(id_col).cast("long") * 1_000_000 + F.col("frame_id"),
-        ).select("__fk", "content"),
+        ),
         content_col="content",
-        id_col="__fk",
+        id_col=id_col,
         grid=grid,
-    )
-    return ph.select(
-        F.expr("__fk div 1000000").alias(id_col),
-        (F.col("__fk") % 1_000_000).cast("int").alias("frame_id"),
-        "dhash",
-        "ahash",
-        "decoder",
-    )
+        passthrough_cols=("frame_id",),
+    ).select(id_col, "frame_id", "dhash", "ahash", "decoder")
 
 
 def near_dedup_videos(
@@ -271,6 +285,7 @@ def near_dedup_videos(
     id_col: str = "media_id",
     cluster: bool = True,
     frame_hashes: DataFrame | None = None,
+    max_offset: int = 0,
 ) -> DataFrame:
     """Video-level perceptual near-dedup: two animations are
     duplicates when at least ``min_frame_frac`` of their ALIGNED
@@ -278,17 +293,38 @@ def near_dedup_videos(
     within ``max_hamming`` dHash bits — the re-encoded / re-contained
     / brightness-shifted copy case for animated training data.
 
+    ``max_offset`` (round-13): additionally try timeline shifts
+    δ ∈ [-max_offset, +max_offset] — frame i of one video aligned with
+    frame i+δ of the other — and accept a pair when its BEST offset
+    clears the fraction. A copy with δ frames trimmed from the head
+    shifts every frame index, so the commonest video-copy transform
+    matches nothing under exact alignment; a bounded offset scan
+    catches it while scaling candidate volume only linearly in
+    (2·max_offset + 1). 0 keeps the strict aligned-only semantics.
+
     Shape: candidates come from the same pigeonhole-complete 4×16-bit
     banding as :func:`near_dedup_images`, but keyed on
-    ``(frame_id, band, bucket)`` — a frame can only vote for videos at
-    the SAME timeline position, so candidate volume is bounded per
-    frame slot, not per corpus. Verify counts matching aligned frames
-    per candidate pair (one aggregation over candidate×frame rows),
-    closure + min-id keep as everywhere in the dedup family. Videos
-    with no decodable frames always survive. ``frame_hashes``:
-    optional precomputed :func:`frame_phash` frame."""
+    ``(frame_slot, band, bucket)`` — a frame can only vote for videos
+    at the same (possibly δ-shifted) timeline position, so candidate
+    volume is bounded per frame slot × offset, not per corpus. Verify
+    counts matching aligned frames per (pair, offset) — one
+    aggregation over candidate×frame rows — then closure + min-id keep
+    as everywhere in the dedup family. The per-video frame counts and
+    the final duplicate-id set join UNHINTED: both are corpus-shaped
+    in the worst case (every decodable video / 30-50 % of a real web
+    corpus), so the choice of broadcast vs shuffle belongs to AQE's
+    measured sizes, the same discipline ``exact_dedup`` documents —
+    a forced broadcast here is an OOM at 10⁹ videos. Videos with no
+    decodable frames always survive. ``frame_hashes``: optional
+    precomputed :func:`frame_phash` frame."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4x16-bit banding is complete only for max_hamming <= 3")
+    if not 0 < min_frame_frac <= 1:
+        # <= 0 would merge any pair sharing one co-bucketed aligned
+        # frame (matched >= 0 is vacuous); > 1 silently disables dedup
+        raise ValueError("min_frame_frac must be in (0, 1]")
+    if max_offset < 0:
+        raise ValueError("max_offset must be >= 0")
     fh = (
         frame_hashes
         if frame_hashes is not None
@@ -309,23 +345,44 @@ def near_dedup_videos(
         F.posexplode(bands).alias("__t", "__b"),
     )
     a = fhe.select(
-        F.col(id_col).alias("__ida"), F.col("frame_id"),
+        F.col(id_col).alias("__ida"), F.col("frame_id").alias("__slot"),
         F.col("dhash").alias("__da"), "__t", "__b",
     )
     b = fhe.select(
         F.col(id_col).alias("__idb"), F.col("frame_id"),
         F.col("dhash").alias("__db"), "__t", "__b",
     )
-    # frame-aligned candidate pairs: same frame slot, same band bucket
+    if max_offset == 0:
+        b = b.select(
+            "__idb", F.lit(0).alias("__delta"),
+            F.col("frame_id").alias("__slot"), "__db", "__t", "__b",
+        )
+    else:
+        # side b participates at every shifted slot: a's frame i
+        # aligns with b's frame i + δ, i.e. b's frame j votes at
+        # slot j − δ
+        deltas = F.array(
+            *[F.lit(d) for d in range(-max_offset, max_offset + 1)]
+        )
+        b = b.select(
+            "__idb", F.explode(deltas).alias("__delta"),
+            "frame_id", "__db", "__t", "__b",
+        ).select(
+            "__idb", "__delta",
+            (F.col("frame_id") - F.col("__delta")).alias("__slot"),
+            "__db", "__t", "__b",
+        )
+    # slot-aligned candidate pairs: same frame slot (per offset),
+    # same band bucket
     cand_frames = (
-        a.join(b, ["frame_id", "__t", "__b"])
+        a.join(b, ["__slot", "__t", "__b"])
         .filter(F.col("__ida") < F.col("__idb"))
-        .dropDuplicates(["__ida", "__idb", "frame_id"])
+        .dropDuplicates(["__ida", "__idb", "__delta", "__slot"])
         .filter(
             F.bit_count(F.col("__da").bitwiseXOR(F.col("__db"))) <= max_hamming
         )
     )
-    matched = cand_frames.groupBy("__ida", "__idb").agg(
+    matched = cand_frames.groupBy("__ida", "__idb", "__delta").agg(
         F.count(F.lit(1)).alias("__match")
     )
     na = n_by_vid.select(
@@ -335,11 +392,12 @@ def near_dedup_videos(
         F.col(id_col).alias("__idb"), F.col("__nf").alias("__nb")
     )
     verified = (
-        matched.join(F.broadcast(na), "__ida")
-        .join(F.broadcast(nb), "__idb")
+        matched.join(na, "__ida")
+        .join(nb, "__idb")
         .filter(
             F.col("__match") >= min_frame_frac * F.least("__na", "__nb")
         )
+        .dropDuplicates(["__ida", "__idb"])
     )
     if cluster:
         from .graph import duplicate_drop_ids
@@ -349,4 +407,4 @@ def near_dedup_videos(
         )
     else:
         dup = verified.select(F.col("__idb").alias(id_col)).distinct()
-    return media.join(F.broadcast(dup), id_col, "left_anti")
+    return media.join(dup, id_col, "left_anti")

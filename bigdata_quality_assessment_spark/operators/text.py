@@ -929,6 +929,7 @@ def simhash_near_dedup(
     cluster: bool = True,
     signatures: DataFrame | None = None,
     hash_fn: str = "xxhash64",
+    two_level: bool = False,
 ) -> DataFrame:
     """SimHash near-dedup: signatures → 4 equal band buckets →
     exact Hamming verify (``bit_count(a XOR b)``) → connected-
@@ -949,6 +950,22 @@ def simhash_near_dedup(
     set is duplicates-only, so the final anti-join broadcasts (see
     exact_dedup for the same discipline).
 
+    ``two_level=True`` is the SCALE regime for the band join (round-13
+    — retires the measured 2M-image n²/2¹⁶ candidate ceiling,
+    BASELINE.md round-12): each of the 4 primary bands is additionally
+    keyed by each of 4 equal SUB-BANDS of the remaining bits, giving
+    16 keys/signature over a 2^(band_bits + band_bits·3/4) key space
+    (2²⁸ for 64-bit signatures vs 2¹⁶ single-level — 2¹²× fewer
+    same-bucket collisions in the uniform worst case). Completeness is
+    preserved by a nested pigeonhole: a qualifying pair (≤ 3 differing
+    bits) has some primary band exact, and its ≤ 3 errors all lie in
+    that band's REMAINING bits, which split into 4 disjoint sub-bands
+    — so at least one (band, sub-band) key matches exactly. Same
+    verify, same verified pair set, 4× the (16-byte) explode rows;
+    turn it on when corpus/2^band_bits candidate pairs dominate the
+    runtime (≳10⁶ signatures), off for small corpora where the extra
+    explode outweighs the collision savings.
+
     ``signatures``: optional precomputed ``simhash(docs, ...)`` frame —
     pass it when the caller ALSO consumes the signatures so the
     shingling + 64-vote pass runs once, not once per consumer (put a
@@ -965,14 +982,31 @@ def simhash_near_dedup(
     else:
         sig = signatures
     band_bits = _simhash_bits(hash_fn) // 4
-    bands = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), band_bits * t).bitwiseAND(
-                F.lit((1 << band_bits) - 1)
+
+    def _band(t: int):
+        return F.shiftrightunsigned(F.col("simhash"), band_bits * t).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
+    if two_level:
+        # nested pigeonhole (docstring): key (t, s) = primary band t
+        # packed with sub-band s of the OTHER three bands' bits
+        sub_bits = (3 * band_bits) // 4
+        keys = []
+        for t in range(4):
+            rem = (
+                _band((t + 1) % 4)
+                .bitwiseOR(F.shiftleft(_band((t + 2) % 4), band_bits))
+                .bitwiseOR(F.shiftleft(_band((t + 3) % 4), 2 * band_bits))
             )
-            for t in range(4)
-        ]
-    )
+            for s in range(4):
+                sub = F.shiftrightunsigned(rem, sub_bits * s).bitwiseAND(
+                    F.lit((1 << sub_bits) - 1)
+                )
+                keys.append(F.shiftleft(_band(t), sub_bits).bitwiseOR(sub))
+        bands = F.array(*keys)
+    else:
+        bands = F.array(*[_band(t) for t in range(4)])
     sige = sig.select(
         F.col(id_col), F.col("simhash"), F.posexplode(bands).alias("__t", "__b")
     )
@@ -1390,7 +1424,14 @@ def tf_idf(
     Shape: one explode + two map-side-combined aggregations. The term
     shuffle is VOCABULARY-shaped (distinct terms × partitions), not
     corpus-shaped, and the df side aggregates to one row per distinct
-    term, which broadcasts. The top-k window partitions by document —
+    term. The df→tf scoring join is deliberately UNHINTED: a web-scale
+    vocabulary is 10⁸-10⁹ distinct terms, and a forced broadcast of a
+    per-term frame is a driver/executor OOM at exactly the scale this
+    operator targets (the failure class ``ngram_lm_score`` bounds with
+    ``max_vocab``); AQE broadcasts it whenever the measured size is
+    actually small, and falls back to a term-keyed shuffle join —
+    both sides are already term-partitioned by their aggregations —
+    when it is not. The top-k window partitions by document —
     bounded by the longest single document, never the corpus.
 
     ``tf``: optional precomputed :func:`term_frequencies` frame
@@ -1405,7 +1446,7 @@ def tf_idf(
     n_docs = tf.select(id_col).distinct().count()
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
-    scored = tf.join(F.broadcast(df_counts), "term").select(
+    scored = tf.join(df_counts, "term").select(
         id_col, "term", "tf", "df", (F.col("tf") * idf).alias("tfidf")
     )
     if top_k is None:
@@ -1453,7 +1494,12 @@ def bm25_retrieve(
     side (a benchmark suite, thousands of rows) aggregates to distinct
     terms and BROADCASTS into the tf frame, so scoring touches only
     documents containing a query term, partitioned by the corpus —
-    no shuffle of the corpus at all beyond the tf groupBy; the final
+    no shuffle of the corpus at all beyond the tf groupBy. The df
+    table is one row per DISTINCT CORPUS TERM (10⁸-10⁹ at a web
+    corpus — never broadcastable as-is), so it is first semi-joined
+    to the driver-sized query-term set and only that QUERY-SHAPED
+    slice broadcasts into the score join (round-13; the guard
+    ``ngram_lm_score`` expresses with ``max_vocab``). The final
     per-query top-k window partitions on query_id (bounded by matches
     per query). N / avgdl are 1-row frames crossed in via broadcast,
     the repo's scalar-statistic discipline.
@@ -1498,9 +1544,20 @@ def bm25_retrieve(
             .filter(F.col("term") != "")
             .distinct()
         )
+    # df restricted to the query terms BEFORE any broadcast hint: the
+    # query-term set is driver-sized by contract, so this semi-join
+    # turns every df broadcast below query-shaped (df_counts itself is
+    # corpus-vocabulary-shaped and must never be forced to broadcast).
+    # No barrier: the max_df_frac guard and the score join may both
+    # consume it, but the subplans are identical so AQE's exchange
+    # reuse dedupes the df aggregation, and keeping the lineage
+    # visible lets tests pin the broadcast-side shape.
+    qdf = df_counts.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
     if max_df_frac is not None:
         qterms = (
-            qterms.join(F.broadcast(df_counts), "term")
+            qterms.join(F.broadcast(qdf), "term")
             .crossJoin(F.broadcast(stats))
             .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
             .select(query_id_col, "term")
@@ -1515,7 +1572,7 @@ def bm25_retrieve(
     )
     scored = (
         tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_counts), "term")
+        .join(F.broadcast(qdf), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id_col, id_col)

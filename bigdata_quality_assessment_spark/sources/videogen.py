@@ -16,8 +16,14 @@ record — the animated sibling of :mod:`.imagegen`.
 * **recuts** replace the LAST frame with fresh content (2/3 aligned
   frames still match → dup at the default ``min_frame_frac=0.5``,
   distinct at 1.0 — the partial-edit case);
-* ground truth rides in ``role`` ('orig'|'dup'|'rebright'|'recut')
-  and ``src_id``.
+* **trims** (round-13, ``trim_rate`` — default 0 so existing corpora
+  are byte-stable) drop the source's FIRST frame: every surviving
+  frame's index shifts by one, so exact-alignment dedup
+  (``max_offset=0``) keeps them by construction while the bounded
+  offset scan (``max_offset≥1``) collapses them — the planted fixture
+  for the commonest video-copy transform, a head trim;
+* ground truth rides in ``role``
+  ('orig'|'dup'|'rebright'|'recut'|'trim') and ``src_id``.
 
 Counter-RNG discipline as everywhere in ``sources/``.
 """
@@ -94,10 +100,11 @@ def planted_videos(
     recut_rate: float = 0.04,
     seed: int = 0,
     num_partitions: int | None = None,
+    trim_rate: float = 0.0,
 ) -> DataFrame:
     """Generate the corpus as one distributed Arrow pass over
     ``spark.range(n_videos)`` (see module docstring)."""
-    if dup_rate + rebright_rate + recut_rate >= 1.0:
+    if dup_rate + rebright_rate + recut_rate + trim_rate >= 1.0:
         raise ValueError("planted rates must sum below 1")
 
     def gen(batches):
@@ -115,6 +122,8 @@ def planted_videos(
                     return "rebright"
                 if u < dup_rate + rebright_rate + recut_rate:
                     return "recut"
+                if u < dup_rate + rebright_rate + recut_rate + trim_rate:
+                    return "trim"
             return "orig"
 
         def base_indices(key: int, frame: int):
@@ -157,6 +166,10 @@ def planted_videos(
                         palette = [lv + delta for lv in base_palette]
                     elif role == "recut":
                         frames[-1] = base_indices(vid, _NF - 1)
+                    elif role == "trim":
+                        # head trim: source frames 1.._NF-1 at
+                        # positions 0.._NF-2 — every index shifts
+                        frames = frames[1:]
                     blob = patterned_gif(frames, palette)
                     src_id = src
                 out["media_id"].append(vid)

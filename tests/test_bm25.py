@@ -122,3 +122,61 @@ def test_bm25_max_df_frac_prunes_stopwords(spark):
     # 'the' has df 4/4 > 0.5 -> pruned everywhere
     assert 0 not in by_q
     assert by_q[1] == {1, 3}  # only 'b' (df 2/4 <= 0.5) scores
+
+
+def _hint_children(plan: str) -> list[str]:
+    """The immediate-child line of every broadcast hint in an
+    analyzed-plan string (tree text: the child of a node at prefix
+    length p is the next line whose node marker sits at p + 3)."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast)" not in line:
+            continue
+        depth = max(line.find("+- "), line.find(":- "))
+        for nxt in lines[i + 1 :]:
+            m = max(nxt.find("+- "), nxt.find(":- "))
+            if m == depth + 3:
+                out.append(nxt)
+                break
+    return out
+
+
+def test_bm25_df_broadcast_is_query_scoped(spark):
+    """The scale pin for round-12 `weak` #1: no broadcast hint may sit
+    DIRECTLY on the full-vocabulary df aggregate (one row per distinct
+    corpus term — an OOM at web scale). The df side must be semi-joined
+    to the driver-sized query-term set first, so every broadcast build
+    side is query-shaped."""
+    docs = _docs(spark, ["a b c", "a d e", "f g"])
+    q = spark.createDataFrame([(0, "a f")], "query_id long, text string")
+    for kwargs in ({}, {"max_df_frac": 0.9}):
+        out = bm25_retrieve(docs, q, top_k=None, **kwargs)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        kids = _hint_children(plan)
+        assert kids, "expected broadcast hints in the bm25 plan"
+        for child in kids:
+            assert not (
+                "Aggregate" in child and "count(1) AS df" in child
+            ), f"full df_counts broadcast directly:\n{child}"
+        # the query-scoped df slice exists: every df aggregate feeds a
+        # term join (the semi-join to the query-term set), never a
+        # broadcast directly
+        lines = plan.splitlines()
+        df_lines = [
+            i for i, l in enumerate(lines) if "count(1) AS df" in l
+        ]
+        assert df_lines
+        for i in df_lines:
+            assert "Join Inner, (term" in lines[i - 1]
+
+
+def test_tf_idf_df_join_is_unhinted(spark):
+    """tf_idf's df→tf scoring join carries NO broadcast hint (the df
+    table is corpus-vocabulary-shaped; AQE picks the strategy from
+    measured sizes)."""
+    from bigdata_quality_assessment_spark.operators.text import tf_idf
+
+    docs = _docs(spark, ["a b c", "a d"])
+    plan = tf_idf(docs)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan

@@ -232,3 +232,28 @@ def test_cc_null_endpoints_dropped(spark):
     )
     cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert cc == {1: 1, 2: 1, 5: 1}
+
+
+def test_connected_components_string_ids(spark):
+    """Non-integral ids route to the type-agnostic alternating-stars
+    tier: components close under lexicographic min (the dedup
+    family's any-id-type contract — URL/content-hash ids)."""
+    from bigdata_quality_assessment_spark.operators.graph import (
+        connected_components,
+        duplicate_drop_ids,
+    )
+
+    pairs = spark.createDataFrame(
+        [("url-b", "url-a"), ("url-b", "url-c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert cc == {
+        "url-a": "url-a", "url-b": "url-a", "url-c": "url-a",
+        "x": "x", "y": "x",
+    }
+    drops = {r["id"] for r in duplicate_drop_ids(pairs).collect()}
+    assert drops == {"url-b", "url-c", "y"}

@@ -324,3 +324,111 @@ def test_near_dedup_videos_synthetic_hashes(spark):
     )
     # least(4, 2) = 2 aligned frames, both match -> 1 is a dup of 0
     assert surv == [0, 2]
+
+
+def test_near_dedup_images_two_level_identical(spark):
+    """The two-level (band, sub-band) scale regime is a candidate
+    PREFILTER only: the verified pair set — hence the survivor set —
+    is identical to single-level banding on the graded fixture, for
+    every max_hamming the banding is complete for."""
+    media = spark.createDataFrame(
+        _phash_fixture_blobs(), "media_id long, content binary"
+    )
+    for mh in (0, 3):
+        one = sorted(
+            r["media_id"]
+            for r in near_dedup_images(media, max_hamming=mh).collect()
+        )
+        two = sorted(
+            r["media_id"]
+            for r in near_dedup_images(
+                media, max_hamming=mh, two_level=True
+            ).collect()
+        )
+        assert one == two
+
+
+def test_frame_phash_string_and_wide_ids(spark):
+    """(id, frame_id) ride through frame_phash as real passthrough
+    columns: string ids and hash-derived 64-bit ids survive intact
+    (the round-12 arithmetic packing NULLed the former and
+    overflowed/collided the latter)."""
+    from bigdata_quality_assessment_spark.operators.phash import frame_phash
+    from bigdata_quality_assessment_spark.queries import _animated_gif_blob
+
+    gif = _animated_gif_blob()
+    smedia = spark.createDataFrame(
+        [("vid-a", gif), ("vid-b", gif)], "media_id string, content binary"
+    )
+    srows = frame_phash(smedia, n_frames=4).collect()
+    assert {r["media_id"] for r in srows} == {"vid-a", "vid-b"}
+    assert all(r["frame_id"] is not None for r in srows)
+
+    wide = -(2**62) + 5, 2**62 + 11  # outside the old packing's range
+    wmedia = spark.createDataFrame(
+        [(wide[0], gif), (wide[1], gif)], "media_id long, content binary"
+    )
+    wrows = frame_phash(wmedia, n_frames=4).collect()
+    assert {r["media_id"] for r in wrows} == set(wide)
+    per_id = {}
+    for r in wrows:
+        per_id.setdefault(r["media_id"], set()).add(r["frame_id"])
+    assert all(fids == {0, 1, 2} for fids in per_id.values())
+
+
+def test_near_dedup_videos_string_ids(spark):
+    """End-to-end video dedup under a string id column (the contract
+    the packed key silently broke): byte-identical animations
+    collapse, the min (lexicographic) id survives."""
+    from bigdata_quality_assessment_spark.operators.phash import (
+        near_dedup_videos,
+    )
+    from bigdata_quality_assessment_spark.queries import _animated_gif_blob
+
+    gif = _animated_gif_blob()
+    media = spark.createDataFrame(
+        [("v1", gif), ("v2", gif), ("v3", b"not a video")],
+        "media_id string, content binary",
+    )
+    surv = sorted(
+        r["media_id"] for r in near_dedup_videos(media, n_frames=4).collect()
+    )
+    assert surv == ["v1", "v3"]
+
+
+def test_near_dedup_videos_param_validation(spark):
+    """min_frame_frac outside (0, 1] and negative max_offset raise
+    instead of silently merging everything / disabling dedup."""
+    from bigdata_quality_assessment_spark.operators.phash import (
+        near_dedup_videos,
+    )
+
+    media = spark.createDataFrame([(0, b"x")], "media_id long, content binary")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="min_frame_frac"):
+            near_dedup_videos(media, min_frame_frac=bad)
+    with pytest.raises(ValueError, match="max_offset"):
+        near_dedup_videos(media, max_offset=-1)
+    with pytest.raises(ValueError, match="max_hamming"):
+        near_dedup_videos(media, max_hamming=4)
+
+
+def test_energy_fingerprint_n_windows_guard(spark):
+    """n_windows outside [2, 65] raises: more than 64 transition bits
+    overflows the signed-BIGINT fingerprint and breaks the 4x16-bit
+    band-completeness assumption."""
+    from bigdata_quality_assessment_spark.operators.audio import (
+        audio_fingerprint,
+        energy_fingerprint_bits,
+    )
+
+    x = np.arange(200, dtype=np.float64) / 200.0
+    for bad in (0, 1, 66, 128):
+        with pytest.raises(ValueError, match="n_windows"):
+            energy_fingerprint_bits(x, 1, n_windows=bad)
+    media = spark.createDataFrame([(0, b"x")], "media_id long, content binary")
+    with pytest.raises(ValueError, match="n_windows"):
+        audio_fingerprint(media, n_windows=66)
+    # boundary values stay legal
+    assert energy_fingerprint_bits(x, 1, n_windows=2) is not None
+    assert energy_fingerprint_bits(x, 1, n_windows=65) is not None

@@ -1029,3 +1029,35 @@ def test_text_arrow_operators_preserve_string_ids(spark):
     a = {(r["doc_id"], r["fp"]) for r in doc_fingerprints(docs, k=4, mod_p=1, impl="arrow").collect()}
     s = {(r["doc_id"], r["fp"]) for r in doc_fingerprints(docs, k=4, mod_p=1, impl="sql").collect()}
     assert a == s
+
+
+def test_simhash_near_dedup_two_level_identical(spark):
+    """two_level (band, sub-band) keys are a candidate prefilter only:
+    survivor sets match single-level banding exactly (nested-pigeonhole
+    completeness), for both signature families."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        simhash_near_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river "
+    rows = [
+        (0, base * 3),
+        (1, base * 3),                          # exact copy
+        (2, base * 3 + "extra tail token"),     # near copy
+        (3, "completely different content about spark catalyst plans"),
+        (4, "unrelated text on audio fingerprints and energy windows"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for hf in ("xxhash64", "md5_48"):
+        one = sorted(
+            r["doc_id"]
+            for r in simhash_near_dedup(docs, hash_fn=hf).collect()
+        )
+        two = sorted(
+            r["doc_id"]
+            for r in simhash_near_dedup(
+                docs, hash_fn=hf, two_level=True
+            ).collect()
+        )
+        assert one == two
+        assert 0 in one and 3 in one and 4 in one

@@ -110,3 +110,54 @@ def test_partitioning_invariance(spark):
         for r in planted_videos(spark, 60, seed=5, num_partitions=7).collect()
     }
     assert a == b
+
+
+def test_trim_role_offset_matching(spark):
+    """Head-trimmed copies (trim_rate > 0) shift every frame index:
+    exact alignment (max_offset=0) keeps them by construction, the
+    bounded offset scan (max_offset=1) collapses every one; originals
+    survive both ways."""
+    corpus = planted_videos(
+        spark, 300, seed=29, trim_rate=0.08
+    ).localCheckpoint()
+    trim_rows = corpus.filter(F.col("role") == "trim").select(
+        "media_id", "src_id"
+    ).collect()
+    trims = {r["media_id"] for r in trim_rows}
+    assert trims  # the planted rate must actually produce trims
+    origs = {
+        r["media_id"] for r in corpus.filter(F.col("role") == "orig").collect()
+    }
+
+    kept_aligned = {
+        r["media_id"]
+        for r in near_dedup_videos(corpus, n_frames=3).collect()
+    }
+    # a trim never matches its source under exact alignment (every
+    # index is shifted); two trims of the SAME source are byte-equal
+    # and legitimately collapse even at offset 0, so assert on trims
+    # whose source is unique among trims
+    src_counts: dict = {}
+    for r in trim_rows:
+        src_counts[r["src_id"]] = src_counts.get(r["src_id"], 0) + 1
+    solo_trims = {
+        r["media_id"] for r in trim_rows if src_counts[r["src_id"]] == 1
+    }
+    assert solo_trims and solo_trims <= kept_aligned
+
+    kept_off = {
+        r["media_id"]
+        for r in near_dedup_videos(corpus, n_frames=3, max_offset=1).collect()
+    }
+    assert not (trims & kept_off)  # all trims collapse at |δ| <= 1
+    assert origs <= kept_off  # no false original drops
+
+
+def test_trim_rate_zero_is_byte_stable(spark):
+    """trim_rate defaults to 0 and leaves existing corpora byte-stable
+    (cached scaling corpora / recall records stay comparable across
+    rounds)."""
+    a = planted_videos(spark, 60, seed=13).collect()
+    b = planted_videos(spark, 60, seed=13, trim_rate=0.0).collect()
+    assert sorted((r["media_id"], bytes(r["content"]), r["role"]) for r in a) \
+        == sorted((r["media_id"], bytes(r["content"]), r["role"]) for r in b)
