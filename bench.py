@@ -632,6 +632,29 @@ def main() -> None:
         timed_extra("image_dedup",
                     lambda: near_dedup_images(img_media, max_hamming=3).count())
 
+        # round-13 (verdict ask #6): video-level perceptual dedup as a
+        # per-run extra so regressions surface in BENCH_DETAIL — the
+        # SF-matched planted-animation corpus (3-frame patterned GIFs:
+        # byte dups, palette-rebright perceptual dups, one-frame recuts),
+        # frame decode → per-frame dHash → frame-aligned banded dedup.
+        from bigdata_quality_assessment_spark.operators.phash import (
+            near_dedup_videos,
+        )
+        from bigdata_quality_assessment_spark.sources.videogen import (
+            planted_videos,
+        )
+
+        n_vid = max(10_000, int(100_000 * sf_val)) if sf_val > 0 else 10_000
+        vid_path = REPO / ".localdata" / "videos" / str(n_vid) / "media.parquet"
+        if not vid_path.exists():
+            planted_videos(spark, n_vid, seed=7).write.mode(
+                "overwrite"
+            ).parquet(str(vid_path))
+        vid_media = spark.read.parquet(str(vid_path))
+        extras["video_dedup_n_videos"] = n_vid
+        timed_extra("video_dedup",
+                    lambda: near_dedup_videos(vid_media, n_frames=3).count())
+
         # streaming-ingest state evidence (round 6: per-batch flatness;
         # round 7, verdict ask #7: compaction). 20 equal batches in two
         # availableNow drains with a compact_ingest_state pass between —

@@ -1589,6 +1589,143 @@ def bm25_retrieve(
     )
 
 
+def build_bm25_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    tf: DataFrame | None = None,
+) -> tuple[DataFrame, dict]:
+    """Build the persistable BM25 index (round-12 verdict ask #5 —
+    the retrieval sibling of ``build_ivfpq_index``): returns
+    ``(postings, stats)`` where ``postings`` is one row per (term,
+    document) occurrence with everything scoring needs DENORMALIZED
+    onto it — ``(term, id, tf, dl, df, __bucket)`` — and ``stats`` is
+    the model-parameter dict ``{"n_docs", "avgdl", "n_buckets"}``
+    (three numbers; the caller's to store beside the index). Persist
+    TERM-BUCKETED::
+
+        postings.write.partitionBy("__bucket").parquet(path)
+
+    and :func:`bm25_search` over the read-back frame prunes the scan
+    to the query terms' buckets (static ``isin`` predicate → partition
+    pruning: a query batch reads ≤ |distinct query-term buckets| /
+    n_buckets of the index FILES — at a 100 TB corpus, the difference
+    between re-scanning the corpus per query batch and reading a few
+    files). ``__bucket = pmod(xxhash64(term), n_buckets)``; df and dl
+    ride on the posting rows (8 bytes each) precisely so search needs
+    NO corpus-shaped join — one pruned scan, one broadcast of the
+    query terms, one aggregation. Building is one corpus scan +
+    vocabulary- and corpus-sharded joins, amortized over every future
+    query batch (``bm25_retrieve`` recomputes all of it per call).
+
+    ``tf``: optional precomputed :func:`term_frequencies` frame."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if tf is None:
+        tf = term_frequencies(docs, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).first()
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        tf.join(dl, id_col)
+        .join(df_counts, "term")
+        .select(
+            "term", id_col, "tf", "dl", "df",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias(
+                "__bucket"
+            ),
+        )
+    )
+    stats = {
+        "n_docs": float(st["n_docs"] or 0.0),
+        "avgdl": float(st["avgdl"]) if st["avgdl"] is not None else 0.0,
+        "n_buckets": int(n_buckets),
+    }
+    return postings, stats
+
+
+def bm25_search(
+    index: DataFrame,
+    queries: DataFrame,
+    stats: dict,
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = 10,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Query a PREBUILT BM25 index (:func:`build_bm25_index`, normally
+    read back from a ``partitionBy("__bucket")`` lake path). Scores
+    are IDENTICAL to :func:`bm25_retrieve` on the same corpus — same
+    Lucene idf, same length normalization — but the per-call cost is
+    a file-pruned index scan instead of a corpus recompute: the query
+    terms' bucket set (≤ n_buckets values, collected driver-side —
+    the one contract-tiny collect) lands as a static ``__bucket IN
+    (...)`` predicate that prunes whole partitions before the term
+    join. ``max_df_frac`` prunes high-df terms with the df column
+    already on the posting rows — no stats join. N/avgdl come from
+    ``stats`` as literals, the scalar-statistic discipline."""
+    n_docs = float(stats["n_docs"])
+    avgdl = float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens(F.col(query_text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    bkts = sorted(
+        r["__b"]
+        for r in qterms.select(
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("__b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not bkts:
+        spark = index.sparkSession
+        id_type = dict(index.dtypes)[id_col]
+        q_type = dict(queries.dtypes)[query_id_col]
+        empty = f"{query_id_col} {q_type}, {id_col} {id_type}, score double"
+        out = spark.createDataFrame([], empty)
+        return out if top_k is None else out.withColumn(
+            "rank", F.lit(1).cast("int")
+        ).limit(0)
+    cands = index.filter(F.col("__bucket").isin(bkts)).join(
+        F.broadcast(qterms), "term"
+    )
+    if max_df_frac is not None:
+        cands = cands.filter(F.col("df") <= max_df_frac * n_docs)
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tnorm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = cands.groupBy(query_id_col, id_col).agg(
+        F.sum(idf * tnorm).alias("score")
+    )
+    if top_k is None:
+        return scored
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def _bigram_pairs(
     frame: DataFrame,
     text_col: str,

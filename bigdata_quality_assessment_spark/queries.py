@@ -1952,6 +1952,15 @@ def _lang_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE),
            query_id, score, rn
+    FROM brk WHERE rn <= 5
+    UNION ALL
+    SELECT 'bm25idx', doc_id,
+           {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           query_id, score, rn
     FROM brk WHERE rn <= 5"""
 
 
@@ -1972,10 +1981,16 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 167 == 0, the corpus standing in for a benchmark suite)
     retrieves its top-5 documents by the Lucene-idf BM25 score, ranked
     on the 6-digit-rounded score so cross-engine float sum-order can
-    never flip a rank. All five hash-matched against the SQL
-    formulation."""
+    never flip a rank; part='bm25idx' (round 13) is the SAME retrieval
+    through the PREBUILT index path (text.py build_bm25_index →
+    bm25_search: denormalized term-bucketed postings, static bucket
+    pruning) — the index path's contract is score-identity with the
+    from-scratch path, so its oracle is the identical brk CTE. All six
+    hash-matched against the SQL formulation."""
     from bigdata_quality_assessment_spark.operators.text import (
         bm25_retrieve,
+        bm25_search,
+        build_bm25_index,
         dsir_weights,
         ngram_lm_score,
         term_frequencies,
@@ -2086,9 +2101,35 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+    # part='bm25idx': the same query set through the prebuilt-index
+    # path. The postings build reuses the barriered tf frame (no new
+    # corpus scan); the stats collect is 2 scalars, contract-tiny.
+    postings, bstats = build_bm25_index(docs, tf=tf_frame, n_buckets=16)
+    q_frame = docs.filter((F.col("doc_id") % 167) == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    bmi = (
+        bm25_search(postings, q_frame, bstats, top_k=None)
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.lit("bm25idx").alias("part"),
+            "doc_id",
+            *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],
+            F.lit(None).cast("string").alias("lang_pred"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("bigint").alias("tf"),
+            F.lit(None).cast("bigint").alias("df"),
+            F.lit(None).cast("double").alias("tfidf"),
+            *_lm_nulls,
+            "query_id",
+            F.round("score", 6).alias("bm25"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
     return (
         lang_part.unionByName(ti).unionByName(lm).unionByName(dsir)
-        .unionByName(bm)
+        .unionByName(bm).unionByName(bmi)
     )
 
 

@@ -180,3 +180,88 @@ def test_tf_idf_df_join_is_unhinted(spark):
     docs = _docs(spark, ["a b c", "a d"])
     plan = tf_idf(docs)._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in plan
+
+
+def test_bm25_index_search_matches_retrieve(spark, tmp_path):
+    """bm25_search over a prebuilt (persisted, bucket-partitioned)
+    index returns IDENTICAL scores to the from-scratch bm25_retrieve
+    on the same corpus + queries, including under max_df_frac."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        bm25_search,
+        build_bm25_index,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "apple banana cherry", "apple apple date", "banana elder fig",
+            "grape apple banana banana", "human iris joke", "",
+        ],
+    )
+    q = spark.createDataFrame(
+        [(0, "apple banana"), (1, "iris"), (2, "")],
+        "query_id long, text string",
+    )
+    postings, stats = build_bm25_index(docs, n_buckets=8)
+    path = str(tmp_path / "bm25_idx")
+    postings.write.partitionBy("__bucket").parquet(path)
+    index = spark.read.parquet(path)
+
+    for kwargs in ({}, {"max_df_frac": 0.5}):
+        want = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_retrieve(docs, q, top_k=None, **kwargs).collect()
+        }
+        got = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_search(index, q, stats, top_k=None, **kwargs).collect()
+        }
+        assert set(got) == set(want)
+        for key, s in want.items():
+            assert got[key] == pytest.approx(s, rel=1e-12)
+
+    # ranked path: same winners, rank column present
+    ranked = bm25_search(index, q, stats, top_k=2).collect()
+    assert all(r["rank"] in (1, 2) for r in ranked)
+
+
+def test_bm25_search_prunes_partitions(spark, tmp_path):
+    """The lake contract: the query terms' bucket set lands as a
+    STATIC partition predicate — the executed plan's parquet scan
+    shows a __bucket partition filter (whole index files are skipped
+    before the term join)."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        bm25_search,
+        build_bm25_index,
+    )
+
+    docs = _docs(spark, [f"word{i} filler text" for i in range(50)])
+    postings, stats = build_bm25_index(docs, n_buckets=16)
+    path = str(tmp_path / "bm25_idx")
+    postings.write.partitionBy("__bucket").parquet(path)
+    index = spark.read.parquet(path)
+    q = spark.createDataFrame([(0, "word7")], "query_id long, text string")
+    out = bm25_search(index, q, stats, top_k=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and any("__bucket" in l for l in scan)
+    # and the search actually scores the right doc
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {7}
+
+
+def test_bm25_search_empty_query_set(spark, tmp_path):
+    """Token-less query batches return an empty, correctly-shaped
+    frame instead of an unpruned scan (isin([]) would not prune)."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        bm25_search,
+        build_bm25_index,
+    )
+
+    docs = _docs(spark, ["a b", "c d"])
+    postings, stats = build_bm25_index(docs, n_buckets=4)
+    index = postings
+    q = spark.createDataFrame([(0, ""), (1, "  ")], "query_id long, text string")
+    out = bm25_search(index, q, stats)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "doc_id", "score", "rank"}
