@@ -655,6 +655,28 @@ def main() -> None:
         timed_extra("video_dedup",
                     lambda: near_dedup_videos(vid_media, n_frames=3).count())
 
+        # round-13: audio perceptual dedup as a per-run extra — the
+        # SF-matched planted-audio corpus (square-wave energy envelopes:
+        # byte dups + gain-scaled perceptual dups), WAV PCM decode →
+        # energy fingerprint → banded dedup.
+        from bigdata_quality_assessment_spark.operators.audio import (
+            near_dedup_audio,
+        )
+        from bigdata_quality_assessment_spark.sources.audiogen import (
+            planted_audio,
+        )
+
+        n_aud = max(20_000, int(200_000 * sf_val)) if sf_val > 0 else 20_000
+        aud_path = REPO / ".localdata" / "audio" / str(n_aud) / "media.parquet"
+        if not aud_path.exists():
+            planted_audio(spark, n_aud, seed=7).write.mode(
+                "overwrite"
+            ).parquet(str(aud_path))
+        aud_media = spark.read.parquet(str(aud_path))
+        extras["audio_dedup_n_clips"] = n_aud
+        timed_extra("audio_dedup",
+                    lambda: near_dedup_audio(aud_media).count())
+
         # streaming-ingest state evidence (round 6: per-batch flatness;
         # round 7, verdict ask #7: compaction). 20 equal batches in two
         # availableNow drains with a compact_ingest_state pass between —

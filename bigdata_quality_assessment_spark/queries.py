@@ -4755,6 +4755,30 @@ def _vhash_fixture_blobs() -> list[tuple[int, bytes]]:
     ]
 
 
+def _vtrim_fixture_blobs() -> list[tuple[int, bytes]]:
+    """Trim-offset fixtures for the part='vhash' tier (round-13: the
+    bounded frame-offset scan, ``max_offset=1`` at
+    ``min_frame_frac=0.75``):
+
+      10: [STEP, FLAT, DSTEP]
+      11: [FLAT, DSTEP]  — HEAD-TRIM of 10: every frame index shifts,
+          so exact alignment matches nothing, but at δ=−1 both frames
+          match (m=2 ≥ 0.75·least(3,2)=1.5) → dup, min id 10 kept
+      12: [DSTEP, FLAT]  — swapped control: best offset shares only
+          one frame with 10 (the flat frame at δ=0; m=1 < 1.5) and at
+          most one with 11 → survives
+      13: undecodable bytes → no frames → survives
+
+    Survivors {10, 12, 13}. The 0.75 fraction matters: at the default
+    0.5 a SINGLE shared flat frame would merge two 2-frame videos."""
+    return [
+        (10, _patterned_gif_blob([_VF_STEP, _VF_FLAT, _VF_DSTEP])),
+        (11, _patterned_gif_blob([_VF_FLAT, _VF_DSTEP])),
+        (12, _patterned_gif_blob([_VF_DSTEP, _VF_FLAT])),
+        (13, b"still never a video container"),
+    ]
+
+
 def _afp_fixture_blobs() -> list[tuple[int, bytes]]:
     """Deterministic PCM WAV fixtures for the part='afp' tier of
     x_blob_stats (gain-invariant energy fingerprints +
@@ -4973,7 +4997,58 @@ def _blob_sql() -> str:
         SELECT vid AS media_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(CASE WHEN vid IN (SELECT id FROM drops)
                          THEN 0 ELSE 1 END AS BIGINT)
-        FROM (SELECT DISTINCT vid FROM vf))"""
+        FROM (SELECT DISTINCT vid FROM vf))
+      UNION ALL
+      SELECT 'vhash', media_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), dhash, ahash, CAST(NULL AS BIGINT),
+             survived, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      FROM (
+        -- round-13 trim-offset tier: the bounded frame-offset scan
+        -- (delta in [-1, 1], min_frame_frac 0.75) recomputed per pair:
+        -- a.frame i aligns with b.frame i + delta, accept on the best
+        -- offset
+        WITH RECURSIVE
+        vt(vid, frame_id, dhash, ahash) AS (SELECT * FROM (VALUES
+          (10, 0, CAST(578721382704613384 AS BIGINT), CAST(-1085102592571150096 AS BIGINT)),
+          (10, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          (10, 2, CAST(2604246222170760228 AS BIGINT), CAST(-4557430888798830400 AS BIGINT)),
+          (11, 0, 0, 0),
+          (11, 1, 2604246222170760228, -4557430888798830400),
+          (12, 0, 2604246222170760228, -4557430888798830400),
+          (12, 1, 0, 0),
+          (13, 0, NULL, NULL),
+          (13, 1, NULL, NULL),
+          (13, 2, NULL, NULL),
+          (13, 3, NULL, NULL)) t(vid, frame_id, dhash, ahash)),
+        nf AS (SELECT vid, count(*) AS n FROM vt WHERE dhash IS NOT NULL
+               GROUP BY vid),
+        mtd AS (SELECT a.vid AS ia, c.vid AS ib, dd.delta, count(*) AS m
+                FROM vt a
+                CROSS JOIN (VALUES (-1), (0), (1)) dd(delta)
+                JOIN vt c ON a.frame_id = c.frame_id - dd.delta
+                WHERE a.vid < c.vid AND a.dhash IS NOT NULL
+                  AND c.dhash IS NOT NULL
+                  AND bit_count(xor(a.dhash, c.dhash)) <= 3
+                GROUP BY a.vid, c.vid, dd.delta),
+        verified AS (SELECT DISTINCT mtd.ia, mtd.ib FROM mtd
+                     JOIN nf x ON x.vid = mtd.ia JOIN nf y ON y.vid = mtd.ib
+                     WHERE mtd.m >= 0.75 * least(x.n, y.n)),
+        edges AS (SELECT ia AS s, ib AS t FROM verified
+                  UNION ALL SELECT ib, ia FROM verified),
+        reach AS (SELECT s AS id, t AS peer FROM edges
+                  UNION
+                  SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
+        drops AS (SELECT id FROM (SELECT id, min(peer) AS mn FROM reach
+                                  GROUP BY id)
+                  WHERE mn < id)
+        SELECT 100 + vid * 16 + frame_id AS media_id, dhash, ahash,
+               CAST(NULL AS BIGINT) AS survived
+        FROM vt
+        UNION ALL
+        SELECT vid AS media_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(CASE WHEN vid IN (SELECT id FROM drops)
+                         THEN 0 ELSE 1 END AS BIGINT)
+        FROM (SELECT DISTINCT vid FROM vt))"""
 
 
 @_register("x_blob_stats", _blob_sql())
@@ -5125,12 +5200,45 @@ def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
         vids.select("media_id").join(vsurv, "media_id", "left"), "vhash",
         survived=F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("survived"),
     )
+
+    # round-13 trim-offset tier of part='vhash': a head-trimmed copy
+    # shifts every frame index, so exact alignment keeps it by
+    # construction while the bounded offset scan (max_offset=1 at
+    # min_frame_frac=0.75 — see _vtrim_fixture_blobs for why 0.75)
+    # collapses it; the oracle recomputes the best-offset decision
+    # from the pinned frame hashes
+    vids2 = spark.createDataFrame(
+        _vtrim_fixture_blobs(), "media_id long, content binary"
+    )
+    vfh2 = frame_phash(vids2, n_frames=4).localCheckpoint(eager=False)
+    vsurv2 = near_dedup_videos(
+        vids2, n_frames=4, frame_hashes=vfh2,
+        max_offset=1, min_frame_frac=0.75,
+    ).select("media_id", F.lit(1).alias("__s"))
+    vtrim_frame_rows = widen(
+        vfh2.select(
+            (F.lit(100) + F.col("media_id") * 16 + F.col("frame_id")).alias(
+                "media_id"
+            ),
+            "dhash",
+            "ahash",
+        ),
+        "vhash",
+        dhash=F.col("dhash"),
+        ahash=F.col("ahash"),
+    )
+    vtrim_vid_rows = widen(
+        vids2.select("media_id").join(vsurv2, "media_id", "left"), "vhash",
+        survived=F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("survived"),
+    )
     return (
         blob.unionByName(phash_part)
         .unionByName(audio_part)
         .unionByName(afp_part)
         .unionByName(vframe_rows)
         .unionByName(vvid_rows)
+        .unionByName(vtrim_frame_rows)
+        .unionByName(vtrim_vid_rows)
     )
 
 

@@ -1,24 +1,19 @@
 #!/usr/bin/env python
-"""Perceptual-image-dedup scaling record (round-12): generate planted
-image corpora (sources/imagegen.py — block-mosaic PNGs with exact-dup
-re-encodes and brightness-shifted perceptual dups, ground truth in
-role/src_id), then time the decode→dHash pass and the full banded
-near-dedup, and measure planted recall / original survival
-DISTRIBUTED (no driver-side id census). The runtime question is the
-linear decode scan + the 4×16-bit band join; the quality question is
-whether brightness-shifted perceptual dups — invisible to byte-level
-dedup — collapse at scale.
+"""Audio perceptual-dedup scaling record (round-13): generate planted
+audio corpora (sources/audiogen.py — square-wave energy-envelope WAV
+clips with byte dups and gain-scaled perceptual dups, ground truth in
+role/src_id), then time the PCM decode → energy-fingerprint pass and
+the full banded near-dedup, and measure planted recall / original
+survival DISTRIBUTED. The runtime question is the linear WAV decode
+scan + the 4×16-bit band join; the quality question is whether
+re-gained (volume-normalized) copies — invisible to byte-level dedup —
+collapse at scale.
 
-Usage: python tools/bench_image_dedup.py [--two-level] [n_images ...]
+Usage: python tools/bench_audio_dedup.py [--two-level] [n_clips ...]
 Default scales: 20000 200000. Corpora cache under
-.localdata/images/<n>/media.parquet (delete to regenerate).
-Prints one JSON line per scale plus a summary line.
-
-``--two-level`` (round-13) runs the nested (band, sub-band) SCALE
-regime of the band join — identical survivor sets, ~2^12x fewer
-same-bucket candidate pairs — the fix for the measured 2M-image
-single-level candidate ceiling (258.5 s at r12, band-volume
-dominated).
+.localdata/audio/<n>/media.parquet (delete to regenerate).
+``--two-level`` runs the nested (band, sub-band) scale regime
+(identical survivor sets — see simhash_near_dedup).
 """
 
 from __future__ import annotations
@@ -43,17 +38,17 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from bigdata_quality_assessment_spark.operators.phash import (
-        image_phash,
-        near_dedup_images,
+    from bigdata_quality_assessment_spark.operators.audio import (
+        audio_fingerprint,
+        near_dedup_audio,
     )
     from bigdata_quality_assessment_spark.session import build_session
-    from bigdata_quality_assessment_spark.sources.imagegen import (
-        planted_images,
+    from bigdata_quality_assessment_spark.sources.audiogen import (
+        planted_audio,
     )
 
     spark = build_session(
-        app_name="bench_image_dedup",
+        app_name="bench_audio_dedup",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -72,27 +67,24 @@ def main() -> None:
     calibrate()  # codegen warmup
     results = {}
     for n in scales:
-        path = REPO / ".localdata" / "images" / str(n) / "media.parquet"
+        path = REPO / ".localdata" / "audio" / str(n) / "media.parquet"
         if not path.exists():
             t0 = time.perf_counter()
-            planted_images(spark, n, seed=7).write.mode("overwrite").parquet(
+            planted_audio(spark, n, seed=7).write.mode("overwrite").parquet(
                 str(path)
             )
             print(
-                f"# generated {n} images in {time.perf_counter()-t0:.1f}s",
+                f"# generated {n} clips in {time.perf_counter()-t0:.1f}s",
                 file=sys.stderr,
             )
         media = spark.read.parquet(str(path))
         stats = {
-            "n_images": n,
+            "n_clips": n,
             "two_level": two_level,
             "cal_start": calibrate(),
         }
 
-        # planted quality (untimed, distributed)
-        kept = near_dedup_images(
-            media, max_hamming=3, two_level=two_level
-        ).select(
+        kept = near_dedup_audio(media, two_level=two_level).select(
             "media_id", F.lit(1).alias("__kept")
         )
         qual = (
@@ -101,7 +93,7 @@ def main() -> None:
             .agg(
                 F.avg(
                     F.when(
-                        F.col("role").isin("dup", "bright"),
+                        F.col("role") != "orig",
                         F.col("__kept").isNull().cast("double"),
                     )
                 ).alias("recall"),
@@ -128,25 +120,22 @@ def main() -> None:
             stats[name] = round(statistics.median(samples), 3)
 
         timed(
-            "image_phash",
-            # modulo before summing: raw 64-bit hashes overflow an
-            # ANSI-mode long sum (the mapInPandas pass computes every
-            # column regardless, so any dhash-consuming agg works)
-            lambda: image_phash(media)
-            .agg(F.sum(F.col("dhash") % 1000003))
+            "audio_fingerprint",
+            # modulo before summing: raw 64-bit fingerprints overflow
+            # an ANSI-mode long sum
+            lambda: audio_fingerprint(media)
+            .agg(F.sum(F.col("afp") % 1000003))
             .collect(),
         )
         timed(
-            "near_dedup_images",
-            lambda: near_dedup_images(
-                media, max_hamming=3, two_level=two_level
-            ).count(),
+            "near_dedup_audio",
+            lambda: near_dedup_audio(media, two_level=two_level).count(),
         )
         stats["cal_end"] = calibrate()
         results[n] = stats
         print(json.dumps(stats))
 
-    print(json.dumps({"metric": "image_dedup_scaling", "scales": results}))
+    print(json.dumps({"metric": "audio_dedup_scaling", "scales": results}))
     spark.stop()
 
 
