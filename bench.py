@@ -659,8 +659,15 @@ def main() -> None:
             ).parquet(str(img_path))
         img_media = spark.read.parquet(str(img_path))
         extras["image_dedup_n_images"] = n_img
+        # two-level banding is the >=1M-signature regime (identical
+        # survivors, ~2^12x fewer band candidates — BASELINE round-13);
+        # below that the 4x explode rows cost more than they save
+        img_two = n_img >= 1_000_000
+        extras["image_dedup_two_level"] = img_two
         timed_extra("image_dedup",
-                    lambda: near_dedup_images(img_media, max_hamming=3).count())
+                    lambda: near_dedup_images(
+                        img_media, max_hamming=3, two_level=img_two
+                    ).count())
 
         # round-13 (verdict ask #6): video-level perceptual dedup as a
         # per-run extra so regressions surface in BENCH_DETAIL — the
@@ -704,8 +711,12 @@ def main() -> None:
             ).parquet(str(aud_path))
         aud_media = spark.read.parquet(str(aud_path))
         extras["audio_dedup_n_clips"] = n_aud
+        aud_two = n_aud >= 1_000_000
+        extras["audio_dedup_two_level"] = aud_two
         timed_extra("audio_dedup",
-                    lambda: near_dedup_audio(aud_media).count())
+                    lambda: near_dedup_audio(
+                        aud_media, two_level=aud_two
+                    ).count())
 
         # streaming-ingest state evidence (round 6: per-batch flatness;
         # round 7, verdict ask #7: compaction). 20 equal batches in two

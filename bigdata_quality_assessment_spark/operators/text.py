@@ -1652,7 +1652,7 @@ def build_bm25_index(
 
 def bm25_search(
     index: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     stats: dict,
     id_col: str = "doc_id",
     query_text_col: str = "text",
@@ -1661,6 +1661,7 @@ def bm25_search(
     b: float = 0.75,
     top_k: int | None = 10,
     max_df_frac: float | None = None,
+    query_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Query a PREBUILT BM25 index (:func:`build_bm25_index`, normally
     read back from a ``partitionBy("__bucket")`` lake path). Scores
@@ -1672,18 +1673,31 @@ def bm25_search(
     (...)`` predicate that prunes whole partitions before the term
     join. ``max_df_frac`` prunes high-df terms with the df column
     already on the posting rows — no stats join. N/avgdl come from
-    ``stats`` as literals, the scalar-statistic discipline."""
+    ``stats`` as literals, the scalar-statistic discipline.
+
+    ``query_terms``: optional pre-tokenized ``(query_id, term)`` frame
+    instead of ``queries`` — the retrieval-decontamination shape where
+    queries come from an already-tokenized corpus frame (e.g. a slice
+    of the ``term_frequencies`` output), saving the extra text scan;
+    mutually exclusive with ``queries``."""
+    if (queries is None) == (query_terms is None):
+        raise ValueError("pass exactly one of queries / query_terms")
     n_docs = float(stats["n_docs"])
     avgdl = float(stats["avgdl"])
     n_buckets = int(stats["n_buckets"])
-    qterms = (
-        queries.select(
-            F.col(query_id_col),
-            F.explode(tokens(F.col(query_text_col))).alias("term"),
+    if query_terms is not None:
+        qterms = query_terms.select(query_id_col, "term").distinct()
+        q_src = query_terms
+    else:
+        qterms = (
+            queries.select(
+                F.col(query_id_col),
+                F.explode(tokens(F.col(query_text_col))).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .distinct()
         )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+        q_src = queries
     bkts = sorted(
         r["__b"]
         for r in qterms.select(
@@ -1695,7 +1709,7 @@ def bm25_search(
     if not bkts:
         spark = index.sparkSession
         id_type = dict(index.dtypes)[id_col]
-        q_type = dict(queries.dtypes)[query_id_col]
+        q_type = dict(q_src.dtypes)[query_id_col]
         empty = f"{query_id_col} {q_type}, {id_col} {id_type}, score double"
         out = spark.createDataFrame([], empty)
         return out if top_k is None else out.withColumn(

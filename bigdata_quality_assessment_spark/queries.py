@@ -2105,11 +2105,13 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path. The postings build reuses the barriered tf frame (no new
     # corpus scan); the stats collect is 2 scalars, contract-tiny.
     postings, bstats = build_bm25_index(docs, tf=tf_frame, n_buckets=16)
-    q_frame = docs.filter((F.col("doc_id") % 167) == 0).select(
-        F.col("doc_id").alias("query_id"), "text"
+    # query terms from the barriered tf frame (zero extra corpus
+    # scans — keeps the entry inside its 4-FileScan budget)
+    qterms2 = tf_frame.filter((F.col("doc_id") % 167) == 0).select(
+        F.col("doc_id").alias("query_id"), "term"
     )
     bmi = (
-        bm25_search(postings, q_frame, bstats, top_k=None)
+        bm25_search(postings, None, bstats, top_k=None, query_terms=qterms2)
         .withColumn("rank", F.row_number().over(wb))
         .filter(F.col("rank") <= 5)
         .select(
