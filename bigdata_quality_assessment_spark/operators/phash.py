@@ -286,6 +286,7 @@ def near_dedup_videos(
     cluster: bool = True,
     frame_hashes: DataFrame | None = None,
     max_offset: int = 0,
+    two_level: bool = False,
 ) -> DataFrame:
     """Video-level perceptual near-dedup: two animations are
     duplicates when at least ``min_frame_frac`` of their ALIGNED
@@ -316,7 +317,11 @@ def near_dedup_videos(
     measured sizes, the same discipline ``exact_dedup`` documents —
     a forced broadcast here is an OOM at 10⁹ videos. Videos with no
     decodable frames always survive. ``frame_hashes``: optional
-    precomputed :func:`frame_phash` frame."""
+    precomputed :func:`frame_phash` frame. ``two_level``: the nested
+    (band, sub-band) scale regime — per-slot candidates carry the same
+    n²/2¹⁶ term the image tier measured, so at ≳10⁶ videos per frame
+    slot the 16-key/2²⁸ keying applies verbatim with identical
+    verified pairs (see ``simhash_near_dedup``)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4x16-bit banding is complete only for max_hamming <= 3")
     if not 0 < min_frame_frac <= 1:
@@ -332,14 +337,30 @@ def near_dedup_videos(
     )
     fh = fh.filter(F.col("dhash").isNotNull()).localCheckpoint(eager=False)
     n_by_vid = fh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nf"))
-    bands = F.array(
-        *[
-            F.shiftrightunsigned(F.col("dhash"), 16 * t).bitwiseAND(
-                F.lit((1 << 16) - 1)
+
+    def _band(t: int):
+        return F.shiftrightunsigned(F.col("dhash"), 16 * t).bitwiseAND(
+            F.lit((1 << 16) - 1)
+        )
+
+    if two_level:
+        # nested pigeonhole over each primary band's remaining 48 bits
+        # (4 sub-bands of 12) — see simhash_near_dedup
+        keys = []
+        for t in range(4):
+            rem = (
+                _band((t + 1) % 4)
+                .bitwiseOR(F.shiftleft(_band((t + 2) % 4), 16))
+                .bitwiseOR(F.shiftleft(_band((t + 3) % 4), 32))
             )
-            for t in range(4)
-        ]
-    )
+            for s in range(4):
+                sub = F.shiftrightunsigned(rem, 12 * s).bitwiseAND(
+                    F.lit((1 << 12) - 1)
+                )
+                keys.append(F.shiftleft(_band(t), 12).bitwiseOR(sub))
+        bands = F.array(*keys)
+    else:
+        bands = F.array(*[_band(t) for t in range(4)])
     fhe = fh.select(
         F.col(id_col), "frame_id", "dhash",
         F.posexplode(bands).alias("__t", "__b"),

@@ -49,6 +49,15 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
+    # diagnostic/env overrides without code edits: a JSON object of
+    # conf key → value (e.g. the Python-worker faulthandler when
+    # chasing a worker crash in a full bench run)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -161,3 +161,21 @@ def test_trim_rate_zero_is_byte_stable(spark):
     b = planted_videos(spark, 60, seed=13, trim_rate=0.0).collect()
     assert sorted((r["media_id"], bytes(r["content"]), r["role"]) for r in a) \
         == sorted((r["media_id"], bytes(r["content"]), r["role"]) for r in b)
+
+
+def test_video_dedup_two_level_identical(corpus, spark):
+    """The nested (band, sub-band) scale regime is a candidate
+    prefilter only: identical video survivor sets, with and without
+    the offset scan."""
+    for kw in ({}, {"max_offset": 1}):
+        one = {
+            r["media_id"]
+            for r in near_dedup_videos(corpus, n_frames=3, **kw).collect()
+        }
+        two = {
+            r["media_id"]
+            for r in near_dedup_videos(
+                corpus, n_frames=3, two_level=True, **kw
+            ).collect()
+        }
+        assert one == two
