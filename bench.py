@@ -689,8 +689,27 @@ def main() -> None:
             ).parquet(str(vid_path))
         vid_media = spark.read.parquet(str(vid_path))
         extras["video_dedup_n_videos"] = n_vid
+        # two_level="auto" (the round-14 operator default) engages the
+        # nested banding at >=1M videos — record which regime this SF got
+        extras["video_dedup_two_level"] = n_vid >= 1_000_000
         timed_extra("video_dedup",
                     lambda: near_dedup_videos(vid_media, n_frames=3).count())
+        # decode-vs-band split (round-14, verdict ask #2): time the GIF
+        # frame-decode pass alone, then band/verify/closure over the
+        # pre-materialized frame hashes — single-run each, they sum to
+        # ~video_dedup and localize which side a regression lives on
+        from bigdata_quality_assessment_spark.operators.phash import (
+            frame_phash,
+        )
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        vid_fh = frame_phash(vid_media, 3).localCheckpoint(eager=False)
+        vid_fh.count()
+        extras["video_dedup_decode"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        near_dedup_videos(vid_media, n_frames=3, frame_hashes=vid_fh).count()
+        extras["video_dedup_band"] = round(time.perf_counter() - t0, 3)
 
         # round-13: audio perceptual dedup as a per-run extra — the
         # SF-matched planted-audio corpus (square-wave energy envelopes:

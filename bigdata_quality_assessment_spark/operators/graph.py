@@ -105,9 +105,11 @@ def connected_components(
     tier is pure ``min``/``least``/``greatest`` Catalyst ops, so
     string ids (URLs, content hashes) close under LEXICOGRAPHIC min —
     the same "first id" order the span/substring dedup family
-    documents. Non-integral ids route to that tier unconditionally
-    (the single-task tier is an int64 numpy closure), keeping the
-    whole dedup family's any-id-type contract.
+    documents. Under ``strategy="auto"`` non-integral ids route to
+    that tier (the single-task tier is an int64 numpy closure),
+    keeping the whole dedup family's any-id-type contract; an EXPLICIT
+    ``strategy="single"`` with non-integral ids raises instead of
+    silently substituting a different algorithm (round-14).
     """
     if strategy not in ("auto", "single", "iterative"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -122,6 +124,16 @@ def connected_components(
         "tinyint", "smallint", "int", "bigint"
     )
     if not integral:
+        if strategy == "single":
+            # the single-task tier is an int64 numpy closure; silently
+            # handing back a different algorithm would defeat an
+            # explicit tier request (round-14, ADVICE)
+            raise ValueError(
+                "strategy='single' requires integral ids (the single-task "
+                "tier is an int64 numpy closure); got "
+                f"{edges.schema['src'].dataType.simpleString()} ids — use "
+                "strategy='auto' or 'iterative'"
+            )
         strategy = "iterative"
     if strategy == "auto":
         # tier on DISTINCT undirected edges so dup-heavy pair lists

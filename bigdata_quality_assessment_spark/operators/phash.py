@@ -140,7 +140,18 @@ def image_phash(
     ``id_ddl_type`` — how :func:`frame_phash` keeps ``(id, frame_id)``
     as real columns instead of arithmetic-packing them into one long
     (which would NULL string ids and overflow/collide on 64-bit
-    hash-derived ids)."""
+    hash-derived ids). Names colliding with the output columns
+    (``dhash ahash width height decoder``) or ``id_col`` are rejected
+    up front (round-14): a collision would otherwise surface as
+    duplicate/ambiguous columns at runtime, far from the call site."""
+    reserved = {id_col, "dhash", "ahash", "width", "height", "decoder"}
+    clash = [c for c in passthrough_cols if c in reserved]
+    if clash:
+        raise ValueError(
+            f"passthrough_cols {clash} collide with the output columns "
+            f"{sorted(reserved - {id_col})} or id_col={id_col!r}; rename "
+            "them before the hash pass"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,7 +219,7 @@ def near_dedup_images(
     cluster: bool = True,
     grid: int = 8,
     hashes: DataFrame | None = None,
-    two_level: bool = False,
+    two_level: bool | str = "auto",
 ) -> DataFrame:
     """Perceptual near-dedup over the dHash signatures: delegates the
     band/verify/closure pipeline to :func:`..text.simhash_near_dedup`
@@ -222,7 +233,9 @@ def near_dedup_images(
     (band, sub-band) keys cut same-bucket candidate pairs 2¹²× with
     identical results (completeness argument and the measured 2M-image
     single-level ceiling: simhash_near_dedup docstring /
-    BASELINE.md)."""
+    BASELINE.md); ``"auto"`` (the round-14 default) counts the
+    decodable-hash frame and engages it at ≥10⁶ images, so a direct
+    20M-image call gets the scale regime without caller knowledge."""
     from .text import simhash_near_dedup
 
     ph = hashes if hashes is not None else image_phash(
@@ -286,7 +299,7 @@ def near_dedup_videos(
     cluster: bool = True,
     frame_hashes: DataFrame | None = None,
     max_offset: int = 0,
-    two_level: bool = False,
+    two_level: bool | str = "auto",
 ) -> DataFrame:
     """Video-level perceptual near-dedup: two animations are
     duplicates when at least ``min_frame_frac`` of their ALIGNED
@@ -302,6 +315,21 @@ def near_dedup_videos(
     matches nothing under exact alignment; a bounded offset scan
     catches it while scaling candidate volume only linearly in
     (2·max_offset + 1). 0 keeps the strict aligned-only semantics.
+
+    Denominator semantics under shift (round-14 note): the acceptance
+    test is ``matched ≥ min_frame_frac · least(na, nb)`` — the shorter
+    video's FULL frame count, not the per-δ overlap (which is
+    ``least(na, nb) − |δ|`` for equal-length videos). In the canonical
+    head-trim case the copy is genuinely shorter (nb = na − δ), the
+    overlap at the matching δ is exactly least(na, nb), and the
+    denominator IS the overlap — ``min_frame_frac=1.0`` works. For
+    EQUAL-length shifted pairs (pad-one-end + trim-the-other), a
+    nonzero δ can match at most least(na, nb) − |δ| frames, so at
+    ``min_frame_frac=1.0`` offsets are inert by construction — use a
+    fraction ≤ (n − max_offset)/n to admit them. The full-count
+    denominator is deliberate: a per-δ-overlap denominator would let a
+    2-frame overlap of two long videos count as a "full" match at
+    large δ, collapsing unrelated videos that share a scene.
 
     Shape: candidates come from the same pigeonhole-complete 4×16-bit
     banding as :func:`near_dedup_images`, but keyed on
@@ -321,7 +349,10 @@ def near_dedup_videos(
     (band, sub-band) scale regime — per-slot candidates carry the same
     n²/2¹⁶ term the image tier measured, so at ≳10⁶ videos per frame
     slot the 16-key/2²⁸ keying applies verbatim with identical
-    verified pairs (see ``simhash_near_dedup``)."""
+    verified pairs (see ``simhash_near_dedup``); ``"auto"`` (the
+    round-14 default) counts the decodable-video set — the per-slot
+    signature population IS the video count — and engages it at ≥10⁶
+    videos."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4x16-bit banding is complete only for max_hamming <= 3")
     if not 0 < min_frame_frac <= 1:
@@ -337,6 +368,15 @@ def near_dedup_videos(
     )
     fh = fh.filter(F.col("dhash").isNotNull()).localCheckpoint(eager=False)
     n_by_vid = fh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nf"))
+    if two_level == "auto":
+        from .text import TWO_LEVEL_AUTO_THRESHOLD
+
+        # the count also materializes fh's lazy barrier, a job the
+        # band join would have run anyway; the groupBy re-runs later
+        # from the checkpoint, not from the decode pass
+        two_level = n_by_vid.count() >= TWO_LEVEL_AUTO_THRESHOLD
+    elif not isinstance(two_level, bool):
+        raise ValueError(f"two_level must be a bool or 'auto', got {two_level!r}")
 
     def _band(t: int):
         return F.shiftrightunsigned(F.col("dhash"), 16 * t).bitwiseAND(

@@ -34,6 +34,13 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+# simhash_near_dedup(two_level="auto") engages the nested (band,
+# sub-band) banding at this many signatures — the measured crossover
+# where corpus/2^band_bits same-bucket candidates start to dominate
+# (BASELINE.md rounds 12-13: 2M images 258.5 s single-level vs 70.3 s
+# two-level; ≤100k the extra 4x explode costs more than it saves).
+TWO_LEVEL_AUTO_THRESHOLD = 1_000_000
+
 
 def tokens(text_col: Column | str) -> Column:
     """Whitespace tokens (single-space split, the corpus convention)."""
@@ -569,11 +576,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     digest, keep ids above the minimum — so every exchange carries
     40-odd bytes per row, never the document bodies (``min`` is also
     map-side combined, which a ``row_number`` window cannot be). The
-    corpus itself is never shuffled: the drop set is duplicates-only
-    (a small fraction of the corpus in any real dedup workload), so it
-    broadcasts and the final anti-join is exchange-free on the doc
-    side. For an adversarial mostly-duplicate corpus, remove the
-    broadcast hint and let AQE choose.
+    corpus itself carries bodies through at most the anti-join
+    exchange: the drop set joins UNHINTED (round-14) — web crawls run
+    30-50 % exact-duplicate, which makes the drop set corpus-shaped,
+    and a forced broadcast of a corpus-shaped frame is a
+    driver/executor OOM at 10⁹ docs. AQE broadcasts measured-small
+    drop sets on its own, so the benign-corpus plan is unchanged
+    (same discipline as :func:`near_dedup_minhash` /
+    :func:`simhash_near_dedup`).
 
     The slim projection sits behind a lazy barrier: it is referenced
     twice (min aggregate + join-back), and without the barrier each
@@ -590,7 +600,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .filter(F.col(id_col) != F.col("__keep"))
         .select(id_col)
     )
-    return docs.join(F.broadcast(drops), id_col, "left_anti")
+    return docs.join(drops, id_col, "left_anti")
 
 
 def shingle_sets(
@@ -929,7 +939,7 @@ def simhash_near_dedup(
     cluster: bool = True,
     signatures: DataFrame | None = None,
     hash_fn: str = "xxhash64",
-    two_level: bool = False,
+    two_level: bool | str = "auto",
 ) -> DataFrame:
     """SimHash near-dedup: signatures → 4 equal band buckets →
     exact Hamming verify (``bit_count(a XOR b)``) → connected-
@@ -947,8 +957,13 @@ def simhash_near_dedup(
     qualifying pair (same banding argument as MinHash-LSH, but exact).
     Candidate volume per band key ≈ corpus/2^band_bits; the signature frame is
     (id, BIGINT) — the equi-join never carries document text. The drop
-    set is duplicates-only, so the final anti-join broadcasts (see
-    exact_dedup for the same discipline).
+    set joins UNHINTED (round-14): on a real web-media corpus the
+    perceptual-duplicate set is 30-50 % of ALL rows — corpus-shaped,
+    not dimension-shaped — so the broadcast-vs-shuffle choice belongs
+    to AQE's measured sizes, exactly the discipline
+    :func:`near_dedup_minhash` and :func:`near_dedup_videos` apply; a
+    forced broadcast here is a driver/executor OOM at 10⁹ images (this
+    operator backs the whole SimHash media-dedup family).
 
     ``two_level=True`` is the SCALE regime for the band join (round-13
     — retires the measured 2M-image n²/2¹⁶ candidate ceiling,
@@ -962,9 +977,17 @@ def simhash_near_dedup(
     that band's REMAINING bits, which split into 4 disjoint sub-bands
     — so at least one (band, sub-band) key matches exactly. Same
     verify, same verified pair set, 4× the (16-byte) explode rows;
-    turn it on when corpus/2^band_bits candidate pairs dominate the
-    runtime (≳10⁶ signatures), off for small corpora where the extra
-    explode outweighs the collision savings.
+    it wins when corpus/2^band_bits candidate pairs dominate the
+    runtime (≳10⁶ signatures), loses for small corpora where the extra
+    explode outweighs the collision savings. ``two_level="auto"`` (the
+    round-14 default, mirroring the embedding family's count-driven
+    two-regime CASE in similarity.py): count the signature frame —
+    which ALSO materializes its lazy barrier exactly once, a job the
+    first join action would have run anyway — and engage the nested
+    regime at ≥ ``TWO_LEVEL_AUTO_THRESHOLD`` (10⁶) signatures, so a
+    direct ``near_dedup_images(media)`` at 20M images gets the scale
+    regime without caller knowledge. Pass an explicit bool to pin
+    either regime (identity across the boundary is pytest-pinned).
 
     ``signatures``: optional precomputed ``simhash(docs, ...)`` frame —
     pass it when the caller ALSO consumes the signatures so the
@@ -981,6 +1004,10 @@ def simhash_near_dedup(
         )
     else:
         sig = signatures
+    if two_level == "auto":
+        two_level = sig.count() >= TWO_LEVEL_AUTO_THRESHOLD
+    elif not isinstance(two_level, bool):
+        raise ValueError(f"two_level must be a bool or 'auto', got {two_level!r}")
     band_bits = _simhash_bits(hash_fn) // 4
 
     def _band(t: int):
@@ -1032,7 +1059,9 @@ def simhash_near_dedup(
         )
     else:
         dup = verified.select(F.col("__idb").alias(id_col)).distinct()
-    return docs.join(F.broadcast(dup), id_col, "left_anti")
+    # unhinted: dup is corpus-shaped in the worst case (docstring); AQE
+    # broadcasts measured-small drop sets on its own
+    return docs.join(dup, id_col, "left_anti")
 
 
 # --------------------------------------------------------------------

@@ -13,6 +13,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def resolved_extra_conf(extra_conf: dict[str, str] | None) -> dict[str, str]:
+    """Merge the call-site ``extra_conf`` with the
+    ``SPARK_GRAFT_EXTRA_CONF`` env JSON. The env var is applied LAST
+    (round-14): it exists for diagnostic overrides without code edits
+    — e.g. the Python-worker faulthandler when chasing a worker crash
+    inside a full bench run — so it must win over any key a call site
+    already pins, not silently lose to it."""
+    merged: dict[str, str] = dict(extra_conf or {})
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            merged[k] = str(v)
+    return merged
+
+
 def build_session(
     app_name: str = "bigdata_quality_assessment_spark",
     master: str | None = None,
@@ -49,18 +66,8 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
-    # diagnostic/env overrides without code edits: a JSON object of
-    # conf key → value (e.g. the Python-worker faulthandler when
-    # chasing a worker crash in a full bench run)
-    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
-    if env_conf:
-        import json as _json
-
-        for k, v in _json.loads(env_conf).items():
-            builder = builder.config(k, str(v))
-    if extra_conf:
-        for k, v in extra_conf.items():
-            builder = builder.config(k, v)
+    for k, v in resolved_extra_conf(extra_conf).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

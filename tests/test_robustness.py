@@ -239,3 +239,20 @@ def test_new_text_ops_survive_null_text(spark):
     cl = {r["doc_id"]: r for r in classify_quality(docs, model).collect()}
     assert cl[1]["logit"] == pytest.approx(0.25)
     assert cl[2]["logit"] == pytest.approx(0.25)
+
+
+def test_env_extra_conf_wins_over_call_site(monkeypatch):
+    """SPARK_GRAFT_EXTRA_CONF is a diagnostic override facility — it
+    must be applied AFTER the programmatic extra_conf so it can
+    actually override call-site settings (round-14, ADVICE)."""
+    from bigdata_quality_assessment_spark.session import resolved_extra_conf
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONF", '{"spark.foo": "env", "spark.only": 1}'
+    )
+    merged = resolved_extra_conf({"spark.foo": "call", "spark.bar": "b"})
+    assert merged == {
+        "spark.foo": "env", "spark.only": "1", "spark.bar": "b"
+    }
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_CONF")
+    assert resolved_extra_conf(None) == {}
