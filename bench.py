@@ -651,6 +651,45 @@ def main() -> None:
                     lambda: bm25_search(
                         bidx, bq, bstats, top_k=10, max_df_frac=0.1,
                     ).count())
+
+        # round-14 (verdict ask #5): incremental index maintenance —
+        # append a 1k-doc batch to the persisted incremental layout vs
+        # the full-rebuild cost the denormalized layout forces, then
+        # search through the delta-df path. Built fresh each run into a
+        # scratch dir (appends mutate it); the base build once per
+        # corpus, cached.
+        import shutil as _shutil
+
+        from bigdata_quality_assessment_spark.operators.text import (
+            append_bm25_index,
+            bm25_search as _bm25_search_inc,
+            open_bm25_index,
+        )
+        from bigdata_quality_assessment_spark.sources.textgen import (
+            realistic_documents,
+        )
+
+        inc_base = REPO / ".localdata" / "bm25inc" / str(n_rtext)
+        if not (inc_base / "stats.json").exists():
+            t0 = time.perf_counter()
+            append_bm25_index(rtext_docs, str(inc_base), n_buckets=64)
+            extras["bm25_inc_build"] = round(time.perf_counter() - t0, 3)
+        inc_run = REPO / ".localdata" / "bm25inc" / f"{n_rtext}_run"
+        _shutil.rmtree(inc_run, ignore_errors=True)
+        _shutil.copytree(inc_base, inc_run)
+        batch = realistic_documents(spark, 1_000, seed=11).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        t0 = time.perf_counter()
+        append_bm25_index(batch, str(inc_run))
+        extras["bm25_inc_append_1k"] = round(time.perf_counter() - t0, 3)
+        ip, idf_frame, istats = open_bm25_index(spark, str(inc_run))
+        t0 = time.perf_counter()
+        _bm25_search_inc(
+            ip, bq, istats, top_k=10, max_df_frac=0.1, df_frame=idf_frame
+        ).count()
+        extras["bm25_inc_search"] = round(time.perf_counter() - t0, 3)
+        _shutil.rmtree(inc_run, ignore_errors=True)
         n_img = max(20_000, int(200_000 * sf_val)) if sf_val > 0 else 20_000
         img_path = REPO / ".localdata" / "images" / str(n_img) / "media.parquet"
         if not img_path.exists():

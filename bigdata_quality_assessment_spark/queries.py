@@ -1961,6 +1961,15 @@ def _lang_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE),
            query_id, score, rn
+    FROM brk WHERE rn <= 5
+    UNION ALL
+    SELECT 'bm25inc', doc_id,
+           {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           query_id, score, rn
     FROM brk WHERE rn <= 5"""
 
 
@@ -1985,13 +1994,22 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the PREBUILT index path (text.py build_bm25_index →
     bm25_search: denormalized term-bucketed postings, static bucket
     pruning) — the index path's contract is score-identity with the
-    from-scratch path, so its oracle is the identical brk CTE. All six
-    hash-matched against the SQL formulation."""
+    from-scratch path, so its oracle is the identical brk CTE;
+    part='bm25inc' (round 14) is the INCREMENTAL index layout
+    (text.py bm25_index_delta → merge_bm25_stats → bm25_search with
+    df_frame): the corpus split into two batches by doc_id parity,
+    per-batch df deltas summed at query time, additive integral stats
+    — append-maintainable where the denormalized layout is
+    full-rebuild-only, with the same score-identity contract, so its
+    oracle is again the identical brk CTE. All seven hash-matched
+    against the SQL formulation."""
     from bigdata_quality_assessment_spark.operators.text import (
+        bm25_index_delta,
         bm25_retrieve,
         bm25_search,
         build_bm25_index,
         dsir_weights,
+        merge_bm25_stats,
         ngram_lm_score,
         term_frequencies,
         tf_idf,
@@ -2129,9 +2147,48 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+    # part='bm25inc': the incremental layout, in-memory — the corpus
+    # split into two batches BY PARITY of doc_id, each contributing
+    # df-less postings + a df delta + additive stats; search sums the
+    # deltas per query term (df_frame path). Both batch tf frames
+    # derive from the barriered tf_frame (zero extra corpus scans);
+    # the two per-batch stats collects are 2 scalars each.
+    p_a, d_a, s_a = bm25_index_delta(
+        docs, tf=tf_frame.filter(F.col("doc_id") % 2 == 0), n_buckets=16
+    )
+    p_b, d_b, s_b = bm25_index_delta(
+        docs, tf=tf_frame.filter(F.col("doc_id") % 2 == 1), n_buckets=16
+    )
+    istats = merge_bm25_stats(s_a, s_b)
+    bminc = (
+        bm25_search(
+            p_a.unionByName(p_b),
+            None,
+            istats,
+            top_k=None,
+            query_terms=qterms2,
+            df_frame=d_a.unionByName(d_b),
+        )
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.lit("bm25inc").alias("part"),
+            "doc_id",
+            *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],
+            F.lit(None).cast("string").alias("lang_pred"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("bigint").alias("tf"),
+            F.lit(None).cast("bigint").alias("df"),
+            F.lit(None).cast("double").alias("tfidf"),
+            *_lm_nulls,
+            "query_id",
+            F.round("score", 6).alias("bm25"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
     return (
         lang_part.unionByName(ti).unionByName(lm).unionByName(dsir)
-        .unionByName(bm).unionByName(bmi)
+        .unionByName(bm).unionByName(bmi).unionByName(bminc)
     )
 
 

