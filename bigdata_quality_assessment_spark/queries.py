@@ -4838,6 +4838,62 @@ def _vtrim_fixture_blobs() -> list[tuple[int, bytes]]:
     ]
 
 
+def _atrim_fixture_blobs() -> list[tuple[int, bytes]]:
+    """Audio-trim fixtures for the part='atrim' tier (round-14: the
+    peak-anchored SEGMENT fingerprint lattice + bounded-offset scan —
+    operators/audio.py audio_segment_fingerprints / near_dedup_audio
+    with ``seg_frames=2080, max_offset=1``; extends the reference's T5
+    dedup, /root/reference/SDE_forecast_ActiveSampling.py:134-135, to
+    trim-tolerant audio copies).
+
+    Clips are 195-window square-wave WAVs (audiogen.square_wav, 32
+    frames/window — one segment = 65 amp windows = 2080 frames) with
+    Philox-keyed lattice amplitudes and a planted UNIQUE global max
+    (12000, above the 11900 lattice ceiling) so the content-derived
+    peak anchor is unambiguous:
+
+      20: original, max at window 70 → anchor frame 2240, lattice
+          offset b0=160, 2 full segments (amp windows 5-69, 70-134)
+      21: byte dup of 20 → identical segment fps, slots aligned
+      22: 20 head-trimmed 100 frames (NOT window-aligned): anchor
+          shifts to 2140, b0=60 — the SAME content boundaries, so both
+          segment fps are identical at δ=0
+      23: 20 re-gained ×0.5 then trimmed 200 frames: gain-invariance
+          keeps each fp; the trim crosses the first lattice boundary,
+          leaving ONE segment = 20's slot 1 at δ=−1 (m=1 ≥
+          0.5·least(2,1))
+      24: distinct original (max at window 40) → survives
+      25: undecodable bytes → no segments → survives
+
+    Survivors {20, 24, 25} (min-id keep). The pinned fp constants in
+    the oracle are hand-derived from the amp patterns alone — fp bit k
+    is 1 iff amp[o+k+1] > amp[o+k] over the segment's windows
+    [o, o+64] (window RMS IS the amplitude for square waves; gain and
+    trim cancel by construction above) — then the oracle REPLAYS the
+    offset-banded decision from those constants."""
+    import numpy as np
+
+    from bigdata_quality_assessment_spark.sources.audiogen import square_wav
+
+    def lattice_amps(key: int, peak_at: int) -> list[int]:
+        g = np.random.Generator(np.random.Philox(key=[99, key]))
+        a = [int(v) * 100 for v in g.integers(8, 120, size=195)]
+        a[peak_at] = 12000
+        return a
+
+    a = lattice_amps(1, 70)
+    b = lattice_amps(2, 40)
+    regained = [max(1, int(round(v * 0.5))) for v in a]
+    return [
+        (20, square_wav(a)),
+        (21, square_wav(a)),
+        (22, square_wav(a, head_trim_frames=100)),
+        (23, square_wav(regained, head_trim_frames=200)),
+        (24, square_wav(b)),
+        (25, b"notawav-junk-bytes"),
+    ]
+
+
 def _afp_fixture_blobs() -> list[tuple[int, bytes]]:
     """Deterministic PCM WAV fixtures for the part='afp' tier of
     x_blob_stats (gain-invariant energy fingerprints +
@@ -5107,7 +5163,58 @@ def _blob_sql() -> str:
         SELECT vid AS media_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(CASE WHEN vid IN (SELECT id FROM drops)
                          THEN 0 ELSE 1 END AS BIGINT)
-        FROM (SELECT DISTINCT vid FROM vt))"""
+        FROM (SELECT DISTINCT vid FROM vt))
+      UNION ALL
+      SELECT 'atrim', media_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             afp, survived, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      FROM (
+        -- round-14 audio trim tier: per-SEGMENT energy fingerprints on
+        -- the peak-anchored lattice (see _atrim_fixture_blobs for the
+        -- hand derivation of the pinned constants: fp bit k = 1 iff
+        -- amp[o+k+1] > amp[o+k] over each segment's 65 amp windows),
+        -- then the SAME bounded-offset decision as the vhash trim tier
+        -- (delta in [-1, 1], min_seg_frac 0.5) — segments are the
+        -- "frames" of a clip's timeline
+        WITH RECURSIVE
+        sf(cid, slot, afp) AS (SELECT * FROM (VALUES
+          (20, 0, CAST(-7355883102174787228 AS BIGINT)),
+          (20, 1, CAST(6139994216988241702 AS BIGINT)),
+          (21, 0, -7355883102174787228),
+          (21, 1, 6139994216988241702),
+          (22, 0, -7355883102174787228),
+          (22, 1, 6139994216988241702),
+          (23, 0, 6139994216988241702),
+          (24, 0, 7229942839455080754),
+          (24, 1, -1790979831045379629)) t(cid, slot, afp)),
+        nf AS (SELECT cid, count(*) AS n FROM sf GROUP BY cid),
+        mtd AS (SELECT a.cid AS ia, c.cid AS ib, dd.delta, count(*) AS m
+                FROM sf a
+                CROSS JOIN (VALUES (-1), (0), (1)) dd(delta)
+                JOIN sf c ON a.slot = c.slot - dd.delta
+                WHERE a.cid < c.cid
+                  AND bit_count(xor(a.afp, c.afp)) <= 3
+                GROUP BY a.cid, c.cid, dd.delta),
+        verified AS (SELECT DISTINCT mtd.ia, mtd.ib FROM mtd
+                     JOIN nf x ON x.cid = mtd.ia JOIN nf y ON y.cid = mtd.ib
+                     WHERE mtd.m >= 0.5 * least(x.n, y.n)),
+        edges AS (SELECT ia AS s, ib AS t FROM verified
+                  UNION ALL SELECT ib, ia FROM verified),
+        reach AS (SELECT s AS id, t AS peer FROM edges
+                  UNION
+                  SELECT r.id, e.t FROM reach r JOIN edges e ON r.peer = e.s),
+        drops AS (SELECT id FROM (SELECT id, min(peer) AS mn FROM reach
+                                  GROUP BY id)
+                  WHERE mn < id)
+        SELECT 200 + cid * 16 + slot AS media_id, afp,
+               CAST(NULL AS BIGINT) AS survived
+        FROM sf
+        UNION ALL
+        SELECT cid AS media_id, CAST(NULL AS BIGINT),
+               CAST(CASE WHEN cid IN (SELECT id FROM drops)
+                         THEN 0 ELSE 1 END AS BIGINT)
+        FROM (SELECT cid FROM nf
+              UNION ALL SELECT 25))"""
 
 
 @_register("x_blob_stats", _blob_sql())
@@ -5290,6 +5397,44 @@ def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
         vids2.select("media_id").join(vsurv2, "media_id", "left"), "vhash",
         survived=F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("survived"),
     )
+    # round-14 part='atrim': trim-tolerant audio dedup — per-segment
+    # fingerprints on the peak-anchored lattice walk the REAL WAV
+    # decode + anchor + per-segment energy-bit path (hash-matched
+    # against the hand-derived amp-pattern constants as rows
+    # 200+cid*16+slot), and the bounded-offset dedup decision
+    # (max_offset=1, min_seg_frac=0.5 → closure → min-id keep) is
+    # recomputed by the oracle from the pinned fingerprints
+    from bigdata_quality_assessment_spark.operators.audio import (
+        audio_segment_fingerprints,
+        near_dedup_audio,
+    )
+
+    aclips = spark.createDataFrame(
+        [(cid, bytearray(bl)) for cid, bl in _atrim_fixture_blobs()],
+        "media_id long, content binary",
+    )
+    asfp = audio_segment_fingerprints(aclips, seg_frames=2080).localCheckpoint(
+        eager=False
+    )
+    asurv = near_dedup_audio(
+        aclips, seg_frames=2080, max_offset=1, fingerprints=asfp
+    ).select("media_id", F.lit(1).alias("__s"))
+    atrim_fp_rows = widen(
+        asfp.select(
+            (F.lit(200) + F.col("media_id") * 16 + F.col("frame_id")).alias(
+                "media_id"
+            ),
+            F.col("dhash"),
+        ),
+        "atrim",
+        afp=F.col("dhash").alias("afp"),
+    )
+    atrim_clip_rows = widen(
+        aclips.select("media_id").join(asurv, "media_id", "left"), "atrim",
+        survived=F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias(
+            "survived"
+        ),
+    )
     return (
         blob.unionByName(phash_part)
         .unionByName(audio_part)
@@ -5298,6 +5443,8 @@ def q_xblob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vvid_rows)
         .unionByName(vtrim_frame_rows)
         .unionByName(vtrim_vid_rows)
+        .unionByName(atrim_fp_rows)
+        .unionByName(atrim_clip_rows)
     )
 
 
