@@ -11,9 +11,17 @@ collapse at scale.
 
 Usage: python tools/bench_audio_dedup.py [--two-level] [n_clips ...]
 Default scales: 20000 200000. Corpora cache under
-.localdata/audio/<n>/media.parquet (delete to regenerate).
-``--two-level`` runs the nested (band, sub-band) scale regime
-(identical survivor sets — see simhash_near_dedup).
+.localdata/audio/<n>[_seg<k>_trim<r>]/media.parquet (delete to
+regenerate). ``--two-level`` runs the nested (band, sub-band) scale
+regime (identical survivor sets — see simhash_near_dedup).
+
+Round-14 trim tier: SPARK_GRAFT_AUDIO_TRIM_RATE > 0 (with
+SPARK_GRAFT_AUDIO_N_SEGMENTS, default 4) plants head-trimmed copies
+and additionally times the peak-anchored SEGMENT tier
+(near_dedup_audio(seg_frames=2080, max_offset=1)) beside the
+whole-clip tier, with per-role dropped rates for both — pricing the
+segment fan-out (n_segments× fingerprint rows) against the trim
+recall it buys.
 """
 
 from __future__ import annotations
@@ -35,6 +43,10 @@ def main() -> None:
     args = [a for a in args if a != "--two-level"]
     scales = [int(a) for a in args] or [20_000, 200_000]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    trim_rate = float(os.environ.get("SPARK_GRAFT_AUDIO_TRIM_RATE", "0"))
+    n_segments = int(os.environ.get("SPARK_GRAFT_AUDIO_N_SEGMENTS",
+                                    "4" if trim_rate > 0 else "1"))
+    seg_tier = trim_rate > 0 or n_segments > 1
 
     from pyspark.sql import functions as F
 
@@ -67,12 +79,13 @@ def main() -> None:
     calibrate()  # codegen warmup
     results = {}
     for n in scales:
-        path = REPO / ".localdata" / "audio" / str(n) / "media.parquet"
+        tag = str(n) if not seg_tier else f"{n}_seg{n_segments}_trim{trim_rate}"
+        path = REPO / ".localdata" / "audio" / tag / "media.parquet"
         if not path.exists():
             t0 = time.perf_counter()
-            planted_audio(spark, n, seed=7).write.mode("overwrite").parquet(
-                str(path)
-            )
+            planted_audio(
+                spark, n, seed=7, trim_rate=trim_rate, n_segments=n_segments
+            ).write.mode("overwrite").parquet(str(path))
             print(
                 f"# generated {n} clips in {time.perf_counter()-t0:.1f}s",
                 file=sys.stderr,
@@ -81,33 +94,48 @@ def main() -> None:
         stats = {
             "n_clips": n,
             "two_level": two_level,
+            "trim_rate": trim_rate,
+            "n_segments": n_segments,
             "cal_start": calibrate(),
         }
 
-        kept = near_dedup_audio(media, two_level=two_level).select(
-            "media_id", F.lit(1).alias("__kept")
-        )
-        qual = (
-            media.select("media_id", "role")
-            .join(kept, "media_id", "left")
-            .agg(
-                F.avg(
-                    F.when(
-                        F.col("role") != "orig",
-                        F.col("__kept").isNull().cast("double"),
-                    )
-                ).alias("recall"),
-                F.avg(
-                    F.when(
-                        F.col("role") == "orig",
-                        F.col("__kept").isNotNull().cast("double"),
-                    )
-                ).alias("survival"),
+        def quality(label: str, kept):
+            kept = kept.select("media_id", F.lit(1).alias("__kept"))
+            rows = (
+                media.select("media_id", "role")
+                .join(kept, "media_id", "left")
+                .groupBy("role")
+                .agg(
+                    F.avg(F.col("__kept").isNull().cast("double")).alias(
+                        "dropped"
+                    ),
+                    F.count(F.lit(1)).alias("cnt"),
+                )
+                .collect()
             )
-            .first()
-        )
-        stats["planted_recall"] = round(float(qual["recall"]), 4)
-        stats["orig_survival"] = round(float(qual["survival"]), 4)
+            n_planted = sum(r["cnt"] for r in rows if r["role"] != "orig")
+            hit = sum(
+                float(r["dropped"]) * r["cnt"]
+                for r in rows
+                if r["role"] != "orig"
+            )
+            orig = [float(r["dropped"]) for r in rows if r["role"] == "orig"]
+            stats[f"planted_recall{label}"] = (
+                round(hit / n_planted, 4) if n_planted else None
+            )
+            stats[f"orig_survival{label}"] = round(
+                1.0 - (orig[0] if orig else 0.0), 4
+            )
+            stats[f"dropped_by_role{label}"] = {
+                r["role"]: round(float(r["dropped"]), 4) for r in rows
+            }
+
+        quality("", near_dedup_audio(media, two_level=two_level))
+        if seg_tier:
+            quality(
+                "_seg",
+                near_dedup_audio(media, seg_frames=2080, max_offset=1),
+            )
 
         def timed(name, fn):
             samples = []
@@ -131,6 +159,13 @@ def main() -> None:
             "near_dedup_audio",
             lambda: near_dedup_audio(media, two_level=two_level).count(),
         )
+        if seg_tier:
+            timed(
+                "near_dedup_audio_seg",
+                lambda: near_dedup_audio(
+                    media, seg_frames=2080, max_offset=1
+                ).count(),
+            )
         stats["cal_end"] = calibrate()
         results[n] = stats
         print(json.dumps(stats))
