@@ -305,6 +305,19 @@ def main() -> None:
         "active_loop_3iter": q_active_loop_3iter,
     }
 
+    # isolated-probe mode (round-14, verdict ask #6): run ONLY the
+    # named headline queries — same session, same calibration
+    # brackets, same median-of-n + firm-up protocol — so a drifting
+    # query can be adjudicated serialized without hand-copying its
+    # body into a one-off script. Implies headline-only.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {k.strip() for k in only.split(",") if k.strip()}
+        unknown = keep - queries.keys()
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in keep}
+
     import statistics
 
     def calibrate() -> float:
@@ -402,7 +415,9 @@ def main() -> None:
 
     # headline-only mode (round 12): replicates at big SFs want a
     # second headline sample without paying the ~20-min extras suite
-    headline_only = os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1"
+    headline_only = (
+        os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1" or bool(only)
+    )
 
     loop20 = 0.0
     extras: dict = {}
