@@ -309,9 +309,10 @@ def near_dedup_audio(
     least ``min_seg_frac`` of the shorter clip's segments within
     ``max_hamming`` bits each. ``fingerprints`` must then be a
     precomputed :func:`audio_segment_fingerprints` frame (or None);
-    ``max_offset``/``min_seg_frac``/``n_windows``/``anchor`` are
-    segment-tier-only knobs (a non-None value with ``seg_frames``
-    unset raises — the whole-clip tier cannot honor them)."""
+    ``min_seg_frac``/``n_windows``/``anchor`` only apply to the
+    segment tier (unused by the whole-clip tier), and a nonzero
+    ``max_offset`` without ``seg_frames`` raises — the whole-clip
+    fingerprint has no timeline to shift."""
     from .text import simhash_near_dedup
 
     if seg_frames is not None:

@@ -395,3 +395,38 @@ def test_bm25_incremental_validation(spark, tmp_path):
     assert m == {
         "n_docs": 5.0, "sum_dl": 12, "avgdl": 12 / 5, "n_buckets": 4,
     }
+
+
+def test_bm25_incremental_search_plan_shape(spark, tmp_path):
+    """Scale pins for the incremental layout's search (the round-14
+    sf10 finding): (1) BOTH the postings and df-delta parquet scans
+    carry a __bucket partition filter (whole files skipped before any
+    join); (2) every broadcast hint's build side is query-scoped —
+    qterms or the df-pruned per-term aggregate — never the raw
+    df-delta or postings frames (corpus/vocabulary-shaped)."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_search,
+        open_bm25_index,
+    )
+
+    docs = _docs(spark, [f"word{i} filler text" for i in range(50)])
+    path = str(tmp_path / "bm25_inc")
+    append_bm25_index(docs.filter(F.col("doc_id") < 40), path, n_buckets=16)
+    append_bm25_index(docs.filter(F.col("doc_id") >= 40), path)
+    postings, df_frame, stats = open_bm25_index(spark, path)
+    q = spark.createDataFrame([(0, "word7")], "query_id long, text string")
+    out = bm25_search(
+        postings, q, stats, top_k=None, max_df_frac=0.9, df_frame=df_frame
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    pruned = [l for l in scans if "__bucket" in l]
+    assert len(pruned) >= 2, plan  # postings scan AND df-delta scan
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    for child in _hint_children(analyzed):
+        # every hinted build side must mention the query-shaped frames'
+        # lineage, never a bare parquet relation of df/postings
+        assert "Relation" not in child, f"corpus-shaped broadcast:\n{child}"
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {7}
