@@ -698,10 +698,11 @@ def main() -> None:
         t0 = time.perf_counter()
         append_bm25_index(batch, str(inc_run))
         extras["bm25_inc_append_1k"] = round(time.perf_counter() - t0, 3)
-        ip, idf_frame, istats = open_bm25_index(spark, str(inc_run))
+        ip, idf_frame, istats, itombs = open_bm25_index(spark, str(inc_run))
         t0 = time.perf_counter()
         _bm25_search_inc(
-            ip, bq, istats, top_k=10, max_df_frac=0.1, df_frame=idf_frame
+            ip, bq, istats, top_k=10, max_df_frac=0.1, df_frame=idf_frame,
+            tombstones=itombs,
         ).count()
         extras["bm25_inc_search"] = round(time.perf_counter() - t0, 3)
         _shutil.rmtree(inc_run, ignore_errors=True)

@@ -1692,6 +1692,7 @@ def bm25_search(
     max_df_frac: float | None = None,
     query_terms: DataFrame | None = None,
     df_frame: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Query a PREBUILT BM25 index (:func:`build_bm25_index`, normally
     read back from a ``partitionBy("__bucket")`` lake path). Scores
@@ -1718,7 +1719,15 @@ def bm25_search(
     is summed from the delta rows at query time — same bucket pruning,
     a query-shaped aggregate (≤ |distinct query terms| rows), so
     appended batches never invalidate existing postings. Scores are
-    identical to the denormalized layout (pytest-pinned)."""
+    identical to the denormalized layout (pytest-pinned).
+
+    ``tombstones`` (round-14): deleted-id frame from
+    :func:`delete_bm25_docs` — anti-joined against the candidates
+    AFTER the query-term join (the candidate set is already
+    query-scoped there, so the anti-join touches ≤ |query-term
+    postings| rows, and it joins UNHINTED: a heavy-curation workload's
+    tombstone set is corpus-shaped, the near_dedup drop-set
+    argument)."""
     if (queries is None) == (query_terms is None):
         raise ValueError("pass exactly one of queries / query_terms")
     n_docs = float(stats["n_docs"])
@@ -1796,6 +1805,8 @@ def bm25_search(
         )
         if max_df_frac is not None:
             cands = cands.filter(F.col("df") <= max_df_frac * n_docs)
+    if tombstones is not None:
+        cands = cands.join(tombstones.select(id_col), id_col, "left_anti")
     idf = F.log(
         1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -1953,10 +1964,78 @@ def append_bm25_index(
     return merged
 
 
-def open_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+def delete_bm25_docs(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tf: DataFrame | None = None,
+) -> dict:
+    """Delete a batch of PREVIOUSLY-APPENDED documents from an
+    :func:`append_bm25_index` index — the other half of continuous
+    re-indexing (curation pipelines remove documents as often as they
+    add them). Deletion is O(batch) like append, touching nothing
+    existing: the batch's ids land in a ``tombstones/`` side frame
+    (anti-joined at search time), its per-term doc counts land as
+    NEGATIVE df delta rows (the additive-delta design absorbs
+    decrements for free — sums are still exact integers), and the
+    scalar counters decrement through the same
+    :func:`merge_bm25_stats`. ``docs`` must be the documents as
+    indexed (same id + text — tokenization is deterministic, so the
+    recomputed contributions equal the indexed ones exactly);
+    deleting a never-indexed or already-deleted id corrupts df — the
+    caller owns that contract, same as every lake writer here.
+    Tombstoned posting rows stay on disk until
+    :func:`compact_bm25_index` rewrites them out. Returns the merged
+    stats."""
+    import json
+    import os
+
+    stats_file = os.path.join(path, "stats.json")
+    with open(stats_file) as fh:
+        cur = json.load(fh)
+    nb = int(cur["n_buckets"])
+    if tf is None:
+        tf = term_frequencies(docs, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(nb)).alias("__bucket")
+    neg_df = tf.groupBy("term").agg(
+        (-F.count(F.lit(1))).alias("df")
+    ).select("term", "df", bucket)
+    neg_df.write.mode("append").partitionBy("__bucket").parquet(
+        os.path.join(path, "df")
+    )
+    docs.select(id_col).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+    merged = merge_bm25_stats(
+        cur,
+        {
+            "n_docs": -int(st["n_docs"] or 0),
+            "sum_dl": -int(st["sum_dl"] or 0),
+            "n_buckets": nb,
+        },
+    )
+    tmp = stats_file + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh)
+    os.replace(tmp, stats_file)
+    return merged
+
+
+def open_bm25_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, dict, DataFrame | None]:
     """Read back an :func:`append_bm25_index` index: ``(postings,
-    df_frame, stats)`` — pass straight to :func:`bm25_search` as
-    ``(index, df_frame=df_frame, stats=stats)``."""
+    df_frame, stats, tombstones)`` — pass straight to
+    :func:`bm25_search` as ``(index, df_frame=df_frame, stats=stats,
+    tombstones=tombstones)``. ``tombstones`` is None when nothing was
+    ever deleted."""
     import json
     import os
 
@@ -1964,7 +2043,11 @@ def open_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
         stats = json.load(fh)
     postings = spark.read.parquet(os.path.join(path, "postings"))
     df_frame = spark.read.parquet(os.path.join(path, "df"))
-    return postings, df_frame, stats
+    tomb_path = os.path.join(path, "tombstones")
+    tombstones = (
+        spark.read.parquet(tomb_path) if os.path.exists(tomb_path) else None
+    )
+    return postings, df_frame, stats, tombstones
 
 
 def compact_bm25_index_df(spark, path: str) -> int:
@@ -2006,6 +2089,56 @@ def compact_bm25_index_df(spark, path: str) -> int:
     os.rename(tmp, df_path)
     shutil.rmtree(old, ignore_errors=True)
     return n
+
+
+def compact_bm25_index(spark, path: str, id_col: str = "doc_id") -> dict:
+    """Full maintenance pass for an incremental BM25 index: fold the
+    df deltas (:func:`compact_bm25_index_df`), rewrite ``postings/``
+    WITHOUT the tombstoned documents' rows, and clear ``tombstones/``
+    — after which search needs no anti-join and the disk holds no dead
+    rows. The postings rewrite follows the same swap discipline
+    (rewrite to a temp sibling, verify the surviving row count
+    exactly, two-rename swap; a failure leaves the original layout
+    untouched — rerun to retry). Quiesce writers first. Returns
+    ``{"df_rows": ..., "postings_rows": ..., "tombstones_dropped":
+    ...}``."""
+    import os
+    import shutil
+
+    out = {"df_rows": compact_bm25_index_df(spark, path)}
+    tomb_path = os.path.join(path, "tombstones")
+    post_path = os.path.join(path, "postings")
+    if not os.path.exists(tomb_path):
+        out["postings_rows"] = spark.read.parquet(post_path).count()
+        out["tombstones_dropped"] = 0
+        return out
+    tmp = post_path.rstrip("/") + ".__compact__"
+    old = post_path.rstrip("/") + ".__old__"
+    if not os.path.exists(post_path) and os.path.exists(old):
+        os.rename(old, post_path)  # recover a crashed prior swap
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    postings = spark.read.parquet(post_path)
+    tombs = spark.read.parquet(tomb_path)
+    # corpus-shaped × corpus-shaped anti-join: unhinted, AQE decides
+    live = postings.join(tombs.select(id_col), id_col, "left_anti")
+    want = live.count()
+    live.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    got = spark.read.parquet(tmp).count()
+    if got != want:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"postings compaction row mismatch: {want} -> {got}; "
+            "original kept"
+        )
+    os.rename(post_path, old)
+    os.rename(tmp, post_path)
+    shutil.rmtree(old, ignore_errors=True)
+    n_tombs = tombs.count()
+    shutil.rmtree(tomb_path)
+    out["postings_rows"] = got
+    out["tombstones_dropped"] = n_tombs
+    return out
 
 
 def _bigram_pairs(

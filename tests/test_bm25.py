@@ -310,7 +310,8 @@ def test_bm25_incremental_append_matches_rebuild(spark, tmp_path):
     assert all(after[p] == m for p, m in before.items())
     assert stats["n_docs"] == 7.0  # the empty doc joins no stats
 
-    postings, df_frame, rstats = open_bm25_index(spark, path)
+    postings, df_frame, rstats, tombs = open_bm25_index(spark, path)
+    assert tombs is None
     assert rstats == stats
     q = spark.createDataFrame(
         [(0, "apple banana"), (1, "iris"), (2, "")],
@@ -352,7 +353,7 @@ def test_bm25_incremental_df_compaction_preserves_scores(spark, tmp_path):
             n_buckets=4,
         )
     q = spark.createDataFrame([(0, "a d")], "query_id long, text string")
-    postings, df_frame, stats = open_bm25_index(spark, path)
+    postings, df_frame, stats, _ = open_bm25_index(spark, path)
     before = {
         (r["query_id"], r["doc_id"]): r["score"]
         for r in bm25_search(
@@ -361,7 +362,7 @@ def test_bm25_incremental_df_compaction_preserves_scores(spark, tmp_path):
     }
     n = compact_bm25_index_df(spark, path)
     assert n == 4  # distinct terms a b c d
-    postings2, df2, stats2 = open_bm25_index(spark, path)
+    postings2, df2, stats2, _ = open_bm25_index(spark, path)
     assert df2.count() == 4
     after = {
         (r["query_id"], r["doc_id"]): r["score"]
@@ -414,7 +415,7 @@ def test_bm25_incremental_search_plan_shape(spark, tmp_path):
     path = str(tmp_path / "bm25_inc")
     append_bm25_index(docs.filter(F.col("doc_id") < 40), path, n_buckets=16)
     append_bm25_index(docs.filter(F.col("doc_id") >= 40), path)
-    postings, df_frame, stats = open_bm25_index(spark, path)
+    postings, df_frame, stats, _ = open_bm25_index(spark, path)
     q = spark.createDataFrame([(0, "word7")], "query_id long, text string")
     out = bm25_search(
         postings, q, stats, top_k=None, max_df_frac=0.9, df_frame=df_frame
@@ -430,3 +431,77 @@ def test_bm25_incremental_search_plan_shape(spark, tmp_path):
         assert "Relation" not in child, f"corpus-shaped broadcast:\n{child}"
     rows = out.collect()
     assert {r["doc_id"] for r in rows} == {7}
+
+
+def test_bm25_delete_matches_rebuild_and_compaction(spark, tmp_path):
+    """Deletion contract (round-14): after delete_bm25_docs, search
+    scores are IDENTICAL to an index built on only the surviving
+    documents (df decrements + tombstone anti-join + stats
+    decrements); compact_bm25_index then rewrites the tombstoned
+    postings out, clears tombstones/, and scores are unchanged with
+    no anti-join needed."""
+    import os
+
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_search,
+        compact_bm25_index,
+        delete_bm25_docs,
+        open_bm25_index,
+    )
+
+    texts = [
+        "apple banana cherry", "apple apple date", "banana elder fig",
+        "grape apple banana banana", "human iris joke",
+        "apple kiwi", "lemon mango iris", "apple iris",
+    ]
+    docs = _docs(spark, texts)
+    path = str(tmp_path / "bm25_del")
+    append_bm25_index(docs.filter(F.col("doc_id") < 4), path, n_buckets=8)
+    append_bm25_index(docs.filter(F.col("doc_id") >= 4), path)
+    deleted = docs.filter(F.col("doc_id").isin(1, 6))
+    stats = delete_bm25_docs(deleted, path)
+    survivors = docs.filter(~F.col("doc_id").isin(1, 6))
+
+    ref_path = str(tmp_path / "bm25_ref")
+    ref_stats = append_bm25_index(survivors, ref_path, n_buckets=8)
+    assert stats["n_docs"] == ref_stats["n_docs"]
+    assert stats["sum_dl"] == ref_stats["sum_dl"]
+    assert stats["avgdl"] == pytest.approx(ref_stats["avgdl"], rel=1e-12)
+
+    q = spark.createDataFrame(
+        [(0, "apple banana"), (1, "iris")], "query_id long, text string"
+    )
+
+    def scores(at):
+        p, d, s, t = open_bm25_index(spark, at)
+        return {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_search(
+                p, q, s, top_k=None, df_frame=d, tombstones=t
+            ).collect()
+        }
+
+    want = scores(ref_path)
+    got = scores(path)
+    assert set(got) == set(want)
+    assert 1 not in {d for (_q, d) in got} and 6 not in {d for (_q, d) in got}
+    for key, v in want.items():
+        assert got[key] == pytest.approx(v, rel=1e-9)
+
+    # full compaction: tombstones gone, postings shrunk, scores equal
+    before_rows = spark.read.parquet(os.path.join(path, "postings")).count()
+    out = compact_bm25_index(spark, path)
+    assert out["tombstones_dropped"] == 2
+    assert out["postings_rows"] < before_rows
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    p2, d2, s2, t2 = open_bm25_index(spark, path)
+    assert t2 is None
+    assert d2.count() == out["df_rows"]
+    after = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_search(p2, q, s2, top_k=None, df_frame=d2).collect()
+    }
+    assert set(after) == set(want)
+    for key, v in want.items():
+        assert after[key] == pytest.approx(v, rel=1e-9)
