@@ -138,3 +138,68 @@ def test_energy_fingerprint_matches_naive(vals):
     if want >= 1 << 63:
         want -= 1 << 64
     assert got == want
+
+
+@st.composite
+def clips_with_trim(draw):
+    seg = draw(st.integers(65, 130))
+    n_seg = draw(st.integers(3, 4))  # >= 3: a full segment survives any
+    n = seg * n_seg + draw(st.integers(0, seg - 1))  # trim < seg below
+    vals = draw(
+        st.lists(
+            st.integers(-20000, 20000), min_size=n, max_size=n
+        )
+    )
+    x = np.asarray(vals, dtype=np.float64) / 32768.0
+    p = draw(st.integers(seg, n - 1))  # peak survives any trim < seg
+    x[p] = np.max(np.abs(x)) * 1.5 + 0.1  # unique global peak
+    t = draw(st.integers(0, min(p, seg) - 1))
+    return x, t, seg
+
+
+@given(clips_with_trim())
+@settings(max_examples=60, deadline=None)
+def test_peak_anchored_segments_are_trim_invariant(case):
+    """The operator-level invariant behind the audio trim tier
+    (audio_segment_fingerprints): with a unique global peak that
+    survives the cut, a head trim of ANY length < seg_frames leaves
+    every full segment's fingerprint identical and shifts slot indices
+    by a single consistent δ ∈ {0, 1} — exactly what the δ-offset
+    verify absorbs. Pure-kernel replay of the Arrow pass's per-blob
+    lattice (segment_anchor_frame + energy_fingerprint_bits on the
+    anchored boundaries)."""
+    from bigdata_quality_assessment_spark.operators.audio import (
+        segment_anchor_frame,
+    )
+
+    x, t, seg = case
+    xt = x[t:]
+
+    def lattice_fps(arr):
+        anchor = segment_anchor_frame(arr, 1)
+        b0 = anchor % seg
+        out = []
+        j = 0
+        while b0 + (j + 1) * seg <= len(arr):
+            out.append(
+                energy_fingerprint_bits(
+                    arr[b0 + j * seg : b0 + (j + 1) * seg], 1, 65
+                )
+            )
+            j += 1
+        return out
+
+    # anchor equivariance: same content frame before and after the cut
+    assert segment_anchor_frame(xt, 1) == segment_anchor_frame(x, 1) - t
+
+    src, trm = lattice_fps(x), lattice_fps(xt)
+    assert trm  # at least one full segment always survives (n >= 2*seg)
+    # one consistent slot shift, and every trimmed segment matches its
+    # source segment bit-for-bit
+    for delta in (0, 1):
+        if len(trm) + delta <= len(src) and all(
+            trm[j] == src[j + delta] for j in range(len(trm))
+        ):
+            break
+    else:
+        raise AssertionError((t, seg, src, trm))
