@@ -1897,6 +1897,24 @@ def _lang_sql() -> str:
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
             FROM bsc),
+    tfq_d AS (SELECT * FROM tfq WHERE doc_id % 31 <> 0),
+    dfq_d AS (SELECT term, count(*) AS df FROM tfq_d GROUP BY term),
+    dlq_d AS (SELECT doc_id, sum(tf) AS dl FROM tfq_d GROUP BY doc_id),
+    bstat_d AS (SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl
+                FROM dlq_d),
+    qtq_d AS (SELECT DISTINCT doc_id AS query_id, term FROM tfq_d
+              WHERE doc_id % 167 = 0),
+    bsc_d AS (SELECT q.query_id, t.doc_id,
+                     sum(ln(1 + ((s.n_docs - d.df) + 0.5) / (d.df + 0.5))
+                         * (t.tf * 2.2)
+                         / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+              FROM qtq_d q JOIN tfq_d t USING (term) JOIN dfq_d d USING (term)
+                   JOIN dlq_d l ON l.doc_id = t.doc_id CROSS JOIN bstat_d s
+              GROUP BY q.query_id, t.doc_id),
+    brk_d AS (SELECT query_id, doc_id, round(score, 6) AS score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+              FROM bsc_d),
     tgtq AS (SELECT doc_id FROM documents WHERE source IN {_DSIR_TARGET_SQL}),
     prq_t AS (SELECT p.* FROM prq p JOIN tgtq USING (doc_id)),
     biq_t AS (SELECT prev, w, count(*) AS c FROM prq_t GROUP BY prev, w),
@@ -1970,7 +1988,16 @@ def _lang_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE),
            query_id, score, rn
-    FROM brk WHERE rn <= 5"""
+    FROM brk WHERE rn <= 5
+    UNION ALL
+    SELECT 'bm25del', doc_id,
+           {', '.join('CAST(NULL AS DOUBLE)' for _ in langs)},
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           query_id, score, rn
+    FROM brk_d WHERE rn <= 5"""
 
 
 @_register("x_language_id", _lang_sql())
@@ -2001,8 +2028,14 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch df deltas summed at query time, additive integral stats
     — append-maintainable where the denormalized layout is
     full-rebuild-only, with the same score-identity contract, so its
-    oracle is again the identical brk CTE. All seven hash-matched
-    against the SQL formulation."""
+    oracle is again the identical brk CTE; part='bm25del' (round 14)
+    is LOGICAL DELETION on that layout (the distributed twin of
+    text.py delete_bm25_docs): docs at doc_id % 31 == 0 leave as
+    tombstone ids + negative df deltas + integral stats decrements,
+    and the oracle recomputes the full BM25 formulation over only the
+    surviving corpus (brk_d) — grading that deletion composes exactly
+    with the delta-sum design. All eight hash-matched against the SQL
+    formulation."""
     from bigdata_quality_assessment_spark.operators.text import (
         bm25_index_delta,
         bm25_retrieve,
@@ -2186,9 +2219,78 @@ def q_xlang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+    # part='bm25del': logical deletion on the incremental layout — the
+    # distributed twin of delete_bm25_docs (queries.py stays
+    # disk-free; the lake tombstone path is pytest-pinned
+    # score-identical to a survivor rebuild in tests/test_bm25.py).
+    # Docs with doc_id % 31 == 0 are "deleted": their per-term doc
+    # counts land as NEGATIVE df delta rows unioned onto the existing
+    # deltas, their ids become the tombstone anti-join frame, the two
+    # scalar counters decrement through merge_bm25_stats (integral, so
+    # avgdl is exact), and deleted QUERY docs drop out of the query
+    # set — all derived from the barriered tf_frame (no new scans).
+    # Oracle: the same BM25 formulation recomputed over the surviving
+    # corpus (brk_d).
+    del_tf = tf_frame.filter(F.col("doc_id") % 31 == 0)
+    dst = (
+        del_tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("dl").alias("sdl"))
+        .first()
+    )
+    bucket16 = F.pmod(F.xxhash64(F.col("term")), F.lit(16)).alias("__bucket")
+    neg_df = (
+        del_tf.groupBy("term")
+        .agg((-F.count(F.lit(1))).alias("df"))
+        .select("term", "df", bucket16)
+    )
+    # from the barriered tf_frame, not a fresh docs scan (Catalyst
+    # pushes the anti-join below the postings union, so a table-backed
+    # tombstone frame would scan documents once PER PARITY BRANCH —
+    # the scan-budget pin caught exactly that); token-less docs have
+    # no postings, so their missing tombstone rows are no-ops
+    tomb = del_tf.select("doc_id").distinct()
+    dstats = merge_bm25_stats(
+        s_a,
+        s_b,
+        {
+            "n_docs": -int(dst["nd"] or 0),
+            "sum_dl": -int(dst["sdl"] or 0),
+            "n_buckets": 16,
+        },
+    )
+    qterms_d = qterms2.filter(F.col("query_id") % 31 != 0)
+    bmdel = (
+        bm25_search(
+            p_a.unionByName(p_b),
+            None,
+            dstats,
+            top_k=None,
+            query_terms=qterms_d,
+            df_frame=d_a.unionByName(d_b).unionByName(neg_df),
+            tombstones=tomb,
+        )
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.lit("bm25del").alias("part"),
+            "doc_id",
+            *[F.lit(None).cast("double").alias(f"score_{lang}") for lang in langs],
+            F.lit(None).cast("string").alias("lang_pred"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("bigint").alias("tf"),
+            F.lit(None).cast("bigint").alias("df"),
+            F.lit(None).cast("double").alias("tfidf"),
+            *_lm_nulls,
+            "query_id",
+            F.round("score", 6).alias("bm25"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
     return (
         lang_part.unionByName(ti).unionByName(lm).unionByName(dsir)
         .unionByName(bm).unionByName(bmi).unionByName(bminc)
+        .unionByName(bmdel)
     )
 
 
