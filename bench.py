@@ -705,6 +705,28 @@ def main() -> None:
             tombstones=itombs,
         ).count()
         extras["bm25_inc_search"] = round(time.perf_counter() - t0, 3)
+        # deletion leg (round-14): remove a 1k-doc slice, search with
+        # the tombstone anti-join — both O(batch)/query-scoped, so the
+        # two numbers must stay flat as the corpus scales
+        from bigdata_quality_assessment_spark.operators.text import (
+            delete_bm25_docs,
+        )
+
+        del_docs = rtext_docs.filter(
+            (F.col("doc_id") % max(2, n_rtext // 1_000)) == 1
+        ).select("doc_id", "text")  # ~1k docs at any corpus size
+        t0 = time.perf_counter()
+        delete_bm25_docs(del_docs, str(inc_run))
+        extras["bm25_inc_delete"] = round(time.perf_counter() - t0, 3)
+        ip2, idf2, istats2, itombs2 = open_bm25_index(spark, str(inc_run))
+        t0 = time.perf_counter()
+        _bm25_search_inc(
+            ip2, bq, istats2, top_k=10, max_df_frac=0.1, df_frame=idf2,
+            tombstones=itombs2,
+        ).count()
+        extras["bm25_inc_search_postdelete"] = round(
+            time.perf_counter() - t0, 3
+        )
         _shutil.rmtree(inc_run, ignore_errors=True)
         n_img = max(20_000, int(200_000 * sf_val)) if sf_val > 0 else 20_000
         img_path = REPO / ".localdata" / "images" / str(n_img) / "media.parquet"
