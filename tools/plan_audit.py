@@ -160,7 +160,8 @@ def main() -> int:
     )
 
     # exact/simhash dedup: exchanges carry (digest/signature, id) only;
-    # the doc-side anti-join must be broadcast (never shuffles text)
+    # the drop-set anti-join is UNHINTED (round-14 — corpus-shaped at
+    # web scale; AQE broadcasts measured-small drop sets itself)
     from bigdata_quality_assessment_spark.operators.text import (
         exact_dedup,
         simhash_near_dedup,
@@ -262,15 +263,46 @@ def main() -> int:
     ):
         bad.append("decode_media shuffles blobs")
 
-    # near-dedup with cluster closure: the corpus-sized anti-join must
-    # stay broadcast; the closure's single-partition hop is sanctioned
-    # ONLY because it moves the duplicates-only edge list (threshold-
-    # bounded in operators/graph.py), never documents
+    # near-dedup with cluster closure: the closure's single-partition
+    # hop is sanctioned ONLY because it moves the duplicates-only edge
+    # list (threshold-bounded in operators/graph.py), never documents
     from bigdata_quality_assessment_spark.operators.text import near_dedup_minhash
 
     nd = near_dedup_minhash(docs, k=3, n_hashes=32, bands=8, min_jaccard=0.7)
     bad += audit(
         "near_dedup_minhash_cluster", nd, allow=("Exchange SinglePartition",)
+    )
+
+    # incremental BM25 search (round-14): postings without df + delta-df
+    # side frame; the only broadcasts are query-scoped, scoring is one
+    # aggregation, the top-k window partitions on query_id (no
+    # single-partition sort)
+    from bigdata_quality_assessment_spark.operators.text import (
+        bm25_index_delta,
+        bm25_search,
+        merge_bm25_stats,
+    )
+
+    p_a, d_a, s_a = bm25_index_delta(docs, n_buckets=8)
+    qdf = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    inc = bm25_search(
+        p_a, qdf, merge_bm25_stats(s_a), top_k=5, max_df_frac=0.5,
+        df_frame=d_a,
+    )
+    bad += audit("bm25_inc_search", inc)
+
+    # audio segment-tier dedup (round-14): peak-anchored segment
+    # fingerprints through the slot-banded offset verify — one Arrow
+    # decode pass, slim exchanges, closure hop sanctioned as above
+    from bigdata_quality_assessment_spark.operators.audio import near_dedup_audio
+    from bigdata_quality_assessment_spark.sources.audiogen import planted_audio
+
+    aud = planted_audio(spark, 300, trim_rate=0.1, n_segments=4, seed=5)
+    seg = near_dedup_audio(aud, seg_frames=2080, max_offset=1)
+    bad += audit(
+        "audio_segment_dedup", seg, allow=("Exchange SinglePartition",)
     )
     # rollup: Expand + single aggregation, no re-scan per level
     roll = time_rollup(ev.withColumn("ts", F.col("ts") * 1000), "ts", "value")
