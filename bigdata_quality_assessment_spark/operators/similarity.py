@@ -1297,9 +1297,11 @@ def semantic_dedup(
     Per-cluster cost is (corpus/n_centroids)^2·dim, so ``n_centroids``
     scales linearly with the corpus to hold cluster sizes roughly
     constant (the paper runs k=50k on 5B embeddings). The grouped
-    output is the DROP-id set only (duplicates are a small fraction of
-    a real corpus), so it broadcasts and the final anti-join leaves
-    the corpus unshuffled. Cross-cluster duplicates are missed by
+    output is the DROP-id set only, but that set is corpus-shaped —
+    the paper's own workload prunes ~50% of the corpus — so the final
+    anti-join carries NO broadcast hint (round 15): AQE broadcasts it
+    when the measured size allows and shuffles on the slim id key
+    otherwise. Cross-cluster duplicates are missed by
     design — that is SemDeDup's stated approximation; pair with
     ``embedding_near_dedup`` (LSH) when cross-cluster recall matters.
 
@@ -1420,8 +1422,12 @@ def semantic_dedup(
     drops = assigned.groupBy("__cell").applyInPandas(
         drop_group, schema=f"drop_id {id_type}"
     )
+    # The drop set is corpus-shaped (SemDeDup's own reference workload
+    # prunes ~50% of a 5B-embedding corpus), so no broadcast hint: AQE
+    # broadcasts it when its measured size is small and shuffles it
+    # otherwise — same policy as embedding_near_dedup / simhash / exact.
     return corpus.join(
-        F.broadcast(drops.withColumnRenamed("drop_id", id_col)), id_col, "left_anti"
+        drops.withColumnRenamed("drop_id", id_col), id_col, "left_anti"
     )
 
 

@@ -1138,12 +1138,15 @@ def drop_contaminated(
 ) -> DataFrame:
     """The filtered corpus: ``docs`` minus documents sharing >=
     ``min_hits`` distinct k-grams with ``benchmark``. The flagged-id
-    set is contamination-only (small by assumption), so it broadcasts
-    and the anti-join leaves the corpus unshuffled."""
+    set is usually contamination-small, but eval-set mirrors in real
+    crawls make "small" soft — so no forced broadcast hint (round-15
+    taxonomy: corpus-conditional frames never carry one); AQE
+    broadcasts it when its measured size allows and the anti-join
+    then still leaves the corpus unshuffled."""
     flagged = decontaminate(
         docs, benchmark, text_col, id_col, k, mode, min_hits
     ).filter(F.col("contaminated")).select(id_col)
-    return docs.join(F.broadcast(flagged), id_col, "left_anti")
+    return docs.join(flagged, id_col, "left_anti")
 
 
 # --------------------------------------------------------------------

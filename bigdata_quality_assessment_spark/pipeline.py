@@ -185,8 +185,11 @@ def curate(
             k=cfg.decon_k,
             min_hits=cfg.decon_min_hits,
         ).filter(F.col("contaminated")).select(cfg.id_col)
+        # Flagged sets are contamination-small in the common case, but
+        # benchmark mirrors in a crawl make that bound soft — no hint;
+        # AQE broadcasts when the measured size allows (round-15 sweep).
         cur = stage(
-            "decontaminate", cur.join(F.broadcast(flagged), cfg.id_col, "left_anti")
+            "decontaminate", cur.join(flagged, cfg.id_col, "left_anti")
         )
         if cfg.fuzzy_decon:
             fz = fuzzy_decontaminate(
@@ -199,7 +202,7 @@ def curate(
             ).select(cfg.id_col)
             cur = stage(
                 "fuzzy_decontaminate",
-                cur.join(F.broadcast(fz), cfg.id_col, "left_anti"),
+                cur.join(fz, cfg.id_col, "left_anti"),
             )
 
     if cfg.span_dedup:

@@ -1080,6 +1080,8 @@ def test_dedup_anti_joins_carry_no_broadcast_hint(spark):
         [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta")],
         "doc_id long, text string",
     )
+    from bigdata_quality_assessment_spark.operators.text import drop_contaminated
+
     for out in (
         simhash_near_dedup(docs, two_level=False),
         simhash_near_dedup(docs, two_level=True),
@@ -1087,6 +1089,20 @@ def test_dedup_anti_joins_carry_no_broadcast_hint(spark):
     ):
         plan = out._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in plan, plan
+
+    # round-15: the contamination-shaped flagged-id set is only
+    # soft-bounded (eval-set mirrors in a crawl), so its anti-join is
+    # unhinted too. decontaminate's INTERNAL benchmark-gram broadcast
+    # (genuinely benchmark-bounded) is the single hint allowed in the
+    # drop_contaminated plan.
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "qid long, text string"
+    )
+    plan = (
+        drop_contaminated(docs, bench, k=2)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert plan.count("ResolvedHint") == 1, plan
 
 
 def test_simhash_two_level_auto_switches_on_count(spark, monkeypatch):

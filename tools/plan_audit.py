@@ -218,6 +218,16 @@ def main() -> int:
     if "MapInPandas" not in ipq_plan:
         bad.append("ivfpq missing the Arrow index/scoring stages")
 
+    # semantic_dedup (round-15): the drop-set anti-join is UNHINTED —
+    # SemDeDup's own workload prunes ~50% of the corpus, so the
+    # drop set is corpus-shaped and the build side belongs to AQE
+    from bigdata_quality_assessment_spark.operators.similarity import semantic_dedup
+
+    sd = semantic_dedup(emb, dim=64, eps=0.1, n_centroids=8, seed=0)
+    bad += audit("semantic_dedup", sd)
+    if "ResolvedHint" in sd._jdf.queryExecution().analyzed().toString():
+        bad.append("semantic_dedup drop-set anti-join carries a forced hint")
+
     # as-of join: one hash exchange on the key, no cartesian/range blowup
     from bigdata_quality_assessment_spark.operators.asof import asof_join, time_rollup
 
