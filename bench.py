@@ -684,12 +684,12 @@ def main() -> None:
             realistic_documents,
         )
 
-        inc_base = REPO / ".localdata" / "bm25inc" / str(n_rtext)
+        inc_base = REPO / ".localdata" / "bm25inc2" / str(n_rtext)
         if not (inc_base / "stats.json").exists():
             t0 = time.perf_counter()
             append_bm25_index(rtext_docs, str(inc_base), n_buckets=64)
             extras["bm25_inc_build"] = round(time.perf_counter() - t0, 3)
-        inc_run = REPO / ".localdata" / "bm25inc" / f"{n_rtext}_run"
+        inc_run = REPO / ".localdata" / "bm25inc2" / f"{n_rtext}_run"
         _shutil.rmtree(inc_run, ignore_errors=True)
         _shutil.copytree(inc_base, inc_run)
         batch = realistic_documents(spark, 1_000, seed=11).select(

@@ -19,14 +19,26 @@ def resolved_extra_conf(extra_conf: dict[str, str] | None) -> dict[str, str]:
     (round-14): it exists for diagnostic overrides without code edits
     — e.g. the Python-worker faulthandler when chasing a worker crash
     inside a full bench run — so it must win over any key a call site
-    already pins, not silently lose to it."""
+    already pins, not silently lose to it. When it DOES override a
+    call-site key, that is a real Spark-configuration change to an
+    existing deployment, so each collision is warned once (round-15,
+    ADVICE) — visible in the logs rather than silent."""
     merged: dict[str, str] = dict(extra_conf or {})
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
     if env_conf:
         import json as _json
 
         for k, v in _json.loads(env_conf).items():
-            merged[k] = str(v)
+            v = str(v)
+            if k in merged and merged[k] != v:
+                import warnings
+
+                warnings.warn(
+                    f"SPARK_GRAFT_EXTRA_CONF overrides call-site Spark "
+                    f"conf {k!r}: {merged[k]!r} -> {v!r}",
+                    stacklevel=2,
+                )
+            merged[k] = v
     return merged
 
 

