@@ -2061,8 +2061,12 @@ def delete_bm25_docs(
     :func:`merge_bm25_stats`. ``docs`` must be the documents as
     indexed (same id + text — tokenization is deterministic, so the
     recomputed contributions equal the indexed ones exactly);
-    deleting a never-indexed or already-deleted id corrupts df — the
-    caller owns that contract, same as every lake writer here.
+    deleting a never-indexed id corrupts df — the caller owns that
+    contract, same as every lake writer here. ALREADY-TOMBSTONED ids,
+    however, are filtered out up front (round 15 — an anti-join
+    against the committed tombstones, batch-shaped), so re-deleting
+    is a safe no-op: that is what lets a crashed
+    ``streaming.ingest.forget`` re-run its BM25 leg idempotently.
     Tombstoned posting rows stay on disk until
     :func:`compact_bm25_index` rewrites them out. A delete batch
     commits atomically exactly like an append (round-15): its negative
@@ -2075,6 +2079,20 @@ def delete_bm25_docs(
     cur, nb, batch = _bm25_open_for_append(path, None)
     if cur is None:
         raise FileNotFoundError(f"no BM25 index at {path}")
+    tomb_path = os.path.join(path, "tombstones")
+    if os.path.exists(tomb_path):
+        prior = (
+            docs.sparkSession.read.parquet(tomb_path)
+            .filter(F.col("__batch") < int(cur.get("n_batches", 0)))
+            .select(id_col)
+        )
+        docs = docs.join(prior, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
+        if tf is not None:
+            tf = tf.join(docs.select(id_col), id_col, "left_semi")
+        if not docs.take(1):
+            return dict(cur)  # everything already deleted — no-op
     if tf is None:
         tf = term_frequencies(docs, text_col, id_col).localCheckpoint(
             eager=False

@@ -109,9 +109,27 @@ def streaming_ingest_curated(
     span_tokens: int = 5,
     event_time_col: str | None = None,
     late_delay_s: float = 600.0,
+    bm25_index_path: str | None = None,
+    bm25_n_buckets: int = 64,
 ):
     """Start the incremental-curation sink over ``docs_stream``.
     Returns the StreamingQuery (drain with availableNow).
+
+    ``bm25_index_path`` (round 15 — the composition of the round-13
+    incremental-curation and round-14 incremental-BM25 tiers): keep a
+    searchable :func:`...operators.text.append_bm25_index` index in
+    lockstep with the curated corpus. Each batch's SURVIVORS — the
+    stored (normalized / span-rewritten) text, exactly what
+    ``read_corpus`` returns — append O(batch) postings/df rows after
+    the corpus append, inside the same replay-marker window, and the
+    batch commits atomically through the index's own stats.json
+    protocol (a crash mid-append is invisible to
+    ``open_bm25_index``). Search parity with a from-scratch build
+    over ``read_corpus`` is pytest-pinned; :func:`forget` with the
+    same path propagates deletions. ``bm25_n_buckets`` applies on
+    index creation only. Run :func:`...operators.text.
+    compact_bm25_index` on the same maintenance schedule as
+    :func:`compact_ingest_state`, gated by ``bm25_needs_compaction``.
 
     Event-time tier (round 11 — contract parity with
     :func:`.embedding_ingest.streaming_embedding_ingest`): pass
@@ -328,6 +346,25 @@ def streaming_ingest_curated(
         ).write.mode("append").parquet(os.path.join(root, "buckets"))
         if new_spans is not None:
             new_spans.write.mode("append").parquet(os.path.join(root, "spans"))
+        if bm25_index_path is not None and survivors.take(1):
+            from bigdata_quality_assessment_spark.operators.text import (
+                append_bm25_index,
+            )
+
+            # survivors is eager-checkpointed above, so the index
+            # delta's term_frequencies pass reads the barrier, not the
+            # whole dedup lineage; first call creates the index
+            append_bm25_index(
+                survivors.select(id_col, text_col),
+                bm25_index_path,
+                text_col=text_col,
+                id_col=id_col,
+                n_buckets=bm25_n_buckets
+                if not os.path.exists(
+                    os.path.join(bm25_index_path, "stats.json")
+                )
+                else None,
+            )
         if event_time_col is not None:
             from bigdata_quality_assessment_spark.streaming.embedding_ingest import (
                 _advance_watermark,
@@ -351,6 +388,7 @@ def forget(
     doc_ids,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bm25_index_path: str | None = None,
 ) -> int:
     """Deletion propagation (right-to-be-forgotten): remove the given
     ids from the corpus AND from every derived state store, so the
@@ -366,6 +404,18 @@ def forget(
     lineage ever spans a deleted directory. Digests are recomputed
     from the surviving corpus rather than diffed — the digest store
     then provably contains exactly the surviving documents' digests.
+
+    ``bm25_index_path`` (round 15): when the ingest maintains a
+    lockstep BM25 index (``streaming_ingest_curated(bm25_index_path=
+    ...)``), the forgotten documents are also deleted from it via
+    :func:`...operators.text.delete_bm25_docs` — tombstones + negative
+    df deltas, O(forgotten). The index leg runs FIRST, from the
+    pre-swap corpus (the forgotten rows' stored text is still
+    readable), and is idempotent because delete_bm25_docs skips
+    already-tombstoned ids — so a re-run of forget() after a crash in
+    any window neither loses the index deletion nor decrements df
+    twice. Like the other state stores, the index then describes
+    exactly the surviving corpus (tombstone-filtered at search).
 
     Ordering + resumability: the corpus swaps FIRST (the privacy
     deletion lands even if the process dies mid-way); a crash before
@@ -399,6 +449,26 @@ def forget(
 
     corpus = spark.read.parquet(corpus_path)
     n_before = corpus.count()
+    if bm25_index_path is not None:
+        # BM25 leg FIRST, while the forgotten rows' stored text is
+        # still readable. Crash-ordering: delete_bm25_docs skips
+        # already-tombstoned ids, so a re-run after a crash in either
+        # window is exact — before this call nothing happened anywhere;
+        # after it the re-derived batch is fully tombstoned (no-op) and
+        # the corpus swap proceeds. Deriving the batch from the corpus
+        # AFTER the swap instead would silently lose the index deletion
+        # whenever the crash landed between the two.
+        bm25_delete = corpus.join(F.broadcast(id_df), id_col, "left_semi").select(
+            id_col, text_col
+        )
+        if bm25_delete.take(1):
+            from bigdata_quality_assessment_spark.operators.text import (
+                delete_bm25_docs,
+            )
+
+            delete_bm25_docs(
+                bm25_delete, bm25_index_path, text_col=text_col, id_col=id_col
+            )
     swap(corpus.join(F.broadcast(id_df), id_col, "left_anti"), corpus_path)
     survivors = spark.read.parquet(corpus_path)  # the NEW files
     n_after = survivors.count()

