@@ -813,6 +813,16 @@ def main() -> None:
                     lambda: near_dedup_audio(
                         aud_media, two_level=aud_two
                     ).count())
+        # round-15: the DEFAULT audio curation path (trim-robust
+        # segment tier, seg_frames auto-derived) — the BASELINE row
+        # for what a pipeline user gets without opting into anything;
+        # compare against audio_dedup above for the whole-clip cost
+        from bigdata_quality_assessment_spark.pipeline import curate_audio
+
+        timed_extra("audio_curate_default",
+                    lambda: curate_audio(
+                        aud_media, with_report=False
+                    )[0].count())
 
         # streaming-ingest state evidence (round 6: per-batch flatness;
         # round 7, verdict ask #7: compaction). 20 equal batches in two
