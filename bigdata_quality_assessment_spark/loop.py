@@ -224,6 +224,15 @@ def active_sampling_loop(
     metrics: list[dict] = []
     thetas = fit_members()
 
+    from pyspark.sql import Observation
+
+    def _pad_bounds(mn, mx, pad: float = 0.01):
+        """kde_1d_multi's internal bounds rule on driver floats — the
+        same IEEE double ops the Catalyst expressions perform, so the
+        literal path is bit-identical to the aggregate path."""
+        span = (mx - mn) if (mx - mn) > 0 else 1.0
+        return (mn - pad * span, mx + pad * span)
+
     for it in range(n_iter):
         # M2+M3 fused: one narrow mapInPandas pass over the pool carrying
         # features+truth through — no groupBy shuffle, no join-back
@@ -237,11 +246,43 @@ def active_sampling_loop(
         # plan construction). Blocks are reclaimed by the
         # ContextCleaner when the frame goes out of scope at the next
         # iteration — the same discipline train/pool already use.
+        #
+        # The KDE grid bounds ride this SAME materialization job as an
+        # Observation (round-15): min/max are summation-order-free, so
+        # the observed values are bit-identical to the one-row bounds
+        # aggregate kde_1d_multi would otherwise run — but the
+        # separate bounds job and its broadcast build disappear from
+        # every iteration (the m4_loop_metrics golden hash pins the
+        # bit-identity; avg-shaped metrics deliberately stay on the
+        # cluster path because THEIR partial-sum order is not free).
+        # Pool membership = NOT an explorer pick (the initial selection
+        # stays in the pool, ref :236-237); the pick set is tiny, so it
+        # folds into the plan as a literal ``isin`` — no join.
+        not_picked = (
+            ~F.col(id_col).isin(*explorer_ids) if explorer_ids else None
+        )
+        need_pool = "us_lw" in acq_list or "us_lgw" in acq_list
+        obs = Observation()
+        obs_exprs = [
+            F.least(F.min("y_mean"), F.min(y_col)).alias("jmn"),
+            F.greatest(F.max("y_mean"), F.max(y_col)).alias("jmx"),
+        ]
+        if need_pool:
+            pool_col = (
+                F.when(not_picked, F.col("y_mean"))
+                if not_picked is not None
+                else F.col("y_mean")
+            )
+            obs_exprs += [
+                F.min(pool_col).alias("pmn"), F.max(pool_col).alias("pmx"),
+            ]
         scored = (
             score_pool(thetas)
             .withColumn("se", (F.col("y_mean") - F.col(y_col)) * (F.col("y_mean") - F.col(y_col)))
+            .observe(obs, *obs_exprs)
             .localCheckpoint(eager=True)
         )
+        ob = obs.get  # filled: the eager checkpoint ran the job
 
         # The iteration needs THREE densities of the scored pool —
         # pred + truth on the shared joint-range A13 grid rebuilt per
@@ -249,21 +290,29 @@ def active_sampling_loop(
         # density of the predicted means over the CURRENT candidates
         # (custom_KDE(mu(pts_temp)), core/likelihood.py:53-58). One
         # fused tagged pass computes all three: one scan, one (tag,
-        # node) shuffle, one plan barrier (kde_1d_multi docstring).
+        # node) shuffle, one plan barrier (kde_1d_multi docstring) —
+        # and with the observed literal bounds, ZERO bounds aggregate.
+        joint = _pad_bounds(ob["jmn"], ob["jmx"])
         specs = [
-            {"tag": "pred", "col": "y_mean", "bw": bw, "range_cols": ["y_mean", y_col]},
-            {"tag": "truth", "col": y_col, "bw": bw, "range_cols": ["y_mean", y_col]},
+            {"tag": "pred", "col": "y_mean", "bw": bw, "bounds": joint},
+            {"tag": "truth", "col": y_col, "bw": bw, "bounds": joint},
         ]
-        # Pool membership = NOT an explorer pick (the initial selection
-        # stays in the pool, ref :236-237); the pick set is tiny, so it
-        # folds into the plan as a literal ``isin`` — no join.
-        not_picked = (
-            ~F.col(id_col).isin(*explorer_ids) if explorer_ids else None
-        )
-        if "us_lw" in acq_list or "us_lgw" in acq_list:
-            specs.append(
-                {"tag": "pool", "col": "y_mean", "bw": bw, "where": not_picked}
-            )
+        if need_pool:
+            if ob.get("pmn") is None:
+                # degenerate empty candidate pool: fall back to the
+                # in-plan bounds aggregate (NULL-propagating), exactly
+                # the pre-round-15 plan shape
+                specs.append(
+                    {"tag": "pool", "col": "y_mean", "bw": bw, "where": not_picked}
+                )
+            else:
+                specs.append(
+                    {
+                        "tag": "pool", "col": "y_mean", "bw": bw,
+                        "where": not_picked,
+                        "bounds": _pad_bounds(ob["pmn"], ob["pmx"]),
+                    }
+                )
         grids = kde_1d_multi(scored, specs, ngrid=ngrid)
         pred_grid, truth_grid = grids["pred"], grids["truth"]
         pool_grid = grids.get("pool")

@@ -359,6 +359,41 @@ def near_dedup_audio(
     )
 
 
+def audio_n_frames(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-blob PCM frame count from WAV HEADER ARITHMETIC alone
+    (:func:`..multimodal._wav_n_frames`): identical ``n_frames`` to
+    :func:`audio_quality` for every decodable blob, NULL for the same
+    non-PCM set — at ~10⁻³ of the cost, because no sample is ever
+    decoded. Built for corpus-shape probes (the ``seg_frames="auto"``
+    percentile of ``pipeline.resolve_audio_seg_frames``) where a full
+    quality pass over the sample was pure waste (round-15, guide §4:
+    pass only what the function needs). One Arrow pass, no
+    repartition guard — per-blob work is header-walk cheap, so scan
+    parallelism is irrelevant."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import _wav_n_frames
+
+        for pdf in batches:
+            nf = [
+                _wav_n_frames(bytes(blob) if blob is not None else b"")
+                for blob in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_frames": pd.array(nf, dtype="Int64"),
+                }
+            )
+
+    schema = f"{id_col} {id_ddl_type(media, id_col)}, n_frames BIGINT"
+    return media.select(id_col, content_col).mapInPandas(run, schema)
+
+
 def audio_quality(
     media: DataFrame,
     content_col: str = "content",

@@ -398,9 +398,16 @@ def kde_1d_multi(
         columns whose (predicate-filtered) joint min/max define this
         series' grid bounds, padded ``pad`` per side (giving two specs
         the same ``range_cols`` puts them on an identical grid);
-      * ``bounds`` (DataFrame, optional) — external one-row lo/hi
-        frame overriding range derivation (stays lazy, rides the
-        broadcast).
+      * ``bounds`` (DataFrame or (lo, hi) floats, optional) — external
+        bounds overriding range derivation. A one-row lo/hi FRAME stays
+        lazy and rides the broadcast; a PLAIN ``(lo, hi)`` tuple folds
+        in as literals (round-15): no bounds aggregate, and when every
+        spec is literal-bounded with a float ``bw`` the broadcast
+        cross-join disappears from the plan entirely — the barrier's
+        call-time work shrinks to the binning map stage alone. The
+        §3.1 loop feeds this from an ``Observation`` on the scored
+        pool's materialization job (min/max are order-independent, so
+        the observed bounds are bit-identical to the aggregate's).
 
     All internal ranges fold into a single one-row aggregate over
     ``df``, so bounds derivation adds no extra pass. Returns
@@ -417,6 +424,15 @@ def kde_1d_multi(
 
     internal = [s for s in specs if s.get("bounds") is None]
     scott = [s for s in specs if isinstance(s.get("bw"), str)]
+    # per-tag column sources: names resolved off the broadcast frame
+    # ``b`` by default; literal-bounds tags (and float bandwidths)
+    # resolve to F.lit instead, so a fully-literal spec list never
+    # builds ``b`` at all (round-15 — drops the bounds aggregate AND
+    # the broadcast cross-join from the plan)
+    ref: dict[str, Column] = {}
+
+    def _ref(name: str) -> Column:
+        return ref.get(name, F.col(name))
     for s in scott:
         if s["bw"] != "scott":
             raise ValueError(
@@ -470,27 +486,36 @@ def kde_1d_multi(
         if s.get("bounds") is None:
             continue
         t = s["tag"]
-        eb = s["bounds"].select(
-            F.col("lo").cast("double").alias(f"__lo_{t}"),
-            F.col("hi").cast("double").alias(f"__hi_{t}"),
-        )
-        b = eb if b is None else b.crossJoin(F.broadcast(eb))
+        if isinstance(s["bounds"], DataFrame):
+            eb = s["bounds"].select(
+                F.col("lo").cast("double").alias(f"__lo_{t}"),
+                F.col("hi").cast("double").alias(f"__hi_{t}"),
+            )
+            b = eb if b is None else b.crossJoin(F.broadcast(eb))
+        else:
+            lo, hi = s["bounds"]
+            ref[f"__lo_{t}"] = F.lit(float(lo))
+            ref[f"__hi_{t}"] = F.lit(float(hi))
+            # same IEEE double arithmetic the Catalyst dx expression
+            # performs — bit-identical grid spacing
+            ref[f"__dx_{t}"] = F.lit((float(hi) - float(lo)) / (ngrid - 1))
     for s in specs:
         t = s["tag"]
         if isinstance(s["bw"], DataFrame):
             ebw = s["bw"].select(F.col("bw").cast("double").alias(f"__bw_{t}"))
             b = ebw if b is None else b.crossJoin(F.broadcast(ebw))
         elif not isinstance(s["bw"], str):
-            b = b.withColumn(f"__bw_{t}", F.lit(float(s["bw"])))
+            ref[f"__bw_{t}"] = F.lit(float(s["bw"]))
     for t in tags:
-        b = b.withColumn(
-            f"__dx_{t}", (F.col(f"__hi_{t}") - F.col(f"__lo_{t}")) / (ngrid - 1)
-        )
+        if f"__dx_{t}" not in ref:
+            b = b.withColumn(
+                f"__dx_{t}", (_ref(f"__hi_{t}") - _ref(f"__lo_{t}")) / (ngrid - 1)
+            )
 
     arrays = []
     for s in specs:
         t = s["tag"]
-        pos = (F.col(s["col"]) - F.col(f"__lo_{t}")) / F.col(f"__dx_{t}")
+        pos = (F.col(s["col"]) - _ref(f"__lo_{t}")) / _ref(f"__dx_{t}")
         node0 = F.floor(pos).cast("int")
         frac = pos - F.floor(pos)
         w0: Column = 1.0 - frac
@@ -505,15 +530,15 @@ def kde_1d_multi(
                 F.lit(t).alias("tag"),
                 node.alias("node"),
                 w.alias("w"),
-                F.col(f"__lo_{t}").alias("lo"),
-                F.col(f"__dx_{t}").alias("dx"),
-                F.col(f"__bw_{t}").alias("kbw"),
+                _ref(f"__lo_{t}").alias("lo"),
+                _ref(f"__dx_{t}").alias("dx"),
+                _ref(f"__bw_{t}").alias("kbw"),
             )
 
         arrays.append(F.array(_mk(node0, w0), _mk(node0 + 1, w1)))
 
     contrib = (
-        df.crossJoin(F.broadcast(b))
+        (df if b is None else df.crossJoin(F.broadcast(b)))
         .select(F.explode(F.concat(*arrays)).alias("c"))
         .filter(F.col("c.w").isNotNull())
         .select(

@@ -1279,6 +1279,43 @@ def _wav_pcm(b: bytes):
         return None
 
 
+def _wav_n_frames(b: bytes) -> int | None:
+    """Frame count of a PCM WAV blob from HEADER ARITHMETIC alone — no
+    sample decode, no numpy. Exactly ``len(x) // channels`` for every
+    blob :func:`_wav_pcm` decodes (same RIFF walk, same fmt/data
+    validation, same odd-byte truncation for 16-bit) and None for
+    exactly the non-PCM/corrupt set it rejects. Purpose: corpus-shape
+    probes (e.g. the ``seg_frames="auto"`` percentile in
+    ``pipeline.resolve_audio_seg_frames``) need only the clip length —
+    a full PCM decode of the sample is ~10³× the work for the same
+    number (guide §4: pass the function only what it needs)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        fmt = None
+        data_len = None
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            if cid == b"fmt " and size >= 16 and pos + 24 <= len(b):
+                fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+            elif cid == b"data":
+                # _wav_pcm slices b[pos+8 : pos+8+size]: a size field
+                # overrunning the buffer truncates to what's there
+                data_len = max(0, min(size, len(b) - (pos + 8)))
+            pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+        if fmt is None or data_len is None:
+            return None
+        audio_format, channels, _rate, _, _, bits = fmt
+        if audio_format != 1 or channels < 1 or bits not in (8, 16):
+            return None
+        n_samples = (data_len // 2) if bits == 16 else data_len
+        return n_samples // channels
+    except Exception:
+        return None
+
+
 def _decode_wav(b: bytes, n_features: int) -> tuple[dict, list[float]] | None:
     """Full WAV PCM decode with stdlib ``struct`` + numpy: walk RIFF
     chunks for ``fmt `` and ``data``, decode 8/16-bit PCM samples,

@@ -570,12 +570,19 @@ def resolve_audio_seg_frames(
     near_dedup_audio` directly: 10th-percentile decodable clip length
     / 4 over a bounded sample, floored at ``n_windows``. Returns None
     when the sample holds no decodable clip (near-dedup is then a
-    no-op — every clip survives on the NULL-signature contract)."""
-    from bigdata_quality_assessment_spark.operators.audio import audio_quality
+    no-op — every clip survives on the NULL-signature contract).
+
+    Clip lengths come from the header-only
+    :func:`...operators.audio.audio_n_frames` probe (round-15): the
+    prior full ``audio_quality`` decode of the sample computed eight
+    signals to use one, and measured 8–13 s at the 2048-clip default
+    sample vs ~0.3 s header-walk — identical ``n_frames`` per blob,
+    identical resolved segment length."""
+    from bigdata_quality_assessment_spark.operators.audio import audio_n_frames
 
     cfg = config or AudioCurationConfig()
     row = (
-        audio_quality(
+        audio_n_frames(
             media.limit(cfg.auto_sample), cfg.content_col, cfg.id_col
         )
         .filter(F.col("n_frames").isNotNull())

@@ -151,6 +151,35 @@ def test_audio_quality_formulas(spark):
     assert rows[2]["decoder"] is None and rows[2]["rms_dbfs"] is None
 
 
+def test_audio_n_frames_matches_quality(spark):
+    """The header-only n_frames probe (round-15: the seg_frames auto
+    rule's cheap path) must agree with audio_quality's decoded
+    n_frames on every blob — decodable (mono/stereo, 8/16-bit, odd
+    trailing byte) and non-PCM alike."""
+    from bigdata_quality_assessment_spark.operators.audio import audio_n_frames
+
+    media = spark.createDataFrame(
+        [
+            (0, _wav(1, 8000, 16, [16384, -16384] * 10)),
+            (1, _wav(1, 8000, 16, [0] * 10)),
+            (2, b"not audio"),
+            (3, _wav(2, 44100, 16, [100, -100] * 6 + [7])),
+            (4, _wav(1, 8000, 8, [255, 0, 128, 128])),
+            (5, None),
+            (6, b"RIFF\x00\x00\x00\x00WAVE"),  # no chunks at all
+        ],
+        "media_id long, content binary",
+    )
+    want = {
+        r["media_id"]: r["n_frames"] for r in audio_quality(media).collect()
+    }
+    got = {
+        r["media_id"]: r["n_frames"] for r in audio_n_frames(media).collect()
+    }
+    assert got == want
+    assert got[0] == 20 and got[3] == 6 and got[2] is None and got[5] is None
+
+
 def test_audio_clipping_8bit(spark):
     """8-bit PCM full scale is 0 / 255 (unsigned), not ±32767."""
     media = spark.createDataFrame(
