@@ -205,6 +205,17 @@ def kde_1d(
             raise ValueError(f"bw must be a float, DataFrame, or 'scott'; got {bw!r}")
         bw = scott_bandwidth(df, col)
 
+    # per-name column sources: resolved off the broadcast bounds frame
+    # by default; when lo/hi AND bw are plain floats they fold in as
+    # literals and the one-row frame + its broadcast cross-join drop
+    # out of the plan entirely (round-15 — same rule as kde_1d_multi's
+    # tuple bounds; the arithmetic is the identical IEEE double op
+    # sequence, so grids are bit-identical)
+    ref: dict[str, Column] = {}
+
+    def _ref(name: str) -> Column:
+        return ref.get(name, F.col(name))
+
     if bounds is not None:
         bounds = bounds.select(
             F.col("lo").cast("double").alias("__lo"),
@@ -220,26 +231,31 @@ def kde_1d(
             (F.col("__mx") + pad * span).alias("__hi"),
         )
     else:
-        bounds = spark.range(1).select(
-            F.lit(float(lo)).alias("__lo"), F.lit(float(hi)).alias("__hi")
+        bounds = None
+        ref["__lo"] = F.lit(float(lo))
+        ref["__hi"] = F.lit(float(hi))
+        ref["__dx"] = F.lit((float(hi) - float(lo)) / (ngrid - 1))
+    if bounds is not None:
+        bounds = bounds.withColumn(
+            "__dx", (F.col("__hi") - F.col("__lo")) / (ngrid - 1)
         )
-    bounds = bounds.withColumn("__dx", (F.col("__hi") - F.col("__lo")) / (ngrid - 1))
     if isinstance(bw, DataFrame):
-        bounds = bounds.crossJoin(
-            F.broadcast(bw.select(F.col("bw").cast("double").alias("__bw")))
-        )
+        ebw = F.broadcast(bw.select(F.col("bw").cast("double").alias("__bw")))
+        bounds = ebw if bounds is None else bounds.crossJoin(ebw)
     else:
-        bounds = bounds.withColumn("__bw", F.lit(float(bw)))
+        ref["__bw"] = F.lit(float(bw))
 
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    pos = (F.col(col) - F.col("__lo")) / F.col("__dx")
+    pos = (F.col(col) - _ref("__lo")) / _ref("__dx")
     node0 = F.floor(pos).cast("int")
     frac = pos - F.floor(pos)
+    base = df.filter(F.col(col).isNotNull())
+    if bounds is not None:
+        base = base.crossJoin(F.broadcast(bounds))
     # Two (node, weight) contributions per row; clamp to the grid so
     # boundary points (pos == ngrid-1) land entirely on the last node.
     contrib = (
-        df.filter(F.col(col).isNotNull())
-        .crossJoin(F.broadcast(bounds))
+        base
         .select(
             F.explode(
                 F.array(
@@ -247,9 +263,9 @@ def kde_1d(
                     F.struct((node0 + 1).alias("node"), (w * frac).alias("bw_")),
                 )
             ).alias("c"),
-            "__lo",
-            "__dx",
-            "__bw",
+            _ref("__lo").alias("__lo"),
+            _ref("__dx").alias("__dx"),
+            _ref("__bw").alias("__bw"),
         )
         .select(
             F.least(F.greatest(F.col("c.node"), F.lit(0)), F.lit(ngrid - 1)).alias("node"),

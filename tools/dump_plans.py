@@ -196,11 +196,29 @@ def main() -> None:
             pts, thetas, ["x1", "x2"], carry_cols=["x1", "x2", "y"]
         ).withColumn("se", (F.col("y_mean") - F.col("y")) * (F.col("y_mean") - F.col("y")))
         parts = {"loop_scored_pass": scored}
-        sc = scored.localCheckpoint(eager=True)
+        # mirror loop.py round-15: bounds observed on the scored job,
+        # entering the KDE as literals
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        sc = scored.observe(
+            obs,
+            F.least(F.min("y_mean"), F.min("y")).alias("jmn"),
+            F.greatest(F.max("y_mean"), F.max("y")).alias("jmx"),
+            F.min("y_mean").alias("pmn"), F.max("y_mean").alias("pmx"),
+        ).localCheckpoint(eager=True)
+        ob = obs.get
+
+        def _pad(mn, mx, pad=0.01):
+            span = (mx - mn) if (mx - mn) > 0 else 1.0
+            return (mn - pad * span, mx + pad * span)
+
+        joint = _pad(ob["jmn"], ob["jmx"])
         specs = [
-            {"tag": "pred", "col": "y_mean", "bw": 0.1, "range_cols": ["y_mean", "y"]},
-            {"tag": "truth", "col": "y", "bw": 0.1, "range_cols": ["y_mean", "y"]},
-            {"tag": "pool", "col": "y_mean", "bw": 0.1},
+            {"tag": "pred", "col": "y_mean", "bw": 0.1, "bounds": joint},
+            {"tag": "truth", "col": "y", "bw": 0.1, "bounds": joint},
+            {"tag": "pool", "col": "y_mean", "bw": 0.1,
+             "bounds": _pad(ob["pmn"], ob["pmx"])},
         ]
         grids = kde_1d_multi(sc, specs, ngrid=256)
         metric_frame = regression_metrics(sc, "y_mean", "y", "y_var").crossJoin(
@@ -227,7 +245,37 @@ def main() -> None:
         parts["loop_explorer_union"] = union.crossJoin(F.broadcast(metric_frame))
         return parts
 
+    def p_kde_nobarrier():
+        """kde_1d's binning subtree with the lazy barrier suppressed,
+        so the plan shows the full lineage instead of a LogicalRDD.
+        Two shapes from CURRENT code: 'frames' = the one-row bounds
+        frame + broadcast crossJoin (the legacy path, still what a
+        DataFrame-bounds caller gets — byte-identical to the
+        pre-round-15 plan), 'lits' = the float lo/hi literal path
+        (round-15) where the crossJoin and bounds frame are gone."""
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame as _DF
+        except ImportError:  # pre-4.0 layout
+            from pyspark.sql import DataFrame as _DF
+
+        ev = load_table(spark, "events", SF_DIR)
+        orig = _DF.localCheckpoint
+        _DF.localCheckpoint = lambda self, eager=True: self
+        try:
+            lits = kde_1d(ev, "value", bw=20.0, ngrid=1024, lo=0.0, hi=500.0)
+            bf = spark.range(1).select(
+                F.lit(0.0).alias("lo"), F.lit(500.0).alias("hi")
+            )
+            frames = kde_1d(ev, "value", bw=20.0, ngrid=1024, bounds=bf)
+        finally:
+            _DF.localCheckpoint = orig
+        return {
+            "kde_events_nobarrier_framebounds": frames,
+            "kde_events_nobarrier_litbounds": lits,
+        }
+
     plans = {
+        "kde_events_nobarrier": p_kde_nobarrier,
         "flagship_us_lw": p_flagship,
         "ensemble_scoring": p_ensemble,
         "kde_events": p_kde,

@@ -74,22 +74,44 @@ def fit_members():
 thetas = fit_members()
 t0 = tick("fit", t0)
 
+from pyspark.sql import Observation
+
+
+def _pad_bounds(mn, mx, pad=0.01):
+    span = (mx - mn) if (mx - mn) > 0 else 1.0
+    return (mn - pad * span, mx + pad * span)
+
+
 for it in range(3):
+    not_picked = ~F.col("point_id").isin(*explorer_ids) if explorer_ids else None
+    obs = Observation()
+    pool_col = (
+        F.when(not_picked, F.col("y_mean")) if not_picked is not None
+        else F.col("y_mean")
+    )
     scored = (
         predict_ensemble_stats(
             pts, thetas, ["x1", "x2"], carry_cols=["x1", "x2", "y"]
         )
         .withColumn("se", (F.col("y_mean") - F.col("y")) * (F.col("y_mean") - F.col("y")))
+        .observe(
+            obs,
+            F.least(F.min("y_mean"), F.min("y")).alias("jmn"),
+            F.greatest(F.max("y_mean"), F.max("y")).alias("jmx"),
+            F.min(pool_col).alias("pmn"), F.max(pool_col).alias("pmx"),
+        )
         .localCheckpoint(eager=True)
     )
+    ob = obs.get
     t0 = tick("materialize_scored", t0)
 
+    joint = _pad_bounds(ob["jmn"], ob["jmx"])
     specs = [
-        {"tag": "pred", "col": "y_mean", "bw": 0.1, "range_cols": ["y_mean", "y"]},
-        {"tag": "truth", "col": "y", "bw": 0.1, "range_cols": ["y_mean", "y"]},
+        {"tag": "pred", "col": "y_mean", "bw": 0.1, "bounds": joint},
+        {"tag": "truth", "col": "y", "bw": 0.1, "bounds": joint},
+        {"tag": "pool", "col": "y_mean", "bw": 0.1, "where": not_picked,
+         "bounds": _pad_bounds(ob["pmn"], ob["pmx"])},
     ]
-    not_picked = ~F.col("point_id").isin(*explorer_ids) if explorer_ids else None
-    specs.append({"tag": "pool", "col": "y_mean", "bw": 0.1, "where": not_picked})
     grids = kde_1d_multi(scored, specs, ngrid=256)
     pred_grid, truth_grid, pool_grid = grids["pred"], grids["truth"], grids["pool"]
     t0 = tick("plan_kde_multi", t0)

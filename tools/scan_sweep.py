@@ -67,11 +67,16 @@ EXPECTED_MAX = {
     # of the corpus (both id+embedding; a barrier would store the
     # embedding column verbatim — same bytes, extra write)
     "x_embedding_near_dedup": 3,
-    # DELIBERATE two agg passes (profiling.py): fusing the n-column
+    # DELIBERATE split agg passes (profiling.py): fusing the n-column
     # countDistinct Expand with the exact-percentile buffers in one
     # agg measured ~7x slower (the expanded copies stream through the
-    # sort buffers); split = one scan per pass, each map-side combined
-    "x_profile_table": 7,  # + pairwise-correlation agg pass (round 6)
+    # sort buffers); round-15 splits the distinct pass further into
+    # ONE single-column countDistinct agg PER COLUMN — no Expand at
+    # all, each subtree scans only its own pruned column (columnar
+    # total bytes unchanged; measured sf0.1: 3.63 -> 2.49 s median).
+    # Budget: 1 non-distinct pass + 5 per-column distinct scans +
+    # correlation pass (round 6) + dataset-card sections (round 7).
+    "x_profile_table": 11,
     # + dataset-card part (round 7): per-SECTION aggs (counts/mix/
     # dedup-rate/PII) each scan their own pruned projection
     # validity part 1 scan (lineitem); expectations part 4: the fused
