@@ -292,11 +292,23 @@ def active_sampling_loop(
         # fused tagged pass computes all three: one scan, one (tag,
         # node) shuffle, one plan barrier (kde_1d_multi docstring) —
         # and with the observed literal bounds, ZERO bounds aggregate.
-        joint = _pad_bounds(ob["jmn"], ob["jmx"])
-        specs = [
-            {"tag": "pred", "col": "y_mean", "bw": bw, "bounds": joint},
-            {"tag": "truth", "col": y_col, "bw": bw, "bounds": joint},
-        ]
+        if ob["jmn"] is None:
+            # degenerate empty scored pool: min/max observe NULL —
+            # fall back to the in-plan joint-range aggregate
+            # (NULL-propagating), exactly the pre-round-15 plan shape
+            # (round-16, ADVICE r15: _pad_bounds on None raised
+            # TypeError where the old aggregate degraded gracefully)
+            shared = {"range_cols": ["y_mean", y_col]}
+            specs = [
+                {"tag": "pred", "col": "y_mean", "bw": bw, **shared},
+                {"tag": "truth", "col": y_col, "bw": bw, **shared},
+            ]
+        else:
+            joint = _pad_bounds(ob["jmn"], ob["jmx"])
+            specs = [
+                {"tag": "pred", "col": "y_mean", "bw": bw, "bounds": joint},
+                {"tag": "truth", "col": y_col, "bw": bw, "bounds": joint},
+            ]
         if need_pool:
             if ob.get("pmn") is None:
                 # degenerate empty candidate pool: fall back to the

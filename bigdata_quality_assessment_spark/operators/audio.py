@@ -286,6 +286,7 @@ def near_dedup_audio(
     min_seg_frac: float = 0.5,
     n_windows: int = 65,
     anchor: str = "peak",
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Perceptual audio near-dedup over the energy fingerprints:
     delegates band/verify/closure to
@@ -312,7 +313,19 @@ def near_dedup_audio(
     ``min_seg_frac``/``n_windows``/``anchor`` only apply to the
     segment tier (unused by the whole-clip tier), and a nonzero
     ``max_offset`` without ``seg_frames`` raises — the whole-clip
-    fingerprint has no timeline to shift."""
+    fingerprint has no timeline to shift.
+
+    ``max_bucket`` (round-16, segment tier only): the hot-bucket
+    salt-split threshold passed to
+    :func:`..phash.near_dedup_videos` — ON BY DEFAULT here because
+    the measured skew hazard lives in THIS tier: silence- or
+    constant-tone-heavy corpora produce low-entropy segment
+    fingerprints whose ``(slot, band)`` buckets detonate (round-15
+    measured one key holding 1,378 of 60k segments ≈ 10⁶ candidate
+    pairs on a plateau-shaped corpus). The split is pair-preserving —
+    survivors are identical — it only spreads a hot key's candidate
+    generation over ``ceil(n/max_bucket)`` reduce keys. ``None``
+    disables it (the exact round-15 plan)."""
     from .text import simhash_near_dedup
 
     if seg_frames is not None:
@@ -334,6 +347,7 @@ def near_dedup_audio(
             frame_hashes=sfp,
             max_offset=max_offset,
             two_level=two_level,
+            max_bucket=max_bucket,
         )
     if max_offset != 0:
         raise ValueError(
@@ -345,9 +359,13 @@ def near_dedup_audio(
         if fingerprints is not None
         else audio_fingerprint(media, content_col, id_col)
     )
+    # EAGER: same round-16 barrier discipline as near_dedup_images —
+    # an explicit two_level bool skips the sizing count, and the band
+    # self-join's two sides would race the cold lazy barrier into a
+    # double PCM decode
     sig = fp.filter(F.col("afp").isNotNull()).select(
         id_col, F.col("afp").alias("simhash")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     return simhash_near_dedup(
         media,
         max_hamming=max_hamming,

@@ -633,39 +633,50 @@ def interp_uniform_grid(
     (core/likelihood.py:73: ``fy_jac`` for the us_lgw weight), which
     is piecewise-constant and extrapolates with the edge segment's
     slope.
+
+    Plan shape (round-16): ONE one-row aggregate over the grid packs
+    bounds AND the node-ordered f-array into a single broadcast
+    (``(lo, hi, nmax, farr)``); each query row then fetches its two
+    bracketing values by array index (``F.get`` — 0-based, NULL out of
+    range). The previous shape was three broadcasts per call (a bounds
+    aggregate + two bracket hash joins), i.e. three broadcast builds
+    and two join probes per query row where one ≤32 KB array lookup
+    suffices — the grid is ≤4096 rows by the kde contract. Values are
+    bit-identical: same bounds arithmetic, same f values, same clamp
+    sequence (oracle-pinned via j3_interp / p14_p17 / the m4 loop
+    golden). Degenerate inputs degrade exactly as the join path did —
+    rows preserved; NULL queries clamp to node 0's value (both paths:
+    ``greatest(NULL, 0)`` selects 0 for the bracket index and 0.0 for
+    the fraction); empty grids yield NULL out/deriv columns.
     """
     g = grid.select(
         F.col(node_col).alias("__n"),
         F.col(grid_x_col).alias("__gx"),
         F.col(grid_f_col).alias("__gf"),
     )
-    bounds = g.agg(
+    packed = g.agg(
         F.min("__gx").alias("__lo"),
         F.max("__gx").alias("__hi"),
         F.max("__n").alias("__nmax"),
+        # collect_list is order-nondeterministic; the struct sort
+        # re-establishes node order (nodes are distinct by contract)
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__n", "__gf"))),
+            lambda s: s["__gf"],
+        ).alias("__farr"),
     )
-    q = queries.crossJoin(F.broadcast(bounds))
+    q = queries.crossJoin(F.broadcast(packed))
     dx = (F.col("__hi") - F.col("__lo")) / F.col("__nmax")
     pos = (F.col(q_col) - F.col("__lo")) / dx
     idx = F.least(F.greatest(F.floor(pos), F.lit(0)), F.col("__nmax") - 1).cast("int")
-    q = q.withColumn("__i0", idx).withColumn("__frac", pos - idx)
-
-    g0 = g.select(F.col("__n").alias("__i0"), F.col("__gx").alias("__x0"), F.col("__gf").alias("__f0"))
-    g1 = g.select((F.col("__n") - 1).alias("__i0"), F.col("__gf").alias("__f1"))
-    joined = (
-        q.join(F.broadcast(g0), "__i0", "left")
-        .join(F.broadcast(g1), "__i0", "left")
-    )
-    frac_clamped = F.least(F.greatest(F.col("__frac"), F.lit(0.0)), F.lit(1.0))
-    val = F.col("__f0") + (F.col("__f1") - F.col("__f0")) * frac_clamped
-    out = joined.withColumn(out_col, val)
+    f0 = F.get("__farr", idx)
+    f1 = F.get("__farr", idx + 1)
+    frac_clamped = F.least(F.greatest(pos - idx, F.lit(0.0)), F.lit(1.0))
+    val = f0 + (f1 - f0) * frac_clamped
+    out = q.withColumn(out_col, val)
     if deriv_col is not None:
-        out = out.withColumn(
-            deriv_col,
-            (F.col("__f1") - F.col("__f0"))
-            / ((F.col("__hi") - F.col("__lo")) / F.col("__nmax")),
-        )
-    return out.drop("__i0", "__frac", "__x0", "__f0", "__f1", "__lo", "__hi", "__nmax")
+        out = out.withColumn(deriv_col, (f1 - f0) / dx)
+    return out.drop("__lo", "__hi", "__nmax", "__farr")
 
 
 def interp_linear(

@@ -241,9 +241,13 @@ def near_dedup_images(
     ph = hashes if hashes is not None else image_phash(
         media, content_col, id_col, grid
     )
+    # EAGER: with an explicit two_level bool no sizing count runs
+    # before the band self-join, and a lazy barrier lets the two join
+    # sides race the cold blocks into a DOUBLE image decode (round-16
+    # barrier discipline — see simhash_near_dedup / near_dedup_minhash)
     sig = ph.filter(F.col("dhash").isNotNull()).select(
         id_col, F.col("dhash").alias("simhash")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     return simhash_near_dedup(
         media,
         max_hamming=max_hamming,
@@ -300,6 +304,7 @@ def near_dedup_videos(
     frame_hashes: DataFrame | None = None,
     max_offset: int = 0,
     two_level: bool | str = "auto",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Video-level perceptual near-dedup: two animations are
     duplicates when at least ``min_frame_frac`` of their ALIGNED
@@ -352,9 +357,32 @@ def near_dedup_videos(
     verified pairs (see ``simhash_near_dedup``); ``"auto"`` (the
     round-14 default) counts the decodable-video set — the per-slot
     signature population IS the video count — and engages it at ≥10⁶
-    videos."""
+    videos.
+
+    ``max_bucket`` (round-16, VERDICT r15 ask #4 — §2.5 skew): a
+    HOT-BUCKET SALT-SPLIT guard for the candidate join. Low-entropy
+    fingerprints (the measured case: constant-plateau audio segments,
+    where one ``(slot, band)`` key held 1,378 of 60k segments ≈ 10⁶
+    candidate pairs from a single reduce key) concentrate the
+    pigeonhole join on single hot keys that AQE's skew handling cannot
+    split (it splits partitions, never one key). With ``max_bucket``
+    set, per-key populations are counted in-plan and any key above the
+    threshold is salt-split: the a-side takes a deterministic salt
+    ``pmod(xxhash64(id), ceil(n/max_bucket))``, the b-side replicates
+    across all salts of its key — every pair is still produced exactly
+    once per (pair, δ, slot), so candidates, verified pairs, and
+    survivors are IDENTICAL (pigeonhole completeness preserved; the
+    verify stage still checks full signatures) while the hot key's
+    pair generation spreads over ``ceil(n/max_bucket)`` reduce keys
+    instead of one straggler. Cold corpora pay one extra slim-key
+    aggregation + two key-count joins; None (the default) keeps the
+    unsalted plan. The audio segment tier — where the hazard was
+    measured — passes a default through
+    :func:`..audio.near_dedup_audio`."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4x16-bit banding is complete only for max_hamming <= 3")
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError("max_bucket must be >= 1 when set")
     if not 0 < min_frame_frac <= 1:
         # <= 0 would merge any pair sharing one co-bucketed aligned
         # frame (matched >= 0 is vacuous); > 1 silently disables dedup
@@ -366,14 +394,18 @@ def near_dedup_videos(
         if frame_hashes is not None
         else frame_phash(media, n_frames, content_col, id_col)
     )
-    fh = fh.filter(F.col("dhash").isNotNull()).localCheckpoint(eager=False)
+    # EAGER: the banded self-join (plus the round-16 bucket-size
+    # frame) reads this barrier from several subtrees of one job; a
+    # lazy barrier is only safe when the auto-tier count materializes
+    # it first, which an explicit two_level bool skips (round-16
+    # barrier discipline — one decode pass, guaranteed)
+    fh = fh.filter(F.col("dhash").isNotNull()).localCheckpoint(eager=True)
     n_by_vid = fh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nf"))
     if two_level == "auto":
         from .text import TWO_LEVEL_AUTO_THRESHOLD
 
-        # the count also materializes fh's lazy barrier, a job the
-        # band join would have run anyway; the groupBy re-runs later
-        # from the checkpoint, not from the decode pass
+        # fh is already materialized (eager barrier above), so the
+        # sizing count is a cheap aggregate over stored blocks
         two_level = n_by_vid.count() >= TWO_LEVEL_AUTO_THRESHOLD
     elif not isinstance(two_level, bool):
         raise ValueError(f"two_level must be a bool or 'auto', got {two_level!r}")
@@ -435,8 +467,41 @@ def near_dedup_videos(
         )
     # slot-aligned candidate pairs: same frame slot (per offset),
     # same band bucket
+    join_keys = ["__slot", "__t", "__b"]
+    if max_bucket is not None:
+        # hot-bucket salt-split (see docstring): key populations from
+        # the a-side lattice (the un-shifted slot population — the
+        # b-side's is the same rows re-keyed by δ). Inner-joining the
+        # count frame drops only keys absent from the a side, which
+        # produce no candidates anyway.
+        bsz = fhe.groupBy(
+            F.col("frame_id").alias("__slot"), "__t", "__b"
+        ).agg(F.count(F.lit(1)).alias("__bn"))
+        bsz = bsz.select(
+            "__slot", "__t", "__b",
+            F.greatest(
+                F.ceil(F.col("__bn") / max_bucket), F.lit(1)
+            ).cast("int").alias("__ns"),
+        )
+        a = (
+            a.join(bsz, join_keys)
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64("__ida"), F.col("__ns")).cast("int"),
+            )
+            .drop("__ns")
+        )
+        b = (
+            b.join(bsz, join_keys)
+            .withColumn(
+                "__salt",
+                F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)),
+            )
+            .drop("__ns")
+        )
+        join_keys = ["__slot", "__t", "__b", "__salt"]
     cand_frames = (
-        a.join(b, ["__slot", "__t", "__b"])
+        a.join(b, join_keys)
         .filter(F.col("__ida") < F.col("__idb"))
         .dropDuplicates(["__ida", "__idb", "__delta", "__slot"])
         .filter(

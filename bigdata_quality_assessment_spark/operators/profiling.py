@@ -49,8 +49,18 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     concurrent stages under the one collect (measured sf0.1: 3.63 s →
     2.49 s median, identical 30-row output; plan: Expand(6) gone).
     The cross-joins are one-row broadcast nested loops — O(1) rows,
-    no shuffle of data. At 100 TB use ``approx_profile`` (one pass,
-    sketches).
+    no shuffle of data.
+
+    COLUMNAR-SOURCE ASSUMPTION (round-16, ADVICE r15): the
+    "columnar total bytes unchanged" argument for the per-column
+    distinct subtrees holds only for column-pruned scans (parquet/
+    ORC). On row-oriented sources (CSV/JSON/JDBC) each subtree
+    re-reads every row, so the n+1 subtrees are an n-fold read
+    amplification — profile a row-oriented source by landing it as
+    parquet first, or use ``approx_profile`` (single fused pass, HLL
+    sketches). At 100 TB use ``approx_profile`` regardless (exact
+    distinct counts and exact sort-based percentiles both shuffle/
+    buffer the world).
 
     Returns ``(column STRING, metric STRING, value DOUBLE)``."""
     cols = columns or df.columns

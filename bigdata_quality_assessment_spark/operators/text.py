@@ -723,14 +723,27 @@ def minhash_band_keys(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 32, id_col: str = "doc_id"
+    signatures: DataFrame, bands: int = 32, id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` bands of
     ``r = n_hashes/bands`` rows, hash each band, and emit every pair
     of docs sharing a (band, band_hash) bucket — the candidate set is
     produced by an equi-join on the bucket key, NEVER an all-pairs
-    product. Returns distinct ``(doc_a, doc_b)`` with doc_a<doc_b."""
+    product. Returns distinct ``(doc_a, doc_b)`` with doc_a<doc_b.
+
+    ``materialize`` (round-16): EAGERLY checkpoint the band-key frame
+    before the self-join. Both join sides derive from it, and the
+    executed sf0.1 plan showed the full upstream signature fold (the
+    128-min aggregation) running ONCE PER SIDE — broadcast-side
+    planning defeats ReuseExchange, and a lazy barrier's cache
+    semantics let concurrent cold readers race into recompute. The
+    eager barrier stores ~20 B × bands per doc and pins exactly one
+    fold execution; it runs a job at call time, so it is opt-in for
+    this otherwise-lazy builder (near_dedup_minhash opts in)."""
     buckets = minhash_band_keys(signatures, bands, id_col)
+    if materialize:
+        buckets = buckets.localCheckpoint(eager=True)
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -818,9 +831,21 @@ def near_dedup_minhash(
     # ``jaccard_pairs`` (the SQL oracle).
     sh = _shingle_expr(F.col(text_col), k, mode)
     shingle_hash = _md5_48 if lane_params is not None else F.xxhash64
+    # EAGER, not lazy (round-16): the first action over this operator
+    # is one big job (the closure's edge-sizing count) in which FIVE
+    # subtrees read this barrier — the fold feeding both band-join
+    # sides, the sizes aggregate, and both verify sides. A lazy
+    # barrier has cache semantics per partition, so those subtrees'
+    # concurrent stages RACE on the cold blocks and each recomputes
+    # the shingle+tokenize+hash scan it finds unmaterialized — at sf10
+    # the measured end-to-end swung 41.7→186 s across identical runs
+    # while the same stages off a pre-materialized table summed to
+    # ~28 s. The eager checkpoint runs the scan exactly once at call
+    # time; every consumer then reads stored rows (same discipline
+    # loop.py documents for its scored pool).
     hashes = ensure_min_parallelism(docs.select(id_col, text_col)).select(
         id_col, F.explode(F.transform(sh, lambda s: shingle_hash(s))).alias("__h")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     if lane_params is not None:
         n_hashes = len(lane_params)
         lanes = [
@@ -843,7 +868,7 @@ def near_dedup_minhash(
             F.array(*[F.col(f"__s{i}") for i in range(n_hashes)]).alias("sig"),
         )
     )
-    cands = minhash_lsh_candidates(sigs, bands, id_col)
+    cands = minhash_lsh_candidates(sigs, bands, id_col, materialize=True)
     # separate light count agg — the sizes path must not re-run the
     # 128-lane min aggregation it doesn't need
     sizes = hashes.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -995,12 +1020,17 @@ def simhash_near_dedup(
     lazy ``localCheckpoint`` on it; this function adds one otherwise)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4x16-bit banding is complete only for max_hamming <= 3")
-    # Lazy barrier on the (id, simhash) frame — 16 bytes/doc. The a/b
+    # EAGER barrier on the (id, simhash) frame — 16 bytes/doc. The a/b
     # band self-join below otherwise re-executes the whole shingling +
-    # 64-vote aggregation once per side.
+    # 64-vote aggregation once per side: a LAZY barrier only protects
+    # consumers that run after something materializes it, and with an
+    # explicit two_level bool no sizing count runs first — the two
+    # join sides then race the cold barrier into duplicate recompute
+    # (round-16; the same racy-cold-cache pathology measured on
+    # near_dedup_minhash's shingle table at sf10).
     if signatures is None:
         sig = simhash(docs, text_col, k, mode, id_col, hash_fn).localCheckpoint(
-            eager=False
+            eager=True
         )
     else:
         sig = signatures
@@ -2128,7 +2158,7 @@ def delete_bm25_docs(
 
 
 def open_bm25_index(
-    spark, path: str
+    spark, path: str, materialize: bool = False
 ) -> tuple[DataFrame, DataFrame, dict, DataFrame | None]:
     """Read back an :func:`append_bm25_index` index: ``(postings,
     df_frame, stats, tombstones)`` — pass straight to
@@ -2141,7 +2171,23 @@ def open_bm25_index(
     so orphan directories from a crashed writer are pruned at file
     listing, never read): stats.json is the commit point, and this
     filter is what makes the three-write batch protocol atomic from
-    the reader's side."""
+    the reader's side.
+
+    ``materialize=True`` (round-16, VERDICT r15 ask #7): amortize the
+    per-search fixed overhead across repeated searches on the SAME
+    opened handle. The incremental layout's df side lives in one
+    parquet directory PER BATCH × bucket; every search re-lists and
+    re-reads those per-batch delta files and re-sums them — at sf0.1
+    (tiny corpus, ~190 delta dirs) that fixed cost was the entire
+    4.28 s vs 1.31 s gap against the denormalized layout. With
+    ``materialize``, the committed df deltas are folded once to one
+    row per (term, bucket) — integer sums, exactly
+    :func:`compact_bm25_index_df`'s arithmetic, scores bit-identical
+    (pytest-pinned) — and stored via an eager ``localCheckpoint``
+    (session-lifetime blocks, not a cross-run cache); tombstones
+    likewise. The POSTINGS stay a parquet scan on purpose: they are
+    corpus-sized and their per-search bucket pruning IS the win of
+    the partitioned layout."""
     import json
     import os
 
@@ -2158,6 +2204,17 @@ def open_bm25_index(
         if os.path.exists(tomb_path)
         else None
     )
+    if materialize:
+        # fold per-batch deltas to one row per (term, bucket): exact
+        # integer sums (zero-sum rows KEPT so the frame is row-for-row
+        # equivalent in search arithmetic to the unfolded deltas)
+        df_frame = (
+            df_frame.groupBy("term", "__bucket")
+            .agg(F.sum("df").alias("df"))
+            .localCheckpoint(eager=True)
+        )
+        if tombstones is not None:
+            tombstones = tombstones.localCheckpoint(eager=True)
     return postings, df_frame, stats, tombstones
 
 

