@@ -167,22 +167,26 @@ def main() -> None:
         ``scored`` feeds THREE consumers — the KDE bounds aggregate,
         the KDE binning pass, and the interp query side — and each as
         a separate subtree re-executes the scan + model crossJoin +
-        600k-key stats shuffle. A LAZY localCheckpoint makes it one
+        600k-key stats shuffle. A localCheckpoint makes it one
         execution read by all three (round-15; measured sf0.1
         3.19 s → 2.21 s median, same top-20 ids, grid pdf differs at
-        1 ulp from partial-sum order). An earlier round measured
-        ``.cache()`` here as 2× slower than recompute; the lazy
-        barrier differs: it cuts the lineage (one plan analysis per
-        consumer instead of re-analyzing the full chain) and defers
-        materialization into the first consuming job — the same
-        discipline loop.py uses eagerly."""
+        1 ulp from partial-sum order). Round-16: the barrier is now
+        EAGER — the round-15 LAZY barrier let the three consumers
+        race the cold blocks inside the one collect job (per-partition
+        cache semantics recompute what a concurrent reader finds
+        unmaterialized), measured at sf10 as a 31.9–160 s spread on
+        identical passes; eager vs lazy A/B read sf10 50.1 vs 67.8 s
+        median and sf0.1 2.41 vs 2.66 s — one clean execution wins at
+        both scales. (An earlier round measured ``.cache()`` here as
+        2× slower than recompute; the checkpoint differs: it truncates
+        lineage, so each consumer analyzes a two-node plan.)"""
         pts = points(SF_DIR)
         # carry point columns through the stats groupBy (F.first per
         # unique key) — one shuffle, no join-back exchange of the pool.
         scored = ensemble_stats(
             stub_predictions(pts, 2, carry_cols=["x1", "x2", "y"]),
             carry_cols=["x1", "x2", "y"],
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         grid = kde_1d(scored, "y_mean", bw=0.1, ngrid=256)
         with_fy = interp_uniform_grid(scored, grid, q_col="y_mean", out_col="pdf_y_mean")
         acq = with_fy.withColumn("acq", acquisition_us_lw(with_fy))

@@ -426,7 +426,13 @@ def main() -> None:
         obj = builder()
         items = obj.items() if isinstance(obj, dict) else [(name, obj)]
         for sub, df in items:
-            path = out_dir / f"{sub}_{suffix}.txt"
+            # the nobarrier evidence builders emit their own
+            # before/after pair from toggles in one invocation — keep
+            # their names as-is instead of double-suffixing
+            if sub.endswith(("_before", "_after")):
+                path = out_dir / f"{sub}.txt"
+            else:
+                path = out_dir / f"{sub}_{suffix}.txt"
             path.write_text(fmt(df))
             print(f"wrote {path}")
     spark.stop()
