@@ -379,10 +379,18 @@ def main() -> None:
         # NEXT query pays its GC pressure (measured at sf1: knn_cosine
         # 29 s in-bench directly after the 46 s near-dedup vs 2-4 s
         # isolated; both best-of-2 runs were polluted)
-        spark.catalog.clearCache()
-        jvm.System.gc()
+        # round-16: the hygiene runs per SAMPLE, not just per query —
+        # the protocol timed_extra always used. With the dedup/flagship
+        # barriers now eager, each pass stores GB-scale checkpoint
+        # blocks at sf10; without an inter-pass GC the ContextCleaner
+        # has not yet released pass k's blocks while pass k+1 runs, and
+        # the accumulated storage turned sf10 medians into noise
+        # (near_dedup spread 156 s on identical plans). Timed region
+        # unchanged — the GC runs strictly between passes.
         samples: list[float] = []
         for _ in range(n_runs):
+            spark.catalog.clearCache()
+            jvm.System.gc()
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
@@ -399,6 +407,8 @@ def main() -> None:
                 and max(samples) - min(samples)
                 > 0.5 * statistics.median(samples)
             ):
+                spark.catalog.clearCache()
+                jvm.System.gc()
                 t0 = time.perf_counter()
                 fn()
                 samples.append(time.perf_counter() - t0)
@@ -410,6 +420,8 @@ def main() -> None:
         # of exactly these queries stops crying wolf
         if n_runs == 3 and statistics.median(samples) < 1.0:
             while len(samples) < 7:
+                spark.catalog.clearCache()
+                jvm.System.gc()
                 t0 = time.perf_counter()
                 fn()
                 samples.append(time.perf_counter() - t0)

@@ -374,11 +374,14 @@ def near_dedup_videos(
     survivors are IDENTICAL (pigeonhole completeness preserved; the
     verify stage still checks full signatures) while the hot key's
     pair generation spreads over ``ceil(n/max_bucket)`` reduce keys
-    instead of one straggler. Cold corpora pay one extra slim-key
-    aggregation + two key-count joins; None (the default) keeps the
-    unsalted plan. The audio segment tier — where the hazard was
-    measured — passes a default through
-    :func:`..audio.near_dedup_audio`."""
+    instead of one straggler. The guard is ADAPTIVE: a one-aggregate
+    probe over the (already materialized) fingerprint barrier reads
+    the max bucket population first; healthy corpora keep the exact
+    unsalted plan and pay only the probe, and when the threshold
+    trips the engagement is warned loudly with the measured
+    population. None (the default) skips probe and guard. The audio
+    segment tier — where the hazard was measured — passes a default
+    through :func:`..audio.near_dedup_audio`."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4x16-bit banding is complete only for max_hamming <= 3")
     if max_bucket is not None and max_bucket < 1:
@@ -471,12 +474,34 @@ def near_dedup_videos(
     if max_bucket is not None:
         # hot-bucket salt-split (see docstring): key populations from
         # the a-side lattice (the un-shifted slot population — the
-        # b-side's is the same rows re-keyed by δ). Inner-joining the
-        # count frame drops only keys absent from the a side, which
-        # produce no candidates anyway.
+        # b-side's is the same rows re-keyed by δ). ADAPTIVE (round-16
+        # measured): the salt machinery (size aggregate + two key
+        # joins + the wider join key) costs ~20% of the audio segment
+        # tier on a HEALTHY corpus, so probe the max bucket size first
+        # — one cheap aggregate over the stored fingerprint barrier —
+        # and keep the exact unsalted plan when nothing exceeds the
+        # threshold. The probe is what makes a detonating corpus loud:
+        # when it trips, the engagement is warned with the measured
+        # population. Inner-joining the count frame drops only keys
+        # absent from the a side, which produce no candidates anyway.
         bsz = fhe.groupBy(
             F.col("frame_id").alias("__slot"), "__t", "__b"
         ).agg(F.count(F.lit(1)).alias("__bn"))
+        mx_row = bsz.agg(F.max("__bn").alias("mx")).first()
+        mx = int(mx_row["mx"] or 0)
+        if mx <= max_bucket:
+            max_bucket = None  # healthy: keep the unsalted plan
+        else:
+            import warnings
+
+            warnings.warn(
+                f"hot (slot, band) bucket of {mx} signatures exceeds "
+                f"max_bucket={max_bucket} (low-entropy fingerprints — "
+                "plateau/silence-heavy corpus?); salt-splitting its "
+                "candidate generation (survivors unchanged)",
+                stacklevel=2,
+            )
+    if max_bucket is not None:
         bsz = bsz.select(
             "__slot", "__t", "__b",
             F.greatest(
